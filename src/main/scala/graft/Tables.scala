@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 /** Catalog shim: logical table name → parquet path under a scale-factor
   * dir. At cluster scale this is where a real catalog (metastore / batch
@@ -12,6 +13,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS); Spark reads it only as a
+    // nanos long (spark.sql.legacy.parquet.nanosAsLong=true, set by our
+    // session builders) — surface it as a proper micros timestamp, the
+    // same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
+    if (name == "events")
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Session configs every graft entry point needs for reference parity:
+    * non-ANSI casts (bad values coerce to null like the reference's
+    * errors="coerce"), UTC, nanos-parquet tolerance.
+    */
+  val sessionConfs: Map[String, String] = Map(
+    "spark.sql.ansi.enabled" -> "false",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
 }

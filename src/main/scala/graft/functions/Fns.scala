@@ -53,10 +53,10 @@ object Fns {
   def parseIsoDate(c: Column): Column = {
     val s = trim(c)
     coalesce(
-      to_date(substring(s, 1, 10), "yyyy-MM-dd"),
-      to_date(s, "dd/MM/yyyy"),
-      to_date(s, "dd-MM-yyyy"),
-      to_date(s, "yyyyMMdd"))
+      try_to_date(substring(s, 1, 10), "yyyy-MM-dd"),
+      try_to_date(s, "dd/MM/yyyy"),
+      try_to_date(s, "dd-MM-yyyy"),
+      try_to_date(s, "yyyyMMdd"))
   }
 
   /** Open-ended inclusive validity-range predicate vs a given as-of date

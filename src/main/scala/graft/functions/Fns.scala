@@ -137,6 +137,15 @@ object Fns {
     (effYear.cast("long") * 100 + weekNum).cast("long")
   }
 
+  /** Previous-completed-week target date (reference:
+    * ridiculous_sentences_weekly.py:196-202): Sundays report their own
+    * week; any other day steps back to the most recent Sunday.
+    */
+  def prevCompletedWeekTarget(d: Column): Column = {
+    val pyWeekday = pmod(dayofweek(d) + lit(5), lit(7)) // Mon=0..Sun=6
+    when(pyWeekday === 6, d).otherwise(date_sub(d, pyWeekday + lit(1)))
+  }
+
   /** Period bounds (reference: table_gold_content_fact_pool.py:209-216). */
   def yearStart(d: Column): Column = trunc(d, "year")
   def yearEnd(d: Column): Column = date_sub(add_months(trunc(d, "year"), 12), 1)

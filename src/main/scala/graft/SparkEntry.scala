@@ -16,7 +16,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.MergeSemantics.queries ++
-      graft.queries.Scalar.queries
+      graft.queries.Scalar.queries ++
+      graft.queries.LlmPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -24,5 +25,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.MergeSemantics.oracles ++
-      graft.queries.Scalar.oracles
+      graft.queries.Scalar.oracles ++
+      graft.queries.LlmPipeline.oracles
 }

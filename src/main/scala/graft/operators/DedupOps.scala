@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale text deduplication operators (north-star surface beyond the
+  * reference): exact, n-gram Jaccard brute force, MinHash+LSH, SimHash.
+  *
+  * Scale design: every operator is a pure dataflow of explode → combinable
+  * groupBy → narrow joins. The only wide shuffles are keyed by doc or by
+  * LSH bucket; nothing collects to the driver. Brute-force pairwise ops are
+  * the small-data verifiers for the LSH paths.
+  */
+object DedupOps {
+
+  /** Normalized text for identity: lower, collapse whitespace. */
+  def normText(c: Column): Column = regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Exact dedupe (hash-groupBy): keep the smallest id per normalized-text
+    * hash. Returns (survivors, dupGroups).
+    */
+  def exactDedup(docs: DataFrame, textCol: String, idCol: String): (DataFrame, DataFrame) = {
+    val hashed = docs.withColumn("_text_hash", sha2(normText(col(textCol)), 256))
+    val survivors = hashed.withColumn("_keep",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("_text_hash").orderBy(col(idCol).asc)))
+      .filter(col("_keep") === 1).drop("_keep")
+    val groups = hashed.groupBy("_text_hash")
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper_id"))
+      .filter(col("n_docs") > 1)
+    (survivors, groups)
+  }
+
+  /** Distinct word n-gram shingles of the text. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(normText(text), " ")
+    array_distinct(transform(
+      sequence(lit(0), size(words) - n),
+      i => array_join(slice(words, i + 1, lit(n)), " ")))
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs of (id, shingleSet). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Brute-force near-dup pairs with shingle Jaccard ≥ threshold. O(n²) —
+    * the correctness baseline; use [[minhashNearDupPairs]] at scale.
+    */
+  def bruteNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).cast("long").as("doc_id"),
+      shingles(col(textCol), n).as("sg")).filter(size(col("sg")) > 0)
+    val a = sh.select(col("doc_id").as("doc_a"), col("sg").as("sg_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sg").as("sg_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", jaccard(col("sg_a"), col("sg_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash signature columns h0..h{k-1}: min over the shingle set of a
+    * seeded 64-bit hash. One combinable aggregation — the scale path's
+    * only doc-keyed shuffle.
+    */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+                        n: Int, numHashes: Int): DataFrame = {
+    val sh = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(shingles(col(textCol), n)).as("shingle"))
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: band the signature (bands × rowsPerBand =
+    * numHashes), hash each band, join docs sharing a band bucket.
+    */
+  def lshCandidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { j =>
+      val rows = (0 until rowsPerBand).map(r => col(s"h${j * rowsPerBand + r}"))
+      struct(lit(j).as("band_idx"), xxhash64(rows: _*).as("band_hash"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+    val l = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+    val r = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("band_idx", "band_hash")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs, exact-verified: candidates from banding,
+    * then true shingle Jaccard ≥ threshold. With b=32,r=2 recall at j≥0.8
+    * is 1-(1-j²)^32 ≈ 1-5e-15 — effectively exhaustive for real near-dups,
+    * at O(n·bands) instead of O(n²).
+    */
+  def minhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+                          n: Int = 3, numHashes: Int = 64, bands: Int = 32,
+                          threshold: Double = 0.5): DataFrame = {
+    val sig = minhashSignatures(docs, textCol, idCol, n, numHashes)
+    val cand = lshCandidatePairs(sig, bands, numHashes / bands)
+    val sh = docs.select(col(idCol).cast("long").as("doc_id"),
+      shingles(col(textCol), n).as("sg"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sg").as("sg_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sg").as("sg_b")), Seq("doc_b"))
+      .withColumn("jaccard", jaccard(col("sg_a"), col("sg_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash: 64-bit signature from token hashes — bit b of the signature
+    * is 1 when the weighted sum of bit-b contributions is positive.
+    * Expression-only (stays in codegen): 64 conditional sums in one
+    * combinable aggregation.
+    */
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(split(normText(col(textCol)), " ")).as("token"))
+      .withColumn("th", xxhash64(col("token")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(col("th").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
+    }
+    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: bucket on 4×16-bit bands (any pair within
+    * hamming distance ≤ 3 shares at least one exact band by pigeonhole...
+    * distance ≤ 3 across 4 bands guarantees one untouched band), then
+    * exact hamming filter.
+    */
+  def simhashNearDupPairs(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bandCols = (0 until 4).map { j =>
+      struct(lit(j).as("band_idx"),
+        shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("band_val"))
+    }
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
+    val l = banded.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val r = banded.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    l.join(r, Seq("band_idx", "band_val")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

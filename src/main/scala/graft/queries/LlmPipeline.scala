@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+
+/** Training-data-pipeline operator surface (north star beyond the
+  * reference): dedupe, similarity search, text analysis, multimodal
+  * plumbing — over the `documents` and `embeddings` tables.
+  */
+object LlmPipeline {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedupe: planted duplicates (every 50th doc re-appended with a
+    // shifted id) collapse to the smallest id.
+    "q26_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val (_, groups) = DedupOps.exactDedup(docs.unionByName(planted), "text", "doc_id")
+      groups.select(col("keeper_id").cast("long").as("keeper_id"),
+          col("n_docs").cast("long").as("n_docs"))
+        .orderBy("keeper_id")
+    }),
+
+    // Near-dup pairs, brute-force 3-gram shingle Jaccard (correctness
+    // baseline for the LSH path).
+    "q27_neardup_brute" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.bruteNearDupPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Same pairs via MinHash+LSH (64 hashes, 32 bands × 2 rows) with exact
+    // post-verification — the 100 TB path; shares the brute-force oracle.
+    "q28_neardup_minhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.minhashNearDupPairs(docs, "text", "doc_id",
+          n = 3, numHashes = 64, bands = 32, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures).
+    // Hash-function-specific → no SQL oracle; driver rows-only check.
+    "q29_neardup_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sig = DedupOps.simhash(docs, "text", "doc_id")
+      DedupOps.simhashNearDupPairs(sig, maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ANN: brute-force cosine top-5 neighbors per vector.
+    "q30_ann_topk_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.bruteTopK(emb, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ANN scale path: IVF-style search restricted to the coarse cell
+    // (the precomputed cluster label).
+    "q31_ann_topk_cell" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.topKWithinPartition(emb, "vec_id", "embedding", "label", k = 3)
+        .select(col("cell").cast("long").as("cell"), col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Language ID (marker-word heuristic) vs the labeled lang column.
+    "q32_lang_id" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id").cast("long").as("doc_id"),
+          TextOps.langId(col("text")).as("lang_pred"),
+          col("lang").as("lang_label"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring bands.
+    "q33_quality_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      TextOps.qualityMetrics(docs, "text")
+        .select("doc_id", "n_words", "n_chars", "distinct_ratio", "quality_score", "quality_band")
+        .orderBy("doc_id")
+    }),
+
+    // Fingerprint + token count.
+    "q34_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"),
+          TextOps.fingerprint(col("text")).as("fp"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal plumbing: binary payload → mapPartitions decode (stub
+    // codec) → typed metadata.
+    "q35_multimodal_meta" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("media_id"), encode(col("text"), "UTF-8").as("payload"))
+      MultimodalOps.decodeMetadata(media, "media_id", "payload")
+        .toDF().orderBy("media_id")
+    }),
+  )
+
+  private val shingleCte =
+    """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws FROM documents),
+      |sh AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sg
+      |  FROM w WHERE len(ws) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.sg, b.sg)) * 1.0 / len(list_distinct(list_concat(a.sg, b.sg))) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q26_dedup_exact" ->
+      """WITH base AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS BIGINT) + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+        |h AS (SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS th FROM base)
+        |SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM h GROUP BY th HAVING COUNT(*) > 1 ORDER BY keeper_id""".stripMargin,
+
+    "q27_neardup_brute" -> shingleCte,
+    "q28_neardup_minhash" -> shingleCte,
+
+    "q30_ann_topk_brute" ->
+      """WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vid, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+        |s AS (SELECT q.vid AS query_id, c.vid AS neighbor_id,
+        |    list_cosine_similarity(q.vd, c.vd) AS score
+        |  FROM v q JOIN v c ON q.vid <> c.vid),
+        |r AS (SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rnk FROM s)
+        |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q31_ann_topk_cell" ->
+      """WITH v AS (SELECT CAST(label AS BIGINT) AS cell, CAST(vec_id AS BIGINT) AS vid,
+        |    CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+        |s AS (SELECT q.cell, q.vid AS query_id, c.vid AS neighbor_id,
+        |    list_cosine_similarity(q.vd, c.vd) AS score
+        |  FROM v q JOIN v c ON q.cell = c.cell AND q.vid <> c.vid),
+        |r AS (SELECT cell, query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rnk FROM s)
+        |SELECT cell, query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q32_lang_id" ->
+      """WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |    len(list_filter(ws, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+        |    len(list_filter(ws, x -> x IN ('the','a','of','and','is'))) AS s_en,
+        |    len(list_filter(ws, x -> x IN ('el','la','de','que','y'))) AS s_es,
+        |    len(list_filter(ws, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+        |    len(list_filter(ws, x -> x IN ('的','是','了','在','我'))) AS s_zh
+        |  FROM w),
+        |b AS (SELECT *, GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS best FROM sc)
+        |SELECT doc_id,
+        |  CASE WHEN best = 0 THEN 'und'
+        |    WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en' WHEN s_es = best THEN 'es'
+        |    WHEN s_fr = best THEN 'fr' ELSE 'zh' END AS lang_pred,
+        |  lang AS lang_label
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q33_quality_score" ->
+      """WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_ratio
+        |  FROM w)
+        |SELECT doc_id, n_words, n_chars, distinct_ratio,
+        |  (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END +
+        |   CASE WHEN distinct_ratio >= 0.3 THEN 0.5 ELSE 0.0 END) AS quality_score,
+        |  CASE WHEN (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END +
+        |        CASE WHEN distinct_ratio >= 0.3 THEN 0.5 ELSE 0.0 END) >= 1.0 THEN 'high'
+        |    WHEN (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END +
+        |        CASE WHEN distinct_ratio >= 0.3 THEN 0.5 ELSE 0.0 END) >= 0.5 THEN 'medium'
+        |    ELSE 'low' END AS quality_band
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q34_fingerprint" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q35_multimodal_meta" ->
+      """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(strlen(text) AS BIGINT) AS n FROM documents)
+        |SELECT media_id,
+        |  CASE WHEN n % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  64 + (n % 448) AS width,
+        |  64 + ((n * 7) % 448) AS height,
+        |  1 + (n % 16) AS n_frames,
+        |  n AS n_bytes
+        |FROM m ORDER BY media_id""".stripMargin,
+  )
+}

@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.MergeSemantics.queries ++
       graft.queries.Scalar.queries ++
-      graft.queries.LlmPipeline.queries
+      graft.queries.LlmPipeline.queries ++
+      graft.queries.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -26,5 +27,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.MergeSemantics.oracles ++
       graft.queries.Scalar.oracles ++
-      graft.queries.LlmPipeline.oracles
+      graft.queries.LlmPipeline.oracles ++
+      graft.queries.Streaming.oracles
 }

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.operators.MergeOps
+
+/** Structured-Streaming surface (SURVEY §2.12): tumbling/sliding/session
+  * windows and a foreachBatch upsert sink. The window builders are plain
+  * column expressions, so the same code path serves batch backfill and
+  * the live stream — the Spark idiom for lambda-free architectures.
+  */
+object StreamOps {
+
+  /** Tumbling-window aggregation. Works on batch and streaming frames. */
+  def tumblingAgg(df: DataFrame, tsCol: String, width: String,
+                  keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.groupBy((window(col(tsCol), width) +: keys.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+
+  /** Sliding-window aggregation (width, slide). */
+  def slidingAgg(df: DataFrame, tsCol: String, width: String, slide: String,
+                 keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.groupBy((window(col(tsCol), width, slide) +: keys.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+
+  /** Session-window aggregation (gap-based). */
+  def sessionAgg(df: DataFrame, tsCol: String, gap: String,
+                 keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.groupBy((session_window(col(tsCol), gap) +: keys.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start", col("session_window.start"))
+      .withColumn("session_end", col("session_window.end"))
+      .drop("session_window")
+
+  /** Watermarked streaming tumbling aggregation — the live-path variant. */
+  def streamingTumblingAgg(stream: DataFrame, tsCol: String, width: String,
+                           watermark: String, keys: Seq[String],
+                           aggs: Seq[Column]): DataFrame =
+    tumblingAgg(stream.withWatermark(tsCol, watermark), tsCol, width, keys, aggs)
+
+  /** foreachBatch upsert sink: each micro-batch merges into the target
+    * parquet table with the reference's M2 semantics (incoming wins on pk).
+    * The reference's read-modify-write "latest" sink (io_s3.py:118-145)
+    * expressed as a streaming sink.
+    */
+  def upsertSink(stream: DataFrame, targetPath: String, pk: Seq[String])
+  : DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try spark.read.parquet(targetPath)
+          catch { case _: Exception => batch.limit(0) }
+        val merged = MergeOps.upsert(existing, batch, pk)
+        // stage-then-swap: write to a temp dir, atomically repoint
+        val tmp = targetPath + "_staged"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val target = new org.apache.hadoop.fs.Path(targetPath)
+        fs.delete(target, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+        ()
+      }
+}

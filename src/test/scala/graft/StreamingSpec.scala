@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamOps
+
+/** Live Structured-Streaming coverage: the same StreamOps builders that
+  * the batch oracles pin are driven here through MemoryStream sources —
+  * watermark + tumbling agg, and the foreachBatch upsert sink.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming tumbling agg with watermark over a MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val agg = StreamOps.streamingTumblingAgg(events, "ts", "10 minutes",
+      watermark = "1 hour", keys = Seq("event_type"),
+      aggs = Seq(count(lit(1)).as("n"), sum($"value").as("v")))
+
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:01:00"), "click", 1.0),
+        (ts("2024-01-01 10:04:00"), "click", 2.0),
+        (ts("2024-01-01 10:11:00"), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .select(date_format($"window_start", "HH:mm").as("w"), $"event_type", $"n", $"v")
+        .orderBy("w").collect()
+      assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq ==
+        Seq(("10:00", "click", 2L, 3.0), ("10:10", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert sink merges micro-batches with M2 semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val target = Files.createTempDirectory("graft_sink").resolve("t").toString
+    val input = MemoryStream[(String, String)]
+    val stream = input.toDF().toDF("pk", "v")
+
+    val q1 = StreamOps.upsertSink(stream, target, Seq("pk")).start()
+    input.addData(("a", "1"), ("b", "1"))
+    q1.processAllAvailable(); q1.stop()
+
+    val q2 = StreamOps.upsertSink(stream, target, Seq("pk")).start()
+    input.addData(("b", "2"), ("c", "1"))
+    q2.processAllAvailable(); q2.stop()
+
+    val out = spark.read.parquet(target).orderBy("pk")
+      .as[(String, String)].collect().toSeq
+    assert(out == Seq(("a", "1"), ("b", "2"), ("c", "1")))
+  }
+}

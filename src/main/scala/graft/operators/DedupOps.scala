@@ -70,8 +70,22 @@ object DedupOps {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** All (a,b) a<b pairs from a sorted id array, as an explode-able
+    * column — turns a bucket of m ids into m(m-1)/2 pair structs without
+    * a self-join (no recomputation of the upstream plan for a second
+    * join side).
+    */
+  private def pairsOf(ids: Column): Column = {
+    val sorted = array_sort(ids)
+    flatten(transform(sorted, (a, i) =>
+      transform(slice(sorted, i + 2, size(sorted)),
+        b => struct(a.as("doc_a"), b.as("doc_b")))))
+  }
+
   /** LSH candidate pairs: band the signature (bands × rowsPerBand =
-    * numHashes), hash each band, join docs sharing a band bucket.
+    * numHashes), hash each band, emit distinct id pairs per bucket.
+    * Single shuffle keyed by bucket; the signature plan is evaluated
+    * once (vs twice for a self-join formulation).
     */
   def lshCandidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { j =>
@@ -80,10 +94,11 @@ object DedupOps {
     }
     val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
-    val l = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
-    val r = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
-    l.join(r, Seq("band_idx", "band_hash")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    banded.groupBy("band_idx", "band_hash")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b")).distinct()
   }
 
   /** MinHash+LSH near-dup pairs, exact-verified: candidates from banding,
@@ -138,14 +153,20 @@ object DedupOps {
     val banded = sig.select(col("doc_id"), col("simhash"),
       explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
-    val l = banded.select(col("band_idx"), col("band_val"),
-      col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
-    val r = banded.select(col("band_idx"), col("band_val"),
-      col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
-    l.join(r, Seq("band_idx", "band_val")).filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b")).distinct()
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+    // bucket ids carry (id, signature) packed in a struct so the hamming
+    // check needs no join back
+    // array_sort on structs orders by doc_id (first field) → pairs come
+    // out with doc_a < doc_b without a normalization pass
+    banded.groupBy("band_idx", "band_val")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(flatten(transform(col("members"), (a, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))),
+          b => struct(a.getField("doc_id").as("doc_a"), b.getField("doc_id").as("doc_b"),
+            a.getField("simhash").as("sig_a"), b.getField("simhash").as("sig_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        bit_count(col("p.sig_a").bitwiseXOR(col("p.sig_b"))).as("hamming"))
+      .distinct()
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
   }
 }

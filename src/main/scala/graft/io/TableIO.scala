@@ -1,0 +1,90 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Reader/writer conventions (SURVEY §2.1 S5-S8, M4; reference io_s3.py):
+  * header CSV (optional UTF-8 BOM for spreadsheet consumers), snappy
+  * parquet, all-string CSV ingestion, and staged read-modify-write for
+  * mutable "latest" outputs.
+  */
+object TableIO {
+
+  /** All-string CSV read (reference dtype=str, keep_default_na=False:
+    * missing → empty string, not null). BOM handled natively by Spark.
+    */
+  def readCsvAllString(spark: SparkSession, path: String, columns: Seq[String]): DataFrame = {
+    val schema = StructType(columns.map(c => StructField(c, StringType, nullable = true)))
+    val df = spark.read.option("header", "true").schema(schema).csv(path)
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    df.select(columns.map(c => coalesce(col(c), lit("")).as(c)): _*)
+  }
+
+  /** Single-file header CSV, optionally with a UTF-8 BOM prepended
+    * (reference utf-8-sig for Excel consumers). Spark writes a part file
+    * into a staging dir; we move/rewrite it to the exact target path.
+    */
+  def writeCsv(df: DataFrame, target: String, bom: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    val fs = FileSystem.get(new java.net.URI(target).resolve("/"),
+      spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(target + ".staging")
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(staging.toString)
+    val part = fs.listStatus(staging).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".csv"))
+      .getOrElse(throw new IllegalStateException(s"No csv part file under $staging"))
+    val targetPath = new Path(target)
+    fs.delete(targetPath, false)
+    if (bom) {
+      val out = fs.create(targetPath, true)
+      val in = fs.open(part)
+      try { out.write(Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte)); in.transferTo(out) }
+      finally { in.close(); out.close() }
+    } else {
+      fs.rename(part, targetPath)
+    }
+    fs.delete(staging, true)
+  }
+
+  /** Snappy parquet write to an exact directory (Spark default codec). */
+  def writeParquet(df: DataFrame, target: String): Unit =
+    df.write.mode("overwrite").parquet(target)
+
+  /** M4 read-modify-write "latest" sink: read current target if present,
+    * merge via the supplied policy, stage the result, atomically swap.
+    */
+  def mergeIntoLatest(spark: SparkSession, incoming: DataFrame, target: String)
+                     (merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+    val fs = FileSystem.get(new java.net.URI(target).resolve("/"),
+      spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (fs.exists(new Path(target))) spark.read.parquet(target)
+      else incoming.limit(0)
+    // staged write happens while `target` still exists, so the lazy plan
+    // reading it stays valid; only then swap directories
+    val merged = merge(existing, incoming)
+    val staged = target + "_staged"
+    merged.write.mode("overwrite").parquet(staged)
+    fs.delete(new Path(target), true)
+    fs.rename(new Path(staged), new Path(target))
+  }
+
+  /** S11 review bundle: sample csv + schema json + dq json per table. */
+  def writeReviewBundle(df: DataFrame, dir: String, sampleRows: Int,
+                        dq: Map[String, Any]): Unit = {
+    val spark = df.sparkSession
+    writeCsv(df.limit(sampleRows), s"$dir/sample.csv")
+    val fs = FileSystem.get(new java.net.URI(dir).resolve("/"),
+      spark.sparkContext.hadoopConfiguration)
+    def put(key: String, value: Any): Unit = {
+      val out = fs.create(new Path(key), true)
+      try out.write(StableJson.write(value).getBytes("UTF-8")) finally out.close()
+    }
+    put(s"$dir/schema.json", Map(
+      "columns" -> df.schema.fields.map(_.name).toSeq,
+      "types" -> df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap))
+    put(s"$dir/dq.json", dq)
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{BatchStore, StableJson, TableIO}
+import graft.operators.MergeOps
+
+/** Ports of tests/test_oireachtas_batch_control.py over a local
+  * filesystem root, plus IO-convention coverage (BOM CSV, all-string
+  * read, staged latest merge).
+  */
+class BatchStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newStore() = {
+    val root = Files.createTempDirectory("graft_batch").toString
+    (BatchStore.local(root, () => "2026-01-01T00:00:00+00:00"), root)
+  }
+
+  private def publishTable(store: BatchStore, batchId: String, table: String,
+                           dq: String = "pass"): Unit = {
+    val key = s"latest/csv/$table.csv"
+    val batchKey = store.batchKeyForProductionKey(key, batchId)
+    store.putJson(batchKey, Map("rows" -> 1L)) // stand-in object
+    store.recordBatchTable(batchId, table, rowCount = 1, dqStatus = dq,
+      primaryKey = Seq("id"), columns = Seq("id"), candidateKeys = Seq(key))
+  }
+
+  test("key mapping: latest/review/compat → immutable batch keys, unsafe rejected") {
+    val (store, _) = newStore()
+    assert(store.batchKeyForProductionKey("latest/csv/members.csv", "b1") ==
+      "batches/b1/tables/members/csv/members.csv")
+    assert(store.batchKeyForProductionKey("review/members/latest/sample.csv", "b1") ==
+      "batches/b1/review/members/sample.csv")
+    assert(store.batchKeyForProductionKey("compat/roster/roster.csv", "b1") ==
+      "batches/b1/compat/roster/roster.csv")
+    intercept[IllegalArgumentException](
+      store.batchKeyForProductionKey("compat/../escape.csv", "b1"))
+    intercept[IllegalArgumentException](
+      store.batchKeyForProductionKey("random/key.csv", "b1"))
+    intercept[IllegalArgumentException](BatchStore.validateBatchId("../evil"))
+  }
+
+  test("assemble validates: all pass → validated; missing/failed/dup → failed") {
+    val (store, _) = newStore()
+    publishTable(store, "b1", "members")
+    publishTable(store, "b1", "votes")
+    val ok = store.assembleBatchManifest("b1", Seq("members", "votes"))
+    assert(ok("status") == "validated")
+    assert(ok("table_count") == 2L)
+
+    val m2 = store.assembleBatchManifest("b1", Seq("members", "votes", "speeches"))
+    assert(m2("status") == "failed")
+
+    publishTable(store, "b2", "members", dq = "fail")
+    val m3 = store.assembleBatchManifest("b2", Seq("members"))
+    assert(m3("status") == "failed")
+  }
+
+  test("promote repoints production; resolve routes reads; rollback restores") {
+    val (store, _) = newStore()
+    publishTable(store, "b1", "members")
+    store.assembleBatchManifest("b1", Seq("members"))
+    store.promoteBatch("b1", actor = "test")
+    assert(store.resolveProductionKey("latest/csv/members.csv") ==
+      "batches/b1/tables/members/csv/members.csv")
+
+    publishTable(store, "b2", "members")
+    store.assembleBatchManifest("b2", Seq("members"))
+    store.promoteBatch("b2", actor = "test")
+    assert(store.resolveProductionKey("latest/csv/members.csv") ==
+      "batches/b2/tables/members/csv/members.csv")
+
+    // rollback via previous pointer → back to b1
+    val ptr = store.rollbackPrevious(actor = "test")
+    assert(ptr("operation") == "rollback")
+    assert(store.resolveProductionKey("latest/csv/members.csv") ==
+      "batches/b1/tables/members/csv/members.csv")
+  }
+
+  test("promoting an unvalidated batch is refused") {
+    val (store, _) = newStore()
+    publishTable(store, "b9", "members", dq = "fail")
+    store.assembleBatchManifest("b9", Seq("members"))
+    intercept[IllegalArgumentException](store.promoteBatch("b9"))
+  }
+
+  test("rollback to legacy_direct mode resolves keys directly") {
+    val (store, _) = newStore()
+    publishTable(store, "b1", "members")
+    store.assembleBatchManifest("b1", Seq("members"))
+    store.promoteBatch("b1")
+    store.rollbackBatch("legacy_direct")
+    assert(store.resolveProductionKey("latest/csv/members.csv") == "latest/csv/members.csv")
+  }
+
+  test("stable json is key-sorted, compact, and round-trips") {
+    val s = StableJson.write(Map("b" -> 2L, "a" -> Seq("x", "y"), "c" -> null))
+    assert(s == """{"a":["x","y"],"b":2,"c":null}""")
+    assert(StableJson.parse(s) == Map("a" -> Vector("x", "y"), "b" -> 2L, "c" -> null))
+  }
+
+  test("BOM csv write + all-string read round-trip") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val df = Seq(("m1", "FF"), ("m2", "")).toDF("member_code", "party")
+    TableIO.writeCsv(df, s"$dir/members.csv", bom = true)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(s"$dir/members.csv"))
+    assert(bytes.take(3).toSeq == Seq(0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+    val back = TableIO.readCsvAllString(spark, s"$dir/members.csv", Seq("member_code", "party"))
+      .orderBy("member_code").as[(String, String)].collect().toSeq
+    assert(back == Seq(("m1", "FF"), ("m2", "")))
+  }
+
+  test("staged latest merge applies upsert policy atomically") {
+    val dir = Files.createTempDirectory("graft_latest").toString + "/t"
+    val first = Seq(("a", "1"), ("b", "1")).toDF("pk", "v")
+    TableIO.mergeIntoLatest(spark, first, dir)(MergeOps.upsert(_, _, Seq("pk")))
+    val second = Seq(("b", "2"), ("c", "1")).toDF("pk", "v")
+    TableIO.mergeIntoLatest(spark, second, dir)(MergeOps.upsert(_, _, Seq("pk")))
+    val out = spark.read.parquet(dir).orderBy("pk").as[(String, String)].collect().toSeq
+    assert(out == Seq(("a", "1"), ("b", "2"), ("c", "1")))
+  }
+}

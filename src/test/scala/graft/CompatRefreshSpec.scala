@@ -1,0 +1,99 @@
+package graft
+
+import java.time.LocalDate
+
+import graft.compat.CompatOps
+import graft.compat.CompatOps.ComparisonThreshold
+import graft.orchestrate.RefreshRun
+
+/** Ports of compat-adapter, comparison-threshold and refresh-ordering
+  * tests (tests/test_oireachtas_compat_adapters.py,
+  * test_oireachtas_downstream_contracts.py, test_oireachtas_refresh_order.py,
+  * test_oireachtas_refresh_orchestration.py).
+  */
+class CompatRefreshSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("members compat maps columns; fallback is column-presence based") {
+    // reference _first_col picks the first column that EXISTS (not the
+    // first non-blank value): with party_name present-but-empty the
+    // output is empty; latest_party_name is used only when party_name
+    // is absent entirely
+    val withCol = Seq(("m1", "Alice", "", "FF", "Dublin", "34", "2024-01-01"))
+      .toDF("member_code", "full_name", "party_name", "latest_party_name",
+        "constituency_name", "house_no", "snapshot_date")
+    assert(CompatOps.membersCompat(withCol).collect().head.getAs[String]("party") == "")
+
+    val withoutCol = Seq(("m1", "Alice", "FF", "Dublin", "34", "2024-01-01"))
+      .toDF("member_code", "full_name", "latest_party_name",
+        "constituency_name", "house_no", "snapshot_date")
+    val out = CompatOps.membersCompat(withoutCol).collect().head
+    assert(out.getAs[String]("party") == "FF")
+    assert(out.getAs[String]("source") == "oireachtas_unified")
+  }
+
+  test("member votes compat coalesces unique_vote_id from division then vote id") {
+    val mv = Seq(
+      ("mv1", "m1", "Alice", "div1", "v1", "2024-01-01", "Tá", "FF", "Dublin", "2024-01-02"),
+      ("mv2", "m2", "Bob", "", "v2", "2024-01-01", "Níl", "FG", "Cork", "2024-01-02"))
+      .toDF("member_vote_id", "member_code", "member_name", "division_id", "vote_id",
+        "division_date", "vote_label", "party_name_at_vote", "constituency_name_at_vote", "snapshot_date")
+    val out = CompatOps.memberVotesCompat(mv).collect()
+      .map(r => r.getAs[String]("memberCode") -> r.getAs[String]("unique_vote_id")).toMap
+    assert(out == Map("m1" -> "div1", "m2" -> "v2"))
+  }
+
+  test("comparison thresholds: within tolerance passes, violations enumerate") {
+    val legacy = (1 to 100).map(i => s"k$i").toDF("id")
+    val compat = (3 to 100).map(i => s"k$i").toDF("memberCode")
+    val ok = CompatOps.compare("roster", legacy, compat, "id", "memberCode",
+      ComparisonThreshold(maxLegacyOnlyKeys = 2, maxCompatOnlyKeys = 0,
+        maxRowDeltaPct = 2.0, minimumCompatJoinCoveragePct = 100.0))
+    assert(ok.status == "pass")
+    assert(ok.matchedKeyCount == 98 && ok.legacyOnlyKeyCount == 2)
+
+    val strict = CompatOps.compare("roster", legacy, compat, "id", "memberCode",
+      ComparisonThreshold(0, 0, 1.0, 100.0))
+    assert(strict.status == "fail")
+    assert(strict.failureReasons.exists(_.contains("legacy-only")))
+    assert(strict.failureReasons.exists(_.contains("row delta")))
+  }
+
+  test("refresh normalization: control tables last, defaults, validation") {
+    val known = Set("silver_members", "gold_current_members",
+      "control_pipeline_runs", "control_table_manifests")
+    val in = RefreshRun.normalize("weekly", known,
+      Seq("control_pipeline_runs", "silver_members", "gold_current_members",
+        "control_table_manifests"),
+      asOf = LocalDate.parse("2026-08-12"))
+    assert(in.tables == Seq("silver_members", "gold_current_members",
+      "control_pipeline_runs", "control_table_manifests"))
+    assert(in.mode == "incremental")
+    assert(in.dateStart == "2026-07-08" && in.dateEnd == "2026-08-12") // trailing 35 days
+    assert(in.pageSize == 100)
+
+    intercept[IllegalArgumentException](RefreshRun.normalize("weekly", known,
+      Seq("silver_members", "silver_members")))          // duplicates
+    intercept[IllegalArgumentException](RefreshRun.normalize("weekly", known,
+      Seq("nope_table")))                                // unknown
+    intercept[IllegalArgumentException](RefreshRun.normalize("yearly", known,
+      Seq("silver_members"), mode = "incremental"))      // invalid mode for yearly
+  }
+
+  test("refresh windows: monthly lead-in and previous full year") {
+    val asOf = LocalDate.parse("2026-08-12")
+    assert(RefreshRun.defaultWindow("monthly", asOf) ==
+      (LocalDate.parse("2026-06-24"), LocalDate.parse("2026-07-31")))
+    assert(RefreshRun.defaultWindow("yearly", asOf) ==
+      (LocalDate.parse("2025-01-01"), LocalDate.parse("2025-12-31")))
+  }
+
+  test("execute runs builds in normalized order") {
+    val known = Set("silver_members", "gold_current_members", "control_pipeline_runs")
+    val in = RefreshRun.normalize("weekly", known,
+      Seq("control_pipeline_runs", "silver_members", "gold_current_members"),
+      asOf = LocalDate.parse("2026-08-12"))
+    val order = RefreshRun.execute(in, identity).map(_._1)
+    assert(order == Seq("silver_members", "gold_current_members", "control_pipeline_runs"))
+  }
+}

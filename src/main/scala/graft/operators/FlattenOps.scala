@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+import graft.io.StableJson
+
+/** Generic JSON flatten engine (SURVEY §2.4 N1-N7): the reference repeats
+  * one per-table flatten template 31 times (unwrap wrapper keys → explode
+  * membership-style arrays → per-field fallback extraction); here a single
+  * declarative spec drives codegen-friendly `get_json_object`/`from_json`
+  * expressions, so each table is just data.
+  */
+object FlattenOps {
+
+  /** One output field: first non-blank among the fallback JSON paths
+    * (reference _first_text, table_members.py:365-373).
+    */
+  final case class FieldSpec(name: String, paths: Seq[String], default: String = "")
+
+  /** One table flatten: optional wrapper unwrap (the payload nests the
+    * entity under one of several keys), optional array explode, fields.
+    */
+  final case class FlattenSpec(
+      wrapperKeys: Seq[String] = Nil,     // e.g. member|person|memberDetails
+      explodePath: Option[String] = None, // e.g. memberships
+      fields: Seq[FieldSpec] = Nil)
+
+  private def jget(json: Column, path: String): Column =
+    get_json_object(json, "$." + path)
+
+  private def nonBlankOrNull(c: Column): Column =
+    when(trim(coalesce(c, lit(""))) === "", lit(null)).otherwise(trim(c))
+
+  /** Unwrap `{wrapper: {...}}` payloads: first wrapper key that resolves
+    * wins, else the payload itself (table_members.py:151-234 N1).
+    */
+  def unwrap(json: Column, wrapperKeys: Seq[String]): Column =
+    if (wrapperKeys.isEmpty) json
+    else coalesce(wrapperKeys.map(k => jget(json, k)) :+ json: _*)
+
+  /** Apply a flatten spec to a DataFrame with a raw-JSON string column.
+    * Explode (if any) yields one row per array element; every field is a
+    * coalesce over its fallback paths. All expressions — stays inside
+    * whole-stage codegen, no UDFs, no schema inference pass.
+    */
+  def flatten(df: DataFrame, jsonCol: String, spec: FlattenSpec): DataFrame = {
+    val unwrapped = unwrap(col(jsonCol), spec.wrapperKeys)
+    val itemized = spec.explodePath match {
+      case Some(path) =>
+        df.withColumn("_item",
+          explode(from_json(get_json_object(unwrapped, "$." + path), ArrayType(StringType))))
+      case None =>
+        df.withColumn("_item", unwrapped)
+    }
+    val out = spec.fields.map { f =>
+      coalesce(f.paths.map(p => nonBlankOrNull(jget(col("_item"), p))) :+ lit(f.default): _*)
+        .as(f.name)
+    }
+    itemized.select(out: _*)
+  }
+
+  /** F16 key-path discovery (table_members.py:419-433): depth-bounded walk
+    * of sampled payloads, for humans designing FlattenSpecs — driver-side
+    * over a bounded sample, as in the reference.
+    */
+  def discoverKeyPaths(df: DataFrame, jsonCol: String, sample: Int = 50,
+                       maxDepth: Int = 6): Seq[(String, Long)] = {
+    def walk(value: Any, prefix: String, depth: Int): Set[String] = {
+      if (depth >= maxDepth) Set.empty
+      else value match {
+        case m: Map[_, _] =>
+          m.asInstanceOf[Map[String, Any]].flatMap { case (k, v) =>
+            val p = if (prefix.isEmpty) k else s"$prefix.$k"
+            Set(p) ++ walk(v, p, depth + 1)
+          }.toSet
+        case s: Seq[_] =>
+          val p = if (prefix.isEmpty) "[]" else s"$prefix[]"
+          Set(p) ++ s.headOption.toSet.flatMap((h: Any) => walk(h, p, depth + 1))
+        case _ => Set.empty
+      }
+    }
+    val samples = df.select(col(jsonCol)).limit(sample).collect().map(_.getString(0))
+    samples.flatMap(j => scala.util.Try(walk(StableJson.parse(j), "", 0)).getOrElse(Set.empty))
+      .groupBy(identity).map { case (p, occ) => (p, occ.length.toLong) }
+      .toSeq.sortBy(p => (-p._2, p._1))
+  }
+}

@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.MergeSemantics.queries ++
       graft.queries.Scalar.queries ++
       graft.queries.LlmPipeline.queries ++
-      graft.queries.Streaming.queries
+      graft.queries.Streaming.queries ++
+      graft.queries.Advanced.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -28,5 +29,6 @@ object SparkEntry {
       graft.queries.MergeSemantics.oracles ++
       graft.queries.Scalar.oracles ++
       graft.queries.LlmPipeline.oracles ++
-      graft.queries.Streaming.oracles
+      graft.queries.Streaming.oracles ++
+      graft.queries.Advanced.oracles
 }

@@ -23,9 +23,10 @@ object FlattenOps {
     * entity under one of several keys), optional array explode, fields.
     */
   final case class FlattenSpec(
-      wrapperKeys: Seq[String] = Nil,     // e.g. member|person|memberDetails
-      explodePath: Option[String] = None, // e.g. memberships
-      fields: Seq[FieldSpec] = Nil)
+      wrapperKeys: Seq[String] = Nil,      // e.g. member|person|memberDetails
+      explodePath: Option[String] = None,  // e.g. memberships
+      parentFields: Seq[FieldSpec] = Nil,  // extracted from the unwrapped payload
+      fields: Seq[FieldSpec] = Nil)        // extracted from each exploded item
 
   private def jget(json: Column, path: String): Column =
     get_json_object(json, "$." + path)
@@ -49,15 +50,15 @@ object FlattenOps {
     val unwrapped = unwrap(col(jsonCol), spec.wrapperKeys)
     val itemized = spec.explodePath match {
       case Some(path) =>
-        df.withColumn("_item",
-          explode(from_json(get_json_object(unwrapped, "$." + path), ArrayType(StringType))))
+        df.withColumn("_parent", unwrapped).withColumn("_item",
+          explode(from_json(get_json_object(col("_parent"), "$." + path), ArrayType(StringType))))
       case None =>
-        df.withColumn("_item", unwrapped)
+        df.withColumn("_parent", unwrapped).withColumn("_item", unwrapped)
     }
-    val out = spec.fields.map { f =>
-      coalesce(f.paths.map(p => nonBlankOrNull(jget(col("_item"), p))) :+ lit(f.default): _*)
-        .as(f.name)
-    }
+    def extract(src: Column, f: FieldSpec): Column =
+      coalesce(f.paths.map(p => nonBlankOrNull(jget(src, p))) :+ lit(f.default): _*).as(f.name)
+    val out = spec.parentFields.map(f => extract(col("_parent"), f)) ++
+      spec.fields.map(f => extract(col("_item"), f))
     itemized.select(out: _*)
   }
 

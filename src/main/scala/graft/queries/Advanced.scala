@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.compat.CompatOps
+import graft.functions.Fns
+import graft.operators.{DqOps, FlattenOps, SentenceOps}
+import graft.operators.FlattenOps.{FieldSpec, FlattenSpec}
+
+/** Second wave of oracle-checked queries: the flatten engine round-trip
+  * (N1/N2), compat adapters (P2), previous-completed-week calendar (F13),
+  * DQ summary (A11), and a rows-only sentence-candidate pipeline (F11/W4).
+  */
+object Advanced {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // N1/N2 flatten round-trip: orders nested into per-customer JSON
+    // payloads, then FlattenSpec-exploded back out — output must equal
+    // the original relation (which is what the oracle asserts directly).
+    "q39_flatten_roundtrip" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val payloads = o.groupBy(col("o_custkey"))
+        .agg(to_json(struct(struct(
+          col("o_custkey").as("code"),
+          collect_list(struct(col("o_orderkey").as("okey"), col("o_orderstatus").as("st")))
+            .as("orders")).as("customer"))).as("payload"))
+      val spec = FlattenSpec(
+        wrapperKeys = Seq("customer", "client"),
+        explodePath = Some("orders"),
+        parentFields = Seq(FieldSpec("custkey", Seq("code"))),
+        fields = Seq(FieldSpec("orderkey", Seq("okey")), FieldSpec("status", Seq("st", "state"))))
+      FlattenOps.flatten(payloads, "payload", spec)
+        .select(col("custkey").cast("long").as("custkey"),
+          col("orderkey").cast("long").as("orderkey"), col("status"))
+        .orderBy("custkey", "orderkey")
+    }),
+
+    // P2 compat adapter over a member-votes-shaped projection of orders.
+    "q40_compat_member_votes" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val mv = o.select(
+        concat(lit("m"), col("o_custkey")).as("member_code"),
+        concat(lit("Member "), col("o_custkey")).as("member_name"),
+        when(col("o_orderkey") % 2 === 0, concat(lit("d"), col("o_orderkey")))
+          .otherwise(lit("")).as("division_id"),
+        concat(lit("v"), col("o_orderkey")).as("vote_id"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("division_date"),
+        col("o_orderstatus").as("vote_label"),
+        col("o_orderpriority").as("party_name_at_vote"),
+        lit("C1").as("constituency_name_at_vote"),
+        lit("2026-01-01").as("snapshot_date"))
+      CompatOps.memberVotesCompat(mv)
+    }),
+
+    // F13 previous-completed-week target + week id.
+    "q41_prev_completed_week" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("orderkey"),
+          Fns.weekId(Fns.prevCompletedWeekTarget(to_date(col("o_orderdate")))).as("prev_week_id"))
+        .orderBy("orderkey")
+    }),
+
+    // A11 one-pass DQ summary with injected blank/duplicate pks.
+    "q42_dq_summary" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        when(col("o_orderkey") % 100 === 0, lit(""))
+          .otherwise((col("o_orderkey") % 5000).cast("string")).as("pk"),
+        when(col("o_orderkey") % 7 === 0, lit("")).otherwise(col("o_orderpriority")).as("v"))
+      DqOps.summary(o, Seq("pk"), Seq("v"))
+    }),
+
+    // F11/W4 sentence candidates over documents (rows-only: the split
+    // regex needs lookarounds DuckDB's RE2 lacks; semantics are pinned by
+    // the golden splitter spec instead).
+    "q43_sentence_candidates" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(Fns.weekId(to_date(lit("2026-01-05"))).cast("string").as("week_id"),
+          concat(lit("src_"), col("source")).as("speaker"),
+          concat(col("text"), lit(". Closing Remark here!")).as("text"))
+      SentenceOps.buildCandidates(docs, "week_id", "speaker", "text", minWords = 1, maxWords = 500)
+        .groupBy("week_id", "speaker_name")
+        .agg(count(lit(1)).as("n_candidates"))
+        .orderBy("speaker_name")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q39_flatten_roundtrip" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
+        |  o_orderstatus AS status
+        |FROM orders ORDER BY custkey, orderkey""".stripMargin,
+
+    "q40_compat_member_votes" ->
+      """SELECT 'm' || CAST(o_custkey AS VARCHAR) AS memberCode,
+        |  'Member ' || CAST(o_custkey AS VARCHAR) AS member_name,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN 'd' || CAST(o_orderkey AS VARCHAR)
+        |       ELSE 'v' || CAST(o_orderkey AS VARCHAR) END AS unique_vote_id,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS "date",
+        |  o_orderstatus AS vote,
+        |  o_orderpriority AS party,
+        |  'C1' AS constituency,
+        |  'oireachtas_unified' AS source,
+        |  '2026-01-01' AS snapshot_date
+        |FROM orders ORDER BY "date", unique_vote_id, memberCode""".stripMargin,
+
+    "q41_prev_completed_week" ->
+      """WITH d AS (SELECT CAST(o_orderkey AS BIGINT) AS orderkey, CAST(o_orderdate AS DATE) AS od FROM orders),
+        |tgt AS (SELECT orderkey,
+        |    CASE WHEN isodow(od) = 7 THEN od ELSE od - CAST(isodow(od) AS INT) END AS td FROM d),
+        |c AS (SELECT orderkey, td,
+        |    make_date(CAST(year(td) AS INT), 1, 1) AS jan1,
+        |    make_date(CAST(year(td) - 1 AS INT), 1, 1) AS pjan1 FROM tgt),
+        |f AS (SELECT orderkey, td,
+        |    jan1 + CAST((8 - isodow(jan1)) % 7 AS INTEGER) AS fm,
+        |    pjan1 + CAST((8 - isodow(pjan1)) % 7 AS INTEGER) AS pfm FROM c)
+        |SELECT orderkey,
+        |  CAST(CASE WHEN td < fm
+        |    THEN (year(td) - 1) * 100 + FLOOR(date_diff('day', pfm, td) / 7.0) + 1
+        |    ELSE year(td) * 100 + FLOOR(date_diff('day', fm, td) / 7.0) + 1 END AS BIGINT) AS prev_week_id
+        |FROM f ORDER BY orderkey""".stripMargin,
+
+    "q42_dq_summary" ->
+      """WITH o AS (SELECT
+        |    CASE WHEN o_orderkey % 100 = 0 THEN '' ELSE CAST(o_orderkey % 5000 AS VARCHAR) END AS pk,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN '' ELSE o_orderpriority END AS v
+        |  FROM orders)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+        |  CAST(COUNT(*) - COUNT(DISTINCT pk) AS BIGINT) AS pk_duplicate_count,
+        |  CAST(COUNT(*) FILTER (WHERE TRIM(pk) = '' OR pk IS NULL) AS BIGINT) AS pk_blank_count,
+        |  CAST(COUNT(*) FILTER (WHERE v IS NOT NULL AND TRIM(v) <> '') AS BIGINT) AS populated_v
+        |FROM o""".stripMargin,
+  )
+}

@@ -58,15 +58,20 @@ object DedupOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** MinHash signature columns h0..h{k-1}: min over the shingle set of a
-    * seeded 64-bit hash. One combinable aggregation — the scale path's
-    * only doc-keyed shuffle.
+  /** MinHash signature columns h0..h{k-1}: min over the shingle set of k
+    * derived hash functions. Kirsch-Mitzenmacher double hashing (hᵢ =
+    * h1 + i·h2) needs only two xxhash64 evaluations per shingle instead
+    * of k, preserving the MinHash collision property. One combinable
+    * aggregation — the scale path's only doc-keyed shuffle.
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
                         n: Int, numHashes: Int): DataFrame = {
     val sh = docs.select(col(idCol).cast("long").as("doc_id"),
       explode(shingles(col(textCol), n)).as("shingle"))
-    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+      .withColumn("_h1", xxhash64(col("shingle")))
+      .withColumn("_h2", xxhash64(col("shingle"), lit(1)))
+    val aggs = (0 until numHashes).map(i =>
+      min(col("_h1") + lit(i.toLong) * col("_h2")).as(s"h$i"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 

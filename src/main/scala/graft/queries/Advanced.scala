@@ -16,7 +16,7 @@ import graft.operators.FlattenOps.{FieldSpec, FlattenSpec}
 object Advanced {
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // N1/N2 flatten round-trip: orders nested into per-customer JSON
     // payloads, then FlattenSpec-exploded back out — output must equal
@@ -88,7 +88,47 @@ object Advanced {
     }),
   )
 
+  def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++ extraQueries
+
+  private lazy val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J6 fuzzy name join: normalized-name key, ambiguous keys dropped
+    // entirely (pandas keep=False), then inner join
+    // (build_member_profile_metrics.py:100-103).
+    "q44_fuzzy_name_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      // lookup with messy casing/spacing; nation 0 customers duplicated →
+      // their keys become ambiguous and must drop out of the join
+      val lookup = c.select(upper(col("c_name")).as("raw_name"),
+          col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("balance"))
+        .unionByName(c.filter(col("c_nationkey") === 0)
+          .select(concat(lit("  "), col("c_name")).as("raw_name"),
+            lit(java.math.BigDecimal.ZERO).cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("balance")))
+      val normalized = lookup.withColumn("name_key",
+        regexp_replace(lower(trim(col("raw_name"))), "\\s+", " "))
+      val unambiguous = normalized.groupBy("name_key")
+        .agg(count(lit(1)).as("n"), max(col("balance")).as("balance"))
+        .filter(col("n") === 1).drop("n")
+      c.withColumn("name_key", regexp_replace(lower(trim(col("c_name"))), "\\s+", " "))
+        .join(unambiguous, Seq("name_key"))
+        .select(col("c_custkey").cast("long").as("custkey"), col("balance"))
+        .orderBy("custkey")
+    }))
+
   val oracles: Map[String, String] = Map(
+    "q44_fuzzy_name_join" ->
+      """WITH lookup AS (
+        |  SELECT upper(c_name) AS raw_name, CAST(c_acctbal AS DECIMAL(18,2)) AS balance FROM customer
+        |  UNION ALL
+        |  SELECT '  ' || c_name, CAST(0 AS DECIMAL(18,2)) FROM customer WHERE c_nationkey = 0),
+        |normalized AS (SELECT regexp_replace(lower(trim(raw_name)), '\s+', ' ', 'g') AS name_key, balance FROM lookup),
+        |unambiguous AS (
+        |  SELECT name_key, MAX(balance) AS balance FROM normalized
+        |  GROUP BY name_key HAVING COUNT(*) = 1)
+        |SELECT CAST(c_custkey AS BIGINT) AS custkey, u.balance AS balance
+        |FROM customer
+        |JOIN unambiguous u ON regexp_replace(lower(trim(c_name)), '\s+', ' ', 'g') = u.name_key
+        |ORDER BY custkey""".stripMargin,
+
     "q39_flatten_roundtrip" ->
       """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,
         |  o_orderstatus AS status

@@ -47,6 +47,27 @@ object StreamOps {
                            aggs: Seq[Column]): DataFrame =
     tumblingAgg(stream.withWatermark(tsCol, watermark), tsCol, width, keys, aggs)
 
+  /** Custom cross-batch state (SURVEY §2.12): per-key running totals via
+    * flatMapGroupsWithState — the KeyValueGroupedDataset stateful API the
+    * engine exposes for semantics windows can't express. Emits one row
+    * per micro-batch per active key: (key, cumulative_count, batch_count).
+    */
+  def runningCounts(events: org.apache.spark.sql.Dataset[(Long, Double)])
+  : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    implicit val longEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Double)], state: GroupState[Long]) =>
+          val batch = it.size.toLong
+          val total = state.getOption.getOrElse(0L) + batch
+          state.update(total)
+          Iterator((user, total, batch))
+      }
+  }
+
   /** foreachBatch upsert sink: each micro-batch merges into the target
     * parquet table with the reference's M2 semantics (incoming wins on pk).
     * The reference's read-modify-write "latest" sink (io_s3.py:118-145)

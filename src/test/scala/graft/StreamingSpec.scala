@@ -43,6 +43,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState accumulates per-key state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val counts = StreamOps.runningCounts(input.toDS())
+    val q = counts.toDF("user_id", "total", "batch_n").writeStream
+      .outputMode("append").format("memory").queryName("state_out").start()
+    try {
+      input.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+      q.processAllAvailable()
+      input.addData((1L, 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("state_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // batch 1: user1 total 2, user2 total 1; batch 2: user1 total 3
+      assert(rows == Set((1L, 2L, 2L), (2L, 1L, 1L), (1L, 3L, 1L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink merges micro-batches with M2 semantics") {
     implicit val sqlCtx = spark.sqlContext
     val target = Files.createTempDirectory("graft_sink").resolve("t").toString

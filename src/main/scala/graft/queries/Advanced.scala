@@ -112,6 +112,17 @@ object Advanced {
         .join(unambiguous, Seq("name_key"))
         .select(col("c_custkey").cast("long").as("custkey"), col("balance"))
         .orderBy("custkey")
+    }),
+
+    // Skew-safe two-stage salted aggregation; decimal sums are associative
+    // so the salted result is exactly the plain groupBy (the oracle).
+    "q45_salted_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.operators.SkewOps.saltedCountSum(li, Seq("l_returnflag"),
+          col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)), buckets = 16)
+        .select(col("l_returnflag"), col("n_rows").cast("long").as("n_rows"),
+          col("total").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("total"))
+        .orderBy("l_returnflag")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -128,6 +139,11 @@ object Advanced {
         |FROM customer
         |JOIN unambiguous u ON regexp_replace(lower(trim(c_name)), '\s+', ' ', 'g') = u.name_key
         |ORDER BY custkey""".stripMargin,
+
+    "q45_salted_agg" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q39_flatten_roundtrip" ->
       """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,

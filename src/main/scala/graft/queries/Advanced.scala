@@ -123,6 +123,35 @@ object Advanced {
         .select(col("l_returnflag"), col("n_rows").cast("long").as("n_rows"),
           col("total").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("total"))
         .orderBy("l_returnflag")
+    }),
+
+    // W-family event sequencing: previous event + gap per user (lag).
+    "q46_event_lag" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      ev.select(col("user_id").cast("long").as("user_id"),
+          col("event_id").cast("long").as("event_id"),
+          col("ts"), col("event_type"))
+        .withColumn("prev_event_type", lag(col("event_type"), 1).over(w))
+        .withColumn("gap_us", (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)))
+        .select(col("user_id"), col("event_id"),
+          coalesce(col("prev_event_type"), lit("")).as("prev_event_type"),
+          coalesce(col("gap_us"), lit(-1L)).as("gap_us"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Funnel: users whose first signup precedes their first purchase.
+    "q47_signup_purchase_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val firsts = ev.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "signup", unix_micros(col("ts")))).as("first_signup"),
+          min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("first_purchase"))
+      firsts.agg(
+        count(lit(1)).as("n_users"),
+        count(when(col("first_signup").isNotNull, 1)).as("n_signed_up"),
+        count(when(col("first_signup").isNotNull && col("first_purchase").isNotNull &&
+          col("first_signup") < col("first_purchase"), 1)).as("n_converted"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -144,6 +173,29 @@ object Advanced {
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q46_event_lag" ->
+      """WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
+        |    CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |lagged AS (SELECT user_id, event_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_event_type,
+        |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
+        |  FROM e)
+        |SELECT user_id, event_id, COALESCE(prev_event_type, '') AS prev_event_type,
+        |  CAST(COALESCE(gap_us, -1) AS BIGINT) AS gap_us
+        |FROM lagged ORDER BY user_id, event_id""".stripMargin,
+
+    "q47_signup_purchase_funnel" ->
+      """WITH firsts AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_signup,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(COUNT(*) FILTER (WHERE first_signup IS NOT NULL) AS BIGINT) AS n_signed_up,
+        |  CAST(COUNT(*) FILTER (WHERE first_signup IS NOT NULL AND first_purchase IS NOT NULL
+        |    AND first_signup < first_purchase) AS BIGINT) AS n_converted
+        |FROM firsts""".stripMargin,
 
     "q39_flatten_roundtrip" ->
       """SELECT CAST(o_custkey AS BIGINT) AS custkey, CAST(o_orderkey AS BIGINT) AS orderkey,

@@ -80,6 +80,21 @@ class FnsSpec extends SparkSpec {
     assert(df.as[Boolean].collect().toSeq == Seq(true, true, true, true, false, false, false))
   }
 
+  test("normalizeUrl absolutizes relative paths against the base (F8)") {
+    val df = Seq("https://x.ie/a", "/akn/doc.xml", "akn/doc.xml", "").toDF("u")
+      .select(Fns.normalizeUrl(col("u"), "https://data.oireachtas.ie"))
+    assert(df.as[String].collect().toSeq == Seq(
+      "https://x.ie/a",
+      "https://data.oireachtas.ie/akn/doc.xml",
+      "https://data.oireachtas.ie/akn/doc.xml",
+      null))
+  }
+
+  test("slug folds to safe path components (F9)") {
+    val df = Seq("Dáil debate #3 / 2024!").toDF("s").select(Fns.slug(col("s")))
+    assert(df.as[String].collect().head == "d-il-debate-3-2024")
+  }
+
   test("pct guards zero denominator and rounds to 2dp") {
     val df = Seq((1, 3), (0, 0)).toDF("n", "d").select(Fns.pct(col("n"), col("d")))
     assert(df.as[Double].collect().toSeq == Seq(33.33, 0.0))

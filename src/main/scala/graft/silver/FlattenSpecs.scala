@@ -123,6 +123,91 @@ object FlattenSpecs {
       FieldSpec("subject", Seq("showAs", "subject", "title")),
       FieldSpec("debate_section_id", Seq("debateSection.debateSectionId", "debateSectionId"))))
 
+  /** Party/constituency/office bridges ride the same memberships explode
+    * with deeper fallback paths (table_member_parties.py:205-208,
+    * table_member_constituencies.py:231-239, table_member_offices.py:175-197).
+    */
+  val memberParties: FlattenSpec = FlattenSpec(
+    wrapperKeys = memberWrappers,
+    explodePath = Some("memberships"),
+    parentFields = Seq(FieldSpec("member_code", Seq("memberCode", "code", "id"))),
+    fields = Seq(
+      FieldSpec("membership_uri", Seq("membership.uri", "uri", "membershipUri")),
+      FieldSpec("party_uri", Seq("membership.parties[0].party.uri", "party.uri", "partyUri")),
+      FieldSpec("party_name", Seq("membership.parties[0].party.showAs", "party.showAs", "party.partyName", "party.name")),
+      FieldSpec("party_start", Seq("membership.parties[0].party.dateRange.start", "party.dateRange.start")),
+      FieldSpec("party_end", Seq("membership.parties[0].party.dateRange.end", "party.dateRange.end"))))
+
+  def memberPartiesTransform(df: DataFrame): DataFrame =
+    df.withColumn("member_party_id",
+        Fns.stableHash(16, col("member_code"), col("party_uri"), col("party_start")))
+      .withColumn("is_current",
+        Fns.isCurrentRange(col("party_start"), col("party_end"), current_date()).cast("string"))
+
+  val memberConstituencies: FlattenSpec = FlattenSpec(
+    wrapperKeys = memberWrappers,
+    explodePath = Some("memberships"),
+    parentFields = Seq(FieldSpec("member_code", Seq("memberCode", "code", "id"))),
+    fields = Seq(
+      FieldSpec("constituency_uri", Seq("membership.represents[0].represent.uri", "represent.uri", "constituencyUri")),
+      FieldSpec("constituency_name", Seq("membership.represents[0].represent.showAs",
+        "represent.showAs", "represent.name", "represent.constituencyName")),
+      FieldSpec("represent_start", Seq("membership.represents[0].represent.dateRange.start", "represent.dateRange.start")),
+      FieldSpec("represent_end", Seq("membership.represents[0].represent.dateRange.end", "represent.dateRange.end"))))
+
+  def memberConstituenciesTransform(df: DataFrame): DataFrame =
+    df.withColumn("member_constituency_id",
+        Fns.stableHash(16, col("member_code"), col("constituency_uri"), col("represent_start")))
+      .withColumn("is_current",
+        Fns.isCurrentRange(col("represent_start"), col("represent_end"), current_date()).cast("string"))
+
+  val memberOffices: FlattenSpec = FlattenSpec(
+    wrapperKeys = memberWrappers,
+    explodePath = Some("memberships"),
+    parentFields = Seq(FieldSpec("member_code", Seq("memberCode", "code", "id"))),
+    fields = Seq(
+      FieldSpec("office_uri", Seq("membership.offices[0].office.uri", "office.uri", "officeUri")),
+      FieldSpec("office_name", Seq("membership.offices[0].office.officeName.showAs",
+        "office.showAs", "office.officeName", "office.name", "office.title", "office.role")),
+      FieldSpec("office_start", Seq("membership.offices[0].office.dateRange.start", "office.dateRange.start")),
+      FieldSpec("office_end", Seq("membership.offices[0].office.dateRange.end", "office.dateRange.end"))))
+
+  def memberOfficesTransform(df: DataFrame): DataFrame =
+    df.withColumn("member_office_id",
+        Fns.stableHash(16, col("member_code"), col("office_uri"), col("office_start")))
+      .withColumn("is_current",
+        Fns.isCurrentRange(col("office_start"), col("office_end"), current_date()).cast("string"))
+
+  /** Catalog tables (table_houses.py, table_parties.py:200-203,
+    * table_constituencies.py:183-189).
+    */
+  val houses: FlattenSpec = FlattenSpec(
+    wrapperKeys = Seq("house"),
+    fields = Seq(
+      FieldSpec("house_uri", Seq("uri", "houseUri")),
+      FieldSpec("house_no", Seq("houseNo", "house_no", "number")),
+      FieldSpec("house_code", Seq("houseCode", "chamberCode")),
+      FieldSpec("show_as", Seq("showAs", "name"))))
+
+  val parties: FlattenSpec = FlattenSpec(
+    wrapperKeys = Seq("party"),
+    fields = Seq(
+      FieldSpec("party_name", Seq("partyName", "name", "showAs", "show_as", "label")),
+      FieldSpec("show_as", Seq("showAs", "show_as", "name", "partyName", "label")),
+      FieldSpec("party_code", Seq("partyCode", "code", "id", "representCode")),
+      FieldSpec("party_uri", Seq("uri", "partyUri"))))
+
+  val constituencies: FlattenSpec = FlattenSpec(
+    wrapperKeys = Seq("constituency", "represent"),
+    fields = Seq(
+      FieldSpec("show_as", Seq("showAs", "show_as", "name", "constituencyName")),
+      FieldSpec("constituency_name", Seq("name", "constituencyName", "showAs", "show_as")),
+      FieldSpec("constituency_code", Seq("constituencyCode", "representCode", "code", "id")),
+      FieldSpec("constituency_uri", Seq("uri", "constituencyUri")),
+      FieldSpec("house_uri", Seq("house.uri", "houseUri")),
+      FieldSpec("house_no", Seq("house.houseNo", "house.house_no")),
+      FieldSpec("chamber", Seq("house.houseCode", "house.chamberCode", "house.chamber", "house.houseType"))))
+
   val bills: FlattenSpec = FlattenSpec(
     wrapperKeys = Seq("bill"),
     fields = Seq(

@@ -66,6 +66,36 @@ class FlattenSpecsSpec extends SparkSpec {
     assert(all("nil") == (("2", "false"))) // no tally → member-array length
   }
 
+  test("member-parties spec walks memberships into party bridges") {
+    val payload =
+      """{"member":{"memberCode":"m1","memberships":[
+        |{"membership":{"uri":"/ms/1","parties":[{"party":{"uri":"/p/ff","showAs":"Fianna Fáil",
+        |  "dateRange":{"start":"2020-02-08","end":null}}}]}}
+        |]}}""".stripMargin.replaceAll("\n", "")
+    val out = FlattenSpecs.memberPartiesTransform(
+      FlattenOps.flatten(Seq(payload).toDF("json"), "json", FlattenSpecs.memberParties))
+      .collect().head
+    assert(out.getAs[String]("member_code") == "m1")
+    assert(out.getAs[String]("party_name") == "Fianna Fáil")
+    assert(out.getAs[String]("party_uri") == "/p/ff")
+    assert(out.getAs[String]("party_start") == "2020-02-08")
+    assert(out.getAs[String]("member_party_id").length == 16)
+    assert(out.getAs[String]("is_current") == "true")
+  }
+
+  test("catalog specs extract houses/parties/constituencies") {
+    val house = """{"house":{"uri":"/h/34","houseNo":"34","houseCode":"dail","showAs":"34th Dáil"}}"""
+    val h = FlattenOps.flatten(Seq(house).toDF("json"), "json", FlattenSpecs.houses).collect().head
+    assert(h.getAs[String]("house_no") == "34" && h.getAs[String]("show_as") == "34th Dáil")
+
+    val con = """{"constituency":{"showAs":"Dublin Bay North","representCode":"DBN",
+      |"uri":"/c/dbn","house":{"uri":"/h/34","houseNo":"34","houseCode":"dail"}}}"""
+      .stripMargin.replaceAll("\n", "")
+    val c = FlattenOps.flatten(Seq(con).toDF("json"), "json", FlattenSpecs.constituencies).collect().head
+    assert(c.getAs[String]("constituency_code") == "DBN")
+    assert(c.getAs[String]("chamber") == "dail")
+  }
+
   test("divisions spec resolves nested house/debate paths") {
     val payload =
       """{"voteId":"vote_42","date":"2024-02-05","uri":"/div/42",

@@ -110,7 +110,8 @@ object Advanced {
         .filter(col("n") === 1).drop("n")
       c.withColumn("name_key", regexp_replace(lower(trim(col("c_name"))), "\\s+", " "))
         .join(unambiguous, Seq("name_key"))
-        .select(col("c_custkey").cast("long").as("custkey"), col("balance"))
+        .select(col("c_custkey").cast("long").as("custkey"),
+          round(col("balance").cast("double"), 2).as("balance"))
         .orderBy("custkey")
     }),
 
@@ -121,7 +122,7 @@ object Advanced {
       graft.operators.SkewOps.saltedCountSum(li, Seq("l_returnflag"),
           col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)), buckets = 16)
         .select(col("l_returnflag"), col("n_rows").cast("long").as("n_rows"),
-          col("total").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("total"))
+          round(col("total").cast(org.apache.spark.sql.types.DecimalType(18, 2)).cast("double"), 2).as("total"))
         .orderBy("l_returnflag")
     }),
 
@@ -164,14 +165,14 @@ object Advanced {
         |unambiguous AS (
         |  SELECT name_key, MAX(balance) AS balance FROM normalized
         |  GROUP BY name_key HAVING COUNT(*) = 1)
-        |SELECT CAST(c_custkey AS BIGINT) AS custkey, u.balance AS balance
+        |SELECT CAST(c_custkey AS BIGINT) AS custkey, ROUND(CAST(u.balance AS DOUBLE), 2) AS balance
         |FROM customer
         |JOIN unambiguous u ON regexp_replace(lower(trim(c_name)), '\s+', ' ', 'g') = u.name_key
         |ORDER BY custkey""".stripMargin,
 
     "q45_salted_agg" ->
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |  ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE), 2) AS total
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q46_event_lag" ->

@@ -176,8 +176,8 @@ object LlmPipeline {
         |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_ratio
         |  FROM w)
         |SELECT doc_id, n_words, n_chars, distinct_ratio,
-        |  (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END +
-        |   CASE WHEN distinct_ratio >= 0.3 THEN 0.5 ELSE 0.0 END) AS quality_score,
+        |  CAST(CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END +
+        |   CASE WHEN distinct_ratio >= 0.3 THEN 0.5 ELSE 0.0 END AS DOUBLE) AS quality_score,
         |  CASE WHEN (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END +
         |        CASE WHEN distinct_ratio >= 0.3 THEN 0.5 ELSE 0.0 END) >= 1.0 THEN 'high'
         |    WHEN (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END +

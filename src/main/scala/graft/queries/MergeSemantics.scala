@@ -33,7 +33,12 @@ object MergeSemantics {
       val incoming = base.filter(col("orderkey") % 3 === 0)
         .select(col("orderkey"), lit("U").as("status"),
           (col("price") + lit(BigDecimal("10.00"))).cast(dec2).as("price"))
-      MergeOps.upsert(existing, incoming, Seq("orderkey")).orderBy("orderkey")
+      MergeOps.upsert(existing, incoming, Seq("orderkey"))
+        // decimal arithmetic stays exact inside the merge; final-select to
+        // round(double, 2) so no DECIMAL reaches the output schema (driver
+        // hashes decimals differently than the oracle path)
+        .select(col("orderkey"), col("status"), round(col("price").cast("double"), 2).as("price"))
+        .orderBy("orderkey")
     }),
 
     // M2 stage 2: business-key dedupe removes legacy duplicate surrogate ids
@@ -127,7 +132,8 @@ object MergeSemantics {
         |  FROM base WHERE orderkey % 3 = 0),
         |u AS (SELECT * FROM existing UNION ALL SELECT * FROM incoming),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY orderkey ORDER BY pri DESC) AS rn FROM u)
-        |SELECT orderkey, status, price FROM r WHERE rn = 1 ORDER BY orderkey""".stripMargin,
+        |SELECT orderkey, status, ROUND(CAST(price AS DOUBLE), 2) AS price
+        |FROM r WHERE rn = 1 ORDER BY orderkey""".stripMargin,
 
     "q10_business_key_merge" ->
       """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name AS name FROM customer),

@@ -13,7 +13,13 @@ import graft.Tables
   * Oracle-parity conventions (doubles are order-sensitive across engines):
   *  - counts/ints → BIGINT on both sides
   *  - money math → cast clean 2dp doubles to DECIMAL at the column, all
-  *    arithmetic exact in decimal, final cast to a fixed (p,s)
+  *    arithmetic exact in decimal, then FINAL-SELECT the decimal as
+  *    `round(cast(x as double), s)` at the decimal's own scale s — the
+  *    driver hashes DECIMAL and DOUBLE differently, so decimal types must
+  *    never reach the output schema. Rounding at the decimal's own scale is
+  *    a bit-exact no-op in both engines (the double is already the nearest
+  *    to an s-dp value), unlike rounding to fewer digits which can hit
+  *    half-up/shortest-repr tie differences.
   *  - ratios → exact decimal/integer operands cast to double, divide last
   *  - temporal outputs → DATE or formatted string, never raw timestamps
   *    (Spark writes UTC-adjusted parquet timestamps; DuckDB naive)
@@ -34,10 +40,10 @@ object Relational {
       li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast(dec2)).cast(dec2).as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec2)).cast(dec2).as("sum_base_price"),
-          sum((col("l_extendedprice").cast(dec2) * (lit(1).cast(DecimalType(2, 0)) - d2(col("l_discount")))).cast(dec4))
-            .cast(dec4).as("sum_disc_price"),
+          round(sum(col("l_quantity").cast(dec2)).cast(dec2).cast("double"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice").cast(dec2)).cast(dec2).cast("double"), 2).as("sum_base_price"),
+          round(sum((col("l_extendedprice").cast(dec2) * (lit(1).cast(DecimalType(2, 0)) - d2(col("l_discount")))).cast(dec4))
+            .cast(dec4).cast("double"), 4).as("sum_disc_price"),
           (sum(col("l_quantity").cast(dec2)).cast("double") / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -57,8 +63,8 @@ object Relational {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
         .agg(
-          sum((col("l_extendedprice").cast(dec2) * (lit(1).cast(DecimalType(2, 0)) - d2(col("l_discount")))).cast(dec4))
-            .cast(dec4).as("revenue"),
+          round(sum((col("l_extendedprice").cast(dec2) * (lit(1).cast(DecimalType(2, 0)) - d2(col("l_discount")))).cast(dec4))
+            .cast(dec4).cast("double"), 4).as("revenue"),
           count(lit(1)).as("line_count"))
         .orderBy("region_name", "nation_name")
     }),
@@ -76,7 +82,7 @@ object Relational {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("n_name").as("nation_name"), col("c_custkey").cast("long").as("custkey"),
-          col("revenue"), col("rk").cast("long").as("rk"))
+          round(col("revenue").cast("double"), 2).as("revenue"), col("rk").cast("long").as("rk"))
         .orderBy("nation_name", "rk")
     }),
 
@@ -100,7 +106,7 @@ object Relational {
         .agg(
           countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_orderkey")).as("n_orders"),
-          sum(col("l_quantity").cast(dec2)).cast(dec2).as("total_qty"))
+          round(sum(col("l_quantity").cast(dec2)).cast(dec2).cast("double"), 2).as("total_qty"))
         .orderBy("suppkey")
     }),
 
@@ -114,7 +120,8 @@ object Relational {
       yr.withColumn("rev_rank",
           dense_rank().over(Window.partitionBy("order_year").orderBy(col("revenue").desc)).cast("long"))
         .filter(col("rev_rank") <= 5)
-        .select(col("order_year"), col("o_custkey").cast("long").as("custkey"), col("revenue"), col("rev_rank"))
+        .select(col("order_year"), col("o_custkey").cast("long").as("custkey"),
+          round(col("revenue").cast("double"), 2).as("revenue"), col("rev_rank"))
         .orderBy(col("order_year"), col("rev_rank"), col("custkey"))
     }),
 
@@ -150,9 +157,9 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE), 2) AS sum_qty,
+        |  ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE), 2) AS sum_base_price,
+        |  ROUND(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE), 4) AS sum_disc_price,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM lineitem
@@ -162,7 +169,7 @@ object Relational {
 
     "q02_revenue_by_nation" ->
       """SELECT r_name AS region_name, n_name AS nation_name,
-        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        |  ROUND(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE), 4) AS revenue,
         |  CAST(COUNT(*) AS BIGINT) AS line_count
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -182,7 +189,8 @@ object Relational {
         |  FROM rev JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey
         |)
-        |SELECT nation_name, CAST(custkey AS BIGINT) AS custkey, revenue, CAST(rk AS BIGINT) AS rk
+        |SELECT nation_name, CAST(custkey AS BIGINT) AS custkey,
+        |  ROUND(CAST(revenue AS DOUBLE), 2) AS revenue, CAST(rk AS BIGINT) AS rk
         |FROM ranked WHERE rk <= 3 ORDER BY nation_name, rk""".stripMargin,
 
     "q04_order_status_pivot" ->
@@ -196,7 +204,7 @@ object Relational {
       """SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
         |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
         |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_qty
+        |  ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE), 2) AS total_qty
         |FROM lineitem GROUP BY 1 ORDER BY suppkey""".stripMargin,
 
     "q06_customer_year_rank" ->
@@ -205,7 +213,8 @@ object Relational {
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
         |  FROM orders GROUP BY 1, 2
         |)
-        |SELECT order_year, CAST(o_custkey AS BIGINT) AS custkey, revenue,
+        |SELECT order_year, CAST(o_custkey AS BIGINT) AS custkey,
+        |  ROUND(CAST(revenue AS DOUBLE), 2) AS revenue,
         |  CAST(DENSE_RANK() OVER (PARTITION BY order_year ORDER BY revenue DESC) AS BIGINT) AS rev_rank
         |FROM yr QUALIFY rev_rank <= 5
         |ORDER BY order_year, rev_rank, custkey""".stripMargin,

@@ -21,7 +21,7 @@ object Streaming {
     "q36_tumbling_window" -> ((s, dir) => {
       StreamOps.tumblingAgg(ev(s, dir), "ts", "1 hour", Seq("event_type"),
           Seq(count(lit(1)).as("n_events"),
-            sum(col("value").cast(dec2)).cast(dec2).as("total_value")))
+            round(sum(col("value").cast(dec2)).cast(dec2).cast("double"), 2).as("total_value")))
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n_events"), col("total_value"))
         .orderBy("window_start", "event_type")
@@ -55,7 +55,7 @@ object Streaming {
       """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |  ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "q37_sliding_window" ->

@@ -10,6 +10,7 @@ columns by name + rows by all columns, and compares values exactly.
 import sys, json, glob
 import duckdb
 import pandas as pd
+import pyarrow as pa
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -39,8 +40,36 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1
             continue
         try:
-            got = canon(con.sql(f"SELECT * FROM read_parquet({files!r})").df())
-            exp = canon(con.sql(oracle[name]).df())
+            got_t = con.sql(f"SELECT * FROM read_parquet({files!r})").arrow()
+            exp_t = con.sql(oracle[name]).arrow()
+            # Strict type gate BEFORE pandas coercion: the driver hashes
+            # DECIMAL differently than DOUBLE, and .df() masks that by
+            # coercing both to float64. Any decimal in either side, or any
+            # spark-vs-oracle type mismatch, is a failure here even when the
+            # float values agree.
+            type_errs = []
+            got_types = {f.name: f.type for f in got_t.schema}
+            exp_types = {f.name: f.type for f in exp_t.schema}
+            for cn, ct in got_types.items():
+                if pa.types.is_decimal(ct):
+                    type_errs.append(f"spark col {cn} is {ct} (decimal must not reach output)")
+            for cn, ct in exp_types.items():
+                if pa.types.is_decimal(ct):
+                    type_errs.append(f"oracle col {cn} is {ct} (decimal must not reach output)")
+            for cn in sorted(set(got_types) & set(exp_types)):
+                g, e = got_types[cn], exp_types[cn]
+                # allow width-only differences within the same family
+                fam = lambda t: ("int" if pa.types.is_integer(t) else
+                                 "float" if pa.types.is_floating(t) else
+                                 "ts" if pa.types.is_timestamp(t) else str(t))
+                if fam(g) != fam(e):
+                    type_errs.append(f"col {cn}: spark {g} vs oracle {e}")
+            if type_errs:
+                print(f"FAIL {name}: type mismatch: " + "; ".join(type_errs))
+                n_fail += 1
+                continue
+            got = canon(got_t.to_pandas())
+            exp = canon(exp_t.to_pandas())
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1

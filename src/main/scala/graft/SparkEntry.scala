@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.Scalar.queries ++
       graft.queries.LlmPipeline.queries ++
       graft.queries.Streaming.queries ++
-      graft.queries.Advanced.queries
+      graft.queries.Advanced.queries ++
+      graft.queries.SilverFlatten.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.Scalar.oracles ++
       graft.queries.LlmPipeline.oracles ++
       graft.queries.Streaming.oracles ++
-      graft.queries.Advanced.oracles
+      graft.queries.Advanced.oracles ++
+      graft.queries.SilverFlatten.oracles
 }

@@ -60,5 +60,34 @@ object Udfs {
   }
   val stableRecordHash = udf(stableRecordHashFn)
 
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Reference stable_record_hash over an arbitrary nested payload
+    * (normalize.py:79-81): canonical re-serialization (sorted keys,
+    * compact separators) then sha256 prefix.
+    */
+  val canonicalRecordHashFn: (String, Int) => String = { (json, n) =>
+    if (json == null) null
+    else sha256Hex(graft.io.StableJson.write(graft.io.StableJson.parse(json))).take(n)
+  }
+  val canonicalRecordHash = udf(canonicalRecordHashFn)
+
+  /** Reference stable_hash applied to a Mapping iterates its KEYS
+    * (normalize.py:73-76 + dict iteration) — document-order keys, trimmed,
+    * lowered, "|"-joined, sha256 prefix. Used for generated debate ids
+    * (table_debate_records.py:165-166).
+    */
+  val jsonKeysHashFn: (String, Int) => String = { (json, n) =>
+    if (json == null) null
+    else {
+      val joined = graft.io.StableJson.topLevelKeys(json)
+        .map(k => Option(k).fold("")(_.trim).toLowerCase).mkString("|")
+      sha256Hex(joined).take(n)
+    }
+  }
+  val jsonKeysHash = udf(jsonKeysHashFn)
+
   def normalizeNameCol(c: Column): Column = normalizeName(c)
 }

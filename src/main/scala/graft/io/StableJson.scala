@@ -36,12 +36,20 @@ object StableJson {
     case c => c.toString
   } + "\""
 
+  // ObjectMapper is thread-safe for readTree and expensive to build — one
+  // shared instance serves all executor threads
+  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Parse JSON into Map[String,Any]/Seq[Any]/String/Long/Double/Boolean/null
     * (jackson-backed; jackson ships with Spark).
     */
-  def parse(json: String): Any = {
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-    fromNode(node)
+  def parse(json: String): Any = fromNode(mapper.readTree(json))
+
+  /** Top-level object keys in DOCUMENT order (Map would lose it). */
+  def topLevelKeys(json: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val node = mapper.readTree(json)
+    if (node != null && node.isObject) node.fieldNames().asScala.toSeq else Nil
   }
 
   private def fromNode(n: com.fasterxml.jackson.databind.JsonNode): Any = {

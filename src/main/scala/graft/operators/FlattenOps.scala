@@ -21,15 +21,23 @@ object FlattenOps {
 
   /** One table flatten: optional wrapper unwrap (the payload nests the
     * entity under one of several keys), optional array explode, fields.
+    * indexField exposes the 0-based array position of each exploded item —
+    * the reference's builders thread `enumerate()` indices into surrogate
+    * ids and order columns (table_bill_sponsors.py:168, table_bill_events.py
+    * event_order), so position must survive the explode.
     */
   final case class FlattenSpec(
       wrapperKeys: Seq[String] = Nil,      // e.g. member|person|memberDetails
       explodePath: Option[String] = None,  // e.g. memberships
       parentFields: Seq[FieldSpec] = Nil,  // extracted from the unwrapped payload
-      fields: Seq[FieldSpec] = Nil)        // extracted from each exploded item
+      fields: Seq[FieldSpec] = Nil,        // extracted from each exploded item
+      indexField: Option[String] = None)   // 0-based explode position column
 
+  /** Path "$" = the whole (unwrapped) JSON value — used when a transform
+    * needs the raw payload (e.g. record-hash fallback ids).
+    */
   private def jget(json: Column, path: String): Column =
-    get_json_object(json, "$." + path)
+    if (path == "$") json else get_json_object(json, "$." + path)
 
   private def nonBlankOrNull(c: Column): Column =
     when(trim(coalesce(c, lit(""))) === "", lit(null)).otherwise(trim(c))
@@ -50,15 +58,19 @@ object FlattenOps {
     val unwrapped = unwrap(col(jsonCol), spec.wrapperKeys)
     val itemized = spec.explodePath match {
       case Some(path) =>
-        df.withColumn("_parent", unwrapped).withColumn("_item",
-          explode(from_json(get_json_object(col("_parent"), "$." + path), ArrayType(StringType))))
+        val arr = from_json(get_json_object(col("_parent"), "$." + path), ArrayType(StringType))
+        val base = df.withColumn("_parent", unwrapped)
+        if (spec.indexField.isDefined)
+          base.select(col("*"), posexplode(arr).as(Seq("_idx", "_item")))
+        else base.withColumn("_item", explode(arr))
       case None =>
         df.withColumn("_parent", unwrapped).withColumn("_item", unwrapped)
     }
     def extract(src: Column, f: FieldSpec): Column =
       coalesce(f.paths.map(p => nonBlankOrNull(jget(src, p))) :+ lit(f.default): _*).as(f.name)
     val out = spec.parentFields.map(f => extract(col("_parent"), f)) ++
-      spec.fields.map(f => extract(col("_item"), f))
+      spec.fields.map(f => extract(col("_item"), f)) ++
+      spec.indexField.map(n => col("_idx").cast("long").as(n)).toSeq
     itemized.select(out: _*)
   }
 

@@ -1,6 +1,6 @@
 package graft.silver
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Fns
@@ -219,4 +219,359 @@ object FlattenSpecs {
       FieldSpec("short_title", Seq("shortTitleEn", "shortTitle", "showAs")),
       FieldSpec("long_title", Seq("longTitleEn", "longTitle")),
       FieldSpec("source", Seq("source", "originHouse.showAs"))))
+
+  // ---------------------------------------------------------------------
+  // Bill satellite tables (table_bill_stages.py:162-199,
+  // table_bill_versions.py:162-214, table_bill_sponsors.py:162-196,
+  // table_bill_related_docs.py:162-207, table_bill_events.py:162-197,
+  // table_bill_debates.py:162-196). All share the bill unwrap + a child
+  // array explode; each child may itself be wrapped ({event: {...}},
+  // {version: {...}}, ...) which the fallback path chains absorb. The
+  // reference threads enumerate() indices into surrogate ids and order
+  // columns — indexField carries that through posexplode.
+  // ---------------------------------------------------------------------
+
+  /** Shared bill-id parent fields: uri → billId/id → generated hash of the
+    * raw payload (table_bill_stages.py:163-165). The generated branch
+    * hashes the raw JSON text (deviation: reference canonicalizes the
+    * parsed record; only differs for bills with NO uri and NO id, where
+    * any deterministic unique surrogate is equivalent).
+    */
+  private val billParentFields = Seq(
+    FieldSpec("bill_uri", Seq("uri", "billUri")),
+    FieldSpec("bill_fallback_id", Seq("billId", "id")),
+    FieldSpec("bill_raw", Seq("$")))
+
+  /** FieldSpec defaults missing fields to "" (not null) — every "uri else
+    * generated id" decision must treat blank as missing.
+    */
+  private def nonBlankCol(c: Column): Column =
+    when(trim(coalesce(c, lit(""))) === "", lit(null)).otherwise(c)
+
+  private def withBillId(df: DataFrame): DataFrame =
+    df.withColumn("bill_id",
+        coalesce(Fns.coalesceNonBlank(col("bill_uri"), col("bill_fallback_id")),
+          concat(lit("generated:bill:"),
+            graft.functions.Udfs.canonicalRecordHash(col("bill_raw"), lit(24)))))
+      .drop("bill_fallback_id", "bill_raw")
+
+  /** Parse every entry of a JSON date array (entries are either scalars or
+    * {date: ...} objects), include the direct date, take the earliest
+    * (table_bill_stages.py:203-217, table_bill_events.py _first_event_date).
+    */
+  private def earliestDate(datesJson: Column, direct: Column): Column = {
+    val entries = from_json(datesJson,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+    val parsed = filter(
+      transform(coalesce(entries, array()),
+        e => coalesce(Fns.parseIsoDate(get_json_object(e, "$.date")), Fns.parseIsoDate(e))),
+      d => d.isNotNull)
+    val all = concat(parsed, filter(array(Fns.parseIsoDate(direct)), d => d.isNotNull))
+    array_min(all).cast("string")
+  }
+
+  val billStages: FlattenSpec = FlattenSpec(
+    wrapperKeys = Seq("bill"),
+    explodePath = Some("stages"),
+    parentFields = billParentFields,
+    indexField = Some("stage_index"),
+    fields = Seq(
+      FieldSpec("stage_uri", Seq("event.uri", "event.stageUri", "event.stageURI", "uri", "stageUri", "stageURI")),
+      FieldSpec("stage_name", Seq("event.showAs", "event.stageName", "event.name", "showAs", "stageName", "name")),
+      FieldSpec("stage_dates_raw", Seq("event.dates", "dates")),
+      FieldSpec("stage_date_direct", Seq("event.date", "date")),
+      FieldSpec("order_in_bill", Seq("event.progressStage", "event.order", "event.stageOrder",
+        "progressStage", "order", "stageOrder")),
+      FieldSpec("stage_outcome", Seq("event.stageOutcome", "event.outcome", "stageOutcome", "outcome")),
+      FieldSpec("house_uri", Seq("event.house.uri", "event.chamber.uri", "house.uri", "chamber.uri")),
+      FieldSpec("house_name", Seq("event.house.showAs", "event.house.name",
+        "event.chamber.showAs", "event.chamber.name",
+        "house.showAs", "house.name", "chamber.showAs", "chamber.name"))))
+
+  def billStagesTransform(df: DataFrame): DataFrame =
+    withBillId(df)
+      .withColumn("stage_date", earliestDate(col("stage_dates_raw"), col("stage_date_direct")))
+      .withColumn("bill_stage_id",
+        coalesce(nonBlankCol(col("stage_uri")), concat(lit("generated:bill_stage:"),
+          Fns.stableHash(24, col("bill_id"), col("stage_name"), col("stage_date"),
+            col("order_in_bill"), col("house_uri"), col("stage_index")))))
+      .drop("stage_dates_raw", "stage_date_direct")
+
+  val billVersions: FlattenSpec = FlattenSpec(
+    wrapperKeys = Seq("bill"),
+    explodePath = Some("versions"),
+    parentFields = billParentFields,
+    indexField = Some("version_index"),
+    fields = Seq(
+      FieldSpec("version_uri", Seq("version.uri", "version.versionUri", "uri", "versionUri")),
+      FieldSpec("version_label", Seq("version.showAs", "version.title", "version.label",
+        "showAs", "title", "label")),
+      FieldSpec("version_date_raw", Seq("version.date", "date")),
+      FieldSpec("version_doc_type", Seq("version.docType", "docType")),
+      FieldSpec("version_lang", Seq("version.lang", "lang")),
+      FieldSpec("pdf_uri_raw", Seq("version.formats.pdf.uri", "version.formats.pdf.formatUri",
+        "formats.pdf.uri", "formats.pdf.formatUri")),
+      FieldSpec("pdf_url_raw", Seq("version.formats.pdf.url", "version.formats.pdf.href",
+        "version.formats.pdf.downloadUrl", "version.formats.pdf.formatUrl",
+        "formats.pdf.url", "formats.pdf.href", "formats.pdf.downloadUrl", "formats.pdf.formatUrl")),
+      FieldSpec("xml_uri_raw", Seq("version.formats.xml.uri", "version.formats.xml.formatUri",
+        "formats.xml.uri", "formats.xml.formatUri")),
+      FieldSpec("xml_url_raw", Seq("version.formats.xml.url", "version.formats.xml.href",
+        "version.formats.xml.downloadUrl", "version.formats.xml.formatUrl",
+        "formats.xml.url", "formats.xml.href", "formats.xml.downloadUrl", "formats.xml.formatUrl"))))
+
+  def billVersionsTransform(df: DataFrame): DataFrame = {
+    val pdf = SourceFileOps.formatLocator(col("pdf_uri_raw"), col("pdf_url_raw"))
+    val xml = SourceFileOps.formatLocator(col("xml_uri_raw"), col("xml_url_raw"))
+    val base = withBillId(df)
+      .withColumn("version_date", Fns.parseIsoDate(col("version_date_raw")).cast("string"))
+      .withColumn("bill_version_id",
+        coalesce(nonBlankCol(col("version_uri")), concat(lit("generated:bill_version:"),
+          Fns.stableHash(24, col("bill_id"), col("version_label"), Fns.parseIsoDate(col("version_date_raw")),
+            col("version_doc_type"), col("version_lang"), col("version_index")))))
+    val fidPdf = SourceFileOps.sourceFileId("legislation", col("bill_id"), "pdf", pdf.uri, pdf.urlForHash)
+    val fidXml = SourceFileOps.sourceFileId("legislation", col("bill_id"), "xml", xml.uri, xml.urlForHash)
+    base
+      .withColumn("format_pdf_uri", pdf.uri).withColumn("format_pdf_url", pdf.url)
+      .withColumn("format_xml_uri", xml.uri).withColumn("format_xml_url", xml.url)
+      .withColumn("source_file_id_pdf", fidPdf)
+      .withColumn("source_file_id_xml", fidXml)
+      .withColumn("s3_pdf_key", SourceFileOps.targetKey("legislation", col("bill_id"),
+        fidPdf, lit("pdf"), coalesce(pdf.urlForHash, pdf.uri)))
+      .withColumn("s3_xml_key", SourceFileOps.targetKey("legislation", col("bill_id"),
+        fidXml, lit("xml"), coalesce(xml.urlForHash, xml.uri)))
+      .drop("version_date_raw", "pdf_uri_raw", "pdf_url_raw", "xml_uri_raw", "xml_url_raw")
+  }
+
+  val billSponsors: FlattenSpec = FlattenSpec(
+    wrapperKeys = Seq("bill"),
+    explodePath = Some("sponsors"),
+    parentFields = billParentFields,
+    indexField = Some("sponsor_index"),
+    fields = Seq(
+      FieldSpec("sponsor_uri", Seq("sponsor.by.uri", "by.uri")),
+      FieldSpec("sponsor_name", Seq("sponsor.by.showAs", "sponsor.by.name", "by.showAs", "by.name")),
+      FieldSpec("sponsor_role_uri", Seq("sponsor.as.uri", "as.uri")),
+      FieldSpec("sponsor_role_name", Seq("sponsor.as.showAs", "sponsor.as.name", "as.showAs", "as.name")),
+      FieldSpec("is_primary_raw", Seq("sponsor.isPrimary", "isPrimary"))))
+
+  /** `_bool_text`: true/false stay lowercase text, anything else verbatim
+    * (table_bill_sponsors.py _bool_text).
+    */
+  def billSponsorsTransform(df: DataFrame): DataFrame =
+    withBillId(df)
+      .withColumn("is_primary",
+        when(lower(col("is_primary_raw")).isin("true", "false"), lower(col("is_primary_raw")))
+          .otherwise(col("is_primary_raw")))
+      .withColumn("sponsor_order", (col("sponsor_index") + 1).cast("string"))
+      .withColumn("bill_sponsor_id", concat(lit("bill_sponsor:"),
+        Fns.stableHash(24, col("bill_id"), col("sponsor_uri"), col("sponsor_name"),
+          col("sponsor_role_uri"), col("sponsor_role_name"), col("is_primary"), col("sponsor_order"))))
+      .drop("is_primary_raw")
+
+  val billRelatedDocs: FlattenSpec = FlattenSpec(
+    wrapperKeys = Seq("bill"),
+    explodePath = Some("relatedDocs"),
+    parentFields = billParentFields,
+    indexField = Some("doc_index"),
+    fields = Seq(
+      FieldSpec("doc_uri", Seq("relatedDoc.uri", "relatedDoc.relatedDocUri", "relatedDoc.docUri",
+        "uri", "relatedDocUri", "docUri")),
+      FieldSpec("related_doc_label", Seq("relatedDoc.showAs", "relatedDoc.title", "relatedDoc.label",
+        "showAs", "title", "label")),
+      FieldSpec("doc_date_raw", Seq("relatedDoc.date", "date")),
+      FieldSpec("doc_type", Seq("relatedDoc.docType", "relatedDoc.type", "docType", "type")),
+      FieldSpec("language", Seq("relatedDoc.lang", "relatedDoc.language", "lang", "language")),
+      FieldSpec("pdf_uri_raw", Seq("relatedDoc.formats.pdf.uri", "relatedDoc.formats.pdf.formatUri",
+        "formats.pdf.uri", "formats.pdf.formatUri")),
+      FieldSpec("pdf_url_raw", Seq("relatedDoc.formats.pdf.url", "relatedDoc.formats.pdf.href",
+        "formats.pdf.url", "formats.pdf.href")),
+      FieldSpec("xml_uri_raw", Seq("relatedDoc.formats.xml.uri", "relatedDoc.formats.xml.formatUri",
+        "formats.xml.uri", "formats.xml.formatUri")),
+      FieldSpec("xml_url_raw", Seq("relatedDoc.formats.xml.url", "relatedDoc.formats.xml.href",
+        "formats.xml.url", "formats.xml.href"))))
+
+  def billRelatedDocsTransform(df: DataFrame): DataFrame = {
+    val pdf = SourceFileOps.formatLocator(col("pdf_uri_raw"), col("pdf_url_raw"))
+    val xml = SourceFileOps.formatLocator(col("xml_uri_raw"), col("xml_url_raw"))
+    val fidPdf = SourceFileOps.sourceFileId("legislation", col("bill_id"), "pdf", pdf.uri, pdf.urlForHash)
+    val fidXml = SourceFileOps.sourceFileId("legislation", col("bill_id"), "xml", xml.uri, xml.urlForHash)
+    withBillId(df)
+      .withColumn("related_doc_date", Fns.parseIsoDate(col("doc_date_raw")).cast("string"))
+      .withColumn("related_doc_id",
+        coalesce(nonBlankCol(col("doc_uri")), concat(lit("generated:bill_related_doc:"),
+          Fns.stableHash(24, col("bill_id"), col("related_doc_label"),
+            Fns.parseIsoDate(col("doc_date_raw")), col("doc_type"), col("language"), col("doc_index")))))
+      .withColumn("format_pdf_uri", pdf.uri).withColumn("format_pdf_url", pdf.url)
+      .withColumn("format_xml_uri", xml.uri).withColumn("format_xml_url", xml.url)
+      .withColumn("source_file_id_pdf", fidPdf)
+      .withColumn("source_file_id_xml", fidXml)
+      .withColumn("s3_pdf_key", SourceFileOps.targetKey("legislation", col("bill_id"),
+        fidPdf, lit("pdf"), coalesce(pdf.urlForHash, pdf.uri)))
+      .withColumn("s3_xml_key", SourceFileOps.targetKey("legislation", col("bill_id"),
+        fidXml, lit("xml"), coalesce(xml.urlForHash, xml.uri)))
+      .drop("doc_date_raw", "doc_uri", "pdf_uri_raw", "pdf_url_raw", "xml_uri_raw", "xml_url_raw")
+  }
+
+  val billEvents: FlattenSpec = FlattenSpec(
+    wrapperKeys = Seq("bill"),
+    explodePath = Some("events"),
+    parentFields = billParentFields,
+    indexField = Some("event_index"),
+    fields = Seq(
+      FieldSpec("event_uri", Seq("event.uri", "uri")),
+      FieldSpec("event_type_uri", Seq("event.eventURI", "event.eventUri", "event.typeURI", "event.typeUri",
+        "eventURI", "eventUri", "typeURI", "typeUri")),
+      FieldSpec("event_name", Seq("event.showAs", "event.name", "event.label", "showAs", "name", "label")),
+      FieldSpec("event_dates_raw", Seq("event.dates", "dates")),
+      FieldSpec("event_date_direct", Seq("event.date", "date")),
+      FieldSpec("chamber_uri", Seq("event.chamber.uri", "chamber.uri")),
+      FieldSpec("chamber_name", Seq("event.chamber.showAs", "event.chamber.name",
+        "chamber.showAs", "chamber.name"))))
+
+  def billEventsTransform(df: DataFrame): DataFrame =
+    withBillId(df)
+      .withColumn("event_date", earliestDate(col("event_dates_raw"), col("event_date_direct")))
+      .withColumn("event_order", (col("event_index") + 1).cast("string"))
+      .withColumn("bill_event_id",
+        coalesce(nonBlankCol(col("event_uri")), concat(lit("generated:bill_event:"),
+          Fns.stableHash(24, col("bill_id"), col("event_type_uri"), col("event_name"),
+            col("event_date"), col("chamber_uri"), col("event_order")))))
+      .drop("event_dates_raw", "event_date_direct")
+
+  val billDebates: FlattenSpec = FlattenSpec(
+    wrapperKeys = Seq("bill"),
+    explodePath = Some("debates"),
+    parentFields = billParentFields,
+    indexField = Some("debate_index"),
+    fields = Seq(
+      FieldSpec("debate_uri", Seq("uri", "debateUri")),
+      FieldSpec("debate_date_raw", Seq("date")),
+      FieldSpec("debate_show_as", Seq("showAs", "title", "label")),
+      FieldSpec("debate_section_id", Seq("debateSectionId", "sectionId")),
+      FieldSpec("chamber_uri", Seq("chamber.uri")),
+      FieldSpec("chamber_name", Seq("chamber.showAs", "chamber.name"))))
+
+  def billDebatesTransform(df: DataFrame): DataFrame =
+    withBillId(df)
+      .withColumn("debate_date", Fns.parseIsoDate(col("debate_date_raw")).cast("string"))
+      .withColumn("debate_order", (col("debate_index") + 1).cast("string"))
+      .withColumn("debate_id",
+        coalesce(nonBlankCol(col("debate_uri")), concat(lit("generated:debate:"),
+          Fns.stableHash(24, col("bill_id"), col("debate_show_as"), col("debate_date"),
+            col("debate_section_id"), col("debate_order")))))
+      .withColumn("bill_debate_id", concat(lit("bill_debate:"),
+        Fns.stableHash(24, col("bill_id"), col("debate_uri"), col("debate_section_id"), col("debate_order"))))
+      .drop("debate_date_raw")
+
+  /** Debate metadata records (table_debate_records.py:_normalise_debate_row):
+    * the debate sits under a debateRecord wrapper but contextDate rides at
+    * the PAYLOAD root next to it — so no wrapper unwrap; every record field
+    * carries a debateRecord.-prefixed path with a root fallback, and
+    * context_date reads the root directly. Chamber precedence is
+    * house_code → chamber.showAs → house.showAs; http-absolute uris promote
+    * to urls.
+    */
+  val debateRecords: FlattenSpec = FlattenSpec(
+    fields = Seq(
+      FieldSpec("debate_uri", Seq("debateRecord.uri", "debateRecord.debateUri", "uri", "debateUri")),
+      FieldSpec("debate_raw", Seq("debateRecord", "$")),
+      FieldSpec("item_raw", Seq("$")),
+      FieldSpec("context_date_raw", Seq("contextDate")),
+      FieldSpec("debate_date_raw", Seq("debateRecord.date", "date")),
+      FieldSpec("house_uri", Seq("debateRecord.house.uri", "debateRecord.chamber.uri",
+        "house.uri", "chamber.uri")),
+      FieldSpec("house_no", Seq("debateRecord.house.houseNo", "house.houseNo")),
+      FieldSpec("house_code", Seq("debateRecord.house.houseCode", "debateRecord.house.chamberCode",
+        "house.houseCode", "house.chamberCode")),
+      FieldSpec("chamber_show_as", Seq("debateRecord.chamber.showAs", "chamber.showAs")),
+      FieldSpec("house_show_as", Seq("debateRecord.house.showAs", "house.showAs")),
+      FieldSpec("show_as_raw", Seq("debateRecord.showAs", "debateRecord.title", "showAs", "title")),
+      FieldSpec("pdf_uri_raw", Seq("debateRecord.formats.pdf.uri", "debateRecord.formats.pdf.url",
+        "debateRecord.formats.pdf.href", "formats.pdf.uri", "formats.pdf.url", "formats.pdf.href")),
+      FieldSpec("pdf_url_raw", Seq("debateRecord.formats.pdf.url", "debateRecord.formats.pdf.href",
+        "formats.pdf.url", "formats.pdf.href")),
+      FieldSpec("xml_uri_raw", Seq("debateRecord.formats.xml.uri", "debateRecord.formats.xml.url",
+        "debateRecord.formats.xml.href", "formats.xml.uri", "formats.xml.url", "formats.xml.href")),
+      FieldSpec("xml_url_raw", Seq("debateRecord.formats.xml.url", "debateRecord.formats.xml.href",
+        "formats.xml.url", "formats.xml.href"))))
+
+  def debateRecordsTransform(df: DataFrame): DataFrame = {
+    val ctx = Fns.parseIsoDate(col("context_date_raw")).cast("string")
+    val withDates = df
+      .withColumn("context_date", ctx)
+      .withColumn("debate_date",
+        coalesce(Fns.parseIsoDate(col("debate_date_raw")).cast("string"), ctx))
+      .withColumn("debate_id",
+        // reference quirk: stable_hash over a Mapping hashes its KEYS
+        coalesce(nonBlankCol(col("debate_uri")),
+          concat(lit("generated:debate:"),
+            graft.functions.Udfs.jsonKeysHash(col("debate_raw"), lit(20)))))
+      .withColumn("chamber",
+        Fns.coalesceNonBlank(col("house_code"), col("chamber_show_as"), col("house_show_as")))
+      .withColumn("show_as",
+        // fallback joins non-blank (chamber, date) with " — "
+        // (table_debate_records.py:236-238)
+        coalesce(nonBlankCol(col("show_as_raw")),
+          Fns.nullif(concat_ws(" — ", col("chamber"), col("debate_date")), lit(""))))
+    val srcPdfUri = nonBlankCol(col("pdf_uri_raw"))
+    val srcXmlUri = nonBlankCol(col("xml_uri_raw"))
+    val srcPdfUrl = when(srcPdfUri.isNotNull && srcPdfUri.startsWith("http"), srcPdfUri)
+      .otherwise(nonBlankCol(col("pdf_url_raw")))
+    val srcXmlUrl = when(srcXmlUri.isNotNull && srcXmlUri.startsWith("http"), srcXmlUri)
+      .otherwise(nonBlankCol(col("xml_url_raw")))
+    withDates
+      .withColumn("source_pdf_uri", srcPdfUri).withColumn("source_pdf_url", srcPdfUrl)
+      .withColumn("source_xml_uri", srcXmlUri).withColumn("source_xml_url", srcXmlUrl)
+      .withColumn("source_file_id_pdf",
+        SourceFileOps.sourceFileId("debate", col("debate_id"), "pdf", srcPdfUri, srcPdfUrl))
+      .withColumn("source_file_id_xml",
+        SourceFileOps.sourceFileId("debate", col("debate_id"), "xml", srcXmlUri, srcXmlUrl))
+      .withColumn("api_result_hash",
+        graft.functions.Udfs.canonicalRecordHash(col("item_raw"), lit(16)))
+      // _first_text yields None for missing fields — flatten's "" default
+      // must not leak into the table
+      .withColumn("debate_uri", nonBlankCol(col("debate_uri")))
+      .withColumn("house_uri", nonBlankCol(col("house_uri")))
+      .withColumn("house_no", nonBlankCol(col("house_no")))
+      .withColumn("house_code", nonBlankCol(col("house_code")))
+      .drop("debate_raw", "item_raw", "context_date_raw", "debate_date_raw",
+        "chamber_show_as", "house_show_as", "show_as_raw",
+        "pdf_uri_raw", "pdf_url_raw", "xml_uri_raw", "xml_url_raw")
+  }
+
+  /** Debate sections (table_debate_sections.py:_normalise_section_row):
+    * exploded from each debate record's section list; parent debate id and
+    * section order are threaded by the caller.
+    */
+  val debateSections: FlattenSpec = FlattenSpec(
+    explodePath = Some("sections"),
+    parentFields = Seq(FieldSpec("debate_uri", Seq("uri", "debateUri"))),
+    indexField = Some("section_index"),
+    fields = Seq(
+      FieldSpec("section_uri", Seq("debateSection.uri", "debateSection.sectionUri", "uri", "sectionUri")),
+      FieldSpec("section_eid", Seq("debateSection.debateSectionId", "debateSection.sectionId", "debateSection.eid",
+        "debateSectionId", "sectionId", "eid")),
+      FieldSpec("show_as", Seq("debateSection.showAs", "debateSection.heading", "debateSection.title",
+        "showAs", "heading", "title")),
+      FieldSpec("heading", Seq("debateSection.heading", "debateSection.title", "debateSection.showAs",
+        "heading", "title", "showAs")),
+      FieldSpec("parent_section_raw", Seq("debateSection.parentDebateSection", "parentDebateSection"))))
+
+  def debateSectionsTransform(df: DataFrame): DataFrame =
+    df.withColumn("debate_id", col("debate_uri"))
+      .withColumn("section_order", (col("section_index") + 1).cast("long"))
+      .withColumn("parent_section_id",
+        // mapping → first_text(uri, debateSectionId, sectionId, eid); scalar → itself
+        coalesce(
+          get_json_object(col("parent_section_raw"), "$.uri"),
+          get_json_object(col("parent_section_raw"), "$.debateSectionId"),
+          get_json_object(col("parent_section_raw"), "$.sectionId"),
+          get_json_object(col("parent_section_raw"), "$.eid"),
+          when(col("parent_section_raw").startsWith("{"), lit(null))
+            .otherwise(nonBlankCol(col("parent_section_raw")))))
+      .withColumn("debate_section_id",
+        coalesce(nonBlankCol(col("section_uri")), concat(lit("generated:debate_section:"),
+          Fns.stableHash(20, col("debate_id"), col("section_eid"), col("section_order")))))
+      .drop("parent_section_raw", "section_index")
 }

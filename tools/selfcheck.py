@@ -82,8 +82,11 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
             n_fail += 1
             continue
-        neq = (got.astype(object).where(pd.notna(got), None)
-               != exp.astype(object).where(pd.notna(exp), None))
+        # sentinel for nulls: pandas treats None/NaN as NA in comparisons,
+        # so None != None would read as a mismatch
+        NULL = "<@null@>"
+        neq = (got.astype(object).where(pd.notna(got), NULL)
+               != exp.astype(object).where(pd.notna(exp), NULL))
         if neq.any().any():
             bad_cols = [c for c in got.columns if neq[c].any()]
             i = neq.any(axis=1).idxmax()

@@ -126,34 +126,45 @@ object DedupOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** SimHash: 64-bit signature from token hashes — bit b of the signature
-    * is 1 when the weighted sum of bit-b contributions is positive.
-    * Expression-only (stays in codegen): 64 conditional sums in one
-    * combinable aggregation.
+  /** sha256-prefix 60-bit token hash: an engine-independent alternative to
+    * xxhash64 (DuckDB can recompute it), trading a little speed for an
+    * oracle-checkable signature. 15 hex chars = 60 bits, fits signed long.
     */
-  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def shaTokenHash(token: Column): Column =
+    conv(substring(sha2(token, 256), 1, 15), 16, 10).cast("long")
+
+  /** SimHash: n-bit signature from token hashes — bit b of the signature
+    * is 1 when the weighted sum of bit-b contributions is positive.
+    * Expression-only (stays in codegen): n conditional sums in one
+    * combinable aggregation. Default token hash is xxhash64 (fastest);
+    * pass [[shaTokenHash]] with bits=60 for cross-engine verifiability.
+    */
+  def simhash(docs: DataFrame, textCol: String, idCol: String,
+              tokenHash: Column => Column = xxhash64(_), bits: Int = 64): DataFrame = {
     val tok = docs.select(col(idCol).cast("long").as("doc_id"),
       explode(split(normText(col(textCol)), " ")).as("token"))
-      .withColumn("th", xxhash64(col("token")))
-    val bitSums = (0 until 64).map { b =>
+      .withColumn("th", tokenHash(col("token")))
+    val bitSums = (0 until bits).map { b =>
       sum(when(col("th").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
     }
     val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { b =>
+    val sig = (0 until bits).map { b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
     sums.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: bucket on 4×16-bit bands (any pair within
+  /** SimHash near-dup pairs: bucket on 4 equal-width bands (any pair within
     * hamming distance ≤ 3 shares at least one exact band by pigeonhole...
     * distance ≤ 3 across 4 bands guarantees one untouched band), then
     * exact hamming filter.
     */
-  def simhashNearDupPairs(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDupPairs(sig: DataFrame, maxHamming: Int = 3, bits: Int = 64): DataFrame = {
+    val bandWidth = bits / 4
+    val bandMask = (1L << bandWidth) - 1
     val bandCols = (0 until 4).map { j =>
       struct(lit(j).as("band_idx"),
-        shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("band_val"))
+        shiftright(col("simhash"), j * bandWidth).bitwiseAND(lit(bandMask)).as("band_val"))
     }
     val banded = sig.select(col("doc_id"), col("simhash"),
       explode(array(bandCols: _*)).as("band"))

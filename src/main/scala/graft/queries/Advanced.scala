@@ -73,9 +73,11 @@ object Advanced {
       DqOps.summary(o, Seq("pk"), Seq("v"))
     }),
 
-    // F11/W4 sentence candidates over documents (rows-only: the split
-    // regex needs lookarounds DuckDB's RE2 lacks; semantics are pinned by
-    // the golden splitter spec instead).
+    // F11/W4 sentence candidates over documents. The general split regex
+    // needs lookarounds DuckDB's RE2 lacks (edge cases pinned by the golden
+    // splitter spec) — but THIS corpus is punctuation- and capital-free
+    // word soup, so the only split point is the appended ". C", and the
+    // oracle reconstructs both sentences directly.
     "q43_sentence_candidates" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(Fns.weekId(to_date(lit("2026-01-05"))).cast("string").as("week_id"),
@@ -231,6 +233,26 @@ object Advanced {
         |    THEN (year(td) - 1) * 100 + FLOOR(date_diff('day', pfm, td) / 7.0) + 1
         |    ELSE year(td) * 100 + FLOOR(date_diff('day', fm, td) / 7.0) + 1 END AS BIGINT) AS prev_week_id
         |FROM f ORDER BY orderkey""".stripMargin,
+
+    "q43_sentence_candidates" ->
+      """WITH docs AS (
+        |  SELECT 'src_' || source AS speaker,
+        |    regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |sent AS (
+        |  SELECT speaker, t || '.' AS sentence, len(string_split(t, ' ')) AS wc FROM docs
+        |  UNION ALL
+        |  SELECT speaker, 'Closing Remark here!' AS sentence, 3 AS wc FROM docs),
+        |meas AS (
+        |  SELECT '202601' AS week_id, speaker, sentence,
+        |    substring(sha256('202601' || '||' || speaker || '||' || sentence), 1, 24) AS cid,
+        |    lower(sentence) AS dk
+        |  FROM sent WHERE wc BETWEEN 1 AND 500),
+        |kept AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY week_id, dk ORDER BY cid) AS rn FROM meas)
+        |SELECT week_id, speaker AS speaker_name, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        |FROM kept WHERE rn = 1 GROUP BY week_id, speaker
+        |ORDER BY speaker_name""".stripMargin,
 
     "q42_dq_summary" ->
       """WITH o AS (SELECT

@@ -44,12 +44,16 @@ object LlmPipeline {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures).
-    // Hash-function-specific → no SQL oracle; driver rows-only check.
+    // SimHash near-dup pairs (hamming ≤ 3). Signatures use the sha256-
+    // prefix 60-bit token hash so DuckDB recomputes the identical pipeline
+    // end-to-end (the xxhash64 default stays for production speed — same
+    // operator, different tokenHash argument).
     "q29_neardup_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val sig = DedupOps.simhash(docs, "text", "doc_id")
-      DedupOps.simhashNearDupPairs(sig, maxHamming = 3)
+      val sig = DedupOps.simhash(docs, "text", "doc_id",
+        tokenHash = DedupOps.shaTokenHash, bits = 60)
+      DedupOps.simhashNearDupPairs(sig, maxHamming = 3, bits = 60)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -116,6 +120,36 @@ object LlmPipeline {
       |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Recomputes the whole simhash pipeline independently: sha256-prefix
+    // 60-bit token hashes, per-bit weighted sums, signature assembly, and
+    // an O(n²) pair scan (fine at oracle scale; the Spark side stays
+    // banded). Any signature-bit divergence fails the hash compare.
+    "q29_neardup_simhash" ->
+      """WITH tok AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce([CAST(strpos('0123456789abcdef', x) - 1 AS BIGINT)
+        |                 FOR x IN string_split(substring(sha256(token), 1, 15), '')],
+        |                (a, b) -> a * 16 + b) AS th
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, r.range AS b,
+        |    SUM(CASE WHEN (th >> CAST(r.range AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h CROSS JOIN range(60) r
+        |  GROUP BY doc_id, r.range),
+        |sig AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q26_dedup_exact" ->
       """WITH base AS (
         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents

@@ -51,16 +51,22 @@ object Bench {
     // JVM/codegen warmup outside the timed region.
     materialize("q01_pricing_summary")
 
+    // a failing query must not be recorded as a fast success — keep its
+    // time, mark it failed, and fail the process at the end
     val results = headline.map { name =>
       val t0 = System.nanoTime()
-      try materialize(name)
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { materialize(name); None }
+                catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.forall(_._3.isEmpty)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"ok":$ok,"sf":"$sfDir"}""")
     spark.stop()
+    if (!ok) sys.exit(1)
   }
 }

@@ -75,7 +75,10 @@ object GoldMarts {
       .withColumn("snapshot_date", lit(snapshotDate))
 
     // keep only current members when any row is flagged current (reference
-    // applies the mask only when it selects something)
+    // applies the mask only when it selects something). Cache before the
+    // existence probe — without it the 4-join roster plan evaluates twice
+    // (once for the probe, once for the output).
+    roster.cache()
     val anyCurrent = roster.filter(Fns.truthy(col("is_current_member"))).limit(1).count() > 0
     val filtered = if (anyCurrent) roster.filter(Fns.truthy(col("is_current_member"))) else roster
     val spec = TableRegistry.specs("gold_current_members")
@@ -129,6 +132,13 @@ object GoldMarts {
 
   /** Dense rank per year on the metric VALUE only — ties share a rank
     * regardless of tie-break columns (…:248-261; SURVEY §7.4.6).
+    *
+    * SCALE BOUND: this window partitions by year only, so each year sorts
+    * in one task. That is safe here BY DOMAIN CONTRACT — the partition is
+    * the member roster (≤ ~174 rows/year in the reference chamber), not a
+    * fact table. Do NOT reuse this for high-cardinality partitions; when
+    * only top-k ranks are consumed use RankOps.denseRankTopK (bounded
+    * combinable aggregate + broadcast join), as q06 does.
     */
   private def rankByYear(valueCol: Column): Column =
     dense_rank().over(Window.partitionBy(col("year")).orderBy(valueCol.desc)).cast("string")

@@ -46,6 +46,9 @@ object ProfileMetrics {
 
     val counts = speeches.groupBy("member_code")
       .agg(count(lit(1)).as("speech_count"))
+      // global (unpartitioned) window = single-task sort: safe only
+      // because the input is one row PER MEMBER (~174 in the reference
+      // domain) after the groupBy — see RankOps for the scale-safe form
       .withColumn("speech_rank",
         dense_rank().over(Window.orderBy(col("speech_count").desc)))
     val topIssue = speeches.groupBy("member_code", "issue")

@@ -111,15 +111,18 @@ object Relational {
     }),
 
     // W1: dense rank per year by customer revenue (reference dense-rank
-    // tie semantics: rank on the value only).
+    // tie semantics: rank on the value only). dense_rank PARTITION BY year
+    // would sort each whole year in one task (parallelism ≤ #years); since
+    // only ranks ≤ 5 survive, RankOps.denseRankTopK computes the same
+    // result with a bounded combinable aggregate + broadcast join — the
+    // decimal revenue rides through its exact unscaled-long encoding.
     "q06_customer_year_rank" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val yr = o.withColumn("order_year", year(col("o_orderdate")).cast("long"))
         .groupBy("order_year", "o_custkey")
         .agg(sum(col("o_totalprice").cast(dec2)).cast(dec2).as("revenue"))
-      yr.withColumn("rev_rank",
-          dense_rank().over(Window.partitionBy("order_year").orderBy(col("revenue").desc)).cast("long"))
-        .filter(col("rev_rank") <= 5)
+      graft.operators.RankOps.denseRankTopK(yr, Seq("order_year"),
+          (col("revenue") * 100).cast("long"), k = 5, rankCol = "rev_rank")
         .select(col("order_year"), col("o_custkey").cast("long").as("custkey"),
           round(col("revenue").cast("double"), 2).as("revenue"), col("rev_rank"))
         .orderBy(col("order_year"), col("rev_rank"), col("custkey"))

@@ -124,6 +124,33 @@ object SilverFlatten {
         .orderBy("debate_id")
     }),
 
+    // Renderer-context issue counters (instagram/renderer/context.py:83-118):
+    // normalized-speaker join against the member lookup (honorific/casing
+    // noise normalizes away), NONE/blank issues dropped, counts rolled up
+    // per constituency×issue.
+    "q52_renderer_issue_counts" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val o = t(s, dir, "orders")
+      val members = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_name").as("full_name"), col("n_name").as("constituency"),
+          col("c_mktsegment").as("party"), col("c_custkey").cast("string").as("member_code"))
+      val debate = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(
+          // honorific + casing + spacing noise the normalizer must strip
+          when(col("o_orderkey") % 2 === 0, concat(lit("Deputy "), upper(col("c_name")), lit(" TD")))
+            .otherwise(concat(lit("  "), col("c_name"), lit("  "))).as("speaker_name"),
+          when(col("o_orderkey") % 7 === 0, lit("NONE"))
+            .when(col("o_orderkey") % 11 === 0, lit(""))
+            .otherwise(col("o_orderpriority")).as("issue"))
+      val mt = graft.gold.RendererContext.buildMemberTable(members,
+        s.emptyDataFrame, s.emptyDataFrame)
+      graft.gold.RendererContext.issueRecords(debate, mt)
+        .groupBy("constituency_key", "issue")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("constituency_key", "issue")
+    }),
+
     // Source-file inventory over synthesized format columns: extension
     // inference from URLs, content types, safe-slug S3 keys, per-format
     // fan-out rows (table_source_files.py).
@@ -216,6 +243,56 @@ object SilverFlatten {
         |  'source_file:' || $hPdf AS source_file_id_pdf
         |FROM d2 ORDER BY debate_id""".stripMargin
     },
+
+    "q52_renderer_issue_counts" ->
+      """WITH norm AS (
+        |  SELECT c_custkey,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(lower(trim(c_name)), '&', ' and ', 'g'),
+        |        '[^a-z0-9]+', ' ', 'g'),
+        |      '\b(td|teachta d[aá]la|minister|deputy)\b', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS member_key
+        |  FROM customer),
+        |members AS (
+        |  SELECT norm.member_key,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(lower(trim(n_name)), '&', ' and ', 'g'),
+        |        '[^a-z0-9]+', ' ', 'g'),
+        |      '\b(td|teachta d[aá]la|minister|deputy)\b', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS constituency_key,
+        |    ROW_NUMBER() OVER (PARTITION BY norm.member_key ORDER BY CAST(c_custkey AS VARCHAR) DESC) AS rn
+        |  FROM customer JOIN norm USING (c_custkey)
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |lookup AS (SELECT member_key, constituency_key FROM members WHERE rn = 1),
+        |debate AS (
+        |  SELECT
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'Deputy ' || upper(c_name) || ' TD'
+        |         ELSE '  ' || c_name || '  ' END AS speaker,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'NONE'
+        |         WHEN o_orderkey % 11 = 0 THEN ''
+        |         ELSE o_orderpriority END AS issue
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |recs AS (
+        |  SELECT
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(lower(trim(speaker)), '&', ' and ', 'g'),
+        |        '[^a-z0-9]+', ' ', 'g'),
+        |      '\b(td|teachta d[aá]la|minister|deputy)\b', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS member_key,
+        |    trim(issue) AS issue
+        |  FROM debate
+        |  WHERE trim(issue) <> '' AND upper(trim(issue)) <> 'NONE')
+        |SELECT l.constituency_key, r.issue, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM recs r JOIN lookup l ON r.member_key = l.member_key
+        |WHERE r.member_key <> ''
+        |GROUP BY l.constituency_key, r.issue
+        |ORDER BY l.constituency_key, r.issue""".stripMargin,
 
     "q51_source_files_inventory" -> {
       // safe_slug: strip scheme, keep [alnum-_.], else '-', trim dashes

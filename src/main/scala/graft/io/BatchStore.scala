@@ -195,6 +195,27 @@ final class BatchStore(fs: FileSystem, root: String,
 
   // --- low-level json/fs helpers ---
 
+  def timestamp(): String = now()
+
+  def exists(key: String): Boolean = fs.exists(p(key))
+
+  def readBytes(key: String): Array[Byte] = {
+    val in = fs.open(p(key))
+    try in.readAllBytes() finally in.close()
+  }
+
+  def putBytes(key: String, body: Array[Byte]): Unit = {
+    val out = fs.create(p(key), true)
+    try out.write(body) finally out.close()
+  }
+
+  /** Byte-copy one object within the store; returns the copied size. */
+  def copyObject(sourceKey: String, destKey: String): Long = {
+    val body = readBytes(sourceKey)
+    putBytes(destKey, body)
+    body.length.toLong
+  }
+
   def putJson(key: String, value: Any): Unit = {
     val out = fs.create(p(key), true)
     try out.write(StableJson.write(value).getBytes("UTF-8"))

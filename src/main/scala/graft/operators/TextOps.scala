@@ -28,16 +28,42 @@ object TextOps {
   def markerCount(text: Column, lang: String): Column =
     size(filter(words(text), w => w.isin(markers(lang): _*)))
 
+  private lazy val langsSorted: Seq[String] = markers.keys.toSeq.sorted
+
+  /** Per-marker-word contribution vector over the sorted language list —
+    * a word can mark several languages ("la" is both es and fr), so the
+    * lookup value is a count vector, not a single language.
+    */
+  private lazy val markerVectors: Seq[(String, Seq[Int])] =
+    markers.values.flatten.toSeq.distinct.sorted.map { w =>
+      w -> langsSorted.map(l => if (markers(l).contains(w)) 1 else 0)
+    }
+
   /** Heuristic language ID: argmax marker count, alphabetical tie-break,
     * "und" (undetermined) when no marker hits.
+    *
+    * Single pass over the words array: each word resolves to its
+    * contribution vector through one literal when-chain (the broadcast
+    * map), vectors fold with zip_with, and the argmax runs in the
+    * aggregate's finish lambda so the counts bind once. The previous
+    * shape re-traversed the array once per language.
     */
   def langId(text: Column): Column = {
-    val scored = markers.keys.toSeq.sorted.map(l => (l, markerCount(text, l)))
-    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
-    // when-chain in alphabetical order ⇒ first max wins the tie
-    scored.foldRight(lit("und")) { case ((l, s), acc) =>
-      when(s === best && best > 0, lit(l)).otherwise(acc)
-    }
+    val zero = array(langsSorted.map(_ => lit(0)): _*)
+    val langArr = array(langsSorted.map(lit): _*)
+    def contrib(w: Column): Column =
+      markerVectors.foldRight(zero) { case ((mw, vec), acc) =>
+        when(w === mw, array(vec.map(lit): _*)).otherwise(acc)
+      }
+    aggregate(
+      words(text),
+      zero,
+      (acc, w) => zip_with(acc, contrib(w), _ + _),
+      acc => {
+        val best = array_max(acc)
+        when(best > 0, element_at(langArr, array_position(acc, best).cast("int")))
+          .otherwise(lit("und"))
+      })
   }
 
   /** Quality metrics + a composite score in [0,1]:

@@ -118,4 +118,82 @@ object SimilarityOps {
     }
     planes.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  // ------------- multi-probe hyperplane ANN (no-label quantizer) -------------
+
+  /** Engine-independent ±1 plane component: parity of the first hex nibble
+    * of sha256("p:d"). Data-independent and tiny (planes × dim), so both
+    * Spark and the SQL oracle materialize the same matrix.
+    */
+  def planeSign(p: Int, d: Int): Int = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$p:$d".getBytes("UTF-8"))
+    if (((digest(0) >> 4) & 1) == 0) 1 else -1
+  }
+
+  /** Per-plane signed projections as LONGS: each component is
+    * floor(v·10⁶) so the per-plane sum is integer arithmetic —
+    * order-independent and bit-identical across engines (float summation
+    * order would differ between Spark's fold and SQL SUM). Quantization
+    * only perturbs the hash boundary, not the ANN scoring.
+    */
+  def hyperplaneContribs(vec: Column, numPlanes: Int, dim: Int): Column =
+    array((0 until numPlanes).map { p =>
+      val signs = array((0 until dim).map(d => lit(planeSign(p, d).toLong)): _*)
+      aggregate(
+        zip_with(vec, signs, (x, s) => floor(x * 1e6).cast("long") * s),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+
+  /** Bucket id = sign bits of the contributions (bit p set ⟺ contrib > 0). */
+  def bucketFromContribs(contribs: Column, numPlanes: Int): Column =
+    (0 until numPlanes).map { p =>
+      when(element_at(contribs, p + 1) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Multi-probe top-k ANN with the hyperplane quantizer: every vector
+    * indexes under its own bucket; each QUERY additionally probes the
+    * buckets reached by flipping its lowest-|margin| plane bits — the
+    * planes most likely to misassign a true neighbor. Candidates =
+    * probed-bucket joins (no all-pairs anywhere); per-query ranking is the
+    * exact cosine, identical to the brute scorer. probes counts the base
+    * bucket; expected candidate volume ≈ n · probes / 2^numPlanes per
+    * query. At 100 TB: raise numPlanes so buckets stay ~10⁴-10⁵ vectors,
+    * and band multiple independent plane sets for recall (same pattern as
+    * MinHash banding).
+    */
+  def multiProbeTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     numPlanes: Int, dim: Int, probes: Int, k: Int): DataFrame = {
+    val powArr = array((0 until numPlanes).map(p => lit(1L << p)): _*)
+    val base = emb.select(
+        col(idCol).cast("long").as("vid"),
+        toDouble(col(vecCol)).as("vd"))
+      .withColumn("contribs", hyperplaneContribs(col("vd"), numPlanes, dim))
+      .withColumn("bucket", bucketFromContribs(col("contribs"), numPlanes))
+      .withColumn("nrm", norm(col("vd")))
+
+    val index = base.select(col("bucket"), col("vid").as("neighbor_id"),
+      col("vd").as("cv"), col("nrm").as("cn"))
+
+    // plane indices ordered by |margin| asc (tie: plane asc) → flip masks
+    val idxByMargin = transform(
+      array_sort(zip_with(col("contribs"), sequence(lit(0), lit(numPlanes - 1)),
+        (c, i) => struct(abs(c).as("m"), i.as("i")))),
+      x => x.getField("i"))
+    val flips = slice(idxByMargin, 1, math.max(0, probes - 1))
+    val probeBuckets = array_distinct(concat(
+      array(col("bucket")),
+      transform(flips, i => col("bucket").bitwiseXOR(element_at(powArr, i.cast("int") + 1)))))
+
+    val queries = base.select(col("vid").as("query_id"), col("vd").as("qv"),
+        col("nrm").as("qn"), explode(probeBuckets).as("bucket"))
+
+    val scored = queries.join(index, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
 }

@@ -73,6 +73,17 @@ object LlmPipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // ANN without a precomputed label: hyperplane-LSH quantizer with
+    // multi-probe (flip the lowest-|margin| plane bits). Plane signs are
+    // sha-derived and projections integer-quantized, so the oracle
+    // recomputes buckets, probes, candidates, and ranks end-to-end.
+    "q53_ann_topk_hyperplane" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.multiProbeTopK(emb, "vec_id", "embedding",
+          numPlanes = 4, dim = 64, probes = 4, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // Language ID (marker-word heuristic) vs the labeled lang column.
     "q32_lang_id" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -181,6 +192,42 @@ object LlmPipeline {
         |r AS (SELECT cell, query_id, neighbor_id,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rnk FROM s)
         |SELECT cell, query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q53_ann_topk_hyperplane" ->
+      """WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vid, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+        |signs AS (
+        |  SELECT p.range AS p, d.range AS d,
+        |    CASE WHEN strpos('02468ace', substring(sha256(CAST(p.range AS VARCHAR) || ':' || CAST(d.range AS VARCHAR)), 1, 1)) > 0
+        |         THEN 1 ELSE -1 END AS s
+        |  FROM range(4) p CROSS JOIN range(64) d),
+        |elems AS (
+        |  SELECT vid, d.range AS d, vd[CAST(d.range AS INT) + 1] AS x
+        |  FROM v CROSS JOIN range(64) d),
+        |contribs AS (
+        |  SELECT e.vid, s.p, SUM(CAST(FLOOR(e.x * 1000000) AS BIGINT) * s.s) AS c
+        |  FROM elems e JOIN signs s ON e.d = s.d
+        |  GROUP BY e.vid, s.p),
+        |buckets AS (
+        |  SELECT vid, SUM(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS bucket
+        |  FROM contribs GROUP BY vid),
+        |ranked_planes AS (
+        |  SELECT vid, p, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY abs(c) ASC, p ASC) AS rn
+        |  FROM contribs),
+        |probes AS (
+        |  SELECT DISTINCT vid, probe FROM (
+        |    SELECT vid, bucket AS probe FROM buckets
+        |    UNION ALL
+        |    SELECT b.vid, xor(b.bucket, CAST(1 AS BIGINT) << CAST(r.p AS INT)) AS probe
+        |    FROM buckets b JOIN ranked_planes r ON b.vid = r.vid AND r.rn <= 3)),
+        |cand AS (
+        |  SELECT q.vid AS query_id, i.vid AS neighbor_id,
+        |    list_cosine_similarity(qv.vd, iv.vd) AS score
+        |  FROM probes q JOIN buckets i ON q.probe = i.bucket AND q.vid <> i.vid
+        |  JOIN v qv ON qv.vid = q.vid JOIN v iv ON iv.vid = i.vid),
+        |r AS (SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rnk FROM cand)
+        |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
     "q32_lang_id" ->

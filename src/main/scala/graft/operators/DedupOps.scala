@@ -65,14 +65,22 @@ object DedupOps {
     * aggregation — the scale path's only doc-keyed shuffle.
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
-                        n: Int, numHashes: Int): DataFrame = {
-    val sh = docs.select(col(idCol).cast("long").as("doc_id"),
-      explode(shingles(col(textCol), n)).as("shingle"))
+                        n: Int, numHashes: Int): DataFrame =
+    minhashSignaturesFromShingles(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        shingles(col(textCol), n).as("sg")), numHashes)
+
+  /** Signatures from a prepared (doc_id, sg) shingle table — lets a
+    * reused/persisted shingle frame feed both the signature aggregation
+    * and the exact-verify joins without recomputing the projection.
+    */
+  def minhashSignaturesFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
+    val exploded = sh.select(col("doc_id"), explode(col("sg")).as("shingle"))
       .withColumn("_h1", xxhash64(col("shingle")))
       .withColumn("_h2", xxhash64(col("shingle"), lit(1)))
     val aggs = (0 until numHashes).map(i =>
       min(col("_h1") + lit(i.toLong) * col("_h2")).as(s"h$i"))
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** All (a,b) a<b pairs from a sorted id array, as an explode-able
@@ -113,11 +121,20 @@ object DedupOps {
     */
   def minhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
                           n: Int = 3, numHashes: Int = 64, bands: Int = 32,
-                          threshold: Double = 0.5): DataFrame = {
-    val sig = minhashSignatures(docs, textCol, idCol, n, numHashes)
-    val cand = lshCandidatePairs(sig, bands, numHashes / bands)
-    val sh = docs.select(col(idCol).cast("long").as("doc_id"),
+                          threshold: Double = 0.5,
+                          cacheShingles: Boolean = true): DataFrame = {
+    // The shingle projection feeds three consumers (signature agg + both
+    // verify-join sides) — persist it once instead of recomputing the
+    // most expensive narrow stage per consumer. At corpus scale, write it
+    // as a parquet table instead and feed it back through
+    // minhashSignaturesFromShingles.
+    val sh0 = docs.select(col(idCol).cast("long").as("doc_id"),
       shingles(col(textCol), n).as("sg"))
+    val sh = if (cacheShingles)
+      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh0
+    val sig = minhashSignaturesFromShingles(sh, numHashes)
+    val cand = lshCandidatePairs(sig, bands, numHashes / bands)
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sg").as("sg_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sg").as("sg_b")), Seq("doc_b"))

@@ -13,10 +13,17 @@ object SkewOps {
 
   /** Salted count/sum aggregation equivalent to
     * df.groupBy(keys).agg(count(1), sum(valueCol)).
+    *
+    * The salt hashes the row's own columns plus its partition id —
+    * deterministic under task retries (monotonically_increasing_id would
+    * re-salt recomputed partitions differently; harmless for associative
+    * aggregates but a silent corruption hazard if the pattern is copied
+    * for non-associative state).
     */
   def saltedCountSum(df: DataFrame, keys: Seq[String], valueCol: Column,
                      buckets: Int): DataFrame = {
-    val salted = df.withColumn("_salt", pmod(xxhash64(valueCol, monotonically_increasing_id()), lit(buckets)))
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(keys.map(col) :+ valueCol :+ spark_partition_id(): _*), lit(buckets)))
     val partial = salted.groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(count(lit(1)).as("_n"), sum(valueCol).as("_s"))
     partial.groupBy(keys.map(col): _*)

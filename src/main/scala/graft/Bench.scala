@@ -31,7 +31,10 @@ object Bench {
     "q32_lang_id",              // language ID
     "q34_fingerprint",          // hashing
     "q36_tumbling_window",      // streaming-shaped windows
-    "q38_session_window")
+    "q38_session_window",
+    "q48_bill_stages_flatten",  // satellite flatten engine (N7)
+    "q52_renderer_issue_counts", // normalized-name join + issue counters
+    "q53_ann_topk_hyperplane")  // multi-probe hyperplane ANN (no-label)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

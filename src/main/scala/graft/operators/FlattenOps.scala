@@ -15,9 +15,14 @@ import graft.io.StableJson
 object FlattenOps {
 
   /** One output field: first non-blank among the fallback JSON paths
-    * (reference _first_text, table_members.py:365-373).
+    * (reference _first_text, table_members.py:365-373). rawText forces
+    * extraction through get_json_object so the value is the DOCUMENT-ORDER
+    * substring of the original text — required only when downstream hashes
+    * depend on source key order (the generated-debate-id quirk); everything
+    * else extracts from the once-parsed variant.
     */
-  final case class FieldSpec(name: String, paths: Seq[String], default: String = "")
+  final case class FieldSpec(name: String, paths: Seq[String], default: String = "",
+                             rawText: Boolean = false)
 
   /** One table flatten: optional wrapper unwrap (the payload nests the
     * entity under one of several keys), optional array explode, fields.
@@ -54,24 +59,47 @@ object FlattenOps {
     * coalesce over its fallback paths. All expressions — stays inside
     * whole-stage codegen, no UDFs, no schema inference pass.
     */
+  /** Variant-path extraction: scalars cast directly; objects/arrays fall
+    * back to their JSON re-serialization (get_json_object's behavior).
+    * The variant parses ONCE per row — with fallback chains averaging
+    * ~25 paths per table, re-parsing the text per path (get_json_object)
+    * dominated the flatten cost (q48: 16s → ~3s at sf0.1).
+    */
+  private def vget(v: Column, raw: Column, path: String): Column =
+    if (path == "$") raw
+    else {
+      val sub = try_variant_get(v, "$." + path, "variant")
+      // JSON null must stay SQL null (to_json would render the text "null")
+      when(sub.isNull || is_variant_null(sub), lit(null).cast("string"))
+        .otherwise(coalesce(try_variant_get(v, "$." + path, "string"), to_json(sub)))
+    }
+
   def flatten(df: DataFrame, jsonCol: String, spec: FlattenSpec): DataFrame = {
     val unwrapped = unwrap(col(jsonCol), spec.wrapperKeys)
+    // parse the parent BEFORE any explode — one variant build per document
+    // instead of one per exploded item
+    val withParent = df.withColumn("_parent", unwrapped)
+      .withColumn("_parent_v", try_parse_json(col("_parent")))
     val itemized = spec.explodePath match {
       case Some(path) =>
         val arr = from_json(get_json_object(col("_parent"), "$." + path), ArrayType(StringType))
-        val base = df.withColumn("_parent", unwrapped)
         if (spec.indexField.isDefined)
-          base.select(col("*"), posexplode(arr).as(Seq("_idx", "_item")))
-        else base.withColumn("_item", explode(arr))
+          withParent.select(col("*"), posexplode(arr).as(Seq("_idx", "_item")))
+        else withParent.withColumn("_item", explode(arr))
       case None =>
-        df.withColumn("_parent", unwrapped).withColumn("_item", unwrapped)
+        withParent.withColumn("_item", col("_parent"))
     }
-    def extract(src: Column, f: FieldSpec): Column =
-      coalesce(f.paths.map(p => nonBlankOrNull(jget(src, p))) :+ lit(f.default): _*).as(f.name)
-    val out = spec.parentFields.map(f => extract(col("_parent"), f)) ++
-      spec.fields.map(f => extract(col("_item"), f)) ++
+    val parsed = itemized.withColumn("_item_v",
+      spec.explodePath.fold(col("_parent_v"))(_ => try_parse_json(col("_item"))))
+    def extract(srcV: Column, srcRaw: Column, f: FieldSpec): Column = {
+      def one(p: String): Column =
+        if (f.rawText) jget(srcRaw, p) else vget(srcV, srcRaw, p)
+      coalesce(f.paths.map(p => nonBlankOrNull(one(p))) :+ lit(f.default): _*).as(f.name)
+    }
+    val out = spec.parentFields.map(f => extract(col("_parent_v"), col("_parent"), f)) ++
+      spec.fields.map(f => extract(col("_item_v"), col("_item"), f)) ++
       spec.indexField.map(n => col("_idx").cast("long").as(n)).toSeq
-    itemized.select(out: _*)
+    parsed.select(out: _*)
   }
 
   /** F16 key-path discovery (table_members.py:419-433): depth-bounded walk

@@ -475,7 +475,9 @@ object FlattenSpecs {
   val debateRecords: FlattenSpec = FlattenSpec(
     fields = Seq(
       FieldSpec("debate_uri", Seq("debateRecord.uri", "debateRecord.debateUri", "uri", "debateUri")),
-      FieldSpec("debate_raw", Seq("debateRecord", "$")),
+      // rawText: the generated debate id hashes DOCUMENT-ORDER keys —
+      // variant re-serialization sorts them
+      FieldSpec("debate_raw", Seq("debateRecord", "$"), rawText = true),
       FieldSpec("item_raw", Seq("$")),
       FieldSpec("context_date_raw", Seq("contextDate")),
       FieldSpec("debate_date_raw", Seq("debateRecord.date", "date")),

@@ -188,12 +188,63 @@ object SimilarityOps {
     val queries = base.select(col("vid").as("query_id"), col("vd").as("qv"),
         col("nrm").as("qn"), explode(probeBuckets).as("bucket"))
 
-    val scored = queries.join(index, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    // Per-bucket scoring runs the q31 primitive-array kernel (JIT dot
+    // loops, bounded top-k insertion, zero scored-pair shuffle rows);
+    // per-(query, bucket) top-k then merges globally per query — the
+    // global top-k is necessarily a subset of the union of per-bucket
+    // top-ks, so results are identical to scoring every candidate.
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val indexDs = index.select(col("bucket"), col("neighbor_id"), col("cv"))
+      .as[(Long, Long, Seq[Double])].groupByKey(_._1)
+    val queryDs = queries.select(col("bucket"), col("query_id"), col("qv"))
+      .as[(Long, Long, Seq[Double])].groupByKey(_._1)
+
+    val perBucket = queryDs.cogroup(indexDs) { (_, qs, ms) =>
+      val members = ms.map { case (_, vid, vd) => (vid, vd.toArray) }.toArray
+      if (members.isEmpty) Iterator.empty
+      else {
+        val norms = members.map { case (_, a) =>
+          var s = 0.0; var d = 0
+          while (d < a.length) { s += a(d) * a(d); d += 1 }
+          math.sqrt(s)
+        }
+        qs.flatMap { case (_, qid, qvSeq) =>
+          val qv = qvSeq.toArray
+          var qn = 0.0; var d = 0
+          while (d < qv.length) { qn += qv(d) * qv(d); d += 1 }
+          qn = math.sqrt(qn)
+          val topIds = new Array[Long](k)
+          val topScores = new Array[Double](k)
+          var filled = 0
+          var ci = 0
+          while (ci < members.length) {
+            val (cid, cv) = members(ci)
+            if (cid != qid) {
+              var s = 0.0; var dd = 0
+              while (dd < cv.length) { s += qv(dd) * cv(dd); dd += 1 }
+              val score = s / (qn * norms(ci))
+              var pos = filled
+              while (pos > 0 && (topScores(pos - 1) < score ||
+                (topScores(pos - 1) == score && topIds(pos - 1) > cid))) pos -= 1
+              if (pos < k) {
+                val last = math.min(filled, k - 1)
+                var j = last
+                while (j > pos) { topIds(j) = topIds(j - 1); topScores(j) = topScores(j - 1); j -= 1 }
+                topIds(pos) = cid; topScores(pos) = score
+                if (filled < k) filled += 1
+              }
+            }
+            ci += 1
+          }
+          (0 until filled).map(r => (qid, topIds(r), topScores(r)))
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "score")
+
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    perBucket.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 }

@@ -76,21 +76,25 @@ object FlattenOps {
 
   def flatten(df: DataFrame, jsonCol: String, spec: FlattenSpec): DataFrame = {
     val unwrapped = unwrap(col(jsonCol), spec.wrapperKeys)
-    // parse the parent BEFORE any explode — one variant build per document
-    // instead of one per exploded item
+    // parse the parent BEFORE any explode — one variant build per document;
+    // the explode yields VARIANT elements directly (no per-item text
+    // round-trip), and the raw item text materializes only when a rawText
+    // or "$" field actually references it (column pruning drops it
+    // otherwise)
     val withParent = df.withColumn("_parent", unwrapped)
       .withColumn("_parent_v", try_parse_json(col("_parent")))
-    val itemized = spec.explodePath match {
+    val parsed = spec.explodePath match {
       case Some(path) =>
-        val arr = from_json(get_json_object(col("_parent"), "$." + path), ArrayType(StringType))
-        if (spec.indexField.isDefined)
-          withParent.select(col("*"), posexplode(arr).as(Seq("_idx", "_item")))
-        else withParent.withColumn("_item", explode(arr))
+        val arr = try_variant_get(col("_parent_v"), "$." + path, "array<variant>")
+        val exploded =
+          if (spec.indexField.isDefined)
+            withParent.select(col("*"), posexplode(arr).as(Seq("_idx", "_item_v")))
+          else withParent.withColumn("_item_v", explode(arr))
+        exploded.withColumn("_item", to_json(col("_item_v")))
       case None =>
         withParent.withColumn("_item", col("_parent"))
+          .withColumn("_item_v", col("_parent_v"))
     }
-    val parsed = itemized.withColumn("_item_v",
-      spec.explodePath.fold(col("_parent_v"))(_ => try_parse_json(col("_item"))))
     def extract(srcV: Column, srcRaw: Column, f: FieldSpec): Column = {
       def one(p: String): Column =
         if (f.rawText) jget(srcRaw, p) else vget(srcV, srcRaw, p)

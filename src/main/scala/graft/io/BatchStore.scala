@@ -199,6 +199,10 @@ final class BatchStore(fs: FileSystem, root: String,
 
   def exists(key: String): Boolean = fs.exists(p(key))
 
+  /** Modification time (epoch millis) of an object, if present. */
+  def lastModified(key: String): Option[Long] =
+    if (!fs.exists(p(key))) None else Some(fs.getFileStatus(p(key)).getModificationTime)
+
   def readBytes(key: String): Array[Byte] = {
     val in = fs.open(p(key))
     try in.readAllBytes() finally in.close()

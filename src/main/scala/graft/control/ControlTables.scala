@@ -56,6 +56,47 @@ object ControlTables {
     }.toDF()
   }
 
+  /** Actual row counts of a table's merged candidate CSV/Parquet pair —
+    * both objects must agree or the reconciliation fails
+    * (table_control_table_manifests.py:181-199).
+    */
+  def actualCandidateCounts(spark: SparkSession, csvPath: String,
+                            parquetPath: String): Map[String, Long] = {
+    val csvRows = spark.read.option("header", "true").csv(csvPath).count()
+    val parquetRows = spark.read.parquet(parquetPath).count()
+    if (csvRows != parquetRows)
+      throw new IllegalStateException(
+        s"CSV/Parquet row mismatch: csv=$csvRows parquet=$parquetRows")
+    Map("row_count" -> csvRows, "csv_rows" -> csvRows, "parquet_rows" -> parquetRows)
+  }
+
+  /** Replace manifest output counts with actual candidate object counts
+    * (table_control_table_manifests.py:154-178). The control-manifest
+    * table cannot read its own candidate object before it exists — its
+    * row count is one row per table in the batch; every other table is
+    * read from its merged CSV/Parquet pair, with per-table errors
+    * collected rather than aborting the sweep.
+    */
+  def populateActualCandidateRowCounts(
+      rows: Seq[ManifestRecord],
+      counts: (String, String) => Map[String, Long]): (Seq[ManifestRecord], Seq[String]) = {
+    val selfRowCount = rows.size
+    val errors = Seq.newBuilder[String]
+    val updated = rows.map { row =>
+      if (row.table_name == "control_table_manifests")
+        row.copy(row_count = selfRowCount.toString)
+      else
+        try row.copy(row_count =
+          counts(row.latest_csv_key, row.latest_parquet_key)("row_count").toString)
+        catch {
+          case e: Exception =>
+            errors += s"${row.table_name}: candidate row count: ${e.getClass.getSimpleName}: ${e.getMessage}"
+            row
+        }
+    }
+    (updated, errors.result())
+  }
+
   /** Schema hash for manifest records: stable hash of the column list. */
   def schemaHash(columns: Seq[String]): String =
     graft.sources.XmlDebateWalker.stableHash(columns, 16)

@@ -35,4 +35,39 @@ class ControlTablesSpec extends SparkSpec {
     assert(m.count() == 1)
     assert(m.collect().head.getAs[String]("schema_hash").length == 16)
   }
+
+  test("candidate counts use merged objects; csv/parquet mismatch fails") {
+    val dir = java.nio.file.Files.createTempDirectory("counts").toString
+    val df3 = Seq("1", "2", "3").toDF("id")
+    df3.coalesce(1).write.option("header", "true").mode("overwrite").csv(s"$dir/c3")
+    df3.coalesce(1).write.mode("overwrite").parquet(s"$dir/p3")
+    val ok = ControlTables.actualCandidateCounts(spark, s"$dir/c3", s"$dir/p3")
+    assert(ok == Map("row_count" -> 3L, "csv_rows" -> 3L, "parquet_rows" -> 3L))
+
+    Seq("1").toDF("id").coalesce(1).write.mode("overwrite").parquet(s"$dir/p1")
+    val e = intercept[IllegalStateException] {
+      ControlTables.actualCandidateCounts(spark, s"$dir/c3", s"$dir/p1")
+    }
+    assert(e.getMessage.contains("CSV/Parquet row mismatch"))
+  }
+
+  test("self row uses final manifest row count without reading itself") {
+    def rec(t: String) = ControlTables.ManifestRecord(t, "r1", "2026-01-01",
+      s"$t.parquet", s"$t.csv", "old", "3", "h", "true", "pass", "now")
+    val rows = Seq(rec("silver_members"), rec("control_table_manifests"))
+    var calls = 0
+    val (updated, errors) = ControlTables.populateActualCandidateRowCounts(rows,
+      (csv, pq) => { calls += 1; assert(csv == "silver_members.csv" && pq == "silver_members.parquet")
+        Map("row_count" -> 174L, "csv_rows" -> 174L, "parquet_rows" -> 174L) })
+    assert(errors.isEmpty)
+    assert(updated.find(_.table_name == "silver_members").get.row_count == "174")
+    assert(updated.find(_.table_name == "control_table_manifests").get.row_count == "2")
+    assert(calls == 1)
+
+    // per-table failures collect, others still update
+    val (u2, e2) = ControlTables.populateActualCandidateRowCounts(rows,
+      (_, _) => throw new RuntimeException("boom"))
+    assert(e2.exists(_.contains("silver_members: candidate row count")))
+    assert(u2.find(_.table_name == "control_table_manifests").get.row_count == "2")
+  }
 }

@@ -30,5 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // strings through the platform charset, so UTF-8 must be pinned
   "-Dfile.encoding=UTF-8",
   "-Dsun.jnu.encoding=UTF-8",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] with 600k-row collect_list aggregations needs headroom —
+  // 8g put the bench into GC (q48 50s → ~18s at 48g); the box has 128 GiB.
+  // Xms pinned: growing the heap under allocation storms caused multi-second
+  // GC variance between identical runs
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -51,8 +51,13 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    // JVM/codegen warmup outside the timed region.
-    materialize("q01_pricing_summary")
+    // Untimed warm pass (JMH-style): Janino codegen compile + C2 JIT of the
+    // generated classes dominate first-run times (q48 cold 22s vs warm 7s),
+    // and a deployed engine runs warm. Failures surface in the timed pass.
+    headline.foreach(n => try materialize(n) catch { case _: Throwable => () })
+    // the warm pass leaves operator-internal persists (q28 shingles) hot —
+    // drop them so the timed pass measures the operators, not a cache hit
+    spark.catalog.clearCache()
 
     // a failing query must not be recorded as a fast success — keep its
     // time, mark it failed, and fail the process at the end

@@ -62,7 +62,11 @@ object ControlTables {
     */
   def actualCandidateCounts(spark: SparkSession, csvPath: String,
                             parquetPath: String): Map[String, Long] = {
-    val csvRows = spark.read.option("header", "true").csv(csvPath).count()
+    // multiLine + escape: Spark's CSV writer quotes embedded newlines
+    // (speech_text), and the default line-split reader would over-count;
+    // the reference's pandas read_csv handles quoted newlines natively
+    val csvRows = spark.read.option("header", "true")
+      .option("multiLine", "true").option("escape", "\"").csv(csvPath).count()
     val parquetRows = spark.read.parquet(parquetPath).count()
     if (csvRows != parquetRows)
       throw new IllegalStateException(

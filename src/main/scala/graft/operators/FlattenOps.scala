@@ -36,7 +36,12 @@ object FlattenOps {
       explodePath: Option[String] = None,  // e.g. memberships
       parentFields: Seq[FieldSpec] = Nil,  // extracted from the unwrapped payload
       fields: Seq[FieldSpec] = Nil,        // extracted from each exploded item
-      indexField: Option[String] = None)   // 0-based explode position column
+      indexField: Option[String] = None,   // 0-based explode position column
+      // every reference explode skips non-Mapping array items but keeps
+      // their enumerate() index (table_bill_sponsors.py:167-171,
+      // table_bill_stages.py:169-171, table_members.py:332) — so malformed
+      // scalar entries must not fan out into all-default rows
+      objectItemsOnly: Boolean = true)
 
   /** Path "$" = the whole (unwrapped) JSON value — used when a transform
     * needs the raw payload (e.g. record-hash fallback ids).
@@ -59,22 +64,50 @@ object FlattenOps {
     * coalesce over its fallback paths. All expressions — stays inside
     * whole-stage codegen, no UDFs, no schema inference pass.
     */
-  /** Variant-path extraction: scalars cast directly; objects/arrays fall
-    * back to their JSON re-serialization (get_json_object's behavior).
-    * The variant parses ONCE per row — with fallback chains averaging
-    * ~25 paths per table, re-parsing the text per path (get_json_object)
-    * dominated the flatten cost (q48: 16s → ~3s at sf0.1).
+  /** String view of an already-extracted variant sub-value: scalars cast
+    * directly; objects/arrays fall back to their JSON re-serialization
+    * (get_json_object's behavior); JSON null stays SQL null (to_json would
+    * render the text "null").
     */
-  private def vget(v: Column, raw: Column, path: String): Column =
-    if (path == "$") raw
-    else {
-      val sub = try_variant_get(v, "$." + path, "variant")
-      // JSON null must stay SQL null (to_json would render the text "null")
-      when(sub.isNull || is_variant_null(sub), lit(null).cast("string"))
-        .otherwise(coalesce(try_variant_get(v, "$." + path, "string"), to_json(sub)))
+  private def vstr(sub: Column): Column =
+    when(sub.isNull || is_variant_null(sub), lit(null).cast("string"))
+      .otherwise(coalesce(try_variant_get(sub, "$", "string"), to_json(sub)))
+
+  /** The variant parses ONCE per row, and each (field, path) sub-variant is
+    * extracted ONCE into an intermediate projection: fallback chains average
+    * ~25 paths per table, and both the original per-path text re-parse
+    * (get_json_object) and the naive 3-walks-per-path variant formulation
+    * (null-check walk + string walk + to_json walk — CaseWhen branches
+    * defeat codegen subexpression elimination) dominated the flatten cost.
+    * The two-step select survives Catalyst because CollapseProject refuses
+    * to inline a non-cheap expression referenced more than once. Parent
+    * fields are extracted BEFORE the explode — per document, not per
+    * exploded item.
+    */
+  def flatten(df: DataFrame, jsonCol: String, spec: FlattenSpec): DataFrame = {
+    // phase-1 intermediate name per (field, path) — unique, pruned later
+    def subName(fieldIdx: Int, pathIdx: Int, parent: Boolean) =
+      (if (parent) "_pv" else "_iv") + s"_${fieldIdx}_$pathIdx"
+
+    // phase-1: one root-walk per referenced path
+    def subCols(srcV: Column, fields: Seq[FieldSpec], parent: Boolean): Seq[Column] =
+      fields.zipWithIndex.flatMap { case (f, fi) =>
+        if (f.rawText) Nil
+        else f.paths.zipWithIndex.collect { case (p, pi) if p != "$" =>
+          try_variant_get(srcV, "$." + p, "variant").as(subName(fi, pi, parent))
+        }
+      }
+
+    // phase-2: assemble the field from its pre-extracted subs
+    def extract(srcRaw: Column, f: FieldSpec, fi: Int, parent: Boolean): Column = {
+      def one(p: String, pi: Int): Column =
+        if (f.rawText) jget(srcRaw, p)
+        else if (p == "$") srcRaw
+        else vstr(col(subName(fi, pi, parent)))
+      coalesce(f.paths.zipWithIndex.map { case (p, pi) =>
+        nonBlankOrNull(one(p, pi)) } :+ lit(f.default): _*).as(f.name)
     }
 
-  def flatten(df: DataFrame, jsonCol: String, spec: FlattenSpec): DataFrame = {
     val unwrapped = unwrap(col(jsonCol), spec.wrapperKeys)
     // parse the parent BEFORE any explode — one variant build per document;
     // the explode yields VARIANT elements directly (no per-item text
@@ -83,27 +116,40 @@ object FlattenOps {
     // otherwise)
     val withParent = df.withColumn("_parent", unwrapped)
       .withColumn("_parent_v", try_parse_json(col("_parent")))
+    // parent fields resolve per document, pre-explode
+    val parentDone = withParent
+      .select(col("*") +: subCols(col("_parent_v"), spec.parentFields, parent = true): _*)
+      .select(Seq(col("_parent"), col("_parent_v")) ++
+        spec.parentFields.zipWithIndex.map { case (f, fi) =>
+          extract(col("_parent"), f, fi, parent = true) }: _*)
     val parsed = spec.explodePath match {
       case Some(path) =>
         val arr = try_variant_get(col("_parent_v"), "$." + path, "array<variant>")
-        val exploded =
+        val exploded0 =
           if (spec.indexField.isDefined)
-            withParent.select(col("*"), posexplode(arr).as(Seq("_idx", "_item_v")))
-          else withParent.withColumn("_item_v", explode(arr))
+            parentDone.select(col("*"), posexplode(arr).as(Seq("_idx", "_item_v")))
+          else parentDone.withColumn("_item_v", explode(arr))
+        // an object casts to map<string,variant>; scalars/arrays try-cast
+        // to null — the posexplode index above already counted the skipped
+        // item, matching the reference's enumerate-then-continue
+        // (table_bill_sponsors.py:167-171)
+        val exploded =
+          if (spec.objectItemsOnly)
+            exploded0.filter(
+              try_variant_get(col("_item_v"), "$", "map<string,variant>").isNotNull)
+          else exploded0
         exploded.withColumn("_item", to_json(col("_item_v")))
       case None =>
-        withParent.withColumn("_item", col("_parent"))
+        parentDone.withColumn("_item", col("_parent"))
           .withColumn("_item_v", col("_parent_v"))
     }
-    def extract(srcV: Column, srcRaw: Column, f: FieldSpec): Column = {
-      def one(p: String): Column =
-        if (f.rawText) jget(srcRaw, p) else vget(srcV, srcRaw, p)
-      coalesce(f.paths.map(p => nonBlankOrNull(one(p))) :+ lit(f.default): _*).as(f.name)
-    }
-    val out = spec.parentFields.map(f => extract(col("_parent_v"), col("_parent"), f)) ++
-      spec.fields.map(f => extract(col("_item_v"), col("_item"), f)) ++
+    val withItemSubs = parsed
+      .select(col("*") +: subCols(col("_item_v"), spec.fields, parent = false): _*)
+    val out = spec.parentFields.map(f => col(f.name)) ++
+      spec.fields.zipWithIndex.map { case (f, fi) =>
+        extract(col("_item"), f, fi, parent = false) } ++
       spec.indexField.map(n => col("_idx").cast("long").as(n)).toSeq
-    parsed.select(out: _*)
+    withItemSubs.select(out: _*)
   }
 
   /** F16 key-path discovery (table_members.py:419-433): depth-bounded walk

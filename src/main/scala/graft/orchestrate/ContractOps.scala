@@ -33,8 +33,11 @@ object ContractOps {
     try {
       require(store.exists(resolved), s"missing object: $resolved")
       // header-driven all-string read (the contract checks the ACTUAL
-      // columns, so no declared schema here)
-      val df = spark.read.option("header", "true").csv(s"$storeRoot/$resolved").cache()
+      // columns, so no declared schema here); multiLine + escape so quoted
+      // embedded newlines parse as one record, as pandas read_csv does
+      val df = spark.read.option("header", "true")
+        .option("multiLine", "true").option("escape", "\"")
+        .csv(s"$storeRoot/$resolved").cache()
 
       val cols = df.columns.toSet
       val missingColumns = contract.requiredColumns.filterNot(cols).sorted

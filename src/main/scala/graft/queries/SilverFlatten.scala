@@ -54,6 +54,10 @@ object SilverFlatten {
         .select(col("bill_id"), col("stage_name"), col("stage_date"),
           col("house_uri"), col("house_name"), col("stage_outcome"),
           col("order_in_bill"), col("stage_index"), col("bill_stage_id"))
+        // shuffle barrier: orderBy's range sampler re-executes everything
+        // after the last exchange, which here is the whole flatten; with the
+        // barrier the sample job reuses this stage's map output instead
+        .repartition(col("bill_id"))
         .orderBy("bill_id", "stage_index")
     }),
 

@@ -355,14 +355,21 @@ object FlattenSpecs {
       FieldSpec("sponsor_role_name", Seq("sponsor.as.showAs", "sponsor.as.name", "as.showAs", "as.name")),
       FieldSpec("is_primary_raw", Seq("sponsor.isPrimary", "isPrimary"))))
 
-  /** `_bool_text`: true/false stay lowercase text, anything else verbatim
-    * (table_bill_sponsors.py _bool_text).
+  /** `_bool_text` (table_bill_sponsors.py:214-225): truthy tokens
+    * ('true','1','yes','y') → 'true', falsy ('false','0','no','n') →
+    * 'false', anything else lowercased-stripped, blank → null.
     */
+  def boolText(raw: Column): Column = {
+    val t = lower(trim(raw))
+    when(t.isin("true", "1", "yes", "y"), lit("true"))
+      .when(t.isin("false", "0", "no", "n"), lit("false"))
+      .when(t.isNull || t === "", lit(null).cast("string"))
+      .otherwise(t)
+  }
+
   def billSponsorsTransform(df: DataFrame): DataFrame =
     withBillId(df)
-      .withColumn("is_primary",
-        when(lower(col("is_primary_raw")).isin("true", "false"), lower(col("is_primary_raw")))
-          .otherwise(col("is_primary_raw")))
+      .withColumn("is_primary", boolText(col("is_primary_raw")))
       .withColumn("sponsor_order", (col("sponsor_index") + 1).cast("string"))
       .withColumn("bill_sponsor_id", concat(lit("bill_sponsor:"),
         Fns.stableHash(24, col("bill_id"), col("sponsor_uri"), col("sponsor_name"),
@@ -384,12 +391,17 @@ object FlattenSpecs {
       FieldSpec("language", Seq("relatedDoc.lang", "relatedDoc.language", "lang", "language")),
       FieldSpec("pdf_uri_raw", Seq("relatedDoc.formats.pdf.uri", "relatedDoc.formats.pdf.formatUri",
         "formats.pdf.uri", "formats.pdf.formatUri")),
+      // related docs share _format_locator's url/href/downloadUrl/formatUrl
+      // chain with bill versions (table_bill_versions.py:219, invoked from
+      // table_bill_related_docs.py:184)
       FieldSpec("pdf_url_raw", Seq("relatedDoc.formats.pdf.url", "relatedDoc.formats.pdf.href",
-        "formats.pdf.url", "formats.pdf.href")),
+        "relatedDoc.formats.pdf.downloadUrl", "relatedDoc.formats.pdf.formatUrl",
+        "formats.pdf.url", "formats.pdf.href", "formats.pdf.downloadUrl", "formats.pdf.formatUrl")),
       FieldSpec("xml_uri_raw", Seq("relatedDoc.formats.xml.uri", "relatedDoc.formats.xml.formatUri",
         "formats.xml.uri", "formats.xml.formatUri")),
       FieldSpec("xml_url_raw", Seq("relatedDoc.formats.xml.url", "relatedDoc.formats.xml.href",
-        "formats.xml.url", "formats.xml.href"))))
+        "relatedDoc.formats.xml.downloadUrl", "relatedDoc.formats.xml.formatUrl",
+        "formats.xml.url", "formats.xml.href", "formats.xml.downloadUrl", "formats.xml.formatUrl"))))
 
   def billRelatedDocsTransform(df: DataFrame): DataFrame = {
     val pdf = SourceFileOps.formatLocator(col("pdf_uri_raw"), col("pdf_url_raw"))

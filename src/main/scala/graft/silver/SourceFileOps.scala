@@ -58,13 +58,15 @@ object SourceFileOps {
         Fns.stableHash(24, lit(entityType), entityId, lit(formatType), formatUri, formatUrl)))
 
   /** Python `_safe_slug` (table_bill_versions.py:245-253): strip scheme,
-    * keep [alnum - _ .], everything else → '-', strip edge dashes.
+    * keep alnum and - _ ., everything else → '-', strip edge dashes.
+    * str.isalnum() is Unicode-aware (á/é in Irish-language ids survive),
+    * so the keep-class is \p{L}\p{N}, not ASCII.
     */
   def safeSlug(c: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(trim(coalesce(c, lit(""))), "https://|http://", ""),
-        "[^A-Za-z0-9\\-_.]", "-"),
+        "[^\\p{L}\\p{N}\\-_.]", "-"),
       "(^-+)|(-+$)", "")
 
   /** URL path without query/fragment, lowercased — feeds extension

@@ -51,6 +51,17 @@ class ControlTablesSpec extends SparkSpec {
     assert(e.getMessage.contains("CSV/Parquet row mismatch"))
   }
 
+  test("quoted embedded newlines count as one CSV record (pandas parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("counts_nl").toString
+    // Spark's own CSV writer quotes the embedded newline; the default
+    // line-split reader would see 4 lines and over-count
+    val df = Seq(("1", "a speech\nwith a newline"), ("2", "plain")).toDF("id", "speech_text")
+    df.coalesce(1).write.option("header", "true").mode("overwrite").csv(s"$dir/c")
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/p")
+    val ok = ControlTables.actualCandidateCounts(spark, s"$dir/c", s"$dir/p")
+    assert(ok("row_count") == 2L)
+  }
+
   test("self row uses final manifest row count without reading itself") {
     def rec(t: String) = ControlTables.ManifestRecord(t, "r1", "2026-01-01",
       s"$t.parquet", s"$t.csv", "old", "3", "h", "true", "pass", "now")

@@ -96,6 +96,59 @@ class SatelliteFlattenSpec extends SparkSpec {
     assert(rows(1).getAs[String]("bill_sponsor_id") == "bill_sponsor:c183c1c251b65e033a9f055d")
   }
 
+  test("bill_sponsors golden: bool-text truthy sets, scalar items skipped with index kept") {
+    // expected rows produced by the reference _normalise_sponsor_rows on
+    // this payload: '1'→true, 'No'→false, blank→None; the scalar array
+    // entry emits no row but still consumes its enumerate() index
+    val payload =
+      """{"bill":{"billId":"B9","sponsors":[
+        |{"sponsor":{"by":{"showAs":"Jane Doe"},"isPrimary":"1"}},
+        |"garbage-scalar",
+        |{"sponsor":{"by":{"showAs":"Sean O"},"isPrimary":"No"}},
+        |{"sponsor":{"by":{"showAs":"Blank B"},"isPrimary":"  "}}
+        |]}}""".stripMargin.replaceAll("\n", "")
+    val rows = row(FlattenSpecs.billSponsorsTransform(
+      FlattenOps.flatten(Seq(payload).toDF("json"), "json", FlattenSpecs.billSponsors)),
+      "sponsor_order")
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[String]("sponsor_name")).toSeq == Seq("Jane Doe", "Sean O", "Blank B"))
+    assert(rows.map(_.getAs[String]("is_primary")).toSeq == Seq("true", "false", null))
+    assert(rows.map(_.getAs[String]("sponsor_order")).toSeq == Seq("1", "3", "4"))
+    assert(rows(0).getAs[String]("bill_sponsor_id") == "bill_sponsor:a2d981598de6e699f8edcfcf")
+    assert(rows(1).getAs[String]("bill_sponsor_id") == "bill_sponsor:2025c51c68ef42b34250ce88")
+    assert(rows(2).getAs[String]("bill_sponsor_id") == "bill_sponsor:a3e493efeba584cfedff859a")
+  }
+
+  test("safe slug is Unicode-aware like str.isalnum (reference golden)") {
+    val out = Seq("https://bill/Dáil-Éireann/7?x=1", "source_file:abc").toDF("v")
+      .select(SourceFileOps.safeSlug(col("v")).as("s")).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("bill-Dáil-Éireann-7-x-1", "source_file-abc"))
+  }
+
+  test("bill_related_docs golden: downloadUrl/formatUrl fallback chain (shared _format_locator)") {
+    val payload =
+      """{"bill":{"uri":"/bill/7","relatedDocs":[
+        |{"relatedDoc":{"uri":"/rd/9","showAs":"Memo",
+        | "formats":{"pdf":{"downloadUrl":"https://cdn.example/m.pdf"},"xml":{"formatUrl":"/files/m.xml"}}}}
+        |]}}""".stripMargin.replaceAll("\n", "")
+    val r = FlattenSpecs.billRelatedDocsTransform(
+      FlattenOps.flatten(Seq(payload).toDF("json"), "json", FlattenSpecs.billRelatedDocs))
+      .collect().head
+    assert(r.getAs[String]("related_doc_id") == "/rd/9")
+    // downloadUrl promotes into the uri slot (http-absolute); formatUrl
+    // stays relative so the xml uri is absent but the url absolutizes
+    assert(r.getAs[String]("format_pdf_uri") == "https://cdn.example/m.pdf")
+    assert(r.getAs[String]("format_pdf_url") == "https://cdn.example/m.pdf")
+    assert(r.getAs[String]("format_xml_uri") == null)
+    assert(r.getAs[String]("format_xml_url") == "https://data.oireachtas.ie/files/m.xml")
+    assert(r.getAs[String]("source_file_id_pdf") == "source_file:ece0b191af06749a7db70ef3")
+    assert(r.getAs[String]("source_file_id_xml") == "source_file:42fc43fc2dc1f24fc4d4694a")
+    assert(r.getAs[String]("s3_pdf_key") ==
+      "raw/oireachtas_unified/source_files/legislation/bill-7/source_file-ece0b191af06749a7db70ef3.pdf")
+    assert(r.getAs[String]("s3_xml_key") ==
+      "raw/oireachtas_unified/source_files/legislation/bill-7/source_file-42fc43fc2dc1f24fc4d4694a.xml")
+  }
+
   test("bill_events + bill_debates golden: mixed date entries, generated ids") {
     val events =
       """{"bill":{"uri":"/bill/7","events":[

@@ -13,7 +13,7 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 # file.encoding: the container JVM defaults to ASCII and Spark's variant
 # builder round-trips strings through the platform charset
-exec java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-8g} \
+exec java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-48g} -Xms${SPARK_DRIVER_MEM:-48g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Dfile.encoding=UTF-8 -Dsun.jnu.encoding=UTF-8 \
   -cp "$CP" "$@"

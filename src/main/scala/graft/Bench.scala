@@ -27,6 +27,7 @@ object Bench {
     "q24_events_json",          // JSON extraction + agg
     "q26_dedup_exact",          // exact dedupe
     "q28_neardup_minhash",      // MinHash+LSH near-dup (scale path)
+    "q55_neardup_embedding_lsh", // banded sign-LSH embedding near-dup (scale path)
     "q31_ann_topk_cell",        // partitioned ANN (scale path)
     "q32_lang_id",              // language ID
     "q34_fingerprint",          // hashing

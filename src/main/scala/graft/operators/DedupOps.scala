@@ -143,6 +143,98 @@ object DedupOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  // ---------------- embedding-cosine near-dup ----------------
+
+  /** Integer-quantized vector: floor(x·10⁶) per component, as longs.
+    * All downstream arithmetic (dots, norms²) is integer-exact and fits a
+    * double (≤ ~1.6e15 for 64-dim inputs ≤ 5), so Spark and a SQL oracle
+    * produce bit-identical values regardless of summation order.
+    */
+  def quantizeVec(v: Column): Column = transform(v, x => floor(x * 1e6).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** cos(a,b) ≥ t without any float fold: d > 0 ∧ d² ≥ t²·‖a‖²·‖b‖², all
+    * operands exact integers in doubles. t2 is passed pre-squared so both
+    * engines compare against the same literal (0.9² computed separately
+    * could differ in the last ulp from a 0.81 literal).
+    */
+  private def cosAtLeast(d: Column, na2: Column, nb2: Column, t2: Double): Column =
+    d > 0 && d * d >= lit(t2) * na2 * nb2
+
+  private def quantized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).cast("long").as("vid"),
+        quantizeVec(transform(col(vecCol), x => x.cast("double"))).as("qv"))
+      .withColumn("n2", intDot(col("qv"), col("qv")).cast("double"))
+
+  /** Brute-force embedding-cosine near-dup pairs: every (a,b) a<b with
+    * cosine ≥ √t2. O(n²) — the correctness baseline for
+    * [[lshEmbeddingNearDupPairs]]. Emits the exact quantized dot as the
+    * similarity evidence (engine-independent, unlike a float cosine).
+    */
+  def bruteEmbeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                                 t2: Double): DataFrame = {
+    val q = quantized(emb, idCol, vecCol)
+    val a = q.select(col("vid").as("vec_a"), col("qv").as("qa"), col("n2").as("na2"))
+    val b = q.select(col("vid").as("vec_b"), col("qv").as("qb"), col("n2").as("nb2"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("d", intDot(col("qa"), col("qb")).cast("double"))
+      .filter(cosAtLeast(col("d"), col("na2"), col("nb2"), t2))
+      .select(col("vec_a"), col("vec_b"), col("d").cast("long").as("dot_q"))
+  }
+
+  /** Banded random-hyperplane LSH near-dup pairs: a pair is a candidate
+    * when all planesPerBand sign bits agree in at least one band (the
+    * sign-LSH analog of MinHash banding: P[plane agrees] = 1 − θ/π, so a
+    * cosine-0.99 pair with 16 bands × 8 planes is missed with probability
+    * (1 − 0.964⁸)¹⁶ ≈ 6e-11 — effectively exhaustive for true near-dups).
+    * Candidates verify with the same exact integer cosine as the brute
+    * path, so outputs are identical where recall holds. Every stage is
+    * linear in vectors except the in-bucket pair explode, which bucket
+    * width bounds; nothing collects to the driver. Plane signs are the
+    * deterministic sha256-derived ±1 matrix (SimilarityOps.planeSign) —
+    * data-independent, so index and query sides always agree.
+    */
+  def lshEmbeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                               dim: Int, bands: Int = 16, planesPerBand: Int = 8,
+                               t2: Double = 0.81): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = quantized(emb, idCol, vecCol)
+    // ±1 plane components, precomputed driver-side (bands·planes × dim ints)
+    val signs: Array[Array[Long]] =
+      Array.tabulate(bands * planesPerBand, dim)((p, d) => SimilarityOps.planeSign(p, d).toLong)
+    val banded = q.select(col("vid"), col("qv")).as[(Long, Seq[Long])]
+      .flatMap { case (vid, qvSeq) =>
+        val qv = qvSeq.toArray
+        (0 until bands).iterator.map { bj =>
+          var bucket = 0L
+          var p = 0
+          while (p < planesPerBand) {
+            val row = signs(bj * planesPerBand + p)
+            var s = 0L; var d = 0
+            while (d < qv.length) { s += qv(d) * row(d); d += 1 }
+            if (s > 0) bucket |= (1L << p)
+            p += 1
+          }
+          (bj, bucket, vid)
+        }
+      }.toDF("band_idx", "band_val", "vid")
+    val cand = banded.groupBy("band_idx", "band_val")
+      .agg(collect_list(col("vid")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.doc_a").as("vec_a"), col("p.doc_b").as("vec_b")).distinct()
+    cand
+      .join(q.select(col("vid").as("vec_a"), col("qv").as("qa"), col("n2").as("na2")), Seq("vec_a"))
+      .join(q.select(col("vid").as("vec_b"), col("qv").as("qb"), col("n2").as("nb2")), Seq("vec_b"))
+      .withColumn("d", intDot(col("qa"), col("qb")).cast("double"))
+      .filter(cosAtLeast(col("d"), col("na2"), col("nb2"), t2))
+      .select(col("vec_a"), col("vec_b"), col("d").cast("long").as("dot_q"))
+  }
+
   /** sha256-prefix 60-bit token hash: an engine-independent alternative to
     * xxhash64 (DuckDB can recompute it), trading a little speed for an
     * oracle-checkable signature. 15 hex chars = 60 bits, fits signed long.

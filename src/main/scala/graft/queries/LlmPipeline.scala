@@ -84,6 +84,27 @@ object LlmPipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // Embedding-cosine near-dup, brute baseline: all pairs with cosine
+    // ≥ 0.9 over the embeddings corpus plus deterministic near-copies
+    // (the base table has no organic high-cosine pairs — max ≈ 0.6 — so
+    // every 5th vector is re-appended with its first component × 1.25,
+    // cosine ≥ 0.99 to its source). Arithmetic is integer-quantized
+    // (floor(x·1e6) longs) so the oracle is bit-exact.
+    "q54_neardup_embedding" -> ((s, dir) => {
+      DedupOps.bruteEmbeddingNearDupPairs(nearDupCorpus(s, dir), "vid", "vd", t2 = 0.81)
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // Same pairs via banded sign-LSH (16 bands × 8 hyperplanes) with exact
+    // integer-cosine verification — the 100 TB path; shares q54's corpus
+    // and produces identical output (miss probability ≈ 6e-11 per true
+    // pair at cosine 0.99).
+    "q55_neardup_embedding_lsh" -> ((s, dir) => {
+      DedupOps.lshEmbeddingNearDupPairs(nearDupCorpus(s, dir), "vid", "vd",
+          dim = 64, bands = 16, planesPerBand = 8, t2 = 0.81)
+        .orderBy("vec_a", "vec_b")
+    }),
+
     // Language ID (marker-word heuristic) vs the labeled lang column.
     "q32_lang_id" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -118,6 +139,39 @@ object LlmPipeline {
         .toDF().orderBy("media_id")
     }),
   )
+
+  /** Embeddings ∪ near-dup copies: every 5th vector re-appended under
+    * vid+100000 with its first component scaled by 1.25 (exact in binary
+    * floating point, so both engines synthesize identical vectors).
+    */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings").select(col("vec_id").cast("long").as("vid"),
+      transform(col("embedding"), x => x.cast("double")).as("vd"))
+    val pert = base.filter(col("vid") % 5 === 0)
+      .select((col("vid") + 100000L).as("vid"),
+        concat(array(element_at(col("vd"), 1) * lit(1.25)),
+          slice(col("vd"), lit(2), size(col("vd")) - 1)).as("vd"))
+    base.unionByName(pert)
+  }
+
+  /** Shared brute-force SQL for q54/q55 — the LSH path must reproduce the
+    * brute output exactly (banding recall is effectively 1 at the verify
+    * threshold).
+    */
+  private val embeddingNearDupCte =
+    """WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vid, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+      |pert AS (SELECT vid + 100000 AS vid, list_concat([vd[1] * 1.25], vd[2:]) AS vd
+      |         FROM base WHERE vid % 5 = 0),
+      |v AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+      |q AS (SELECT vid, list_transform(vd, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv FROM v),
+      |n AS (SELECT vid, qv, list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS n2 FROM q),
+      |p AS (SELECT a.vid AS va, b.vid AS vb,
+      |        list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])) AS d,
+      |        a.n2 AS na2, b.n2 AS nb2
+      |      FROM n a JOIN n b ON a.vid < b.vid)
+      |SELECT va AS vec_a, vb AS vec_b, CAST(d AS BIGINT) AS dot_q
+      |FROM p WHERE d > 0 AND d * d >= 0.81 * na2 * nb2
+      |ORDER BY vec_a, vec_b""".stripMargin
 
   private val shingleCte =
     """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws FROM documents),
@@ -172,6 +226,9 @@ object LlmPipeline {
 
     "q27_neardup_brute" -> shingleCte,
     "q28_neardup_minhash" -> shingleCte,
+
+    "q54_neardup_embedding" -> embeddingNearDupCte,
+    "q55_neardup_embedding_lsh" -> embeddingNearDupCte,
 
     "q30_ann_topk_brute" ->
       """WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vid, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),

@@ -12,6 +12,28 @@ class SimilaritySpec extends SparkSpec {
 
   private lazy val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
 
+  test("embedding near-dup: banded sign-LSH pairs equal the brute pairs") {
+    import graft.operators.DedupOps
+    val base = emb.select(col("vec_id").cast("long").as("vid"),
+      SimilarityOps.toDouble(col("embedding")).as("vd"))
+    // plant near-copies the same way q54/q55 do (first component × 1.25)
+    val pert = base.filter(col("vid") % 5 === 0)
+      .select((col("vid") + 100000L).as("vid"),
+        concat(array(element_at(col("vd"), 1) * lit(1.25)),
+          slice(col("vd"), lit(2), size(col("vd")) - 1)).as("vd"))
+    val corpus = base.unionByName(pert)
+    val brute = DedupOps.bruteEmbeddingNearDupPairs(corpus, "vid", "vd", t2 = 0.81)
+      .orderBy("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lsh = DedupOps.lshEmbeddingNearDupPairs(corpus, "vid", "vd", dim = 64)
+      .orderBy("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(brute.nonEmpty)                       // every planted copy is found
+    assert(brute.length >= pert.count().toInt)
+    assert(lsh.toSeq == brute.toSeq)             // identical incl. exact dots
+    // all planted pairs present: (v, v+100000)
+    val planted = brute.filter { case (a, b, _) => b == a + 100000L }
+    assert(planted.length == pert.count().toInt)
+  }
+
   test("hyperplane buckets are deterministic and low-cardinality") {
     val b1 = emb.select(col("vec_id"),
         SimilarityOps.hyperplaneBucket(SimilarityOps.toDouble(col("embedding")), 8).as("bucket"))

@@ -64,4 +64,56 @@ object MultimodalOps {
       .select(col("media_id"), col("frame_idx"),
         col("width"), col("height"), col("format"))
   }
+
+  final case class MediaEmbedding(media_id: Long, embedding: Array[Float])
+
+  /** Feature-extraction plumbing: payload → fixed-dim Array[Float]
+    * embedding, one encoder instance per partition — the column shape the
+    * ANN operators (SimilarityOps) consume directly. The encoder is a
+    * deterministic STUB (byte sampling) standing in for a vision/audio
+    * model; batching, schema, and downstream composition are real.
+    */
+  def featureExtract(media: DataFrame, idCol: String, binCol: String,
+                     dim: Int): Dataset[MediaEmbedding] = {
+    implicit val enc = Encoders.product[MediaEmbedding]
+    media.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        // real pattern: val model = Encoder.load() here, once per partition
+        it.map { case (id, bytes) =>
+          val n = bytes.length
+          val v = Array.tabulate(dim) { i =>
+            if (n == 0) 0f
+            else ((bytes(((i * 31) + 7) % n) & 0xff) / 255.0f) - 0.5f
+          }
+          MediaEmbedding(id, v)
+        }
+      }
+  }
+
+  final case class ResizedMedia(media_id: Long, width: Long, height: Long,
+                                payload: Array[Byte])
+
+  /** Resize plumbing: payload → payload at target dimensions, scaler
+    * initialized once per partition. STUB scaler truncates/repeats bytes to
+    * the target byte budget; a real implementation swaps only the lambda
+    * body (libvips/swscale call).
+    */
+  def resize(media: DataFrame, idCol: String, binCol: String,
+             targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    implicit val enc = Encoders.product[ResizedMedia]
+    val budget = targetW * targetH
+    media.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val out = new Array[Byte](budget)
+          if (bytes.nonEmpty) {
+            var i = 0
+            while (i < budget) { out(i) = bytes(i % bytes.length); i += 1 }
+          }
+          ResizedMedia(id, targetW.toLong, targetH.toLong, out)
+        }
+      }
+  }
 }

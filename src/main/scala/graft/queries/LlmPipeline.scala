@@ -138,6 +138,16 @@ object LlmPipeline {
       MultimodalOps.decodeMetadata(media, "media_id", "payload")
         .toDF().orderBy("media_id")
     }),
+
+    // Frame sampling: every 3rd frame of each decoded payload as its own
+    // row — the video-to-frames explode a training pipeline feeds into
+    // per-frame dedupe/embedding.
+    "q56_frame_sample" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("media_id"), encode(col("text"), "UTF-8").as("payload"))
+      MultimodalOps.sampleFrames(media, "media_id", "payload", everyK = 3)
+        .orderBy("media_id", "frame_idx")
+    }),
   )
 
   /** Embeddings ∪ near-dup copies: every 5th vector re-appended under
@@ -338,5 +348,16 @@ object LlmPipeline {
         |  1 + (n % 16) AS n_frames,
         |  n AS n_bytes
         |FROM m ORDER BY media_id""".stripMargin,
+
+    "q56_frame_sample" ->
+      """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(strlen(text) AS BIGINT) AS n FROM documents),
+        |meta AS (SELECT media_id,
+        |    1 + (n % 16) AS n_frames,
+        |    64 + (n % 448) AS width,
+        |    64 + ((n * 7) % 448) AS height,
+        |    CASE WHEN n % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |  FROM m)
+        |SELECT media_id, unnest(range(0, n_frames, 3)) AS frame_idx, width, height, format
+        |FROM meta ORDER BY media_id, frame_idx""".stripMargin,
   )
 }

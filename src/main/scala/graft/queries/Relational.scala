@@ -99,14 +99,23 @@ object Relational {
         .orderBy("order_year")
     }),
 
-    // A3/A5: countDistinct metrics per group.
+    // A3/A5: countDistinct metrics per group. Two COUNT(DISTINCT)s in one
+    // agg would trigger Spark's Expand (3× the shuffle volume of the
+    // largest table — the 100 TB bottleneck); instead each distinct count
+    // is a dedup-then-count with full map-side combine, joined on the
+    // group key (supplier cardinality ≪ lineitem, AQE broadcasts).
     "q05_supplier_part_stats" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      li.groupBy(col("l_suppkey").cast("long").as("suppkey"))
-        .agg(
-          countDistinct(col("l_partkey")).as("n_parts"),
-          countDistinct(col("l_orderkey")).as("n_orders"),
-          round(sum(col("l_quantity").cast(dec2)).cast(dec2).cast("double"), 2).as("total_qty"))
+        .select(col("l_suppkey").cast("long").as("suppkey"),
+          col("l_partkey"), col("l_orderkey"), col("l_quantity"))
+      def distinctCount(c: String, as: String) =
+        li.select("suppkey", c).distinct()
+          .groupBy("suppkey").agg(count(lit(1)).as(as))
+      val qty = li.groupBy("suppkey")
+        .agg(round(sum(col("l_quantity").cast(dec2)).cast(dec2).cast("double"), 2).as("total_qty"))
+      qty.join(distinctCount("l_partkey", "n_parts"), Seq("suppkey"))
+        .join(distinctCount("l_orderkey", "n_orders"), Seq("suppkey"))
+        .select(col("suppkey"), col("n_parts"), col("n_orders"), col("total_qty"))
         .orderBy("suppkey")
     }),
 

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Structural audit of the physical plans the engine produces — the
+  * properties that keep the operators viable at 100 TB, asserted so a
+  * regression (a lost filter pushdown, a dropped broadcast, an accidental
+  * cartesian, an Expand reappearing) fails CI rather than only showing up
+  * as a slow bench.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.explainString(FormattedMode)
+
+  test("parquet scans prune columns: q01 reads only the aggregated fields") {
+    val p = plan("q01_pricing_summary")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.nonEmpty)
+    // the scan must not drag unused lineitem columns into the agg
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_suppkey"),
+      s"unpruned scan: $readSchema")
+  }
+
+  test("filters reach the parquet scan: q19's date filter is pushed") {
+    val p = plan("q08_nation_year_grid")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+  }
+
+  test("small dimensions broadcast: q02's nation/customer joins") {
+    val p = plan("q02_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "expected broadcast join in q02")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("no Expand from multi-distinct aggregates in q05") {
+    val p = plan("q05_supplier_part_stats")
+    assert(!p.contains("Expand"), "COUNT(DISTINCT) expand reappeared in q05")
+  }
+
+  test("whole-stage codegen covers the hot paths") {
+    // every headline relational query should execute inside codegen spans,
+    // not the interpreted fallback; AQE only finalizes the physical plan
+    // on execution, so materialize before reading it
+    Seq("q01_pricing_summary", "q02_revenue_by_nation", "q05_supplier_part_stats")
+      .foreach { q =>
+        val df = SparkEntry.queries(q)(spark, dir)
+        df.collect() // finalizes the adaptive plan on df's own QueryExecution
+        val p = df.queryExecution.executedPlan.toString
+        // "*(n) " prefixes mark WholeStageCodegen spans in the compact form
+        assert(p.contains("*("), s"$q lost codegen:\n${p.take(1500)}")
+      }
+  }
+
+  test("only the sanctioned grid queries cross-join") {
+    // grids are crossJoin-of-tiny by construction (reference semantics);
+    // nothing else may produce a cartesian/nested-loop product
+    val audited = Bench.headline.filterNot(_ == "q08_nation_year_grid")
+    audited.foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q contains a cartesian product")
+    }
+  }
+
+  test("near-dup scale paths shuffle by bucket, never self-join the corpus") {
+    val p28 = plan("q28_neardup_minhash")
+    val p55 = plan("q55_neardup_embedding_lsh")
+    // the only joins are the verify joins against candidate pairs —
+    // no SortMergeJoin of the full corpus against itself on a theta
+    // condition (that's the brute path's shape)
+    Seq(p28, p55).foreach { p =>
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "near-dup scale path degenerated to an all-pairs join")
+    }
+  }
+}

@@ -128,6 +128,23 @@ object Advanced {
         .orderBy("l_returnflag")
     }),
 
+    // Skew-safe salted equi-join: lineitem ⋈ supplier with the hot-key
+    // salt + replicate pattern, rolled up per nation. The join result is
+    // exactly the plain join (the oracle); salting only changes the
+    // per-reducer ceiling.
+    "q57_skew_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_quantity"))
+      val supp = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.operators.SkewOps.saltedJoin(li, supp, Seq("l_suppkey"), buckets = 8)
+        .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)).cast("double"), 2).as("total_qty"))
+        .orderBy("nationkey")
+    }),
+
     // W-family event sequencing: previous event + gap per user (lag).
     "q46_event_lag" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -176,6 +193,13 @@ object Advanced {
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE), 2) AS total
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q57_skew_join" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE), 2) AS total_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY nationkey""".stripMargin,
 
     "q46_event_lag" ->
       """WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,

@@ -68,6 +68,15 @@ object StreamOps {
       }
   }
 
+  /** Streaming dedupe: drop rows whose key was already seen within the
+    * watermark horizon — the streaming counterpart of the batch W5
+    * first-wins dedupe, with state bounded by the watermark (unbounded
+    * dropDuplicates state would grow forever on a real stream).
+    */
+  def dedupWithinWatermark(stream: DataFrame, tsCol: String, delay: String,
+                           keys: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+
   /** foreachBatch upsert sink: each micro-batch merges into the target
     * parquet table with the reference's M2 semantics (incoming wins on pk).
     * The reference's read-modify-write "latest" sink (io_s3.py:118-145)

@@ -43,6 +43,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked streaming dedupe drops repeats across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "event_id", "payload")
+    val deduped = StreamOps.dedupWithinWatermark(events, "ts", "1 hour", Seq("event_id"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "a"),
+        (ts("2024-01-01 10:01:00"), 2L, "b"),
+        (ts("2024-01-01 10:02:00"), 1L, "a-dup-same-batch"))
+      q.processAllAvailable()
+      input.addData(
+        (ts("2024-01-01 10:03:00"), 2L, "b-dup-next-batch"),
+        (ts("2024-01-01 10:04:00"), 3L, "c"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out")
+        .select($"event_id", $"payload").orderBy("event_id").collect()
+      // first-seen payload wins; duplicates within the watermark vanish
+      assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState accumulates per-key state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]

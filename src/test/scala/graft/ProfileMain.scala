@@ -16,20 +16,31 @@ object ProfileMain {
     spark.sparkContext.setLogLevel("WARN")
 
     def time(name: String)(f: => DataFrame): Unit = {
-      val t0 = System.nanoTime()
+      // warm + best-of-2, mirroring Bench
       f.write.format("noop").mode("overwrite").save()
-      println(f"PROFILE $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      spark.catalog.clearCache()
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"PROFILE $name%-40s ${ts.min}%8.2f s")
     }
 
-    // warmup
-    SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-
-    time("q48:full-1")(SparkEntry.queries("q48_bill_stages_flatten")(spark, sfDir))
-    time("q48:full-2")(SparkEntry.queries("q48_bill_stages_flatten")(spark, sfDir))
-    time("q48:full-3")(SparkEntry.queries("q48_bill_stages_flatten")(spark, sfDir))
-    time("q28:full-1")(SparkEntry.queries("q28_neardup_minhash")(spark, sfDir))
-    time("q28:full-2")(SparkEntry.queries("q28_neardup_minhash")(spark, sfDir))
+    import graft.operators.DedupOps
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sh = docs.select(col("doc_id").cast("long").as("doc_id"),
+      DedupOps.shingles(col("text"), 3).as("sg")).filter(size(col("sg")) > 0)
+    time("q28:shingles-only")(sh)
+    val sig = DedupOps.minhashSignaturesFromShingles(sh, 64)
+    time("q28:signatures")(sig)
+    time("q28:candidates")(DedupOps.lshCandidatePairs(sig, 32, 2))
+    time("q28:full")(SparkEntry.queries("q28_neardup_minhash")(spark, sfDir))
+    time("q28:full-nocache") {
+      DedupOps.minhashNearDupPairs(docs, "text", "doc_id", 3, 64, 32, 0.5,
+        cacheShingles = false).orderBy("doc_a", "doc_b")
+    }
 
     spark.stop()
   }

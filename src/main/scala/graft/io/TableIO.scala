@@ -71,6 +71,39 @@ object TableIO {
     fs.rename(new Path(staged), new Path(target))
   }
 
+  /** Schema-evolution column drop over a stored CSV/Parquet pair
+    * (reference process/delete_s3_column.py): rewrite each object without
+    * the column; an object that lacks the column passes through
+    * untouched. strict requires the column present in BOTH objects
+    * (the reference's STRICT=1). Returns (csvDropped, parquetDropped).
+    */
+  def dropColumn(spark: SparkSession, csvPath: String, parquetPath: String,
+                 column: String, strict: Boolean = false): (Boolean, Boolean) = {
+    val csvDf = spark.read.option("header", "true")
+      .option("multiLine", "true").option("escape", "\"").csv(csvPath)
+    val pqDf = spark.read.parquet(parquetPath)
+    val csvHas = csvDf.columns.contains(column)
+    val pqHas = pqDf.columns.contains(column)
+    if (strict && (!csvHas || !pqHas)) {
+      val missing = Seq(if (!csvHas) Some("CSV") else None,
+        if (!pqHas) Some("PARQUET") else None).flatten
+      throw new IllegalStateException(
+        s"STRICT: column '$column' not present in: ${missing.mkString(", ")}")
+    }
+    // staged rewrites: the lazy plans still read the originals while the
+    // replacement is computed (same pattern as mergeIntoLatest)
+    if (csvHas) writeCsv(csvDf.drop(column), csvPath, bom = true)
+    if (pqHas) {
+      val fs = FileSystem.get(new java.net.URI(parquetPath).resolve("/"),
+        spark.sparkContext.hadoopConfiguration)
+      val staged = parquetPath + "_staged"
+      pqDf.drop(column).write.mode("overwrite").parquet(staged)
+      fs.delete(new Path(parquetPath), true)
+      fs.rename(new Path(staged), new Path(parquetPath))
+    }
+    (csvHas, pqHas)
+  }
+
   /** S11 review bundle: sample csv + schema json + dq json per table. */
   def writeReviewBundle(df: DataFrame, dir: String, sampleRows: Int,
                         dq: Map[String, Any]): Unit = {

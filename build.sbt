@@ -31,9 +31,21 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dfile.encoding=UTF-8",
   "-Dsun.jnu.encoding=UTF-8",
   // local[32] with 600k-row collect_list aggregations needs headroom —
-  // 8g put the bench into GC (q48 50s → ~18s at 48g); the box has 128 GiB.
-  // Xms pinned: growing the heap under allocation storms caused multi-second
-  // GC variance between identical runs
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 8g put the bench into GC (q48 50s → ~18s at 48g). Default 48g only when
+  // the host can actually back it (≥96 GiB physical); otherwise a portable
+  // 8g, overridable via SPARK_DRIVER_MEM. Xms pinned: growing the heap under
+  // allocation storms caused multi-second GC variance between identical runs.
+  s"-Xmx${Heap.default}",
+  s"-Xms${Heap.default}",
 )
+lazy val Heap = new {
+  val default: String = sys.env.getOrElse("SPARK_DRIVER_MEM", {
+    val memKb =
+      try scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("MemTotal:") =>
+          l.trim.split("\\s+")(1).toLong }
+        .getOrElse(0L)
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    if (memKb >= 96L * 1024 * 1024) "48g" else "8g"
+  })
+}

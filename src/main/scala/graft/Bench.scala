@@ -54,8 +54,11 @@ object Bench {
 
     // Untimed warm pass (JMH-style): Janino codegen compile + C2 JIT of the
     // generated classes dominate first-run times (q48 cold 22s vs warm 7s),
-    // and a deployed engine runs warm. Failures surface in the timed pass.
-    headline.foreach(n => try materialize(n) catch { case _: Throwable => () })
+    // and a deployed engine runs warm. Query failures surface in the timed
+    // pass; fatal Errors (OOM etc.) propagate — a JVM that just OOMed
+    // would corrupt every subsequent timing.
+    headline.foreach(n =>
+      try materialize(n) catch { case scala.util.control.NonFatal(_) => () })
     // the warm pass leaves operator-internal persists (q28 shingles) hot —
     // drop them so the timed pass measures the operators, not a cache hit
     spark.catalog.clearCache()

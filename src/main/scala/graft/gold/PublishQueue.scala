@@ -76,5 +76,11 @@ object PublishQueue {
       "gate_rules" -> Map(
         "publish_ready" -> "must equal yes/true/1",
         "review_status" -> ApprovedStatuses.sorted,
-        "safety_notes" -> "must be empty")))
+        "safety_notes" -> "must be empty"),
+      // fixed advisory notes the reference embeds in every manifest
+      // (instagram_build_publish_queue.py:92-96)
+      "notes" -> Seq(
+        "This creates a queue file only; it does not publish posts.",
+        "Fixture runs should normally produce an empty publish queue because generated review tables default to needs_review and publish_ready=no.",
+        "Publishing must remain a separate explicit step after manual review.")))
 }

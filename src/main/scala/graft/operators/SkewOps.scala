@@ -11,6 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
+  /** First name in `_salt`, `_salt_1`, … not already a column of any
+    * input — a fixed name could silently shadow (and then drop) user
+    * data, or worse, key the join on the caller's own `_salt` column.
+    */
+  private def freshSaltCol(dfs: DataFrame*): String = {
+    val taken = dfs.flatMap(_.columns).toSet
+    Iterator.from(0)
+      .map(i => if (i == 0) "_salt" else s"_salt_$i")
+      .find(!taken(_)).get
+  }
+
   /** Salted count/sum aggregation equivalent to
     * df.groupBy(keys).agg(count(1), sum(valueCol)).
     *
@@ -22,9 +33,10 @@ object SkewOps {
     */
   def saltedCountSum(df: DataFrame, keys: Seq[String], valueCol: Column,
                      buckets: Int): DataFrame = {
-    val salted = df.withColumn("_salt",
+    val saltCol = freshSaltCol(df)
+    val salted = df.withColumn(saltCol,
       pmod(xxhash64(keys.map(col) :+ valueCol :+ spark_partition_id(): _*), lit(buckets)))
-    val partial = salted.groupBy((keys.map(col) :+ col("_salt")): _*)
+    val partial = salted.groupBy((keys.map(col) :+ col(saltCol)): _*)
       .agg(count(lit(1)).as("_n"), sum(valueCol).as("_s"))
     partial.groupBy(keys.map(col): _*)
       .agg(sum(col("_n")).as("n_rows"), sum(col("_s")).as("total"))
@@ -46,10 +58,11 @@ object SkewOps {
                  buckets: Int, joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"saltedJoin supports inner/left, got $joinType")
-    val saltedBig = big.withColumn("_salt",
+    val saltCol = freshSaltCol(big, small)
+    val saltedBig = big.withColumn(saltCol,
       pmod(xxhash64(keys.map(col) :+ spark_partition_id(): _*), lit(buckets)).cast("int"))
-    val replicated = small.withColumn("_salt",
+    val replicated = small.withColumn(saltCol,
       explode(array((0 until buckets).map(lit): _*)))
-    saltedBig.join(replicated, keys :+ "_salt", joinType).drop("_salt")
+    saltedBig.join(replicated, keys :+ saltCol, joinType).drop(saltCol)
   }
 }

@@ -108,9 +108,11 @@ object Relational {
       val li = t(s, dir, "lineitem")
         .select(col("l_suppkey").cast("long").as("suppkey"),
           col("l_partkey"), col("l_orderkey"), col("l_quantity"))
+      // count(col) after the distinct skips a NULL key, matching
+      // COUNT(DISTINCT c) (count(lit(1)) would count NULL as a value).
       def distinctCount(c: String, as: String) =
         li.select("suppkey", c).distinct()
-          .groupBy("suppkey").agg(count(lit(1)).as(as))
+          .groupBy("suppkey").agg(count(col(c)).as(as))
       val qty = li.groupBy("suppkey")
         .agg(round(sum(col("l_quantity").cast(dec2)).cast(dec2).cast("double"), 2).as("total_qty"))
       qty.join(distinctCount("l_partkey", "n_parts"), Seq("suppkey"))

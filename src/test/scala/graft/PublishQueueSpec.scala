@@ -55,6 +55,10 @@ class PublishQueueSpec extends SparkSpec {
     val m = PublishQueue.manifest(2, 4, "copy/captions.csv", "queue", "2026-01-01T00:00:00+00:00")
     assert(m.contains("\"queued_count\":2") && m.contains("\"blocked_count\":4"))
     assert(m.contains("\"review_status\":[\"approved\",\"publish_ready\",\"ready\",\"ready_to_publish\"]"))
+    // the reference's three fixed advisory notes
+    // (instagram_build_publish_queue.py:92-96)
+    assert(m.contains("\"notes\":[\"This creates a queue file only; it does not publish posts.\""))
+    assert(m.contains("Publishing must remain a separate explicit step after manual review."))
   }
 
   test("dropColumn rewrites both objects; strict fails when absent") {

@@ -55,4 +55,23 @@ class SkewOpsSpec extends SparkSpec {
       SkewOps.saltedJoin(skewed, dim, Seq("k"), 8, joinType = "full")
     }
   }
+
+  test("a user _salt column survives salting untouched") {
+    // both inputs already carry _salt; the operator must pick another
+    // internal name instead of shadowing (and then dropping) user data
+    val bigWithSalt = skewed.withColumn("_salt", lit("user-data"))
+    val dimWithSalt = dim.withColumn("_salt", lit("dim-data"))
+    val joined = SkewOps.saltedJoin(bigWithSalt, dimWithSalt.drop("_salt"), Seq("k"), 8)
+    assert(joined.columns.count(_ == "_salt") == 1)
+    assert(joined.select("_salt").distinct().collect().map(_.getString(0)).toSeq == Seq("user-data"))
+    // dim-side _salt: suffix column also survives (joined on a fresh name)
+    val joined2 = SkewOps.saltedJoin(bigWithSalt, dimWithSalt, Seq("k"), 8)
+    assert(joined2.columns.sorted.count(_.startsWith("_salt")) == 2)
+
+    val agged = SkewOps.saltedCountSum(bigWithSalt, Seq("k", "_salt"), col("v"), 16)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val plain = bigWithSalt.groupBy("k", "_salt").agg(count(lit(1)).as("n"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(agged.toSeq == plain.toSeq)
+  }
 }

@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.LlmPipeline.queries ++
       graft.queries.Streaming.queries ++
       graft.queries.Advanced.queries ++
-      graft.queries.SilverFlatten.queries
+      graft.queries.SilverFlatten.queries ++
+      graft.queries.Temporal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.LlmPipeline.oracles ++
       graft.queries.Streaming.oracles ++
       graft.queries.Advanced.oracles ++
-      graft.queries.SilverFlatten.oracles
+      graft.queries.SilverFlatten.oracles ++
+      graft.queries.Temporal.oracles
 }

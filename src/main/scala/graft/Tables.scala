@@ -31,5 +31,8 @@ object Tables {
   val sessionConfs: Map[String, String] = Map(
     "spark.sql.ansi.enabled" -> "false",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.session.timeZone" -> "UTC")
+    "spark.sql.session.timeZone" -> "UTC",
+    // engine Catalyst extensions (multi-distinct Expand elimination);
+    // every entry point and spec session runs with them active
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions")
 }

@@ -35,7 +35,9 @@ object Bench {
     "q38_session_window",
     "q48_bill_stages_flatten",  // satellite flatten engine (N7)
     "q52_renderer_issue_counts", // normalized-name join + issue counters
-    "q53_ann_topk_hyperplane")  // multi-probe hyperplane ANN (no-label)
+    "q53_ann_topk_hyperplane",  // multi-probe hyperplane ANN (no-label)
+    "q58_asof_join",            // backward as-of join (union + keyed window)
+    "q59_interval_attribution") // bucketed point-in-interval range join
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,17 +54,6 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    // Untimed warm pass (JMH-style): Janino codegen compile + C2 JIT of the
-    // generated classes dominate first-run times (q48 cold 22s vs warm 7s),
-    // and a deployed engine runs warm. Query failures surface in the timed
-    // pass; fatal Errors (OOM etc.) propagate — a JVM that just OOMed
-    // would corrupt every subsequent timing.
-    headline.foreach(n =>
-      try materialize(n) catch { case scala.util.control.NonFatal(_) => () })
-    // the warm pass leaves operator-internal persists (q28 shingles) hot —
-    // drop them so the timed pass measures the operators, not a cache hit
-    spark.catalog.clearCache()
-
     // a failing query must not be recorded as a fast success — keep its
     // time, mark it failed, and fail the process at the end.
     // Best-of-2 timed passes: this host shows multi-second external timing
@@ -74,14 +65,39 @@ object Bench {
                 catch { case e: Throwable => Some(e.getClass.getSimpleName) }
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    val results = headline.map { name =>
-      val (t1, e1) = timed(name)
-      // drop operator-internal persists so the second pass recomputes
-      spark.catalog.clearCache()
-      val (t2, e2) = if (e1.isEmpty) timed(name) else (t1, e1)
-      spark.catalog.clearCache()
-      (name, math.min(t1, t2), e1.orElse(e2))
+    // Per-query untimed warm run immediately before its first timed run
+    // (JMH-style): Janino codegen compile + C2 JIT dominate first-run
+    // times (q48 cold 22s vs warm 7s), and a deployed engine runs warm.
+    // Warming per-query (not one global pass) keeps the previous queries'
+    // shuffle-cleanup/GC churn out of the first timed query — a global
+    // warm pass left whichever query ran first measuring the whole pass's
+    // teardown (~9s on q01 vs 0.9s isolated). Query failures surface in
+    // the timed pass; fatal Errors (OOM etc.) propagate — a JVM that just
+    // OOMed would corrupt every later timing. clearCache between runs
+    // drops operator-internal persists (q28 shingles) so timed passes
+    // measure the operator, not a cache hit.
+    //
+    // Timed reps are INTERLEAVED round-robin (all queries per round, min
+    // per query across rounds) because this host's external noise comes
+    // in multi-second bursts: back-to-back reps of one query can both
+    // land inside a burst (q55 measured 17.5s twice in a row vs 2.8s
+    // real), while reps minutes apart cannot.
+    val rounds = 3
+    val times = scala.collection.mutable.Map.empty[String, Double]
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    for (round <- 1 to rounds; name <- headline) {
+      if (round == 1) {
+        try materialize(name) catch { case scala.util.control.NonFatal(_) => () }
+        spark.catalog.clearCache()
+      }
+      if (!errors.contains(name)) {
+        val (t, e) = timed(name)
+        spark.catalog.clearCache()
+        times(name) = math.min(times.getOrElse(name, Double.MaxValue), t)
+        e.foreach(errors(name) = _)
+      }
     }
+    val results = headline.map(n => (n, times(n), errors.get(n)))
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }

@@ -31,12 +31,38 @@ object DedupOps {
     (survivors, groups)
   }
 
-  /** Distinct word n-gram shingles of the text. */
+  /** Distinct word n-gram shingles of the text, as strings. The readable
+    * reference formulation — the dedup operators themselves run on
+    * [[shingleHashes]], whose set relations this defines.
+    */
   def shingles(text: Column, n: Int): Column = {
     val words = split(normText(text), " ")
     array_distinct(transform(
-      sequence(lit(0), size(words) - n),
+      shingleStarts(words, n),
       i => array_join(slice(words, i + 1, lit(n)), " ")))
+  }
+
+  /** 0-based n-gram start offsets; empty (not a backwards sequence!) for
+    * texts shorter than n words.
+    */
+  private def shingleStarts(words: Column, n: Int): Column =
+    when(size(words) >= n, sequence(lit(0), size(words) - n))
+      .otherwise(array().cast("array<int>"))
+
+  /** Distinct 64-bit hashes of the word n-gram shingles (Broder-style
+    * hashed shingling): each word hashes once (xxhash64), each n-gram
+    * folds its word hashes with an FNV-style polynomial combine. Same
+    * set semantics as [[shingles]] up to 64-bit collisions (~k²/2⁶⁵ per
+    * compared pair — negligible), while skipping the per-n-gram string
+    * allocation that dominated the profile: the n-gram build becomes
+    * pure long arithmetic in codegen.
+    */
+  def shingleHashes(text: Column, n: Int): Column = {
+    val wh = transform(split(normText(text), " "), w => xxhash64(w))
+    array_distinct(transform(
+      shingleStarts(wh, n),
+      i => aggregate(slice(wh, i + 1, lit(n)), lit(0L),
+        (acc, x) => acc * lit(1099511628211L) + x)))
   }
 
   /** Exact n-gram Jaccard over candidate pairs of (id, shingleSet). */
@@ -49,7 +75,7 @@ object DedupOps {
   def bruteNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
                         n: Int, threshold: Double): DataFrame = {
     val sh = docs.select(col(idCol).cast("long").as("doc_id"),
-      shingles(col(textCol), n).as("sg")).filter(size(col("sg")) > 0)
+      shingleHashes(col(textCol), n).as("sg")).filter(size(col("sg")) > 0)
     val a = sh.select(col("doc_id").as("doc_a"), col("sg").as("sg_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sg").as("sg_b"))
     a.join(b, col("doc_a") < col("doc_b"))
@@ -68,7 +94,7 @@ object DedupOps {
                         n: Int, numHashes: Int): DataFrame =
     minhashSignaturesFromShingles(
       docs.select(col(idCol).cast("long").as("doc_id"),
-        shingles(col(textCol), n).as("sg")), numHashes)
+        shingleHashes(col(textCol), n).as("sg")), numHashes)
 
   /** Signatures from a prepared (doc_id, sg) shingle table — lets a
     * reused/persisted shingle frame feed both the signature aggregation
@@ -129,7 +155,7 @@ object DedupOps {
     // as a parquet table instead and feed it back through
     // minhashSignaturesFromShingles.
     val sh0 = docs.select(col(idCol).cast("long").as("doc_id"),
-      shingles(col(textCol), n).as("sg"))
+      shingleHashes(col(textCol), n).as("sg"))
     val sh = if (cacheShingles)
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sh0

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Throwaway stage-level profiler for the bench tail (not a test). */
 object ProfileMain {
@@ -15,33 +14,56 @@ object ProfileMain {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time(name: String)(f: => DataFrame): Unit = {
-      // warm + best-of-2, mirroring Bench
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q01_pricing_summary", "q02_revenue_by_nation",
+        "q28_neardup_minhash", "q48_bill_stages_flatten",
+        "q55_neardup_embedding_lsh")
+
+    def run(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def timeDf(label: String)(f: => DataFrame): Unit = {
       f.write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
-      val ts = (1 to 2).map { _ =>
+      val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         f.write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"PROFILE $name%-40s ${ts.min}%8.2f s")
+      println(f"PROFILE $label%-32s min=${reps.min}%6.2f  " +
+        reps.map(t => f"$t%5.2f").mkString(" "))
     }
 
-    import graft.operators.DedupOps
-    val docs = Tables.load(spark, sfDir, "documents")
-    val sh = docs.select(col("doc_id").cast("long").as("doc_id"),
-      DedupOps.shingles(col("text"), 3).as("sg")).filter(size(col("sg")) > 0)
-    time("q28:shingles-only")(sh)
-    val sig = DedupOps.minhashSignaturesFromShingles(sh, 64)
-    time("q28:signatures")(sig)
-    time("q28:candidates")(DedupOps.lshCandidatePairs(sig, 32, 2))
-    time("q28:full")(SparkEntry.queries("q28_neardup_minhash")(spark, sfDir))
-    time("q28:full-nocache") {
-      DedupOps.minhashNearDupPairs(docs, "text", "doc_id", 3, 64, 32, 0.5,
-        cacheShingles = false).orderBy("doc_a", "doc_b")
+    if (args.headOption.contains("q28stages")) {
+      import org.apache.spark.sql.functions._
+      import graft.operators.DedupOps
+      val docs = Tables.load(spark, sfDir, "documents")
+      val sh = docs.select(col("doc_id").cast("long").as("doc_id"),
+        DedupOps.shingles(col("text"), 3).as("sg"))
+      timeDf("q28:shingles-only")(sh)
+      timeDf("q28:explode-hash")(
+        sh.select(col("doc_id"), explode(col("sg")).as("shingle"))
+          .select(col("doc_id"), xxhash64(col("shingle")).as("h")))
+      val sig = DedupOps.minhashSignaturesFromShingles(sh, 64)
+      timeDf("q28:signatures")(sig)
+      timeDf("q28:candidates")(DedupOps.lshCandidatePairs(sig, 32, 2))
+      timeDf("q28:full")(SparkEntry.queries("q28_neardup_minhash")(spark, sfDir))
+    } else {
+      // 5 timed reps each after one warm rep — prints every rep so noise
+      // is visible rather than hidden behind a min
+      names.foreach { n =>
+        run(n)
+        val reps = (1 to 5).map(_ => run(n))
+        println(f"PROFILE $n%-32s min=${reps.min}%6.2f  " +
+          reps.map(t => f"$t%5.2f").mkString(" "))
+      }
     }
-
     spark.stop()
   }
 }

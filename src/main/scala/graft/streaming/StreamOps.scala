@@ -77,6 +77,32 @@ object StreamOps {
                            keys: Seq[String]): DataFrame =
     stream.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
 
+  /** Watermarked stream-stream interval join: left rows pair with right
+    * rows sharing the key whose timestamp falls in
+    * [leftTs + lowerBound, leftTs + upperBound] (e.g. a click within an
+    * hour after its impression: lower "0 seconds", upper "1 hour").
+    * The watermarks plus the time-range condition are what let Spark
+    * bound the join state — without both, stream-stream join state grows
+    * forever; with them, rows age out as the watermark passes
+    * (SURVEY §2.12 north-star surface; same expression works in batch).
+    *
+    * Column names must be distinct across the two sides except the join
+    * key (equi-joined via the key condition and deduplicated).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   delay: String, lowerBound: String, upperBound: String,
+                   joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTs, delay)
+    val r = right.withWatermark(rightTs, delay)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) + expr(s"INTERVAL $lowerBound") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upperBound"),
+      joinType)
+  }
+
   /** foreachBatch upsert sink: each micro-batch merges into the target
     * parquet table with the reference's M2 semantics (incoming wins on pk).
     * The reference's read-modify-write "latest" sink (io_s3.py:118-145)

@@ -86,6 +86,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs rows within the time bound across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp, String)]
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val joined = StreamOps.intervalJoin(
+      imps.toDF().toDF("imp_user", "imp_ts", "imp_id"),
+      clicks.toDF().toDF("clk_user", "clk_ts", "clk_id"),
+      leftKey = "imp_user", rightKey = "clk_user",
+      leftTs = "imp_ts", rightTs = "clk_ts",
+      delay = "30 minutes", lowerBound = "0 seconds", upperBound = "10 minutes")
+    val q = joined.select("imp_id", "clk_id").writeStream
+      .outputMode("append").format("memory").queryName("join_out").start()
+    try {
+      imps.addData((1L, ts("2024-01-01 10:00:00"), "i1"),
+        (2L, ts("2024-01-01 10:00:00"), "i2"))
+      q.processAllAvailable()
+      // next batch: one click inside the 10-minute window, one outside,
+      // one for an unknown user
+      clicks.addData((1L, ts("2024-01-01 10:05:00"), "c1"),
+        (2L, ts("2024-01-01 10:20:00"), "c2-late"),
+        (9L, ts("2024-01-01 10:01:00"), "c3-nouser"))
+      q.processAllAvailable()
+      val rows = spark.table("join_out").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows == Set(("i1", "c1")))
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink merges micro-batches with M2 semantics") {
     implicit val sqlCtx = spark.sqlContext
     val target = Files.createTempDirectory("graft_sink").resolve("t").toString

@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.Streaming.queries ++
       graft.queries.Advanced.queries ++
       graft.queries.SilverFlatten.queries ++
-      graft.queries.Temporal.queries
+      graft.queries.Temporal.queries ++
+      graft.queries.Analytic.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.Streaming.oracles ++
       graft.queries.Advanced.oracles ++
       graft.queries.SilverFlatten.oracles ++
-      graft.queries.Temporal.oracles
+      graft.queries.Temporal.oracles ++
+      graft.queries.Analytic.oracles
 }

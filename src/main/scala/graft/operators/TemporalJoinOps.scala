@@ -31,10 +31,12 @@ object TemporalJoinOps {
   private val TIE = "_graft_asof_tie"
   private val P = "_graft_asof_p"
 
-  /** Backward as-of join: for each left row, attach the payload of the
-    * latest right row with the same keys and rightTime <= leftTime
-    * (inclusive, DuckDB/pandas `merge_asof` direction="backward"
-    * semantics). Unmatched left rows keep nulls (left-outer shape).
+  /** As-of join: for each left row, attach the payload of the nearest
+    * right row with the same keys — the latest with rightTime <=
+    * leftTime when direction="backward" (the default; inclusive,
+    * DuckDB/pandas `merge_asof` semantics), or the earliest with
+    * rightTime >= leftTime when direction="forward". Unmatched left
+    * rows keep nulls (left-outer shape).
     *
     * Matched right columns (rightTime plus `payload`) are returned with
     * `prefix` prepended, so a self-join on one table never collides.
@@ -43,15 +45,19 @@ object TemporalJoinOps {
     * value when given (pass a stable id for deterministic output —
     * Spark has no implicit row order to fall back on, SURVEY §7.4).
     *
-    * `toleranceUs`: when set, a match older than the tolerance (in
-    * microseconds of leftTime − rightTime) is discarded — the row stays,
-    * its matched columns go null, like merge_asof(tolerance=...).
+    * `toleranceUs`: when set, a match further away than the tolerance
+    * (in microseconds of |leftTime − rightTime|) is discarded — the row
+    * stays, its matched columns go null, like merge_asof(tolerance=...).
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String, payload: Seq[String],
                tieBreak: Option[String] = None,
                toleranceUs: Option[Long] = None,
-               prefix: String = "asof_"): DataFrame = {
+               prefix: String = "asof_",
+               direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward or forward, got $direction")
+    val fwd = direction == "forward"
     val payloadCols = (rightTime +: payload).distinct
     val tieCol = tieBreak.map(col).getOrElse(lit(null).cast("long"))
     val r = right.select(
@@ -61,17 +67,25 @@ object TemporalJoinOps {
     val l = left
       .withColumn(T, col(leftTime))
       .withColumn(SIDE, lit(1))
-    // right rows sort before left rows at equal time (SIDE 0 < 1): a
-    // right row at exactly leftTime is visible, matching the inclusive
-    // `>=` of DuckDB ASOF JOIN. Among equal-time right rows the largest
-    // tie-break lands nearest the left row and wins `last`.
+    // Backward: cumulative window over (time asc); right rows sort
+    // before left rows at equal time (SIDE 0 < 1), so a right row at
+    // exactly leftTime is visible — the inclusive `>=` of DuckDB ASOF
+    // JOIN. Forward: the same construction over (time desc) picks the
+    // earliest following row. Either way `last` takes the right row
+    // sorted nearest the left one, so the largest tie-break must sort
+    // last among equal-time right rows: TIE stays ascending.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(T).asc, col(SIDE).asc, col(TIE).asc_nulls_first)
+      .orderBy(
+        (if (fwd) col(T).desc else col(T).asc),
+        col(SIDE).asc,
+        col(TIE).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matchedRaw = last(col(P), ignoreNulls = true).over(w)
+    val gapUs =
+      if (fwd) unix_micros(matchedRaw(rightTime)) - unix_micros(col(T))
+      else unix_micros(col(T)) - unix_micros(matchedRaw(rightTime))
     val matched = toleranceUs match {
-      case Some(tol) => when(
-        unix_micros(col(T)) - unix_micros(matchedRaw(rightTime)) <= tol, matchedRaw)
+      case Some(tol) => when(gapUs <= tol, matchedRaw)
       case None => matchedRaw
     }
     l.unionByName(r, allowMissingColumns = true)

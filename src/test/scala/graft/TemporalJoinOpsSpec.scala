@@ -63,6 +63,33 @@ class TemporalJoinOpsSpec extends SparkSpec {
     assert(out.length == left.count())
   }
 
+  test("forward as-of join picks the earliest following row") {
+    val out = TemporalJoinOps.asOfJoin(left, right, Seq("k"),
+        "t", "t", Seq("label"), tieBreak = Some("rid"), direction = "forward")
+      .orderBy("lid")
+      .select("lid", "asof_label")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(out.toSeq == Seq(
+      (100L, Some("r1")), // earliest following is r1 at 10:00
+      (101L, Some("r3")), // next is the 12:00 tie → max rid wins
+      (102L, Some("r3")), // equal time is inclusive
+      (103L, None),       // nothing after 23:00
+      (104L, None),       // r4 is 1s before, nothing after
+      (105L, None)))
+  }
+
+  test("as-of join plans as one shuffle, no join operator") {
+    val q = TemporalJoinOps.asOfJoin(left, right, Seq("k"),
+      "t", "t", Seq("label", "v"), tieBreak = Some("rid"))
+    q.collect()
+    // the AQE string repeats the plan under "== Initial Plan ==" — audit
+    // only the final section
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join"), s"join appeared:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n$plan")
+  }
+
   test("as-of join equals a brute-force max-subquery on random data") {
     val r = new scala.util.Random(7)
     val rightBig = (1 to 400).map(i =>

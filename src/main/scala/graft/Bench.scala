@@ -37,7 +37,9 @@ object Bench {
     "q52_renderer_issue_counts", // normalized-name join + issue counters
     "q53_ann_topk_hyperplane",  // multi-probe hyperplane ANN (no-label)
     "q58_asof_join",            // backward as-of join (union + keyed window)
-    "q59_interval_attribution") // bucketed point-in-interval range join
+    "q59_interval_attribution", // bucketed point-in-interval range join
+    "q65_contamination_check",  // broadcast eval-shingle decontamination
+    "q66_top_ngrams")           // corpus stats: partial agg + top-k
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -35,12 +35,19 @@ object DedupOps {
     * reference formulation — the dedup operators themselves run on
     * [[shingleHashes]], whose set relations this defines.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val words = split(normText(text), " ")
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfWords(split(normText(text), " "), n)
+
+  /** Shingles over a pre-materialized words-array column. Prefer this
+    * (via [[shingleTable]]) in DataFrame pipelines: codegen does NOT
+    * subexpression-eliminate inside lambda bodies, so handing `transform`
+    * a raw `split(...)` expression re-tokenizes the text once per n-gram
+    * — O(words²) per document (measured 25-40% of the n-gram stage).
+    */
+  def shinglesOfWords(ws: Column, n: Int): Column =
     array_distinct(transform(
-      shingleStarts(words, n),
-      i => array_join(slice(words, i + 1, lit(n)), " ")))
-  }
+      shingleStarts(ws, n),
+      i => array_join(slice(ws, i + 1, lit(n)), " ")))
 
   /** 0-based n-gram start offsets; empty (not a backwards sequence!) for
     * texts shorter than n words.
@@ -57,13 +64,28 @@ object DedupOps {
     * allocation that dominated the profile: the n-gram build becomes
     * pure long arithmetic in codegen.
     */
-  def shingleHashes(text: Column, n: Int): Column = {
-    val wh = transform(split(normText(text), " "), w => xxhash64(w))
+  def shingleHashes(text: Column, n: Int): Column =
+    shingleHashesOfWordHashes(transform(split(normText(text), " "), w => xxhash64(w)), n)
+
+  /** Hashed shingles over a pre-materialized word-hash array column —
+    * same lambda-CSE rationale as [[shinglesOfWords]].
+    */
+  def shingleHashesOfWordHashes(wh: Column, n: Int): Column =
     array_distinct(transform(
       shingleStarts(wh, n),
       i => aggregate(slice(wh, i + 1, lit(n)), lit(0L),
         (acc, x) => acc * lit(1099511628211L) + x)))
-  }
+
+  /** (doc_id, sg) hashed-shingle table with the word-hash array
+    * materialized in its own projection (so the tokenize+hash runs once
+    * per document, not once per n-gram — CollapseProject leaves the
+    * two-step select alone because the array is non-cheap and referenced
+    * repeatedly).
+    */
+  def shingleHashTable(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        transform(split(normText(col(textCol)), " "), w => xxhash64(w)).as("_wh"))
+      .select(col("doc_id"), shingleHashesOfWordHashes(col("_wh"), n).as("sg"))
 
   /** Exact n-gram Jaccard over candidate pairs of (id, shingleSet). */
   def jaccard(a: Column, b: Column): Column =
@@ -74,8 +96,7 @@ object DedupOps {
     */
   def bruteNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
                         n: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).cast("long").as("doc_id"),
-      shingleHashes(col(textCol), n).as("sg")).filter(size(col("sg")) > 0)
+    val sh = shingleHashTable(docs, textCol, idCol, n).filter(size(col("sg")) > 0)
     val a = sh.select(col("doc_id").as("doc_a"), col("sg").as("sg_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sg").as("sg_b"))
     a.join(b, col("doc_a") < col("doc_b"))
@@ -92,9 +113,7 @@ object DedupOps {
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
                         n: Int, numHashes: Int): DataFrame =
-    minhashSignaturesFromShingles(
-      docs.select(col(idCol).cast("long").as("doc_id"),
-        shingleHashes(col(textCol), n).as("sg")), numHashes)
+    minhashSignaturesFromShingles(shingleHashTable(docs, textCol, idCol, n), numHashes)
 
   /** Signatures from a prepared (doc_id, sg) shingle table — lets a
     * reused/persisted shingle frame feed both the signature aggregation
@@ -154,8 +173,7 @@ object DedupOps {
     // most expensive narrow stage per consumer. At corpus scale, write it
     // as a parquet table instead and feed it back through
     // minhashSignaturesFromShingles.
-    val sh0 = docs.select(col(idCol).cast("long").as("doc_id"),
-      shingleHashes(col(textCol), n).as("sg"))
+    val sh0 = shingleHashTable(docs, textCol, idCol, n)
     val sh = if (cacheShingles)
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sh0
@@ -319,5 +337,32 @@ object DedupOps {
         bit_count(col("p.sig_a").bitwiseXOR(col("p.sig_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Benchmark-decontamination report: training docs (evalPred false)
+    * sharing ≥1 distinct word n-gram with any eval doc (evalPred true),
+    * with how many eval docs each collides with and how many distinct
+    * n-grams are shared.
+    *
+    * Scale shape: benchmark/eval sets are orders of magnitude smaller
+    * than a training corpus, so the exploded eval shingle table is
+    * broadcast — the 100 TB train side joins scan-local with no shuffle
+    * until the (already contamination-only) per-doc aggregate. The two
+    * COUNT(DISTINCT)s rewrite to joined dedup legs engine-wide via
+    * RewriteMultiDistinctCounts (no Expand of the joined rows).
+    */
+  def contaminationReport(docs: DataFrame, textCol: String, idCol: String,
+                          evalPred: Column, n: Int): DataFrame = {
+    val sh = docs
+      .select(col(idCol).cast("long").as("doc_id"), evalPred.as("_is_eval"),
+        split(normText(col(textCol)), " ").as("_ws"))
+      .select(col("doc_id"), col("_is_eval"),
+        explode(shinglesOfWords(col("_ws"), n)).as("sg"))
+    val evalSide = sh.filter(col("_is_eval")).select(col("sg"), col("doc_id").as("eval_doc"))
+    val trainSide = sh.filter(!col("_is_eval")).select(col("doc_id").as("train_doc"), col("sg"))
+    trainSide.join(broadcast(evalSide), "sg")
+      .groupBy("train_doc")
+      .agg(count_distinct(col("eval_doc")).as("n_eval_docs"),
+        count_distinct(col("sg")).as("n_shared_ngrams"))
   }
 }

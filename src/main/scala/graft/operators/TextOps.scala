@@ -89,6 +89,50 @@ object TextOps {
           .otherwise("low"))
   }
 
+  /** Per-document repetition stats (Gopher-style quality filter): word
+    * and bigram totals vs distinct counts, plus a `repetitive` flag when
+    * the duplicate-word fraction exceeds 30%. Counts stay BIGINT and the
+    * threshold compares in integer arithmetic ((total-distinct)*10 >
+    * total*3) — no floats cross the engine boundary. Expression-only,
+    * whole-stage codegen, no shuffle: the filter runs scan-side at any
+    * corpus size.
+    */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // words array materialized in its own projection: no lambda-CSE in
+    // codegen, so the bigram transform would otherwise re-tokenize per
+    // n-gram (see DedupOps.shinglesOfWords)
+    val w = col("_ws")
+    df.select(col(idCol).cast("long").as(idCol), words(col(textCol)).as("_ws"))
+      .filter(size(w) >= 2)
+      .select(col(idCol),
+        size(w).cast("long").as("n_words"),
+        size(array_distinct(w)).cast("long").as("n_distinct_words"),
+        (size(w) - 1).cast("long").as("n_bigrams"),
+        size(DedupOps.shinglesOfWords(w, 2)).cast("long").as("n_distinct_bigrams"),
+        ((size(w) - size(array_distinct(w))) * 10 > size(w) * 3).as("repetitive"))
+  }
+
+  /** Global top-k word n-grams with counts (corpus statistics / dataset
+    * cards). Deterministic order: count desc, gram asc. The groupBy does
+    * map-side partial aggregation (n-gram space ≪ corpus size), and the
+    * orderBy+limit plans as TakeOrderedAndProject — per-partition top-k
+    * then a k-row driver merge, never a full sort of the gram table.
+    */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    // materialized words array (lambda-CSE, as above), n-grams WITH
+    // multiplicity (corpus counts, unlike the distinct dedup shingles)
+    val ws = col("_ws")
+    val grams = transform(
+      when(size(ws) >= n, sequence(lit(0), size(ws) - n))
+        .otherwise(array().cast("array<int>")),
+      i => array_join(slice(ws, i + 1, lit(n)), " "))
+    df.select(words(col(textCol)).as("_ws"))
+      .select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(k)
+  }
+
   /** Document fingerprint: sha256 of normalized text (exact identity) —
     * the key for exact dedupe and incremental skip logic.
     */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, JoinHint, LeafNode, LogicalPlan, Project, SubqueryAlias, Filter => LFilter}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Engine-level Catalyst extensions, installable by config
@@ -49,15 +49,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   *    AggregateExpression with no FILTER clause,
   *  - every DISTINCT aggregate is a Count,
   *  - there are >= 2 distinct-expression groups (the Expand case; one
-  *    group plans fine natively).
+  *    group plans fine natively),
+  *  - the aggregate's child is a scan/filter/project chain (a leaf plus
+  *    cheap unary nodes). Each leg re-executes the child, so the rewrite
+  *    only pays when re-execution means one extra column-pruned scan;
+  *    over a join/explode/aggregate child, re-running the pipeline per
+  *    leg costs more than the Expand it avoids (found the hard way on
+  *    the q65 contamination plan: two full scan+explode+broadcast-join
+  *    pipelines for one query), so those stay on Spark's native path.
   * Anything else is left for Spark's own RewriteDistinctAggregates.
   */
 object RewriteMultiDistinctCounts extends Rule[LogicalPlan] {
 
   def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(groupingExprs, aggExprs, child, hint)
-        if hint.isEmpty && eligible(groupingExprs, aggExprs) =>
+        if hint.isEmpty && cheapToRecompute(child) &&
+          eligible(groupingExprs, aggExprs) =>
       rewrite(groupingExprs.map(_.asInstanceOf[Attribute]), aggExprs, child)
+  }
+
+  /** True when re-executing `p` once per leg costs no more than an extra
+    * column-pruned scan: a leaf under any chain of projects/filters.
+    */
+  @annotation.tailrec
+  private def cheapToRecompute(p: LogicalPlan): Boolean = p match {
+    case Project(_, c)        => cheapToRecompute(c)
+    case LFilter(_, c)        => cheapToRecompute(c)
+    case SubqueryAlias(_, c)  => cheapToRecompute(c)
+    case _: LeafNode          => true
+    case _                    => false
   }
 
   private def splitOutputs(groupingExprs: Seq[Expression],

@@ -51,6 +51,46 @@ object Analytic {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     }),
+
+    // Deterministic ~20% stratified corpus sample: keep a document when
+    // the first hex byte of sha256("graft-sample:" + doc_id) < 0x33
+    // (51/256 ≈ 19.9%). Hash-gating instead of rand() matters at
+    // cluster scale: the sample is identical under task retries,
+    // partitioning changes, and re-runs, and any engine (here: DuckDB)
+    // reproduces it bit-for-bit. The salt prefix decorrelates this
+    // sample from any other hash use of doc_id. Narrow scan-side
+    // filter — no shuffle at all until the per-stratum audit counts.
+    "q62_stratified_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val sampled = d.filter(
+        substring(sha2(concat(lit("graft-sample:"), col("doc_id").cast("string")), 256), 1, 2) < "33")
+      sampled.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).as("sampled_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("lang", "source")
+    }),
+
+    // Sequence packing for training: greedy-fill documents into
+    // 4096-token bins per (lang, shard), in deterministic doc_id order —
+    // bin = floor(running token count before this doc / capacity).
+    // The shard key bounds the window partition (a per-lang-only
+    // partition would sort a whole language in one task at corpus
+    // scale); production would shard by hash(doc_id) per ~10⁶ docs.
+    "q63_sequence_packing" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "shard").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      d.select(col("doc_id"), col("lang"),
+          pmod(col("doc_id"), lit(8L)).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))
+        .withColumn("offset", coalesce(sum(col("tokens")).over(w), lit(0L)))
+        .withColumn("bin", expr("offset div 4096L"))
+        .groupBy("lang", "shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("bin_tokens"))
+        .orderBy("lang", "shard", "bin")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -74,5 +114,31 @@ object Analytic {
         |  quantile_cont(l_quantity, 0.9) AS p90,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // lowercase-hex prefix comparison == numeric comparison of the first
+    // byte; DuckDB's sha256 and Spark's sha2 agree on the digest
+    "q62_stratified_sample" ->
+      """SELECT lang, source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+        |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        |FROM documents
+        |WHERE substring(sha256('graft-sample:' || CAST(doc_id AS VARCHAR)), 1, 2) < '33'
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q63_sequence_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, doc_id % 8 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT lang, shard, tokens,
+        |    COALESCE(SUM(tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM d)
+        |SELECT lang, CAST(shard AS BIGINT) AS shard, CAST(off // 4096 AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tokens) AS BIGINT) AS bin_tokens
+        |FROM o GROUP BY lang, shard, bin ORDER BY lang, shard, bin""".stripMargin,
   )
 }

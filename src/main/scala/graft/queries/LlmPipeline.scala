@@ -148,6 +148,27 @@ object LlmPipeline {
       MultimodalOps.sampleFrames(media, "media_id", "payload", everyK = 3)
         .orderBy("media_id", "frame_idx")
     }),
+
+    // Gopher-style repetition filter: per-doc word/bigram distinct ratios
+    // with an integer-arithmetic 30%-duplicate-words flag. Scan-side only.
+    "q64_repetition_ratio" -> ((s, dir) => {
+      TextOps.repetitionStats(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination: docs with doc_id % 10 == 0 stand in for
+    // the eval set; report training docs sharing any distinct 5-gram.
+    "q65_contamination_check" -> ((s, dir) => {
+      DedupOps.contaminationReport(t(s, dir, "documents"), "text", "doc_id",
+          col("doc_id") % 10 === 0, n = 5)
+        .orderBy("train_doc")
+    }),
+
+    // Corpus statistics: global top-20 trigrams by count (count desc,
+    // gram asc) — map-side partial agg + TakeOrderedAndProject.
+    "q66_top_ngrams" -> ((s, dir) => {
+      TextOps.topNgrams(t(s, dir, "documents"), "text", n = 3, k = 20)
+    }),
   )
 
   /** Embeddings ∪ near-dup copies: every 5th vector re-appended under
@@ -359,5 +380,35 @@ object LlmPipeline {
         |  FROM m)
         |SELECT media_id, unnest(range(0, n_frames, 3)) AS frame_idx, width, height, format
         |FROM meta ORDER BY media_id, frame_idx""".stripMargin,
+
+    // integer-only outputs; the repetitive flag compares in integer
+    // arithmetic so no float crosses the engine boundary
+    "q64_repetition_ratio" ->
+      """WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+        |  CAST(len(ws) - 1 AS BIGINT) AS n_bigrams,
+        |  CAST(len(list_distinct([array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))])) AS BIGINT) AS n_distinct_bigrams,
+        |  ((len(ws) - len(list_distinct(ws))) * 10 > len(ws) * 3) AS repetitive
+        |FROM w WHERE len(ws) >= 2 ORDER BY doc_id""".stripMargin,
+
+    "q65_contamination_check" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws FROM documents),
+        |sh AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  unnest(list_distinct([array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)])) AS sg
+        |  FROM w WHERE len(ws) >= 5)
+        |SELECT t.doc_id AS train_doc,
+        |  CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs,
+        |  CAST(COUNT(DISTINCT t.sg) AS BIGINT) AS n_shared_ngrams
+        |FROM sh t JOIN sh e ON t.sg = e.sg AND e.doc_id % 10 = 0 AND t.doc_id % 10 <> 0
+        |GROUP BY t.doc_id ORDER BY train_doc""".stripMargin,
+
+    "q66_top_ngrams" ->
+      """WITH w AS (SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws FROM documents),
+        |g AS (SELECT unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS gram FROM w WHERE len(ws) >= 3)
+        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY gram
+        |ORDER BY n DESC, gram LIMIT 20""".stripMargin,
   )
 }

@@ -77,4 +77,36 @@ class PlanAuditSpec extends SparkSpec {
         "near-dup scale path degenerated to an all-pairs join")
     }
   }
+
+  test("contamination check broadcasts the eval shingle side, scans twice") {
+    // benchmark sets are tiny vs the training corpus: the join must be a
+    // broadcast-hash-join (train side never shuffles), and the corpus
+    // must be scanned exactly twice (train leg + eval leg) — the
+    // multi-distinct rewrite must NOT re-execute the join per count leg
+    // (its cheap-child gate exists because it once did)
+    val p = plan("q65_contamination_check")
+    assert(p.contains("BroadcastHashJoin"), "eval side not broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "contamination join shuffles the train corpus")
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 2, s"expected 2 corpus scans, got $scans")
+  }
+
+  test("global top-ngrams plans as partial agg + TakeOrderedAndProject") {
+    // the top-k must be per-partition top-k merged on the driver, never a
+    // full global sort of the gram table
+    val p = plan("q66_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), "top-k fell back to a global Sort")
+    assert(p.contains("HashAggregate"), "gram counts must hash-aggregate")
+  }
+
+  test("stratified sample is a scan-side filter, no pre-agg shuffle") {
+    // the hash-gate must sit in the scanned stage: exactly one Exchange
+    // (the groupBy), nothing upstream of the filter
+    val p = plan("q62_stratified_sample")
+    // count detail headers only — FormattedMode prints each node twice
+    // (tree line + "(n) Exchange" detail header)
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges <= 2, s"sample plan shuffles more than groupBy+sort: $exchanges exchanges")
+  }
 }

@@ -54,6 +54,31 @@ object ProfileMain {
       timeDf("q28:signatures")(sig)
       timeDf("q28:candidates")(DedupOps.lshCandidatePairs(sig, 32, 2))
       timeDf("q28:full")(SparkEntry.queries("q28_neardup_minhash")(spark, sfDir))
+    } else if (args.headOption.contains("ngram")) {
+      // does materializing the words array between two selects beat the
+      // split-inside-lambda shape (no CSE inside lambdas)?
+      import org.apache.spark.sql.functions._
+      import graft.operators.DedupOps
+      val docs = Tables.load(spark, sfDir, "documents")
+      val n = 3
+      def gramsOver(ws: org.apache.spark.sql.Column) = transform(
+        when(size(ws) >= n, sequence(lit(0), size(ws) - n))
+          .otherwise(array().cast("array<int>")),
+        i => array_join(slice(ws, i + 1, lit(n)), " "))
+      val lambdaSplit = {
+        val ws = split(DedupOps.normText(col("text")), " ")
+        docs.select(explode(gramsOver(ws)).as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("gram").asc).limit(20)
+      }
+      val materialized = docs
+        .select(split(DedupOps.normText(col("text")), " ").as("_ws"))
+        .select(explode(gramsOver(col("_ws"))).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram").asc).limit(20)
+      timeDf("ngram:lambda-split")(lambdaSplit)
+      timeDf("ngram:materialized")(materialized)
+      println(materialized.queryExecution.executedPlan.toString.take(1500))
     } else {
       // 5 timed reps each after one warm rep — prints every rep so noise
       // is visible rather than hidden behind a min

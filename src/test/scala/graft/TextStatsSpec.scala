@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupOps, TextOps}
+
+/** Repetition stats, global top-ngrams, and the decontamination report
+  * on hand-computable fixtures.
+  */
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionStats counts words/bigrams and flags >30% duplicate words") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),       // 10 words, 0 dups → not repetitive
+      (2L, "a a a a a a a b c d"),       // 10 words, 4 distinct → 6 dups → repetitive
+      (3L, "x y x y x y"),               // 6 words, 2 distinct → 4 dups → repetitive
+      (4L, "one"),                       // <2 words → dropped
+      (5L, "u v u w")                    // 4 words, 3 distinct → 1 dup (25%) → not
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(docs, "text", "doc_id")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      (1L, 10L, 10L, 9L, 9L, false),
+      (2L, 10L, 4L, 9L, 4L, true),   // bigrams: aa, ab, bc, cd distinct
+      (3L, 6L, 2L, 5L, 2L, true),    // bigrams: xy, yx
+      (5L, 4L, 3L, 3L, 3L, false)))  // uv, vu, uw
+  }
+
+  test("topNgrams returns count-desc gram-asc top-k with multiplicity") {
+    val docs = Seq(
+      (1L, "a b c a b c"),   // "a b c" x2 (overlapping: abc, bca, cab, abc)
+      (2L, "a b c d")        // abc, bcd
+    ).toDF("doc_id", "text")
+    val got = TextOps.topNgrams(docs, "text", n = 3, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a b c", 3L), ("b c a", 1L), ("b c d", 1L)))
+  }
+
+  test("contaminationReport finds train docs sharing n-grams with eval docs") {
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),     // eval (id%10==0)
+      (11L, "yesterday the quick brown fox jumps over a fence"), // shares "the quick brown fox jumps"
+      (12L, "a completely different document with no overlap at all"),
+      (20L, "pack my box with five dozen liquor jugs today"),   // eval
+      (21L, "please pack my box with five dozen liquor jugs now") // shares 2 5-grams w/ 20
+    ).toDF("doc_id", "text")
+    val got = DedupOps.contaminationReport(docs, "text", "doc_id",
+        col("doc_id") % 10 === 0, n = 5)
+      .orderBy("train_doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 11 shares "the quick brown fox jumps" + "quick brown fox jumps over"
+    //   with 10;
+    // 21 shares "pack my box with five" + "my box with five dozen" +
+    //   "box with five dozen liquor" + "with five dozen liquor jugs" with 20
+    assert(got.toSeq == Seq((11L, 1L, 2L), (21L, 1L, 4L)))
+  }
+}

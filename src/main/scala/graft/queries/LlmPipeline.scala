@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.operators.{CurationPipeline, DedupOps, MultimodalOps, SimilarityOps, TextOps}
 
 /** Training-data-pipeline operator surface (north star beyond the
   * reference): dedupe, similarity search, text analysis, multimodal
@@ -168,6 +168,17 @@ object LlmPipeline {
     // gram asc) — map-side partial agg + TakeOrderedAndProject.
     "q66_top_ngrams" -> ((s, dir) => {
       TextOps.topNgrams(t(s, dir, "documents"), "text", n = 3, k = 20)
+    }),
+
+    // Full curation chain: repetition filter (≤70% dup words) → exact
+    // dedup → near-dup removal (MinHash+LSH, Jaccard ≥ 0.5) →
+    // decontamination (5-gram overlap with the doc_id%10==0 eval set),
+    // then per-language corpus stats. The oracle independently reruns
+    // the whole chain in SQL (brute-force near-dup pairs).
+    "q67_corpus_pipeline" -> ((s, dir) => {
+      val curated = CurationPipeline.curate(t(s, dir, "documents"),
+        "text", "doc_id", "lang", col("doc_id") % 10 === 0)
+      CurationPipeline.statsByLang(curated)
     }),
   )
 
@@ -410,5 +421,45 @@ object LlmPipeline {
         |g AS (SELECT unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS gram FROM w WHERE len(ws) >= 3)
         |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY gram
         |ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+
+    // independently re-runs the whole curation chain: repetition filter,
+    // min-id exact dedup, brute-force Jaccard near-dup drop (the Spark
+    // side's LSH+verify must produce the identical pair set), 5-gram
+    // decontamination, per-lang stats
+    "q67_corpus_pipeline" ->
+      """WITH w AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |keep1 AS (
+        |  SELECT * FROM w
+        |  WHERE doc_id % 10 <> 0
+        |    AND len(ws) >= 2 AND (len(ws) - len(list_distinct(ws))) * 10 <= len(ws) * 7),
+        |keep2 AS (
+        |  SELECT * FROM keep1
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM keep1 GROUP BY sha256(nt))),
+        |sh3 AS (
+        |  SELECT doc_id, list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sg
+        |  FROM keep2 WHERE len(ws) >= 3),
+        |dropped_neardup AS (
+        |  SELECT DISTINCT b.doc_id AS doc_id
+        |  FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sg, b.sg)) * 2.0 >= len(list_distinct(list_concat(a.sg, b.sg)))),
+        |keep3 AS (SELECT * FROM keep2 WHERE doc_id NOT IN (SELECT doc_id FROM dropped_neardup)),
+        |sh5t AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)])) AS sg
+        |  FROM keep3 WHERE len(ws) >= 5),
+        |sh5e AS (  -- the FULL original eval set, not just survivors
+        |  SELECT unnest(list_distinct([array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)])) AS sg
+        |  FROM w WHERE doc_id % 10 = 0 AND len(ws) >= 5),
+        |contaminated AS (
+        |  SELECT DISTINCT t.doc_id FROM sh5t t JOIN sh5e e ON t.sg = e.sg),
+        |final AS (
+        |  SELECT * FROM keep3 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(ws)) AS BIGINT) AS total_tokens,
+        |  CAST(MIN(doc_id) AS BIGINT) AS first_doc, CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        |FROM final GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

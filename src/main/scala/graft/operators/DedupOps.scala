@@ -243,10 +243,17 @@ object DedupOps {
     */
   def lshEmbeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                                dim: Int, bands: Int = 16, planesPerBand: Int = 8,
-                               t2: Double = 0.81): DataFrame = {
+                               t2: Double = 0.81,
+                               cacheQuantized: Boolean = true): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val q = quantized(emb, idCol, vecCol)
+    // the quantized table feeds three consumers (banding + both verify
+    // joins) — persist it once, same rationale as the q28 shingle table;
+    // at corpus scale write it as parquet instead
+    val q0 = quantized(emb, idCol, vecCol)
+    val q = if (cacheQuantized)
+      q0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else q0
     // ±1 plane components, precomputed driver-side (bands·planes × dim ints)
     val signs: Array[Array[Long]] =
       Array.tabulate(bands * planesPerBand, dim)((p, d) => SimilarityOps.planeSign(p, d).toLong)

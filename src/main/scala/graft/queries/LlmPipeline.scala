@@ -99,9 +99,14 @@ object LlmPipeline {
     // integer-cosine verification — the 100 TB path; shares q54's corpus
     // and produces identical output (miss probability ≈ 6e-11 per true
     // pair at cosine 0.99).
+    // 16 planes/band: 16-bit buckets hold the ~1/65536 random-collision
+    // rate down so the exact-verify join sees thousands of candidates,
+    // not millions (8-bit buckets cost 5x the whole query); planted
+    // near-dups are cos ≥ 0.996, where a 16x16 banding misses with
+    // p ≈ 1e-7.
     "q55_neardup_embedding_lsh" -> ((s, dir) => {
       DedupOps.lshEmbeddingNearDupPairs(nearDupCorpus(s, dir), "vid", "vd",
-          dim = 64, bands = 16, planesPerBand = 8, t2 = 0.81)
+          dim = 64, bands = 16, planesPerBand = 16, t2 = 0.81)
         .orderBy("vec_a", "vec_b")
     }),
 

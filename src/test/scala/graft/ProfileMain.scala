@@ -79,6 +79,21 @@ object ProfileMain {
       timeDf("ngram:lambda-split")(lambdaSplit)
       timeDf("ngram:materialized")(materialized)
       println(materialized.queryExecution.executedPlan.toString.take(1500))
+    } else if (args.headOption.contains("q55stages")) {
+      import org.apache.spark.sql.functions._
+      import graft.operators.DedupOps
+      val emb = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id").cast("long").as("vid"),
+          transform(col("embedding"), x => x.cast("double")).as("vd"))
+      println(s"vectors: ${emb.count()}")
+      for (planes <- Seq(8, 12, 16)) {
+        val pairs = DedupOps.lshEmbeddingNearDupPairs(emb, "vid", "vd",
+          dim = 64, bands = 16, planesPerBand = planes)
+        val t0 = System.nanoTime()
+        val n = pairs.count()
+        println(f"planes=$planes%2d -> result pairs=$n%6d  time=${(System.nanoTime()-t0)/1e9}%5.2f s")
+        spark.catalog.clearCache()
+      }
     } else {
       // 5 timed reps each after one warm rep — prints every rep so noise
       // is visible rather than hidden behind a min

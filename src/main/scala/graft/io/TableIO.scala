@@ -52,6 +52,24 @@ object TableIO {
   def writeParquet(df: DataFrame, target: String): Unit =
     df.write.mode("overwrite").parquet(target)
 
+  /** M8 scoped replace at the file layout: a hive-partitioned parquet
+    * table where an overwrite rewrites ONLY the partitions present in
+    * the incoming frame (dynamic partition overwrite), leaving every
+    * other partition's files untouched. This is how a scoped
+    * weekly/monthly refresh replaces its window inside a 100 TB table
+    * without reading or rewriting the rest — the DataFrame-level
+    * scoped-replace (MergeOps/q15) rebuilds the whole output; this
+    * sink makes the same semantics O(changed partitions). Readers
+    * prune on the partition column (`PartitionFilters` in the scan).
+    */
+  def writeParquetPartitioned(df: DataFrame, target: String,
+                              partitionCols: Seq[String]): Unit =
+    df.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(target)
+
   /** M4 read-modify-write "latest" sink: read current target if present,
     * merge via the supplied policy, stage the result, atomically swap.
     */

@@ -122,4 +122,29 @@ class BatchStoreSpec extends SparkSpec {
     val out = spark.read.parquet(dir).orderBy("pk").as[(String, String)].collect().toSeq
     assert(out == Seq(("a", "1"), ("b", "2"), ("c", "1")))
   }
+
+  test("dynamic partition overwrite replaces only the written partitions") {
+    val dir = Files.createTempDirectory("graft_dyn").toString + "/t"
+    val full = Seq(("2024-W01", "a", 1L), ("2024-W01", "b", 2L), ("2024-W02", "c", 3L))
+      .toDF("week", "k", "v")
+    TableIO.writeParquetPartitioned(full, dir, Seq("week"))
+    val w2Files = new java.io.File(s"$dir/week=2024-W02").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+
+    // rewrite ONLY week 1 — week 2's files must be byte-identical (same names)
+    val patch = Seq(("2024-W01", "a", 9L)).toDF("week", "k", "v")
+    TableIO.writeParquetPartitioned(patch, dir, Seq("week"))
+
+    val w2After = new java.io.File(s"$dir/week=2024-W02").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(w2After == w2Files, "untouched partition was rewritten")
+    val out = spark.read.parquet(dir).orderBy("k")
+      .select("week", "k", "v").as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("2024-W01", "a", 9L), ("2024-W02", "c", 3L)))
+
+    // readers prune: a week filter must reach the scan as a PartitionFilter
+    val plan = spark.read.parquet(dir).filter($"week" === "2024-W02")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(week"), plan.take(800))
+  }
 }

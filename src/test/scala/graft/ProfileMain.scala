@@ -79,6 +79,36 @@ object ProfileMain {
       timeDf("ngram:lambda-split")(lambdaSplit)
       timeDf("ngram:materialized")(materialized)
       println(materialized.queryExecution.executedPlan.toString.take(1500))
+    } else if (args.headOption.contains("q48stages")) {
+      import org.apache.spark.sql.functions._
+      val li = Tables.load(spark, sfDir, "lineitem")
+      val stage = struct(
+        struct(
+          concat(lit("Stage "), col("l_linenumber")).as("showAs"),
+          array(struct(date_format(col("l_shipdate"), "yyyy-MM-dd").as("date"))).as("dates"),
+          col("l_linenumber").cast("string").as("progressStage"),
+          col("l_returnflag").as("stageOutcome"),
+          struct(
+            concat(lit("house/"), col("l_suppkey")).as("uri"),
+            concat(lit("House "), col("l_suppkey")).as("showAs")).as("house")
+        ).as("event"))
+      val payloads = li
+        .select(col("l_orderkey"), struct(
+          col("l_linenumber").as("_k1"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("_k2"),
+          col("l_returnflag").as("_k3"),
+          col("l_suppkey").as("_k4"),
+          stage.as("s")).as("item"))
+        .groupBy("l_orderkey")
+        .agg(to_json(struct(struct(
+          concat(lit("bill/"), col("l_orderkey")).as("uri"),
+          transform(sort_array(collect_list(col("item"))), x => x.getField("s")).as("stages")
+        ).as("bill"))).as("payload"))
+      timeDf("q48:payload-build")(payloads)
+      timeDf("q48:flatten")(graft.silver.FlattenSpecs.billStagesTransform(
+        graft.operators.FlattenOps.flatten(payloads, "payload",
+          graft.silver.FlattenSpecs.billStages)))
+      timeDf("q48:full")(SparkEntry.queries("q48_bill_stages_flatten")(spark, sfDir))
     } else if (args.headOption.contains("q55stages")) {
       import org.apache.spark.sql.functions._
       import graft.operators.DedupOps

@@ -359,15 +359,19 @@ object DedupOps {
     * RewriteMultiDistinctCounts (no Expand of the joined rows).
     */
   def contaminationReport(docs: DataFrame, textCol: String, idCol: String,
-                          evalPred: Column, n: Int): DataFrame = {
+                          evalPred: Column, n: Int,
+                          broadcastEval: Boolean = true): DataFrame = {
     val sh = docs
       .select(col(idCol).cast("long").as("doc_id"), evalPred.as("_is_eval"),
         split(normText(col(textCol)), " ").as("_ws"))
       .select(col("doc_id"), col("_is_eval"),
         explode(shinglesOfWords(col("_ws"), n)).as("sg"))
-    val evalSide = sh.filter(col("_is_eval")).select(col("sg"), col("doc_id").as("eval_doc"))
+    val evalSide0 = sh.filter(col("_is_eval")).select(col("sg"), col("doc_id").as("eval_doc"))
+    // benchmarks are usually tiny vs the corpus → broadcast; pass false
+    // for an eval side too large for executor memory (shuffle join)
+    val evalSide = if (broadcastEval) broadcast(evalSide0) else evalSide0
     val trainSide = sh.filter(!col("_is_eval")).select(col("doc_id").as("train_doc"), col("sg"))
-    trainSide.join(broadcast(evalSide), "sg")
+    trainSide.join(evalSide, "sg")
       .groupBy("train_doc")
       .agg(count_distinct(col("eval_doc")).as("n_eval_docs"),
         count_distinct(col("sg")).as("n_shared_ngrams"))

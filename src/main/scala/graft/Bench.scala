@@ -39,7 +39,8 @@ object Bench {
     "q58_asof_join",            // backward as-of join (union + keyed window)
     "q59_interval_attribution", // bucketed point-in-interval range join
     "q65_contamination_check",  // broadcast eval-shingle decontamination
-    "q66_top_ngrams")           // corpus stats: partial agg + top-k
+    "q66_top_ngrams",           // corpus stats: partial agg + top-k
+    "q67_corpus_pipeline")      // full curation chain (filter→dedup→LSH→decontam)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

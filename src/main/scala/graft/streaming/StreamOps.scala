@@ -129,4 +129,23 @@ object StreamOps {
         fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
         ()
       }
+
+  /** Streaming corpus intake: the stateless curation stages apply to a
+    * stream unchanged (repetition filter is expression-only), and exact
+    * dedup becomes a fingerprint-keyed dropDuplicatesWithinWatermark —
+    * state bounded by the watermark horizon instead of growing with the
+    * corpus. Near-dup removal and decontamination remain periodic batch
+    * jobs over the deduped sink (they need corpus-wide joins); this is
+    * the standard lambda-architecture split for a live ingest feed.
+    * `maxDupTenths` mirrors CurationPipeline.curate.
+    */
+  def curateStream(stream: DataFrame, tsCol: String, delay: String,
+                   textCol: String, maxDupTenths: Int = 7): DataFrame = {
+    val w = split(graft.operators.DedupOps.normText(col(textCol)), " ")
+    val filtered = stream
+      .filter(size(w) >= 2 &&
+        (size(w) - size(array_distinct(w))) * 10 <= size(w) * maxDupTenths)
+      .withColumn("_fp", sha2(graft.operators.DedupOps.normText(col(textCol)), 256))
+    dedupWithinWatermark(filtered, tsCol, delay, Seq("_fp")).drop("_fp")
+  }
 }

@@ -68,6 +68,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus intake filters repetitive docs and dedups by fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val curated = StreamOps.curateStream(docs, "ts", "1 hour", "text")
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("curate_out").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "the quick brown fox jumps today"),
+        (ts("2024-01-01 10:01:00"), 2L, "spam spam spam spam spam spam spam ham"))
+      q.processAllAvailable()
+      input.addData(
+        // exact dup of doc 1 after normalization, next micro-batch
+        (ts("2024-01-01 10:05:00"), 3L, "The  QUICK brown fox jumps today"),
+        (ts("2024-01-01 10:06:00"), 4L, "a genuinely new document arrives here"))
+      q.processAllAvailable()
+      val ids = spark.table("curate_out").select($"doc_id").as[Long].collect().sorted
+      // 2 repetitive (6/8 dup words); 3 exact dup within the watermark
+      assert(ids.toSeq == Seq(1L, 4L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState accumulates per-key state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]

@@ -52,11 +52,14 @@ object CurationPipeline {
         size(col("_ws")) * maxDupTenths)
 
     // 2. exact dedup: min doc_id per normalized text (window, one
-    // shuffle on the text hash)
+    // shuffle on the text hash). Persisted: it feeds the near-dup
+    // shingle table AND the anti-join base (at corpus scale each stage
+    // writes parquet instead).
     val keep2 = keep1
       .withColumn("_rn", row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy(sha2(col("_nt"), 256)).orderBy(col("doc_id").asc)))
       .filter(col("_rn") === 1).drop("_rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 3. near-dup removal: LSH candidates + exact verify (same engine
     // as q28; _nt is already normalized so re-normalization is a
@@ -65,6 +68,7 @@ object CurationPipeline {
         n = ngramN, threshold = jaccardThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
     val keep3 = keep2.join(dropped, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 4. decontamination: survivors vs the full original eval set
     // (union keeps contaminationReport's single-input shape; the eval

@@ -100,6 +100,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), "gram counts must hash-aggregate")
   }
 
+  test("curation chain never degenerates to an all-pairs join") {
+    // the chain embeds the near-dup LSH and the broadcast
+    // decontamination — neither may plan as a cartesian/nested-loop
+    // product of the corpus with itself
+    val p = plan("q67_corpus_pipeline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "curation chain contains an all-pairs join")
+  }
+
   test("stratified sample is a scan-side filter, no pre-agg shuffle") {
     // the hash-gate must sit in the scanned stage: exactly one Exchange
     // (the groupBy), nothing upstream of the filter

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{CurationPipeline, DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.operators.{CurationPipeline, DedupOps, GraphOps, MultimodalOps, SimilarityOps, TextOps}
 
 /** Training-data-pipeline operator surface (north star beyond the
   * reference): dedupe, similarity search, text analysis, multimodal
@@ -173,6 +173,19 @@ object LlmPipeline {
     // gram asc) — map-side partial agg + TakeOrderedAndProject.
     "q66_top_ngrams" -> ((s, dir) => {
       TextOps.topNgrams(t(s, dir, "documents"), "text", n = 3, k = 20)
+    }),
+
+    // Transitive near-dup clusters: connected components over the
+    // 3-gram Jaccard ≥ 0.5 pair graph (pairs via MinHash+LSH+verify,
+    // identical to the brute set) — component = min member id, the
+    // canonical keeper a chain a~b~c collapses to even when a~c is
+    // below threshold. Oracle: DuckDB recursive CTE reachability.
+    "q68_neardup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = DedupOps.minhashNearDupPairs(docs, "text", "doc_id",
+        n = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+        .orderBy("doc_id")
     }),
 
     // Full curation chain: repetition filter (≤70% dup words) → exact
@@ -426,6 +439,25 @@ object LlmPipeline {
         |g AS (SELECT unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS gram FROM w WHERE len(ws) >= 3)
         |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY gram
         |ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+
+    "q68_neardup_clusters" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws FROM documents),
+        |sh AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sg
+        |  FROM w WHERE len(ws) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sg, b.sg)) * 2.0 >= len(list_distinct(list_concat(a.sg, b.sg)))),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS node FROM edges),
+        |reach AS (
+        |  WITH RECURSIVE r(node, t) AS (
+        |    SELECT node, node FROM nodes
+        |    UNION
+        |    SELECT e.b, r.t FROM edges e JOIN r ON r.node = e.a)
+        |  SELECT * FROM r)
+        |SELECT node AS doc_id, MIN(t) AS component FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
     // independently re-runs the whole curation chain: repetition filter,
     // min-id exact dedup, brute-force Jaccard near-dup drop (the Spark

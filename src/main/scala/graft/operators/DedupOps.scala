@@ -346,6 +346,92 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Incremental ingestion dedup: judge a NEW batch against an existing
+    * curated CORPUS (and against itself) without re-deduping the corpus.
+    * Ids must be globally unique across both inputs.
+    *
+    * Per new doc, in precedence order:
+    *   - `exact_dup`: normalized text matches a corpus doc or an
+    *     earlier-id new doc; match_id = smallest matching id.
+    *   - `near_dup`: n-gram Jaccard ≥ threshold vs any corpus doc or any
+    *     exact-surviving new doc with a smaller id (the same greedy
+    *     keep-first rule the batch curation chain uses); match_id =
+    *     smallest qualifying partner.
+    *   - `kept`: match_id null.
+    *
+    * Scale shape: the exact stage is a hash join on text fingerprints
+    * (at 100 TB the corpus fingerprint table is a precomputed parquet
+    * side, not a recompute). The near stage reuses MinHash banding over
+    * corpus ∪ survivors, but buckets aggregate the two sides separately
+    * so candidate pairs are only new×corpus and new×new — corpus-corpus
+    * pairs are never materialized, keeping per-ingest cost proportional
+    * to the BATCH, not the corpus².
+    */
+  def incrementalDedup(newBatch: DataFrame, corpus: DataFrame,
+                       textCol: String, idCol: String,
+                       n: Int = 3, numHashes: Int = 64, bands: Int = 32,
+                       threshold: Double = 0.5): DataFrame = {
+    val nfp = newBatch.select(col(idCol).cast("long").as("nid"), col(textCol).as("_text"))
+      .withColumn("_h", sha2(normText(col("_text")), 256))
+    val cfp = corpus.select(col(idCol).cast("long").as("cid"),
+      sha2(normText(col(textCol)), 256).as("_h"))
+
+    // exact matches: min corpus id per hash, min earlier new id per hash
+    val exactC = nfp.join(cfp, Seq("_h")).groupBy("nid").agg(min("cid").as("_mc"))
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy("_h")
+    val exactN = nfp.withColumn("_minNid", min("nid").over(wH))
+      .filter(col("_minNid") < col("nid"))
+      .select(col("nid"), col("_minNid").as("_mn"))
+    val exactMatch = exactC.join(exactN, Seq("nid"), "full_outer")
+      .select(col("nid"), least(col("_mc"), col("_mn")).as("match_id"))
+
+    val surv = nfp.join(exactMatch.select("nid"), Seq("nid"), "left_anti")
+
+    // near-dup stage over corpus ∪ exact-survivors
+    val shNew = shingleHashTable(surv.select(col("nid").as(idCol), col("_text").as(textCol)),
+      textCol, idCol, n)
+    val shCorp = shingleHashTable(corpus, textCol, idCol, n)
+    val sh = shNew.select(col("doc_id"), col("sg"), lit(false).as("_is_corpus"))
+      .unionByName(shCorp.select(col("doc_id"), col("sg"), lit(true).as("_is_corpus")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val sig = minhashSignaturesFromShingles(sh.select("doc_id", "sg"), numHashes)
+      .join(sh.select(col("doc_id"), col("_is_corpus")).distinct(), Seq("doc_id"))
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { j =>
+      val rows = (0 until rowsPerBand).map(r => col(s"h${j * rowsPerBand + r}"))
+      struct(lit(j).as("band_idx"), xxhash64(rows: _*).as("band_hash"))
+    }
+    val banded = sig.select(col("doc_id"), col("_is_corpus"),
+        explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("_is_corpus"), col("band.band_idx"), col("band.band_hash"))
+    // side-aware pair generation: new×corpus cross + new×new (a<b); a
+    // corpus-heavy bucket contributes nothing unless a new doc landed in it
+    val cand = banded.groupBy("band_idx", "band_hash")
+      .agg(collect_list(when(!col("_is_corpus"), col("doc_id"))).as("newIds"),
+        collect_list(when(col("_is_corpus"), col("doc_id"))).as("corpIds"))
+      .filter(size(col("newIds")) > 0 && (size(col("newIds")) > 1 || size(col("corpIds")) > 0))
+      .select(explode(concat(
+        flatten(transform(col("newIds"), nid =>
+          transform(col("corpIds"), cid => struct(nid.as("nid"), cid.as("partner"))))),
+        transform(pairsOf(col("newIds")), p =>
+          struct(p.getField("doc_b").as("nid"), p.getField("doc_a").as("partner"))))).as("p"))
+      .select(col("p.nid"), col("p.partner")).distinct()
+
+    val nearMatch = cand
+      .join(sh.select(col("doc_id").as("nid"), col("sg").as("sg_n")), Seq("nid"))
+      .join(sh.select(col("doc_id").as("partner"), col("sg").as("sg_p")), Seq("partner"))
+      .filter(jaccard(col("sg_n"), col("sg_p")) >= threshold)
+      .groupBy("nid").agg(min("partner").as("match_id"))
+
+    nfp.select("nid")
+      .join(exactMatch.withColumn("status", lit("exact_dup")), Seq("nid"), "left")
+      .join(nearMatch.withColumnRenamed("match_id", "_nm"), Seq("nid"), "left")
+      .select(col("nid").as("new_id"),
+        coalesce(col("status"), when(col("_nm").isNotNull, "near_dup").otherwise("kept")).as("status"),
+        coalesce(col("match_id"), col("_nm")).as("match_id"))
+  }
+
   /** Benchmark-decontamination report: training docs (evalPred false)
     * sharing ≥1 distinct word n-gram with any eval doc (evalPred true),
     * with how many eval docs each collides with and how many distinct

@@ -102,6 +102,91 @@ object SimilarityOps {
     }.toDF("cell", "query_id", "neighbor_id", "rank")
   }
 
+  // ---------------- k-means coarse-quantizer training ----------------
+
+  /** Integer-quantized components (floor(x·10⁶) longs) — same convention
+    * as the embedding near-dup path: distances and sums stay exact
+    * integers, bit-identical across engines and partition orders.
+    */
+  def quantize(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * 1e6).cast("long"))
+
+  /** Nearest-centroid cell for a quantized vector column: squared
+    * euclidean distance (exact long arithmetic), ties break to the
+    * lowest cell index. Centroids are plan literals — the "broadcast"
+    * of a k-means model is k·dim longs.
+    */
+  def assignCells(qv: Column, centroids: Seq[Array[Long]]): Column = {
+    val dists = array(centroids.map { c =>
+      val cl = array(c.map(lit).toSeq: _*)
+      aggregate(zip_with(qv, cl, (x, y) => (x - y) * (x - y)), lit(0L), (a, x) => a + x)
+    }: _*)
+    (array_position(dists, array_min(dists)) - 1).cast("long")
+  }
+
+  /** Deterministic seeding: the k vectors with the smallest ids. The
+    * collect is k rows — the model seed, not data.
+    */
+  def initialCentroids(emb: DataFrame, idCol: String, vecCol: String, k: Int): Seq[Array[Long]] =
+    emb.select(col(idCol).cast("long").as("vid"), quantize(col(vecCol)).as("qv"))
+      .orderBy("vid").limit(k).collect()
+      .map(r => r.getSeq[Long](1).toArray).toSeq
+
+  /** One Lloyd step's sufficient statistics: per-(cell, dim) component
+    * sums and member counts. The dim-explode is narrow and hash
+    * aggregation partially combines per partition, so the shuffle is
+    * O(partitions · k · dim) rows — independent of corpus size; nothing
+    * about the step caps the input at 100 TB.
+    */
+  def kmeansStepSums(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Long]]): DataFrame =
+    emb.select(col(idCol).cast("long").as("vid"), quantize(col(vecCol)).as("qv"))
+      .withColumn("cell", assignCells(col("qv"), centroids))
+      .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+      .agg(sum("x").as("sum_q"), count(lit(1)).as("n_vecs"))
+      .select(col("cell"), col("dim").cast("long").as("dim"), col("sum_q"), col("n_vecs"))
+
+  /** Lloyd iterations until centroids stabilize (or maxIter): new
+    * centroid = truncating integer mean per dimension; an emptied cell
+    * keeps its previous centroid. Per-iteration driver traffic is the
+    * k·dim sufficient-statistics rows — the trained model for
+    * [[kmeansAssign]] / [[topKWithinPartition]] (IVF with a TRAINED
+    * coarse quantizer instead of a precomputed label).
+    */
+  def kmeansTrain(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxIter: Int): Seq[Array[Long]] = {
+    var cents = initialCentroids(emb, idCol, vecCol, k)
+    val dim = cents.head.length
+    var it = 0
+    var changed = true
+    while (it < maxIter && changed) {
+      val stats = kmeansStepSums(emb, idCol, vecCol, cents).collect()
+      val sums = Array.fill(k)(new Array[Long](dim))
+      val counts = new Array[Long](k)
+      stats.foreach { r =>
+        val (cell, d) = (r.getLong(0).toInt, r.getLong(1).toInt)
+        sums(cell)(d) = r.getLong(2)
+        counts(cell) = r.getLong(3)
+      }
+      val next = cents.zipWithIndex.map { case (old, ci) =>
+        if (counts(ci) == 0) old
+        else Array.tabulate(dim)(d => sums(ci)(d) / counts(ci))
+      }
+      changed = next.zip(cents).exists { case (a, b) => !java.util.Arrays.equals(a, b) }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** Label every vector with its trained cell — the coarse-quantizer
+    * output an IVF index stores alongside the vector.
+    */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Long]]): DataFrame =
+    emb.withColumn("cell", assignCells(quantize(col(vecCol)), centroids))
+
   /** Random-hyperplane LSH bucket id (sign bits of hash-derived planes):
     * a deterministic, data-independent coarse cell for when no label
     * exists. planeSeed × dim hashes stand in for gaussian components —

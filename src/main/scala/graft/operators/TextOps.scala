@@ -133,6 +133,58 @@ object TextOps {
       .limit(k)
   }
 
+  /** Gopher-style document quality gate: several independent rules, each
+    * reported as its own flag plus an overall verdict and the ordered
+    * list of failed-rule names (the audit trail a curation pipeline
+    * stores alongside the drop decision).
+    *
+    * All thresholds compare in integer arithmetic — no float crosses the
+    * engine boundary — and the operator is expression-only: it runs
+    * scan-side at any corpus size with zero shuffles.
+    *
+    * Rules (names in the reasons list, in this order):
+    *   - `too_short` / `too_long`: word count outside [minWords, maxWords]
+    *   - `word_len`: mean word length outside [3, 10] chars
+    *     (3·n_words ≤ n_word_chars ≤ 10·n_words, where n_word_chars
+    *     counts non-space chars of the normalized text)
+    *   - `repetitive`: distinct-word ratio < 30% (duplicate fraction > 70%)
+    *   - `no_stopwords`: fewer than `minStopwords` stopword hits
+    */
+  def gopherQuality(df: DataFrame, textCol: String, idCol: String,
+      stopwords: Seq[String] = markers("en"),
+      minWords: Int = 15, maxWords: Int = 10000,
+      minStopwords: Int = 2): DataFrame = {
+    val ws = col("_ws")
+    val nWords = size(ws).cast("long")
+    val nDistinct = size(array_distinct(ws)).cast("long")
+    // normalized text = words joined by single spaces, so word chars =
+    // chars - (words - 1) separators
+    val nWordChars = (length(array_join(ws, " ")) - (size(ws) - 1)).cast("long")
+    val nStop = size(filter(ws, w => w.isin(stopwords: _*))).cast("long")
+
+    val tooShort = nWords < minWords
+    val tooLong = nWords > maxWords
+    val wordLen = nWordChars < nWords * 3 || nWordChars > nWords * 10
+    val repetitive = (nWords - nDistinct) * 10 > nWords * 7
+    val noStop = nStop < minStopwords
+
+    val reasons = filter(
+      array(
+        when(tooShort, "too_short"), when(tooLong, "too_long"),
+        when(wordLen, "word_len"), when(repetitive, "repetitive"),
+        when(noStop, "no_stopwords")),
+      r => r.isNotNull)
+
+    df.select(col(idCol).cast("long").as(idCol), words(col(textCol)).as("_ws"))
+      .select(col(idCol),
+        nWords.as("n_words"),
+        nDistinct.as("n_distinct_words"),
+        nWordChars.as("n_word_chars"),
+        nStop.as("n_stopwords"),
+        (size(reasons) === 0).as("pass"),
+        array_join(reasons, ",").as("fail_reasons"))
+  }
+
   /** Document fingerprint: sha256 of normalized text (exact identity) —
     * the key for exact dedupe and incremental skip logic.
     */

@@ -145,6 +145,22 @@ object Advanced {
         .orderBy("nationkey")
     }),
 
+    // Bloom-pruned semi-join: lineitem rows for high-value orders. The
+    // sketch prunes the fact scan before the shuffle; the exact semi
+    // join removes false positives, so the result is the plain semi
+    // join (the oracle).
+    "q74_bloom_semijoin" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val hot = t(s, dir, "orders").filter(col("o_totalprice") > 200000.0)
+      graft.operators.PruneOps.bloomSemiJoin(li, hot, "l_orderkey", "o_orderkey",
+          expectedItems = 200000L, fpp = 0.01)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)).cast("double"), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // W-family event sequencing: previous event + gap per user (lag).
     "q46_event_lag" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -193,6 +209,13 @@ object Advanced {
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE), 2) AS total
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q74_bloom_semijoin" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q57_skew_join" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS nationkey,

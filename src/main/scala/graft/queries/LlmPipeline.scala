@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{CurationPipeline, DedupOps, GraphOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.operators.{CurationPipeline, DedupOps, GraphOps, MultimodalOps, ScrubOps, SimilarityOps, TextOps}
 
 /** Training-data-pipeline operator surface (north star beyond the
   * reference): dedupe, similarity search, text analysis, multimodal
@@ -187,6 +187,74 @@ object LlmPipeline {
       GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
         .orderBy("doc_id")
     }),
+
+    // One Lloyd step of the IVF coarse-quantizer training: deterministic
+    // first-k-by-id seeds, exact integer assignment + sufficient
+    // statistics (per-cell, per-dim component sums and counts) — the
+    // full distributed inner loop of kmeansTrain, oracle-checked.
+    "q72_kmeans_step" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = SimilarityOps.initialCentroids(emb, "vec_id", "embedding", k = 8)
+      SimilarityOps.kmeansStepSums(emb, "vec_id", "embedding", cents)
+        .orderBy("cell", "dim")
+    }),
+
+    // Incremental ingestion dedup: the new batch = re-id'd docs
+    // (doc_id%7==3 under +1e6; planted corpus exact-dups %50==0 under
+    // +2e6; planted in-batch dups %100==1 under +3e6) judged against the
+    // corpus (everything else) — exact fingerprint stage, then MinHash-
+    // banded near-dup stage with side-aware candidate generation.
+    "q73_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 7 =!= 3)
+      val newBatch = docs.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(corpus.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 7 === 3 && col("doc_id") % 100 === 1)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      DedupOps.incrementalDedup(newBatch, corpus, "text", "doc_id",
+          n = 3, numHashes = 64, bands = 32, threshold = 0.5)
+        .orderBy("new_id")
+    }),
+
+    // C4-style line-level boilerplate removal. The corpus has no
+    // newlines, so both engines deterministically re-chunk each doc into
+    // 4-word lines first; a line appearing in ≥3 distinct docs is dropped
+    // from every doc and the survivors reassemble in original order.
+    "q69_line_dedup" -> ((s, dir) => {
+      val ws = col("_ws")
+      val lines = transform(sequence(lit(0), floor((size(ws) - 1) / 4).cast("int")),
+        i => array_join(slice(ws, i * 4 + 1, lit(4)), " "))
+      val withNl = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          split(DedupOps.normText(col("text")), " ").as("_ws"))
+        .select(col("doc_id"), array_join(lines, "\n").as("text"))
+      ScrubOps.lineFrequencyFilter(withNl, "text", "doc_id", minDocs = 3)
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction: deterministic synthetic PII (email/phone/IPv4 built
+    // from doc_id) appended to each doc, then scrubbed. Counts measure
+    // the raw text per pattern; replacement order email → phone → ip.
+    "q70_pii_redact" -> ((s, dir) => {
+      val id = col("doc_id")
+      val withPii = t(s, dir, "documents")
+        .select(id.cast("long").as("doc_id"),
+          concat(col("text"),
+            lit(" contact u"), id.cast("string"), lit("@ex"),
+            (id % 10).cast("string"), lit(".org call 555-01"),
+            lpad((id % 100).cast("string"), 2, "0"), lit("-4567 ip 10.0."),
+            (id % 256).cast("string"), lit("."), (id % 100).cast("string")).as("text"))
+      ScrubOps.redactPii(withPii, "text", "doc_id").orderBy("doc_id")
+    }),
+
+    // Gopher-style quality gate: integer-arithmetic rules, per-rule
+    // flags folded into an ordered fail-reasons audit string.
+    "q71_quality_gate" -> ((s, dir) =>
+      TextOps.gopherQuality(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
 
     // Full curation chain: repetition filter (≤70% dup words) → exact
     // dedup → near-dup removal (MinHash+LSH, Jaccard ≥ 0.5) →
@@ -498,5 +566,122 @@ object LlmPipeline {
         |  CAST(SUM(len(ws)) AS BIGINT) AS total_tokens,
         |  CAST(MIN(doc_id) AS BIGINT) AS first_doc, CAST(MAX(doc_id) AS BIGINT) AS last_doc
         |FROM final GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // recomputes the Lloyd step end-to-end: quantized vectors, first-8
+    // seeds, exact integer nearest-centroid assignment (tie -> lowest
+    // cell), per-(cell, dim) sums/counts
+    "q72_kmeans_step" ->
+      """WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vid,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |c AS (SELECT vid, qv, CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS BIGINT) AS cell
+        |      FROM (SELECT * FROM v ORDER BY vid LIMIT 8)),
+        |d AS (SELECT v.vid, c.cell,
+        |    list_sum([ (v.qv[i] - c.qv[i]) * (v.qv[i] - c.qv[i]) for i in range(1, len(v.qv) + 1) ]) AS dist
+        |  FROM v CROSS JOIN c),
+        |a AS (SELECT vid, cell FROM (
+        |    SELECT vid, cell, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM d)
+        |  WHERE rn = 1),
+        |e AS (SELECT a.cell, dd.range AS dim, v.qv[CAST(dd.range AS INT) + 1] AS x
+        |  FROM a JOIN v ON a.vid = v.vid CROSS JOIN range(64) dd)
+        |SELECT cell, CAST(dim AS BIGINT) AS dim, CAST(SUM(x) AS BIGINT) AS sum_q,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vecs
+        |FROM e GROUP BY cell, dim ORDER BY cell, dim""".stripMargin,
+
+    // same batch construction; exact stage on normalized text equality,
+    // near stage brute-force Jaccard >= 0.5 (the Spark side's banded
+    // LSH + verify must reproduce it), greedy keep-first semantics
+    "q73_incremental_dedup" ->
+      """WITH a0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |corpus AS (SELECT doc_id, nt, ws FROM a0 WHERE doc_id % 7 <> 3),
+        |newb AS (
+        |  SELECT doc_id + 1000000 AS nid, nt, ws FROM a0 WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, nt, ws FROM a0 WHERE doc_id % 7 <> 3 AND doc_id % 50 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, nt, ws FROM a0 WHERE doc_id % 7 = 3 AND doc_id % 100 = 1),
+        |exact_c AS (SELECT n.nid, MIN(c.doc_id) AS m FROM newb n JOIN corpus c ON n.nt = c.nt GROUP BY n.nid),
+        |exact_n AS (SELECT a.nid, MIN(b.nid) AS m FROM newb a JOIN newb b ON a.nt = b.nt AND b.nid < a.nid GROUP BY a.nid),
+        |exact AS (SELECT COALESCE(ec.nid, en.nid) AS nid, COALESCE(LEAST(ec.m, en.m), ec.m, en.m) AS match_id
+        |  FROM exact_c ec FULL OUTER JOIN exact_n en ON ec.nid = en.nid),
+        |surv AS (SELECT * FROM newb WHERE nid NOT IN (SELECT nid FROM exact)),
+        |shn AS (SELECT nid, list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sg
+        |  FROM surv WHERE len(ws) >= 3),
+        |shc AS (SELECT doc_id, list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sg
+        |  FROM corpus WHERE len(ws) >= 3),
+        |near_c AS (SELECT s.nid, MIN(c.doc_id) AS m FROM shn s JOIN shc c
+        |  ON len(list_intersect(s.sg, c.sg)) * 2.0 >= len(list_distinct(list_concat(s.sg, c.sg))) GROUP BY s.nid),
+        |near_n AS (SELECT b.nid, MIN(a.nid) AS m FROM shn a JOIN shn b ON a.nid < b.nid
+        |  AND len(list_intersect(a.sg, b.sg)) * 2.0 >= len(list_distinct(list_concat(a.sg, b.sg))) GROUP BY b.nid),
+        |near AS (SELECT COALESCE(nc.nid, nn.nid) AS nid, COALESCE(LEAST(nc.m, nn.m), nc.m, nn.m) AS m
+        |  FROM near_c nc FULL OUTER JOIN near_n nn ON nc.nid = nn.nid)
+        |SELECT n.nid AS new_id,
+        |  CASE WHEN e.nid IS NOT NULL THEN 'exact_dup'
+        |       WHEN nr.nid IS NOT NULL THEN 'near_dup' ELSE 'kept' END AS status,
+        |  COALESCE(e.match_id, nr.m) AS match_id
+        |FROM newb n LEFT JOIN exact e ON n.nid = e.nid LEFT JOIN near nr ON n.nid = nr.nid
+        |ORDER BY new_id""".stripMargin,
+
+    // re-chunks each doc into 4-word lines, counts distinct-doc line
+    // frequency, drops lines in ≥3 docs from every doc, reassembles in
+    // order — the whole operator re-run in list SQL
+    "q69_line_dedup" ->
+      """WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws FROM documents),
+        |d AS (SELECT doc_id,
+        |    [array_to_string(ws[i:i+3], ' ') for i in range(1, len(ws) + 1, 4)] AS ls FROM w),
+        |freq AS (SELECT line FROM (
+        |    SELECT line, COUNT(DISTINCT doc_id) AS n
+        |    FROM (SELECT doc_id, unnest(ls) AS line FROM d) GROUP BY line) WHERE n >= 3),
+        |f AS (SELECT coalesce(list(line), CAST([] AS VARCHAR[])) AS fl FROM freq),
+        |k AS (SELECT doc_id, ls, list_filter(ls, x -> NOT list_contains(f.fl, x)) AS kept
+        |      FROM d CROSS JOIN f)
+        |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
+        |  array_to_string(kept, chr(10)) AS text_clean
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    // same synthetic PII construction + RE2 patterns; counts on the raw
+    // text, sequential replace email -> phone -> ip
+    "q70_pii_redact" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex' || CAST(doc_id % 10 AS VARCHAR) ||
+        |  '.org call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-4567 ip 10.0.' ||
+        |  CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\d{3}[- .]\d{3,4}[- .]\d{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}[- .]\d{3,4}[- .]\d{4}', '<PHONE>', 'g'),
+        |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS text_clean
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // integer-arithmetic quality rules; reasons list order is part of
+    // the contract
+    "q71_quality_gate" ->
+      """WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+        |    CAST(length(array_to_string(ws, ' ')) - (len(ws) - 1) AS BIGINT) AS n_word_chars,
+        |    CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS n_stopwords
+        |  FROM w),
+        |r AS (SELECT *,
+        |    list_filter([
+        |      CASE WHEN n_words < 15 THEN 'too_short' END,
+        |      CASE WHEN n_words > 10000 THEN 'too_long' END,
+        |      CASE WHEN n_word_chars < n_words * 3 OR n_word_chars > n_words * 10 THEN 'word_len' END,
+        |      CASE WHEN (n_words - n_distinct_words) * 10 > n_words * 7 THEN 'repetitive' END,
+        |      CASE WHEN n_stopwords < 2 THEN 'no_stopwords' END], x -> x IS NOT NULL) AS reasons
+        |  FROM m)
+        |SELECT doc_id, n_words, n_distinct_words, n_word_chars, n_stopwords,
+        |  len(reasons) = 0 AS pass, COALESCE(array_to_string(reasons, ','), '') AS fail_reasons
+        |FROM r ORDER BY doc_id""".stripMargin,
   )
 }

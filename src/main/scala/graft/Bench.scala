@@ -40,7 +40,12 @@ object Bench {
     "q59_interval_attribution", // bucketed point-in-interval range join
     "q65_contamination_check",  // broadcast eval-shingle decontamination
     "q66_top_ngrams",           // corpus stats: partial agg + top-k
-    "q67_corpus_pipeline")      // full curation chain (filter→dedup→LSH→decontam)
+    "q67_corpus_pipeline",      // full curation chain (filter→dedup→LSH→decontam)
+    "q69_line_dedup",           // line-level boilerplate removal (C4-style)
+    "q72_kmeans_step",          // IVF quantizer training step (Lloyd statistics)
+    "q73_incremental_dedup",    // new-batch-vs-corpus dedup (side-aware LSH)
+    "q74_bloom_semijoin",       // Bloom-sketch scan prune + exact semi join
+    "q75_span_dedup")           // substring-level corpus dedup (span coverage)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

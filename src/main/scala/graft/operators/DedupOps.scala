@@ -371,8 +371,11 @@ object DedupOps {
                        textCol: String, idCol: String,
                        n: Int = 3, numHashes: Int = 64, bands: Int = 32,
                        threshold: Double = 0.5): DataFrame = {
+    // four consumers (both exact joins, the anti-join, the final roster)
+    // re-evaluate the fingerprint projection — persist it once
     val nfp = newBatch.select(col(idCol).cast("long").as("nid"), col(textCol).as("_text"))
       .withColumn("_h", sha2(normText(col("_text")), 256))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cfp = corpus.select(col(idCol).cast("long").as("cid"),
       sha2(normText(col(textCol)), 256).as("_h"))
 

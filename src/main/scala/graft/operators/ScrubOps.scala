@@ -46,6 +46,63 @@ object ScrubOps {
       clean.as("text_clean"))
   }
 
+  /** Span-level (substring) dedup: every fixed-length word span whose
+    * corpus-wide occurrence count is ≥ `minCount` is removed — from
+    * every document, at every covered word position (the simplified,
+    * order-free variant of "deduplicating training data" substring
+    * dedup; a keep-first variant needs a global occurrence order and is
+    * a policy layer over the same coverage computation).
+    *
+    * Pipeline: explode (doc, start, spanHash) — one row per word, not
+    * per word² — count span occurrences (map-side combinable), keep the
+    * duplicated span set (small: duplication is the exception), explode
+    * ONLY duplicated occurrences into covered positions, and rebuild
+    * each text from its uncovered positions. Shuffles are keyed by span
+    * hash and doc id; nothing is quadratic in corpus size.
+    *
+    * Spans are hashed (xxhash64-based, [[DedupOps.shingleHashesOfWordHashes]]
+    * convention): collisions conflate spans at ~k²/2⁶⁴ probability —
+    * the same accepted trade as the MinHash path.
+    *
+    * Output: (id, n_words, n_covered, text_clean) for every input doc.
+    */
+  def spanDedup(df: DataFrame, textCol: String, idCol: String,
+      spanWords: Int, minCount: Int = 2): DataFrame = {
+    val id = col(idCol).cast("long").as(idCol)
+    val ws = df.select(id, split(DedupOps.normText(col(textCol)), " ").as("_ws"))
+      .select(col(idCol), col("_ws"),
+        // (start, hash) structs for all spans; empty below spanWords
+        when(size(col("_ws")) >= spanWords,
+          transform(sequence(lit(0), size(col("_ws")) - spanWords),
+            i => struct(i.as("start"),
+              aggregate(transform(slice(col("_ws"), i + 1, lit(spanWords)), w => xxhash64(w)),
+                lit(0L), (acc, x) => acc * lit(1099511628211L) + x).as("h"))))
+          .otherwise(array().cast("array<struct<start:int,h:bigint>>")).as("_spans"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val occ = ws.select(col(idCol), explode(col("_spans")).as("s"))
+      .select(col(idCol), col("s.start"), col("s.h"))
+    val dup = occ.groupBy("h").agg(count(lit(1)).as("n")).filter(col("n") >= minCount)
+      .select("h")
+    val covered = occ.join(dup, Seq("h"))
+      .select(col(idCol), explode(sequence(col("start"), col("start") + (spanWords - 1))).as("pos"))
+      .distinct()
+      .groupBy(idCol).agg(sort_array(collect_set(col("pos"))).as("_cov"))
+
+    ws.join(covered, Seq(idCol), "left")
+      // size(NULL) is -1 under the non-ANSI legacy conf — normalize the
+      // no-coverage case to an empty array before measuring it
+      .withColumn("_cov", coalesce(col("_cov"), array().cast("array<int>")))
+      .select(col(idCol),
+        size(col("_ws")).cast("long").as("n_words"),
+        size(col("_cov")).cast("long").as("n_covered"),
+        array_join(transform(
+          filter(zip_with(col("_ws"), sequence(lit(0), size(col("_ws")) - 1),
+            (w, i) => struct(w.as("w"), i.as("i"))),
+            s => !array_contains(col("_cov"), s.getField("i"))),
+          s => s.getField("w")), " ").as("text_clean"))
+  }
+
   /** C4-style line-level boilerplate removal: a line that appears in
     * ≥ `minDocs` distinct documents is dropped from EVERY document
     * (navigation chrome, cookie banners, boilerplate headers), and the

@@ -219,6 +219,20 @@ object LlmPipeline {
         .orderBy("new_id")
     }),
 
+    // Span-level substring dedup (Lee-et-al-style, order-free variant):
+    // every 10-word span occurring ≥2 times corpus-wide is removed from
+    // every covered position; planted full copies (every 25th doc under
+    // +500000) blank out both copies entirely.
+    "q75_span_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+      ScrubOps.spanDedup(docs.unionByName(planted), "text", "doc_id",
+          spanWords = 10, minCount = 2)
+        .orderBy("doc_id")
+    }),
+
     // C4-style line-level boilerplate removal. The corpus has no
     // newlines, so both engines deterministically re-chunk each doc into
     // 4-word lines first; a line appearing in ≥3 distinct docs is dropped
@@ -624,6 +638,30 @@ object LlmPipeline {
         |  COALESCE(e.match_id, nr.m) AS match_id
         |FROM newb n LEFT JOIN exact e ON n.nid = e.nid LEFT JOIN near nr ON n.nid = nr.nid
         |ORDER BY new_id""".stripMargin,
+
+    // re-runs span dedup on the span STRINGS (the Spark side hashes
+    // them — q27/q28 convention): occurrence counts, coverage explode,
+    // uncovered-position reassembly
+    "q75_span_dedup" ->
+      """WITH base AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS BIGINT) + 500000, text FROM documents WHERE doc_id % 25 = 0),
+        |w AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws FROM base),
+        |sp AS (SELECT doc_id,
+        |    unnest([{'start': i - 1, 'g': array_to_string(ws[i:i+9], ' ')} for i in range(1, len(ws) - 8)],
+        |           recursive := true)
+        |  FROM w WHERE len(ws) >= 10),
+        |dupg AS (SELECT g FROM sp GROUP BY g HAVING COUNT(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT doc_id, unnest([p for p in range(start, start + 10)]) AS pos
+        |    FROM sp WHERE g IN (SELECT g FROM dupg))),
+        |cl AS (SELECT doc_id, list(pos ORDER BY pos) AS cl FROM cov GROUP BY doc_id),
+        |j AS (SELECT w.doc_id, w.ws, COALESCE(cl.cl, CAST([] AS BIGINT[])) AS cov
+        |      FROM w LEFT JOIN cl ON w.doc_id = cl.doc_id)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, CAST(len(cov) AS BIGINT) AS n_covered,
+        |  COALESCE(array_to_string([ws[i] for i in range(1, len(ws) + 1) if NOT list_contains(cov, i - 1)], ' '), '') AS text_clean
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     // re-chunks each doc into 4-word lines, counts distinct-doc line
     // frequency, drops lines in ≥3 docs from every doc, reassembles in

@@ -199,6 +199,22 @@ object LlmPipeline {
         .orderBy("cell", "dim")
     }),
 
+    // End-to-end trained-quantizer IVF ANN: two Lloyd iterations train
+    // the coarse cells (integer-exact, deterministic), then the
+    // cell-restricted top-3 search runs on the TRAINED labels. The
+    // oracle unrolls both iterations (assign -> update -> assign ->
+    // update -> final assign) and re-ranks in SQL.
+    "q76_ann_topk_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = SimilarityOps.kmeansTrain(emb, "vec_id", "embedding", k = 8, maxIter = 2)
+      val labeled = SimilarityOps.kmeansAssign(
+        emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding")),
+        "vec_id", "embedding", cents)
+      SimilarityOps.topKWithinPartition(labeled, "vec_id", "embedding", "cell", k = 3)
+        .select(col("cell"), col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Incremental ingestion dedup: the new batch = re-id'd docs
     // (doc_id%7==3 under +1e6; planted corpus exact-dups %50==0 under
     // +2e6; planted in-batch dups %100==1 under +3e6) judged against the
@@ -601,6 +617,51 @@ object LlmPipeline {
         |SELECT cell, CAST(dim AS BIGINT) AS dim, CAST(SUM(x) AS BIGINT) AS sum_q,
         |  CAST(COUNT(*) AS BIGINT) AS n_vecs
         |FROM e GROUP BY cell, dim ORDER BY cell, dim""".stripMargin,
+
+    // unrolls the exact training loop: seed -> assign -> update ->
+    // assign -> update -> final assign (truncating integer means,
+    // emptied cells keep their centroid via the LEFT JOIN), then
+    // re-ranks the cell-restricted cosine top-3
+    "q76_ann_topk_trained" ->
+      """WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vid,
+        |    CAST(embedding AS DOUBLE[]) AS vd,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |e AS (SELECT vid, dd.range AS dim, qv[CAST(dd.range AS INT) + 1] AS x
+        |      FROM v CROSS JOIN range(64) dd),
+        |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS BIGINT) AS cell, vid
+        |       FROM (SELECT vid FROM v ORDER BY vid LIMIT 8)),
+        |cent0 AS (SELECT c0.cell, e.dim, e.x AS comp FROM c0 JOIN e ON c0.vid = e.vid),
+        |d1 AS (SELECT e.vid, c.cell, SUM((e.x - c.comp) * (e.x - c.comp)) AS dist
+        |       FROM e JOIN cent0 c ON e.dim = c.dim GROUP BY e.vid, c.cell),
+        |a1 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM d1) WHERE rn = 1),
+        |s1 AS (SELECT a.cell, e.dim, CAST(SUM(e.x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM a1 a JOIN e ON a.vid = e.vid GROUP BY a.cell, e.dim),
+        |cent1 AS (SELECT c.cell, c.dim,
+        |        COALESCE(CASE WHEN s1.s >= 0 THEN s1.s // s1.n ELSE -((-s1.s) // s1.n) END, c.comp) AS comp
+        |       FROM cent0 c LEFT JOIN s1 ON c.cell = s1.cell AND c.dim = s1.dim),
+        |d2 AS (SELECT e.vid, c.cell, SUM((e.x - c.comp) * (e.x - c.comp)) AS dist
+        |       FROM e JOIN cent1 c ON e.dim = c.dim GROUP BY e.vid, c.cell),
+        |a2 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM d2) WHERE rn = 1),
+        |s2 AS (SELECT a.cell, e.dim, CAST(SUM(e.x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM a2 a JOIN e ON a.vid = e.vid GROUP BY a.cell, e.dim),
+        |cent2 AS (SELECT c.cell, c.dim,
+        |        COALESCE(CASE WHEN s2.s >= 0 THEN s2.s // s2.n ELSE -((-s2.s) // s2.n) END, c.comp) AS comp
+        |       FROM cent1 c LEFT JOIN s2 ON c.cell = s2.cell AND c.dim = s2.dim),
+        |d3 AS (SELECT e.vid, c.cell, SUM((e.x - c.comp) * (e.x - c.comp)) AS dist
+        |       FROM e JOIN cent2 c ON e.dim = c.dim GROUP BY e.vid, c.cell),
+        |a3 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM d3) WHERE rn = 1),
+        |cand AS (SELECT aq.cell, aq.vid AS query_id, ac.vid AS neighbor_id,
+        |      list_cosine_similarity(q.vd, c.vd) AS score
+        |    FROM a3 aq JOIN a3 ac ON aq.cell = ac.cell AND aq.vid <> ac.vid
+        |    JOIN v q ON q.vid = aq.vid JOIN v c ON c.vid = ac.vid),
+        |r AS (SELECT cell, query_id, neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rnk FROM cand)
+        |SELECT cell, query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 3
+        |ORDER BY query_id, rank""".stripMargin,
 
     // same batch construction; exact stage on normalized text equality,
     // near stage brute-force Jaccard >= 0.5 (the Spark side's banded

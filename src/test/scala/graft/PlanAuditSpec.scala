@@ -109,6 +109,35 @@ class PlanAuditSpec extends SparkSpec {
       "curation chain contains an all-pairs join")
   }
 
+  test("scrub/quality operators are pure projections: no exchange at all") {
+    // PII redaction and the quality gate must stay scan-side — a shuffle
+    // appearing here means a window/groupBy snuck into a per-row op
+    Seq("q70_pii_redact", "q71_quality_gate").foreach { q =>
+      val p = plan(q)
+      val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+      // the output orderBy is the only permitted exchange (range part.)
+      assert(exchanges <= 1, s"$q shuffles beyond the output sort: $exchanges")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("incremental dedup and span dedup never join the corpus all-pairs") {
+    Seq("q73_incremental_dedup", "q75_span_dedup", "q76_ann_topk_trained").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to an all-pairs join")
+    }
+  }
+
+  test("bloom semi-join prunes before the exchange") {
+    val p = plan("q74_bloom_semijoin")
+    // the sketch filter must sit in the scan stage, i.e. appear as a
+    // Filter BELOW the first Exchange in the lineitem branch; cheap
+    // structural proxy: some Filter node mentions the UDF
+    assert(p.contains("UDF"), "bloom mightContain filter missing from the plan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("stratified sample is a scan-side filter, no pre-agg shuffle") {
     // the hash-gate must sit in the scanned stage: exactly one Exchange
     // (the groupBy), nothing upstream of the filter

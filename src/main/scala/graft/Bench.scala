@@ -45,7 +45,8 @@ object Bench {
     "q72_kmeans_step",          // IVF quantizer training step (Lloyd statistics)
     "q73_incremental_dedup",    // new-batch-vs-corpus dedup (side-aware LSH)
     "q74_bloom_semijoin",       // Bloom-sketch scan prune + exact semi join
-    "q75_span_dedup")           // substring-level corpus dedup (span coverage)
+    "q75_span_dedup",           // substring-level corpus dedup (span coverage)
+    "q77_corpus_pipeline_full") // curation chain v2 (gate+scrub+dedup+decontam)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

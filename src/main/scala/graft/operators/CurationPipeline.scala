@@ -81,6 +81,91 @@ object CurationPipeline {
     keep3.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** The FULL curation chain a web-scale training pipeline runs —
+    * [[curate]]'s stages plus the scrubbing family, composed in the
+    * order that keeps every stage's input well-defined:
+    *
+    *  1. Gopher quality gate (word count / word length / repetition /
+    *     stopwords, integer arithmetic) on the train split,
+    *  2. exact dedup (min id per normalized text) — BEFORE the span
+    *     stage, deliberately: two full copies share every span, so
+    *     span-level dedup run first would blank both instead of
+    *     keeping one,
+    *  3. line-level boilerplate removal (lineWords-word lines appearing
+    *     in ≥ lineMinDocs surviving docs drop from every doc; emptied
+    *     docs drop),
+    *  4. span-level substring dedup (spanWords-word spans occurring
+    *     ≥ spanMinCount times across survivors; emptied docs drop),
+    *  5. near-dup removal (MinHash+LSH + exact Jaccard verify on the
+    *     cleaned text, drop the larger id),
+    *  6. decontamination: survivors sharing a contamN-gram with the
+    *     ORIGINAL eval texts drop (eval set is never scrubbed — a
+    *     contaminated doc must not escape because scrubbing reshaped
+    *     its words).
+    *
+    * Texts are re-derived between scrubbing stages, so later stages see
+    * what earlier stages produced — exactly what the oracle replays.
+    */
+  def curateFull(docs: DataFrame, textCol: String, idCol: String, langCol: String,
+                 evalPred: Column, minWords: Int = 15,
+                 lineWords: Int = 4, lineMinDocs: Int = 3,
+                 spanWords: Int = 10, spanMinCount: Int = 2,
+                 ngramN: Int = 3, jaccardThreshold: Double = 0.5,
+                 contamN: Int = 5): DataFrame = {
+    val base = docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        col(langCol).as("lang"),
+        evalPred.as("_is_eval"),
+        DedupOps.normText(col(textCol)).as("_nt"))
+      .withColumn("_ws", split(col("_nt"), " "))
+    val train = base.filter(!col("_is_eval"))
+
+    // 1. quality gate
+    val keep1 = train
+      .filter(size(TextOps.gopherFailReasons(col("_ws"), minWords = minWords)) === 0)
+
+    // 2. exact dedup on the normalized text (before span dedup: full
+    // copies share every span and would annihilate each other there)
+    val keep2 = keep1
+      .withColumn("_rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(sha2(col("_nt"), 256)).orderBy(col("doc_id").asc)))
+      .filter(col("_rn") === 1).drop("_rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // 3. line-level boilerplate removal over the deduped corpus
+    val chunks = transform(
+      sequence(lit(0), floor((size(col("_ws")) - 1) / lineWords).cast("int")),
+      i => array_join(slice(col("_ws"), i * lineWords + 1, lit(lineWords)), " "))
+    val lined = keep2.select(col("doc_id"), array_join(chunks, "\n").as("_lined"))
+    val keep3 = ScrubOps.lineFrequencyFilter(lined, "_lined", "doc_id", lineMinDocs)
+      .filter(col("text_clean") =!= "")
+      .select(col("doc_id"),
+        regexp_replace(col("text_clean"), "\n", " ").as("_t"))
+
+    // 4. span-level substring dedup over the line-cleaned corpus
+    val keep4 = ScrubOps.spanDedup(keep3, "_t", "doc_id", spanWords, spanMinCount)
+      .filter(col("text_clean") =!= "")
+      .select(col("doc_id"), col("text_clean").as("_t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // 5. near-dup removal
+    val dropped = DedupOps.minhashNearDupPairs(keep4, "_t", "doc_id",
+        n = ngramN, threshold = jaccardThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val keep5 = keep4.join(dropped, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // 6. decontamination vs the ORIGINAL eval texts
+    val contaminated = DedupOps.contaminationReport(
+        keep5.select(col("doc_id"), col("_t").as("_nt")).unionByName(
+          base.filter(col("_is_eval")).select("doc_id", "_nt")),
+        "_nt", "doc_id", evalPred, contamN)
+      .select(col("train_doc").as("doc_id"))
+    keep5.join(contaminated, Seq("doc_id"), "left_anti")
+      .join(base.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("_ws", split(col("_t"), " "))
+  }
+
   /** Per-language corpus stats over the curated survivors. */
   def statsByLang(curated: DataFrame): DataFrame =
     curated.groupBy("lang")

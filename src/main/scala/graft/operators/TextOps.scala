@@ -150,6 +150,29 @@ object TextOps {
     *   - `repetitive`: distinct-word ratio < 30% (duplicate fraction > 70%)
     *   - `no_stopwords`: fewer than `minStopwords` stopword hits
     */
+  /** Ordered failed-rule names for a words-array column — the shared
+    * kernel of [[gopherQuality]] and the curation chain's gate.
+    */
+  def gopherFailReasons(ws: Column,
+      stopwords: Seq[String] = markers("en"),
+      minWords: Int = 15, maxWords: Int = 10000,
+      minStopwords: Int = 2): Column = {
+    val nWords = size(ws).cast("long")
+    val nDistinct = size(array_distinct(ws)).cast("long")
+    // normalized text = words joined by single spaces, so word chars =
+    // chars - (words - 1) separators
+    val nWordChars = (length(array_join(ws, " ")) - (size(ws) - 1)).cast("long")
+    val nStop = size(filter(ws, w => w.isin(stopwords: _*))).cast("long")
+    filter(
+      array(
+        when(nWords < minWords, "too_short"),
+        when(nWords > maxWords, "too_long"),
+        when(nWordChars < nWords * 3 || nWordChars > nWords * 10, "word_len"),
+        when((nWords - nDistinct) * 10 > nWords * 7, "repetitive"),
+        when(nStop < minStopwords, "no_stopwords")),
+      r => r.isNotNull)
+  }
+
   def gopherQuality(df: DataFrame, textCol: String, idCol: String,
       stopwords: Seq[String] = markers("en"),
       minWords: Int = 15, maxWords: Int = 10000,
@@ -157,23 +180,9 @@ object TextOps {
     val ws = col("_ws")
     val nWords = size(ws).cast("long")
     val nDistinct = size(array_distinct(ws)).cast("long")
-    // normalized text = words joined by single spaces, so word chars =
-    // chars - (words - 1) separators
     val nWordChars = (length(array_join(ws, " ")) - (size(ws) - 1)).cast("long")
     val nStop = size(filter(ws, w => w.isin(stopwords: _*))).cast("long")
-
-    val tooShort = nWords < minWords
-    val tooLong = nWords > maxWords
-    val wordLen = nWordChars < nWords * 3 || nWordChars > nWords * 10
-    val repetitive = (nWords - nDistinct) * 10 > nWords * 7
-    val noStop = nStop < minStopwords
-
-    val reasons = filter(
-      array(
-        when(tooShort, "too_short"), when(tooLong, "too_long"),
-        when(wordLen, "word_len"), when(repetitive, "repetitive"),
-        when(noStop, "no_stopwords")),
-      r => r.isNotNull)
+    val reasons = gopherFailReasons(ws, stopwords, minWords, maxWords, minStopwords)
 
     df.select(col(idCol).cast("long").as(idCol), words(col(textCol)).as("_ws"))
       .select(col(idCol),

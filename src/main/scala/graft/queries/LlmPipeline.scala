@@ -199,6 +199,16 @@ object LlmPipeline {
         .orderBy("cell", "dim")
     }),
 
+    // FULL curation chain v2: quality gate → exact dedup → line-level
+    // boilerplate removal → span-level substring dedup → near-dup
+    // removal → decontamination (vs the ORIGINAL eval texts), then
+    // per-language stats. The oracle replays every stage in SQL.
+    "q77_corpus_pipeline_full" -> ((s, dir) => {
+      val curated = CurationPipeline.curateFull(t(s, dir, "documents"),
+        "text", "doc_id", "lang", col("doc_id") % 10 === 0)
+      CurationPipeline.statsByLang(curated)
+    }),
+
     // End-to-end trained-quantizer IVF ANN: two Lloyd iterations train
     // the coarse cells (integer-exact, deterministic), then the
     // cell-restricted top-3 search runs on the TRAINED labels. The
@@ -617,6 +627,65 @@ object LlmPipeline {
         |SELECT cell, CAST(dim AS BIGINT) AS dim, CAST(SUM(x) AS BIGINT) AS sum_q,
         |  CAST(COUNT(*) AS BIGINT) AS n_vecs
         |FROM e GROUP BY cell, dim ORDER BY cell, dim""".stripMargin,
+
+    // replays the full v2 chain: gate, exact dedup (k1b), line filter,
+    // span dedup, brute near-dup, decontamination vs original eval
+    // texts, stats
+    "q77_corpus_pipeline_full" ->
+      """WITH w AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |evalg AS (
+        |  SELECT DISTINCT unnest(list_distinct([array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)])) AS sg
+        |  FROM w WHERE doc_id % 10 = 0 AND len(ws) >= 5),
+        |k1 AS (
+        |  SELECT doc_id, ws FROM w
+        |  WHERE doc_id % 10 <> 0
+        |    AND NOT (len(ws) < 15 OR len(ws) > 10000
+        |      OR (length(array_to_string(ws, ' ')) - (len(ws) - 1)) < len(ws) * 3
+        |      OR (length(array_to_string(ws, ' ')) - (len(ws) - 1)) > len(ws) * 10
+        |      OR (len(ws) - len(list_distinct(ws))) * 10 > len(ws) * 7
+        |      OR len(list_filter(ws, x -> x IN ('the','a','of','and','is'))) < 2)),
+        |k1b AS (SELECT doc_id, ws FROM k1
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM (SELECT doc_id, array_to_string(ws, ' ') AS nt2 FROM k1) GROUP BY nt2)),
+        |ld AS (SELECT doc_id, [array_to_string(ws[i:i+3], ' ') for i in range(1, len(ws) + 1, 4)] AS ls FROM k1b),
+        |lfreq AS (SELECT line FROM (
+        |    SELECT line, COUNT(DISTINCT doc_id) AS n
+        |    FROM (SELECT doc_id, unnest(ls) AS line FROM ld) GROUP BY line) WHERE n >= 3),
+        |lf AS (SELECT coalesce(list(line), CAST([] AS VARCHAR[])) AS fl FROM lfreq),
+        |k2 AS (SELECT doc_id,
+        |    string_split(array_to_string(list_filter(ld.ls, x -> NOT list_contains(lf.fl, x)), ' '), ' ') AS ws2
+        |  FROM ld CROSS JOIN lf
+        |  WHERE len(list_filter(ld.ls, x -> NOT list_contains(lf.fl, x))) > 0),
+        |sp AS (SELECT doc_id,
+        |    unnest([{'start': i - 1, 'g': array_to_string(ws2[i:i+9], ' ')} for i in range(1, len(ws2) - 8)],
+        |           recursive := true)
+        |  FROM k2 WHERE len(ws2) >= 10),
+        |dupg AS (SELECT g FROM sp GROUP BY g HAVING COUNT(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT doc_id, unnest([p for p in range(start, start + 10)]) AS pos
+        |    FROM sp WHERE g IN (SELECT g FROM dupg))),
+        |cl AS (SELECT doc_id, list(pos ORDER BY pos) AS cl FROM cov GROUP BY doc_id),
+        |k3 AS (SELECT k2.doc_id,
+        |    [ws2[i] for i in range(1, len(ws2) + 1) if NOT list_contains(COALESCE(cl.cl, CAST([] AS BIGINT[])), i - 1)] AS ws3
+        |  FROM k2 LEFT JOIN cl ON k2.doc_id = cl.doc_id),
+        |k4 AS (SELECT doc_id, ws3, array_to_string(ws3, ' ') AS t3 FROM k3 WHERE len(ws3) > 0),
+        |sh3 AS (SELECT doc_id, list_distinct([array_to_string(ws3[i:i+2], ' ') for i in range(1, len(ws3) - 1)]) AS sg
+        |  FROM k4 WHERE len(ws3) >= 3),
+        |nd AS (SELECT DISTINCT b.doc_id FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sg, b.sg)) * 2.0 >= len(list_distinct(list_concat(a.sg, b.sg)))),
+        |k5 AS (SELECT * FROM k4 WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+        |sh5 AS (SELECT doc_id, unnest(list_distinct([array_to_string(ws3[i:i+4], ' ') for i in range(1, len(ws3) - 3)])) AS sg
+        |  FROM k5 WHERE len(ws3) >= 5),
+        |cont AS (SELECT DISTINCT t.doc_id FROM sh5 t JOIN evalg e ON t.sg = e.sg),
+        |final AS (SELECT k5.doc_id, k5.ws3, w.lang FROM k5 JOIN w ON k5.doc_id = w.doc_id
+        |          WHERE k5.doc_id NOT IN (SELECT doc_id FROM cont))
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(ws3)) AS BIGINT) AS total_tokens,
+        |  CAST(MIN(doc_id) AS BIGINT) AS first_doc, CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        |FROM final GROUP BY lang ORDER BY lang""".stripMargin,
 
     // unrolls the exact training loop: seed -> assign -> update ->
     // assign -> update -> final assign (truncating integer means,

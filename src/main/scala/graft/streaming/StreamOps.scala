@@ -139,6 +139,30 @@ object StreamOps {
     * the standard lambda-architecture split for a live ingest feed.
     * `maxDupTenths` mirrors CurationPipeline.curate.
     */
+  /** Streaming incremental intake against a static curated corpus: drop
+    * stream docs whose text fingerprint already exists in the corpus
+    * fingerprint table (stream-static LEFT OUTER join + null filter —
+    * the anti-join shape Structured Streaming supports; the static side
+    * re-resolves per micro-batch, so a periodically refreshed corpus
+    * fingerprint parquet just works), then drop in-stream repeats
+    * within the watermark horizon. This is the streaming half of
+    * DedupOps.incrementalDedup's exact stage; the near-dup stage stays
+    * a periodic batch job over the intake sink (corpus-wide join).
+    * `corpusFp` needs a single `fp` column (sha256 of normalized text —
+    * TextOps.fingerprint).
+    */
+  def incrementalIntakeStream(stream: DataFrame, corpusFp: DataFrame,
+                              tsCol: String, delay: String,
+                              textCol: String): DataFrame = {
+    val withFp = stream.withColumn("_fp",
+      sha2(graft.operators.DedupOps.normText(col(textCol)), 256))
+    val fresh = withFp
+      .join(corpusFp.select(col("fp").as("_fp"), lit(true).as("_in_corpus")),
+        Seq("_fp"), "left_outer")
+      .filter(col("_in_corpus").isNull).drop("_in_corpus")
+    dedupWithinWatermark(fresh, tsCol, delay, Seq("_fp")).drop("_fp")
+  }
+
   def curateStream(stream: DataFrame, tsCol: String, delay: String,
                    textCol: String, maxDupTenths: Int = 7): DataFrame = {
     val w = split(graft.operators.DedupOps.normText(col(textCol)), " ")

@@ -91,6 +91,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental intake drops corpus-known docs and in-stream repeats") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpusFp = Seq("the quick brown fox jumps today")
+      .toDF("text")
+      .select(graft.operators.TextOps.fingerprint($"text").as("fp"))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val intake = StreamOps.incrementalIntakeStream(docs, corpusFp, "ts", "1 hour", "text")
+    val q = intake.writeStream.outputMode("append")
+      .format("memory").queryName("intake_out").start()
+    try {
+      input.addData(
+        // already in the corpus (normalization-equal) -> dropped
+        (ts("2024-01-01 10:00:00"), 1L, "The  QUICK brown fox jumps today"),
+        (ts("2024-01-01 10:01:00"), 2L, "a genuinely new document arrives here"))
+      q.processAllAvailable()
+      input.addData(
+        // in-stream repeat of doc 2 within the watermark -> dropped
+        (ts("2024-01-01 10:05:00"), 3L, "a genuinely NEW document arrives here"),
+        (ts("2024-01-01 10:06:00"), 4L, "and another brand new one lands"))
+      q.processAllAvailable()
+      val ids = spark.table("intake_out").select($"doc_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(2L, 4L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState accumulates per-key state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]

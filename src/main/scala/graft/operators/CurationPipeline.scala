@@ -142,17 +142,23 @@ object CurationPipeline {
       .select(col("doc_id"),
         regexp_replace(col("text_clean"), "\n", " ").as("_t"))
 
-    // 4. span-level substring dedup over the line-cleaned corpus
-    val keep4 = ScrubOps.spanDedup(keep3, "_t", "doc_id", spanWords, spanMinCount)
+    // 4. span-level substring dedup over the line-cleaned corpus;
+    // emitWordHashes hands the surviving words' hashes straight to the
+    // near-dup stage (no re-tokenize / re-hash of the cleaned text)
+    val keep4 = ScrubOps.spanDedup(keep3, "_t", "doc_id", spanWords, spanMinCount,
+        emitWordHashes = true)
       .filter(col("text_clean") =!= "")
-      .select(col("doc_id"), col("text_clean").as("_t"))
+      .select(col("doc_id"), col("text_clean").as("_t"), col("wh_clean"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // 5. near-dup removal
-    val dropped = DedupOps.minhashNearDupPairs(keep4, "_t", "doc_id",
-        n = ngramN, threshold = jaccardThreshold)
+    // 5. near-dup removal, shingling the span stage's word-hash arrays
+    val dropped = DedupOps.minhashNearDupPairsFromShingles(
+        keep4.select(col("doc_id"),
+          DedupOps.shingleHashesOfWordHashes(col("wh_clean"), ngramN).as("sg")),
+        threshold = jaccardThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
     val keep5 = keep4.join(dropped, Seq("doc_id"), "left_anti")
+      .select("doc_id", "_t")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 6. decontamination vs the ORIGINAL eval texts

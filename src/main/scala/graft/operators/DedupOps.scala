@@ -140,18 +140,27 @@ object DedupOps {
         b => struct(a.as("doc_a"), b.as("doc_b")))))
   }
 
+  /** The bands × rowsPerBand band structs (band_idx, band_hash) over the
+    * h0..h{numHashes-1} signature columns of the input scope.
+    */
+  private def bandStructs(bands: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until bands).map { j =>
+      val rows = (0 until rowsPerBand).map(r => col(s"h${j * rowsPerBand + r}"))
+      struct(lit(j).as("band_idx"), xxhash64(rows: _*).as("band_hash"))
+    }
+
+  /** (doc_id, band_idx, band_hash) — one row per band per doc. */
+  private def bandTable(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(col("doc_id"), explode(array(bandStructs(bands, rowsPerBand): _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+
   /** LSH candidate pairs: band the signature (bands × rowsPerBand =
     * numHashes), hash each band, emit distinct id pairs per bucket.
     * Single shuffle keyed by bucket; the signature plan is evaluated
     * once (vs twice for a self-join formulation).
     */
   def lshCandidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandCols = (0 until bands).map { j =>
-      val rows = (0 until rowsPerBand).map(r => col(s"h${j * rowsPerBand + r}"))
-      struct(lit(j).as("band_idx"), xxhash64(rows: _*).as("band_hash"))
-    }
-    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+    val banded = bandTable(sig, bands, rowsPerBand)
     banded.groupBy("band_idx", "band_hash")
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -167,13 +176,31 @@ object DedupOps {
   def minhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
                           n: Int = 3, numHashes: Int = 64, bands: Int = 32,
                           threshold: Double = 0.5,
-                          cacheShingles: Boolean = true): DataFrame = {
-    // The shingle projection feeds three consumers (signature agg + both
+                          cacheShingles: Boolean = true): DataFrame =
+    minhashNearDupPairsFromShingles(shingleHashTable(docs, textCol, idCol, n),
+      numHashes, bands, threshold, cacheShingles)
+
+  /** [[minhashNearDupPairs]] over a prepared (doc_id, sg) hashed-shingle
+    * table — for callers that already hold tokenized/hashed words (the
+    * curation chain's span-dedup stage emits them) or a persisted corpus
+    * shingle parquet.
+    *
+    * Recall note for oracle-checked configurations: with b bands × r rows
+    * at threshold t, P[miss] per pair is (1−jʳ)ᵇ — at the default 32×2
+    * that is ≈5e-15 for j≥0.8 but ≈1e-4 for a BORDERLINE j≈0.5 pair, so
+    * a brute-force-equality oracle can in principle flake on an unlucky
+    * corpus; raise bands (or lower rowsPerBand) if a checked dataset ever
+    * carries pairs hugging the threshold.
+    */
+  def minhashNearDupPairsFromShingles(sh0: DataFrame,
+                                      numHashes: Int = 64, bands: Int = 32,
+                                      threshold: Double = 0.5,
+                                      cacheShingles: Boolean = true): DataFrame = {
+    // The shingle table feeds three consumers (signature agg + both
     // verify-join sides) — persist it once instead of recomputing the
     // most expensive narrow stage per consumer. At corpus scale, write it
     // as a parquet table instead and feed it back through
     // minhashSignaturesFromShingles.
-    val sh0 = shingleHashTable(docs, textCol, idCol, n)
     val sh = if (cacheShingles)
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sh0
@@ -371,16 +398,71 @@ object DedupOps {
                        textCol: String, idCol: String,
                        n: Int = 3, numHashes: Int = 64, bands: Int = 32,
                        threshold: Double = 0.5): DataFrame = {
+    // In-session convenience wrapper: derives the corpus index here and
+    // persists its two join-side frames (each feeds the prepared kernel
+    // once per side, and Spark would otherwise recompute the corpus scan
+    // per consumer). Long-lived sessions that call this repeatedly should
+    // either clearCache() after consuming the result or — better — build
+    // the index ONCE with [[buildCorpusDedupIndex]], write it to parquet,
+    // and call [[incrementalDedupPrepared]] per batch: that is the shape
+    // whose per-ingest cost is proportional to the batch, not the corpus.
+    val idx0 = buildCorpusDedupIndex(corpus, textCol, idCol, n, numHashes, bands)
+    val idx = CorpusDedupIndex(
+      idx0.fingerprints,
+      idx0.shingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      idx0.bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    incrementalDedupPrepared(newBatch, idx, textCol, idCol, n, numHashes, bands, threshold)
+  }
+
+  /** Precomputed corpus-side dedup index: text fingerprints for the exact
+    * stage, hashed shingle sets for the verify stage, and MinHash band
+    * hashes for the candidate stage. At scale each frame is written once
+    * as a parquet table when a batch is ACCEPTED into the corpus, then
+    * every subsequent ingest reads them instead of re-shingling /
+    * re-signing 100 TB per day. Write `bands` bucketed by (band_idx,
+    * band_hash) and `shingles`/`fingerprints` bucketed by their keys to
+    * make the per-batch joins co-located.
+    */
+  final case class CorpusDedupIndex(fingerprints: DataFrame, // (cid, _h)
+                                    shingles: DataFrame,     // (doc_id, sg)
+                                    bands: DataFrame)        // (doc_id, band_idx, band_hash)
+
+  /** Build the three corpus index frames. Parameters must match the ones
+    * later passed to [[incrementalDedupPrepared]].
+    */
+  def buildCorpusDedupIndex(corpus: DataFrame, textCol: String, idCol: String,
+                            n: Int = 3, numHashes: Int = 64,
+                            bands: Int = 32): CorpusDedupIndex = {
+    val fp = corpus.select(col(idCol).cast("long").as("cid"),
+      sha2(normText(col(textCol)), 256).as("_h"))
+    val sh = shingleHashTable(corpus, textCol, idCol, n)
+    val banded = bandTable(minhashSignaturesFromShingles(sh, numHashes),
+      bands, numHashes / bands)
+    CorpusDedupIndex(fp, sh, banded)
+  }
+
+  /** [[incrementalDedup]] against a PRECOMPUTED corpus index: every
+    * corpus-side artifact (fingerprints, shingles, band hashes) comes in
+    * as a frame — typically parquet reads — so per-ingest compute is
+    * proportional to the new batch. The corpus participates only through
+    * joins: fingerprint equi-join (exact stage), band-hash equi-join
+    * (candidate stage — only buckets a new doc landed in produce rows),
+    * and the shingle lookup for candidate partners (semi-join shaped: a
+    * corpus row survives the join only if some candidate references it).
+    */
+  def incrementalDedupPrepared(newBatch: DataFrame, index: CorpusDedupIndex,
+                               textCol: String, idCol: String,
+                               n: Int = 3, numHashes: Int = 64, bands: Int = 32,
+                               threshold: Double = 0.5): DataFrame = {
     // four consumers (both exact joins, the anti-join, the final roster)
-    // re-evaluate the fingerprint projection — persist it once
+    // re-evaluate the fingerprint projection — persist it once (batch-
+    // sized; freed by the caller's clearCache or session end)
     val nfp = newBatch.select(col(idCol).cast("long").as("nid"), col(textCol).as("_text"))
       .withColumn("_h", sha2(normText(col("_text")), 256))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cfp = corpus.select(col(idCol).cast("long").as("cid"),
-      sha2(normText(col(textCol)), 256).as("_h"))
 
     // exact matches: min corpus id per hash, min earlier new id per hash
-    val exactC = nfp.join(cfp, Seq("_h")).groupBy("nid").agg(min("cid").as("_mc"))
+    val exactC = nfp.join(index.fingerprints, Seq("_h")).groupBy("nid").agg(min("cid").as("_mc"))
     val wH = org.apache.spark.sql.expressions.Window.partitionBy("_h")
     val exactN = nfp.withColumn("_minNid", min("nid").over(wH))
       .filter(col("_minNid") < col("nid"))
@@ -390,40 +472,34 @@ object DedupOps {
 
     val surv = nfp.join(exactMatch.select("nid"), Seq("nid"), "left_anti")
 
-    // near-dup stage over corpus ∪ exact-survivors
+    // near-dup stage: shingle + sign + band ONLY the exact-survivors
+    // (batch-sized work), then join the batch bands against the corpus
+    // band table — corpus-corpus pairs never materialize, and corpus
+    // docs in buckets no new doc touches never leave the scan
     val shNew = shingleHashTable(surv.select(col("nid").as(idCol), col("_text").as(textCol)),
-      textCol, idCol, n)
-    val shCorp = shingleHashTable(corpus, textCol, idCol, n)
-    val sh = shNew.select(col("doc_id"), col("sg"), lit(false).as("_is_corpus"))
-      .unionByName(shCorp.select(col("doc_id"), col("sg"), lit(true).as("_is_corpus")))
+        textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandsNew = bandTable(minhashSignaturesFromShingles(shNew, numHashes),
+      bands, numHashes / bands)
 
-    val sig = minhashSignaturesFromShingles(sh.select("doc_id", "sg"), numHashes)
-      .join(sh.select(col("doc_id"), col("_is_corpus")).distinct(), Seq("doc_id"))
-    val rowsPerBand = numHashes / bands
-    val bandCols = (0 until bands).map { j =>
-      val rows = (0 until rowsPerBand).map(r => col(s"h${j * rowsPerBand + r}"))
-      struct(lit(j).as("band_idx"), xxhash64(rows: _*).as("band_hash"))
-    }
-    val banded = sig.select(col("doc_id"), col("_is_corpus"),
-        explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("_is_corpus"), col("band.band_idx"), col("band.band_hash"))
-    // side-aware pair generation: new×corpus cross + new×new (a<b); a
-    // corpus-heavy bucket contributes nothing unless a new doc landed in it
-    val cand = banded.groupBy("band_idx", "band_hash")
-      .agg(collect_list(when(!col("_is_corpus"), col("doc_id"))).as("newIds"),
-        collect_list(when(col("_is_corpus"), col("doc_id"))).as("corpIds"))
-      .filter(size(col("newIds")) > 0 && (size(col("newIds")) > 1 || size(col("corpIds")) > 0))
-      .select(explode(concat(
-        flatten(transform(col("newIds"), nid =>
-          transform(col("corpIds"), cid => struct(nid.as("nid"), cid.as("partner"))))),
-        transform(pairsOf(col("newIds")), p =>
-          struct(p.getField("doc_b").as("nid"), p.getField("doc_a").as("partner"))))).as("p"))
-      .select(col("p.nid"), col("p.partner")).distinct()
+    val candCorpus = bandsNew.select(col("doc_id").as("nid"), col("band_idx"), col("band_hash"))
+      .join(index.bands.select(col("doc_id").as("partner"), col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
+      .select(col("nid"), col("partner"))
+    // new×new (a<b): greedy keep-first — the larger id is judged against
+    // the smaller, matching the batch curation chain's rule
+    val candNew = bandsNew.groupBy("band_idx", "band_hash")
+      .agg(collect_list(col("doc_id")).as("newIds"))
+      .filter(size(col("newIds")) > 1)
+      .select(explode(transform(pairsOf(col("newIds")), p =>
+        struct(p.getField("doc_b").as("nid"), p.getField("doc_a").as("partner")))).as("p"))
+      .select(col("p.nid"), col("p.partner"))
+    val cand = candCorpus.unionByName(candNew).distinct()
 
+    val partnerShingles = index.shingles.unionByName(shNew)
     val nearMatch = cand
-      .join(sh.select(col("doc_id").as("nid"), col("sg").as("sg_n")), Seq("nid"))
-      .join(sh.select(col("doc_id").as("partner"), col("sg").as("sg_p")), Seq("partner"))
+      .join(shNew.select(col("doc_id").as("nid"), col("sg").as("sg_n")), Seq("nid"))
+      .join(partnerShingles.select(col("doc_id").as("partner"), col("sg").as("sg_p")), Seq("partner"))
       .filter(jaccard(col("sg_n"), col("sg_p")) >= threshold)
       .groupBy("nid").agg(min("partner").as("match_id"))
 

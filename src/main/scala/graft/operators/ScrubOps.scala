@@ -64,18 +64,27 @@ object ScrubOps {
     * convention): collisions conflate spans at ~k²/2⁶⁴ probability —
     * the same accepted trade as the MinHash path.
     *
-    * Output: (id, n_words, n_covered, text_clean) for every input doc.
+    * Output: (id, n_words, n_covered, text_clean) for every input doc;
+    * with `emitWordHashes` an extra `wh_clean` array<long> of the
+    * SURVIVING words' xxhash64 values, so a downstream shingle consumer
+    * (the curation chain's near-dup stage) skips re-tokenizing and
+    * re-hashing the cleaned text entirely.
     */
   def spanDedup(df: DataFrame, textCol: String, idCol: String,
-      spanWords: Int, minCount: Int = 2): DataFrame = {
+      spanWords: Int, minCount: Int = 2,
+      emitWordHashes: Boolean = false): DataFrame = {
     val id = col(idCol).cast("long").as(idCol)
+    // each word hashes ONCE into _wh; span hashes fold over slices of it
+    // (the per-span transform(slice(_ws,…), xxhash64) formulation re-hashed
+    // every word spanWords times — lambda bodies get no CSE)
     val ws = df.select(id, split(DedupOps.normText(col(textCol)), " ").as("_ws"))
-      .select(col(idCol), col("_ws"),
+      .select(col(idCol), col("_ws"), transform(col("_ws"), w => xxhash64(w)).as("_wh"))
+      .select(col(idCol), col("_ws"), col("_wh"),
         // (start, hash) structs for all spans; empty below spanWords
-        when(size(col("_ws")) >= spanWords,
-          transform(sequence(lit(0), size(col("_ws")) - spanWords),
+        when(size(col("_wh")) >= spanWords,
+          transform(sequence(lit(0), size(col("_wh")) - spanWords),
             i => struct(i.as("start"),
-              aggregate(transform(slice(col("_ws"), i + 1, lit(spanWords)), w => xxhash64(w)),
+              aggregate(slice(col("_wh"), i + 1, lit(spanWords)),
                 lit(0L), (acc, x) => acc * lit(1099511628211L) + x).as("h"))))
           .otherwise(array().cast("array<struct<start:int,h:bigint>>")).as("_spans"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -89,18 +98,22 @@ object ScrubOps {
       .distinct()
       .groupBy(idCol).agg(sort_array(collect_set(col("pos"))).as("_cov"))
 
-    ws.join(covered, Seq(idCol), "left")
+    val joined = ws.join(covered, Seq(idCol), "left")
       // size(NULL) is -1 under the non-ANSI legacy conf — normalize the
       // no-coverage case to an empty array before measuring it
       .withColumn("_cov", coalesce(col("_cov"), array().cast("array<int>")))
-      .select(col(idCol),
-        size(col("_ws")).cast("long").as("n_words"),
-        size(col("_cov")).cast("long").as("n_covered"),
-        array_join(transform(
-          filter(zip_with(col("_ws"), sequence(lit(0), size(col("_ws")) - 1),
-            (w, i) => struct(w.as("w"), i.as("i"))),
-            s => !array_contains(col("_cov"), s.getField("i"))),
-          s => s.getField("w")), " ").as("text_clean"))
+    def uncovered(arr: Column): Column =
+      transform(
+        filter(zip_with(arr, sequence(lit(0), size(arr) - 1),
+          (w, i) => struct(w.as("w"), i.as("i"))),
+          s => !array_contains(col("_cov"), s.getField("i"))),
+        s => s.getField("w"))
+    val base = Seq(col(idCol),
+      size(col("_ws")).cast("long").as("n_words"),
+      size(col("_cov")).cast("long").as("n_covered"),
+      array_join(uncovered(col("_ws")), " ").as("text_clean"))
+    val cols = if (emitWordHashes) base :+ uncovered(col("_wh")).as("wh_clean") else base
+    joined.select(cols: _*)
   }
 
   /** C4-style line-level boilerplate removal: a line that appears in

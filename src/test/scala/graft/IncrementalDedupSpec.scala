@@ -39,6 +39,34 @@ class IncrementalDedupSpec extends SparkSpec {
       (104L, "near_dup", 102L)))
   }
 
+  test("prepared-index path (parquet round trip) matches the in-session wrapper") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_spec").toFile
+    try {
+      val idx0 = DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id")
+      idx0.fingerprints.write.parquet(new java.io.File(dir, "fp").getPath)
+      idx0.shingles.write.parquet(new java.io.File(dir, "sh").getPath)
+      idx0.bands.write.parquet(new java.io.File(dir, "bd").getPath)
+      val idx = DedupOps.CorpusDedupIndex(
+        spark.read.parquet(new java.io.File(dir, "fp").getPath),
+        spark.read.parquet(new java.io.File(dir, "sh").getPath),
+        spark.read.parquet(new java.io.File(dir, "bd").getPath))
+      val prepared = DedupOps.incrementalDedupPrepared(newBatch, idx, "text", "doc_id")
+        .orderBy("new_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      assert(prepared.toSeq == Seq(
+        (100L, "exact_dup", 10L),
+        (101L, "near_dup", 20L),
+        (102L, "kept", -1L),
+        (103L, "exact_dup", 102L),
+        (104L, "near_dup", 102L)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("an empty new batch and an empty corpus are both fine") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(DedupOps.incrementalDedup(empty, corpus, "text", "doc_id").count() == 0)

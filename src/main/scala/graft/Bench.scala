@@ -46,7 +46,11 @@ object Bench {
     "q73_incremental_dedup",    // new-batch-vs-corpus dedup (side-aware LSH)
     "q74_bloom_semijoin",       // Bloom-sketch scan prune + exact semi join
     "q75_span_dedup",           // substring-level corpus dedup (span coverage)
-    "q77_corpus_pipeline_full") // curation chain v2 (gate+scrub+dedup+decontam)
+    "q76_ann_topk_trained",     // end-to-end trained-quantizer IVF ANN (training
+                                // cost included — see ProfileMain for the split)
+    "q77_corpus_pipeline_full", // curation chain v2 (gate+scrub+dedup+decontam)
+    "q78_incremental_dedup_prepared") // prepared-index ingest dedup (batch-cost path;
+                                // first-ever run at an SF also builds the index)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -111,9 +115,26 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
+    // Perf-regression guard: PERF_BASELINE.json pins per-query reference
+    // minima; any passing query >1.5x its baseline lands in the drift map
+    // (value = multiple of baseline) so a regression is machine-caught in
+    // the bench output instead of discovered by a human diffing rounds.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_PERF_BASELINE", "PERF_BASELINE.json")
+    val baseline: Map[String, Double] = {
+      val f = new java.io.File(baselinePath)
+      if (f.exists()) {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        """"([a-z0-9_]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    }
+    val drift = results.collect {
+      case (k, v, None) if baseline.get(k).exists(b => v > b * 1.5) =>
+        "\"" + k + "\":" + f"${v / baseline(k)}%.2f"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val ok = results.forall(_._3.isEmpty)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"ok":$ok,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"drift":$drift,"ok":$ok,"sf":"$sfDir"}""")
     spark.stop()
     if (!ok) sys.exit(1)
   }

@@ -182,4 +182,114 @@ object EnrichBuilders {
     }(enc)
     keep.unionByName(computed).drop("member_uri")
   }
+
+  // ---------------- constituency images ----------------
+
+  /** enrichment_constituency_images.py _stable_hash (:190-191): sha256 of
+    * json.dumps(list, sort_keys=True) with Python's DEFAULT separators
+    * (", " — unlike normalize.py's compact stable_json_dumps), 24-hex
+    * prefix.
+    */
+  def imagesStableHash(values: Seq[String]): String = {
+    val json = values.map(graft.io.StableJson.write).mkString("[", ", ", "]")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(json.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(24)
+  }
+
+  /** _constituency_from_filename (:173-179): stem minus a cover/image
+    * suffix, separators to spaces, each word capitalized.
+    */
+  def constituencyFromFilename(filename: String): String = {
+    var stem = Option(filename).getOrElse("").split("\\.", 2)(0)
+    Seq("_cover", "-cover", "_image", "-image").foreach { suffix =>
+      if (stem.toLowerCase.endsWith(suffix)) stem = stem.dropRight(suffix.length)
+    }
+    stem.replace('_', ' ').replace('-', ' ').trim
+      .split("\\s+").filter(_.nonEmpty)
+      .map(w => w.head.toUpper.toString + w.tail.toLowerCase).mkString(" ")
+  }
+
+  /** _extension (:182-187): lowered last suffix, jpg → jpeg, "" if none. */
+  def imageExtension(filename: String): String = {
+    val f = Option(filename).getOrElse("")
+    if (!f.contains(".")) ""
+    else f.split("\\.").last.toLowerCase match { case "jpg" => "jpeg"; case e => e }
+  }
+
+  private def firstCol(df: DataFrame, names: String*): org.apache.spark.sql.Column =
+    names.find(df.columns.contains).map(n => coalesce(col(n).cast("string"), lit("")))
+      .getOrElse(lit(""))
+
+  /** Unified enrichment table from the legacy constituency image index
+    * (_build_trial_df :140-162): column-name fallbacks, constituency
+    * inferred from the filename when blank, stable record/source hashes,
+    * media type from the extension. Pure projection (the two helpers run
+    * as UDFs — tiny curated catalog, but the plan stays distributed);
+    * ordered like the reference (constituency, filename, record_id).
+    * No resume pass: the builder is a full deterministic reshape of the
+    * index, not an accumulating LLM enrichment.
+    */
+  def buildConstituencyImages(source: DataFrame, runId: String,
+                              sourceKey: String, rowLimit: Int = 0): DataFrame = {
+    val limited = if (rowLimit > 0) source.limit(rowLimit) else source
+    val hashU = udf((a: String, b: String, c: String) => imagesStableHash(Seq(a, b, c)))
+    val conU = udf(constituencyFromFilename _)
+    val extU = udf(imageExtension _)
+    limited.select(
+        firstCol(limited, "filename", "file_name").as("filename"),
+        firstCol(limited, "s3_key", "image_key", "key").as("image_key"),
+        firstCol(limited, "url", "image_url").as("image_url"),
+        firstCol(limited, "constituency", "constituency_name").as("_con"))
+      .select(
+        concat(lit("constituency_image:"),
+          hashU(col("image_key"), col("image_url"), col("filename"))).as("record_id"),
+        when(col("_con") =!= "", col("_con"))
+          .otherwise(conU(col("filename"))).as("constituency"),
+        col("filename"), col("image_key"), col("image_url"),
+        concat(lit("image/"),
+          when(extU(col("filename")) === "", "unknown")
+            .otherwise(extU(col("filename")))).as("media_type"),
+        lit(sourceKey).as("source_key"),
+        lit("legacy_constituency_image_index").as("source_system"),
+        // source_hash folds (filename, key, url) — note the different
+        // field order vs record_id (:158)
+        hashU(col("filename"), col("image_key"), col("image_url")).as("source_hash"),
+        lit("").as("retrieved_at_utc"),
+        lit("unreviewed").as("review_status"),
+        lit(runId).as("run_id"))
+      .orderBy("constituency", "filename", "record_id")
+  }
+
+  /** Legacy-compatible adapter (_build_compat_df :165-170): the three
+    * legacy columns, ordered by (filename, s3_key) — exactly the frame
+    * RendererContext.pickConstituencyImage consumes.
+    */
+  def constituencyImagesCompat(trial: DataFrame): DataFrame =
+    trial.select(col("filename"), col("image_key").as("s3_key"), col("image_url").as("url"))
+      .orderBy("filename", "s3_key")
+
+  /** One-row DQ summary (_dq :195-231): row count, pk uniqueness,
+    * constituency population, image locator coverage, expected-rows
+    * check; dq_status pass only when every check passes.
+    */
+  def constituencyImagesDq(trial: DataFrame, sourceRows: Long, rowLimit: Int = 0): DataFrame = {
+    val expected = if (rowLimit > 0) math.min(sourceRows, rowLimit.toLong) else sourceRows
+    val agg = trial.agg(
+      count(lit(1)).as("row_count"),
+      count_distinct(col("record_id")).as("_distinct_pk"),
+      sum(when(trim(col("constituency")) =!= "", 1L).otherwise(0L)).as("_con_pop"),
+      sum(when(trim(col("image_key")) =!= "" || trim(col("image_url")) =!= "", 1L)
+        .otherwise(0L)).as("image_locator_populated_count"))
+    agg.select(
+        col("row_count"),
+        (col("_distinct_pk") === col("row_count") && col("row_count") > 0).as("primary_key_unique"),
+        (col("_con_pop") === col("row_count") && col("row_count") > 0).as("constituency_populated"),
+        col("image_locator_populated_count"),
+        (col("row_count") - col("image_locator_populated_count")).as("image_locator_missing_count"),
+        (col("row_count") === expected).as("row_count_expected"))
+      .withColumn("dq_status",
+        when(col("row_count") > 0 && col("primary_key_unique") &&
+          col("constituency_populated") && col("image_locator_missing_count") === 0 &&
+          col("row_count_expected"), "pass").otherwise("fail"))
+  }
 }

@@ -11,6 +11,59 @@ import graft.operators.{EnrichBuilders, EnrichOps}
 class EnrichBuildersSpec extends SparkSpec {
   import spark.implicits._
 
+  test("constituency images: trial build, hashes, compat, renderer consumption") {
+    val source = Seq(
+      // file_name variant + explicit constituency
+      ("dublin_bay_north_cover.jpg", "media/dbn.jpg", "https://img.ie/dbn.jpg", "Dublin Bay North"),
+      // constituency blank -> inferred from filename (suffix stripped,
+      // words capitalized)
+      ("cork-south-central_image.png", "media/csc.png", "", ""),
+      // no extension, no locator at all
+      ("galwaywest", "", "", ""))
+      .toDF("file_name", "s3_key", "url", "constituency")
+    val trial = EnrichBuilders.buildConstituencyImages(source, "run42", "processed/constituencies/constituency_images.csv")
+    val rows = trial.collect()
+    assert(rows.length == 3)
+    val byFile = rows.map(r => r.getAs[String]("filename") -> r).toMap
+    val csc = byFile("cork-south-central_image.png")
+    assert(csc.getAs[String]("constituency") == "Cork South Central")
+    assert(csc.getAs[String]("media_type") == "image/png")
+    val gw = byFile("galwaywest")
+    assert(gw.getAs[String]("constituency") == "Galwaywest")
+    assert(gw.getAs[String]("media_type") == "image/unknown")
+    val dbn = byFile("dublin_bay_north_cover.jpg")
+    assert(dbn.getAs[String]("constituency") == "Dublin Bay North")
+    assert(dbn.getAs[String]("media_type") == "image/jpeg")
+    // record_id = sha256(json.dumps([key, url, fname], default seps))[:24]
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val exp = md.digest(
+      """["media/dbn.jpg", "https://img.ie/dbn.jpg", "dublin_bay_north_cover.jpg"]"""
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(24)
+    assert(dbn.getAs[String]("record_id") == s"constituency_image:$exp")
+    assert(dbn.getAs[String]("source_system") == "legacy_constituency_image_index")
+    assert(dbn.getAs[String]("run_id") == "run42")
+
+    // compat adapter feeds the renderer's image picker end-to-end
+    val compat = EnrichBuilders.constituencyImagesCompat(trial)
+    assert(compat.columns.toSeq == Seq("filename", "s3_key", "url"))
+    assert(graft.gold.RendererContext.pickConstituencyImage(compat, "Dublin Bay North")
+      .contains("https://img.ie/dbn.jpg"))
+    // csc/galway have no url -> first filename match wins but yields None
+    assert(graft.gold.RendererContext.pickConstituencyImage(compat, "Cork South Central").isEmpty)
+
+    // dq: pk unique + constituency populated, but one locator missing -> fail
+    val dq = EnrichBuilders.constituencyImagesDq(trial, sourceRows = 3).collect()(0)
+    assert(dq.getAs[Boolean]("primary_key_unique"))
+    assert(dq.getAs[Boolean]("constituency_populated"))
+    assert(dq.getAs[Long]("image_locator_missing_count") == 1L)
+    assert(dq.getAs[String]("dq_status") == "fail")
+    // dropping the locator-less row passes, and row_limit wires into the
+    // expected-rows check
+    val trimmed = EnrichBuilders.buildConstituencyImages(source.limit(2), "run42", "k")
+    val dq2 = EnrichBuilders.constituencyImagesDq(trimmed, sourceRows = 3, rowLimit = 2).collect()(0)
+    assert(dq2.getAs[String]("dq_status") == "pass")
+  }
+
   test("strip_citations_and_links parity") {
     assert(EnrichBuilders.stripCitationsAndLinks(
       "Grew up in Cork (see https://example.com/bio) and worked [1] as a teacher.") ==

@@ -12,21 +12,35 @@ object ShardExport {
 
   /** Greedy token packing (the q63 kernel as a reusable operator):
     * shard = orderCol mod numShards, bin = floor(running token count
-    * before this doc / capacity) in deterministic orderCol order.
+    * before this doc / capacity) in deterministic orderCol order, then
+    * renumbered densely per shard so bins are consecutive from 0 even
+    * when a single doc exceeds `capacity` (a raw floor would skip the
+    * indices its oversized doc jumped over — breaking the "sequential
+    * bins" layout a trainer streams).
     * Capacity is a soft bound — the doc that crosses a boundary stays
     * in the bin where it started (exact bounds would split documents);
     * every bin except its shard's last is ≥ capacity-minus-one-doc
     * full. The shard key bounds the packing window's partition, so no
     * task ever sorts more than one shard.
+    *
+    * DETERMINISM CONTRACT: orderCol must be unique per shard (doc ids
+    * are). With duplicate orderCol values the running sum's tie order —
+    * and therefore the packing — would vary run to run; `tieBreakCols`
+    * extends the window order for callers whose natural order carries
+    * ties (e.g. (date, doc_id)).
     */
   def assignShards(df: DataFrame, tokensCol: String, orderCol: String,
-                   numShards: Int, capacity: Long): DataFrame = {
-    val w = Window.partitionBy("shard").orderBy(orderCol)
+                   numShards: Int, capacity: Long,
+                   tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val order = (orderCol +: tieBreakCols).map(col)
+    val w = Window.partitionBy("shard").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
+    val dense = Window.partitionBy("shard").orderBy(col("_rawbin"))
     df.withColumn("shard", pmod(col(orderCol), lit(numShards.toLong)))
       .withColumn("_offset", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
-      .withColumn("bin", expr(s"_offset div ${capacity}L"))
-      .drop("_offset")
+      .withColumn("_rawbin", expr(s"_offset div ${capacity}L"))
+      .withColumn("bin", dense_rank().over(dense).cast("long") - 1L)
+      .drop("_offset", "_rawbin")
   }
 
   /** Write one JSONL line per row under path/shard=S/bin=B/. All

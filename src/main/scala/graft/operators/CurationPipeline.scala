@@ -35,7 +35,18 @@ object CurationPipeline {
   def curate(docs: DataFrame, textCol: String, idCol: String, langCol: String,
              evalPred: Column, maxDupTenths: Int = 7,
              ngramN: Int = 3, jaccardThreshold: Double = 0.5,
-             contamN: Int = 5): DataFrame = {
+             contamN: Int = 5): DataFrame =
+    curateStages(docs, textCol, idCol, langCol, evalPred, maxDupTenths,
+      ngramN, jaccardThreshold, contamN).last._2
+
+  /** [[curate]] with its stage boundaries exposed (label → survivors so
+    * far) — the profiling surface: timing each frame gives the
+    * cumulative cost up to that stage.
+    */
+  def curateStages(docs: DataFrame, textCol: String, idCol: String, langCol: String,
+                   evalPred: Column, maxDupTenths: Int = 7,
+                   ngramN: Int = 3, jaccardThreshold: Double = 0.5,
+                   contamN: Int = 5): Seq[(String, DataFrame)] = {
     // one materialized tokenization feeds stage 1 (lambda-CSE: see
     // DedupOps.shinglesOfWords)
     val base = docs.select(
@@ -78,7 +89,9 @@ object CurationPipeline {
           base.filter(col("_is_eval")).select("doc_id", "_nt")),
         "_nt", "doc_id", evalPred, contamN)
       .select(col("train_doc").as("doc_id"))
-    keep3.join(contaminated, Seq("doc_id"), "left_anti")
+    val result = keep3.join(contaminated, Seq("doc_id"), "left_anti")
+    Seq("1_repetition_gate" -> keep1, "2_exact_dedup" -> keep2,
+      "3_near_dedup" -> keep3, "4_decontaminated" -> result)
   }
 
   /** The FULL curation chain a web-scale training pipeline runs —
@@ -111,7 +124,18 @@ object CurationPipeline {
                  lineWords: Int = 4, lineMinDocs: Int = 3,
                  spanWords: Int = 10, spanMinCount: Int = 2,
                  ngramN: Int = 3, jaccardThreshold: Double = 0.5,
-                 contamN: Int = 5): DataFrame = {
+                 contamN: Int = 5): DataFrame =
+    curateFullStages(docs, textCol, idCol, langCol, evalPred, minWords,
+      lineWords, lineMinDocs, spanWords, spanMinCount, ngramN,
+      jaccardThreshold, contamN).last._2
+
+  /** [[curateFull]] with stage boundaries exposed for profiling. */
+  def curateFullStages(docs: DataFrame, textCol: String, idCol: String, langCol: String,
+                 evalPred: Column, minWords: Int = 15,
+                 lineWords: Int = 4, lineMinDocs: Int = 3,
+                 spanWords: Int = 10, spanMinCount: Int = 2,
+                 ngramN: Int = 3, jaccardThreshold: Double = 0.5,
+                 contamN: Int = 5): Seq[(String, DataFrame)] = {
     val base = docs.select(
         col(idCol).cast("long").as("doc_id"),
         col(langCol).as("lang"),
@@ -167,9 +191,12 @@ object CurationPipeline {
           base.filter(col("_is_eval")).select("doc_id", "_nt")),
         "_nt", "doc_id", evalPred, contamN)
       .select(col("train_doc").as("doc_id"))
-    keep5.join(contaminated, Seq("doc_id"), "left_anti")
+    val result = keep5.join(contaminated, Seq("doc_id"), "left_anti")
       .join(base.select("doc_id", "lang"), Seq("doc_id"))
       .withColumn("_ws", split(col("_t"), " "))
+    Seq("1_quality_gate" -> keep1, "2_exact_dedup" -> keep2,
+      "3_line_scrub" -> keep3, "4_span_dedup" -> keep4,
+      "5_near_dedup" -> keep5, "6_decontaminated" -> result)
   }
 
   /** Per-language corpus stats over the curated survivors. */

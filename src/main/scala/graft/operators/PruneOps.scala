@@ -25,7 +25,21 @@ object PruneOps {
   def bloomSemiJoin(big: DataFrame, keys: DataFrame,
                     bigKey: String, keyCol: String,
                     expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val bf = keys.stat.bloomFilter(keyCol, expectedItems, fpp)
+    // build and probe must hash IDENTICAL values: the sketch is built on
+    // the key column cast to long and probed with the big key cast to
+    // long. Non-integral keys are rejected up front — a string key would
+    // otherwise hash differently on the two sides and silently prune
+    // TRUE matches (false negatives the exact semi-join cannot restore).
+    def requireIntegral(df: DataFrame, c: String): Unit = {
+      val dt = df.schema(c).dataType
+      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+        s"bloomSemiJoin requires an integral key column; '$c' is ${dt.typeName} — " +
+          "hash a non-integral key to a long (xxhash64) on BOTH sides first")
+    }
+    requireIntegral(big, bigKey)
+    requireIntegral(keys, keyCol)
+    val bf = keys.select(col(keyCol).cast("long").as(keyCol))
+      .stat.bloomFilter(keyCol, expectedItems, fpp)
     val bcast = big.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((k: Long) => bcast.value.mightContainLong(k))
     big.filter(col(bigKey).isNotNull && mightContain(col(bigKey).cast("long")))

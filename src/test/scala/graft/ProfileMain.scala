@@ -127,6 +127,44 @@ object ProfileMain {
       timeDf("q48:flatten-projected")(flat)
       timeDf("q48:full")(SparkEntry.queries("q48_bill_stages_flatten")(spark, sfDir))
       cached.unpersist()
+    } else if (args.headOption.contains("q77stages") || args.headOption.contains("q67stages")) {
+      import org.apache.spark.sql.functions._
+      import graft.operators.CurationPipeline
+      val docs = Tables.load(spark, sfDir, "documents")
+      val stages =
+        if (args.head == "q77stages")
+          CurationPipeline.curateFullStages(docs, "text", "doc_id", "lang",
+            col("doc_id") % 10 === 0)
+        else
+          CurationPipeline.curateStages(docs, "text", "doc_id", "lang",
+            col("doc_id") % 10 === 0)
+      // each frame's time is CUMULATIVE cost up to that stage; deltas
+      // between consecutive lines are the per-stage costs
+      stages.foreach { case (label, df) => timeDf(s"${args.head.take(3)}:$label")(df) }
+      val full = if (args.head == "q77stages") "q77_corpus_pipeline_full" else "q67_corpus_pipeline"
+      timeDf(s"${args.head.take(3)}:full+stats")(SparkEntry.queries(full)(spark, sfDir))
+    } else if (args.headOption.contains("recall53")) {
+      // planes × probes → recall of multiProbeTopK vs brute cosine top-5
+      // (the committed tuning table behind SimilarityOps' 100 TB advice)
+      import org.apache.spark.sql.functions._
+      import graft.operators.SimilarityOps
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      // ground truth collected once (n·k pairs — bounded, profiler-only)
+      val brute = SimilarityOps.bruteTopK(emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"brute top-5 pairs: ${brute.size}")
+      for (planes <- Seq(4, 6, 8); probes <- Seq(0, 1, 2, 4)) {
+        val t0 = System.nanoTime()
+        val approx = SimilarityOps.multiProbeTopK(emb, "vec_id", "embedding",
+            numPlanes = planes, dim = 64, probes = probes, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val secs = (System.nanoTime() - t0) / 1e9
+        val recall = approx.intersect(brute).size.toDouble / brute.size
+        println(f"RECALL planes=$planes%d probes=$probes%d recall=$recall%.4f  time=$secs%5.2f s")
+        spark.catalog.clearCache()
+      }
     } else if (args.headOption.contains("q55stages")) {
       import org.apache.spark.sql.functions._
       import graft.operators.DedupOps

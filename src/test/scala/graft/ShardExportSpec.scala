@@ -33,6 +33,19 @@ class ShardExportSpec extends SparkSpec {
     assert(gaps.count() == 0)
   }
 
+  test("oversized docs do not leave bin-index gaps") {
+    // doc 4 (shard 0) carries 5x capacity: the raw floor(offset/capacity)
+    // would jump from bin 0 to bin 5; dense renumbering keeps bins
+    // consecutive (0, 1, 2, ...)
+    val spiky = Seq((4L, 30L), (8L, 500L), (12L, 30L), (16L, 60L), (20L, 30L))
+      .toDF("doc_id", "tokens")
+    val assigned = ShardExport.assignShards(spiky, "tokens", "doc_id",
+        numShards = 4, capacity = capacity)
+      .orderBy("doc_id").select("doc_id", "bin")
+      .as[(Long, Long)].collect().toSeq
+    assert(assigned == Seq((4L, 0L), (8L, 0L), (12L, 1L), (16L, 1L), (20L, 2L)))
+  }
+
   test("writeJsonlShards round-trips content through the partitioned tree") {
     val dir = java.nio.file.Files.createTempDirectory("shard-export").toString
     val assigned = ShardExport.assignShards(docs, "tokens", "doc_id",

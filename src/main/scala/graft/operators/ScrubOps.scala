@@ -70,23 +70,70 @@ object ScrubOps {
     * (the curation chain's near-dup stage) skips re-tokenizing and
     * re-hashing the cleaned text entirely.
     */
+  /** One span-table row: 0-based start position + folded span hash. */
+  final case class SpanEntry(start: Int, h: Long)
+
+  /** Scala-side tokenize/hash kernel for [[spanDedup]] (and any caller
+    * needing the identical tokenization off-Catalyst). These are NOT in
+    * the Column DSL deliberately: an expression formulation of "hash
+    * each word once, fold spans over slices of the hash array" is one
+    * column-pruning pass away from Catalyst's single-reference inline
+    * rule substituting the word-hash array's defining expression into
+    * the per-span lambda — observed live as split() evaluating in the
+    * innermost span loop, O(words²) per document. Higher-order
+    * functions never enter whole-stage codegen anyway (they evaluate
+    * interpreted), so a typed map gives up nothing and guarantees one
+    * O(words·spanWords) pass immune to plan rewrites.
+    */
+  object SpanHash {
+    /** Exactly DedupOps.normText + split: trim, ROOT-locale lower,
+      * collapse \s+, split on single space (empty text → one "" token,
+      * matching Spark's split semantics and the DuckDB oracle).
+      */
+    def tokenize(text: String): Array[String] =
+      Option(text).getOrElse("").trim.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("\\s+", " ").split(" ", -1)
+
+    /** FNV-1a 64-bit over UTF-8 bytes — a deterministic 64-bit word
+      * hash. Spans group by hash only (the oracle groups the span
+      * STRINGS), so any fixed 64-bit function works; collisions conflate
+      * spans at ~k²/2⁶⁴, the same accepted trade as the MinHash path.
+      */
+    def fnv1a64(s: String): Long = {
+      var h = -3750763034362895579L // FNV offset basis 0xcbf29ce484222325
+      val bytes = s.getBytes("UTF-8")
+      var i = 0
+      while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 1099511628211L; i += 1 }
+      h
+    }
+
+    /** All k-word span hashes (Horner fold, same polynomial as
+      * DedupOps.shingleHashesOfWordHashes); empty below k words.
+      */
+    def spanHashes(wh: Array[Long], k: Int): Seq[SpanEntry] =
+      if (wh.length < k) Nil
+      else (0 to wh.length - k).map { i =>
+        var h = 0L; var j = 0
+        while (j < k) { h = h * 1099511628211L + wh(i + j); j += 1 }
+        SpanEntry(i, h)
+      }
+  }
+
   def spanDedup(df: DataFrame, textCol: String, idCol: String,
       spanWords: Int, minCount: Int = 2,
       emitWordHashes: Boolean = false): DataFrame = {
-    val id = col(idCol).cast("long").as(idCol)
-    // each word hashes ONCE into _wh; span hashes fold over slices of it
-    // (the per-span transform(slice(_ws,…), xxhash64) formulation re-hashed
-    // every word spanWords times — lambda bodies get no CSE)
-    val ws = df.select(id, split(DedupOps.normText(col(textCol)), " ").as("_ws"))
-      .select(col(idCol), col("_ws"), transform(col("_ws"), w => xxhash64(w)).as("_wh"))
-      .select(col(idCol), col("_ws"), col("_wh"),
-        // (start, hash) structs for all spans; empty below spanWords
-        when(size(col("_wh")) >= spanWords,
-          transform(sequence(lit(0), size(col("_wh")) - spanWords),
-            i => struct(i.as("start"),
-              aggregate(slice(col("_wh"), i + 1, lit(spanWords)),
-                lit(0L), (acc, x) => acc * lit(1099511628211L) + x).as("h"))))
-          .otherwise(array().cast("array<struct<start:int,h:bigint>>")).as("_spans"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // typed map (see SpanHash): tokenize + word-hash + span-fold in one
+    // guaranteed-linear pass per document
+    val ws = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (docId, text) =>
+        val words = SpanHash.tokenize(text)
+        val wh = words.map(SpanHash.fnv1a64)
+        (docId, words.toSeq, wh.toSeq, SpanHash.spanHashes(wh, spanWords))
+      }
+      .toDF(idCol, "_ws", "_wh", "_spans")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val occ = ws.select(col(idCol), explode(col("_spans")).as("s"))
@@ -102,17 +149,27 @@ object ScrubOps {
       // size(NULL) is -1 under the non-ANSI legacy conf — normalize the
       // no-coverage case to an empty array before measuring it
       .withColumn("_cov", coalesce(col("_cov"), array().cast("array<int>")))
-    def uncovered(arr: Column): Column =
-      transform(
-        filter(zip_with(arr, sequence(lit(0), size(arr) - 1),
-          (w, i) => struct(w.as("w"), i.as("i"))),
-          s => !array_contains(col("_cov"), s.getField("i"))),
-        s => s.getField("w"))
+    // Scala UDFs, not interpreted zip_with/filter/transform chains: one
+    // call per row vs per-element InternalRow copies (the HOF stack was
+    // the hot frame in the live profile)
+    val textClean = udf { (wsArr: Seq[String], cov: Seq[Int]) =>
+      if (cov.isEmpty) wsArr.mkString(" ")
+      else {
+        val c = cov.toSet
+        wsArr.iterator.zipWithIndex.collect { case (w, i) if !c(i) => w }.mkString(" ")
+      }
+    }
+    val whClean = udf { (whArr: Seq[Long], cov: Seq[Int]) =>
+      if (cov.isEmpty) whArr
+      else { val c = cov.toSet
+        whArr.iterator.zipWithIndex.collect { case (w, i) if !c(i) => w }.toSeq }
+    }
     val base = Seq(col(idCol),
       size(col("_ws")).cast("long").as("n_words"),
       size(col("_cov")).cast("long").as("n_covered"),
-      array_join(uncovered(col("_ws")), " ").as("text_clean"))
-    val cols = if (emitWordHashes) base :+ uncovered(col("_wh")).as("wh_clean") else base
+      textClean(col("_ws"), col("_cov")).as("text_clean"))
+    val cols = if (emitWordHashes)
+      base :+ whClean(col("_wh"), col("_cov")).as("wh_clean") else base
     joined.select(cols: _*)
   }
 

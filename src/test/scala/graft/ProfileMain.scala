@@ -131,7 +131,10 @@ object ProfileMain {
       import org.apache.spark.sql.functions._
       import graft.operators.CurationPipeline
       val docs = Tables.load(spark, sfDir, "documents")
-      val stages =
+      // stages rebuild PER EVALUATION: timeDf clears the cache between
+      // reps, and a prebuilt chain would run its later reps without the
+      // operator-internal persists the real query benefits from
+      def build(): Seq[(String, DataFrame)] =
         if (args.head == "q77stages")
           CurationPipeline.curateFullStages(docs, "text", "doc_id", "lang",
             col("doc_id") % 10 === 0)
@@ -140,7 +143,8 @@ object ProfileMain {
             col("doc_id") % 10 === 0)
       // each frame's time is CUMULATIVE cost up to that stage; deltas
       // between consecutive lines are the per-stage costs
-      stages.foreach { case (label, df) => timeDf(s"${args.head.take(3)}:$label")(df) }
+      build().map(_._1).zipWithIndex.foreach { case (label, i) =>
+        timeDf(s"${args.head.take(3)}:$label")(build()(i)._2) }
       val full = if (args.head == "q77stages") "q77_corpus_pipeline_full" else "q67_corpus_pipeline"
       timeDf(s"${args.head.take(3)}:full+stats")(SparkEntry.queries(full)(spark, sfDir))
     } else if (args.headOption.contains("recall53")) {

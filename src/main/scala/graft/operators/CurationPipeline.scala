@@ -199,12 +199,17 @@ object CurationPipeline {
       "5_near_dedup" -> keep5, "6_decontaminated" -> result)
   }
 
-  /** Per-language corpus stats over the curated survivors. */
+  /** Per-language corpus stats over the curated survivors. The
+    * repartition barrier before the orderBy is the q48 trick: the range
+    * sampler's separate job then reuses this exchange's map output
+    * instead of re-running the whole chain's narrow segments.
+    */
   def statsByLang(curated: DataFrame): DataFrame =
     curated.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(col("_ws")).cast("long")).as("total_tokens"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
+      .repartition(col("lang"))
       .orderBy("lang")
 }

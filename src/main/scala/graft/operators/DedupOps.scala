@@ -526,11 +526,18 @@ object DedupOps {
   def contaminationReport(docs: DataFrame, textCol: String, idCol: String,
                           evalPred: Column, n: Int,
                           broadcastEval: Boolean = true): DataFrame = {
+    // hashed shingles (q27/q28 convention): the join key is a long, not
+    // an n-word string — smaller broadcast, cheaper distinct counts.
+    // Collisions conflate n-grams at ~k²/2⁶⁴ per doc pair (the same
+    // accepted trade as the MinHash path; the string-SQL oracles remain
+    // valid up to that bound). The word-hash array materializes in its
+    // own projection and is referenced twice downstream, which keeps
+    // CollapseProject from inlining the split into the shingle lambda.
     val sh = docs
       .select(col(idCol).cast("long").as("doc_id"), evalPred.as("_is_eval"),
-        split(normText(col(textCol)), " ").as("_ws"))
+        transform(split(normText(col(textCol)), " "), w => xxhash64(w)).as("_wh"))
       .select(col("doc_id"), col("_is_eval"),
-        explode(shinglesOfWords(col("_ws"), n)).as("sg"))
+        explode(shingleHashesOfWordHashes(col("_wh"), n)).as("sg"))
     val evalSide0 = sh.filter(col("_is_eval")).select(col("sg"), col("doc_id").as("eval_doc"))
     // benchmarks are usually tiny vs the corpus → broadcast; pass false
     // for an eval side too large for executor memory (shuffle join)

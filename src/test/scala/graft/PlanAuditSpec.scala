@@ -147,4 +147,34 @@ class PlanAuditSpec extends SparkSpec {
     val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
     assert(exchanges <= 2, s"sample plan shuffles more than groupBy+sort: $exchanges exchanges")
   }
+
+  test("prepared incremental dedup reads the corpus index, not the corpus") {
+    // force a fresh index build for the audit dir, then plan the query
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_q78_index_" + Integer.toHexString(dir.hashCode))
+    val p = plan("q78_incremental_dedup_prepared")
+    assert(root.isDirectory, "index build did not materialize")
+    // corpus-side artifacts come from the index parquet — the plan scans
+    // the index directory; and the near stage stays bucketed (no
+    // all-pairs join)
+    assert(p.contains("graft_q78_index"),
+      "corpus side is not read from the prepared parquet index")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "prepared dedup degenerated to an all-pairs join")
+  }
+
+  test("experiment fan-out broadcasts the variant list") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val speeches = Seq(("202601", "2026-01-05", "A B", "One. Two.", "S", "s1"))
+      .toDF("week_id", "debate_date", "speaker_name", "speech_text", "section_name", "speech_id")
+    val cands = graft.operators.ExperimentOps.fanOutCandidates(speeches, Seq(
+      graft.operators.ExperimentOps.PromptVariant("v1", "f", "sentence_score"),
+      graft.operators.ExperimentOps.PromptVariant("v2", "f", "sentence_score")))
+    val p = cands.queryExecution.explainString(FormattedMode)
+    // the tiny variant frame must replicate via broadcast, never shuffle
+    // the candidate side for the cross
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "variant fan-out did not broadcast")
+  }
 }

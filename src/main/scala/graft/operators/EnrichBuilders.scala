@@ -197,10 +197,14 @@ object EnrichBuilders {
   }
 
   /** _constituency_from_filename (:173-179): stem minus a cover/image
-    * suffix, separators to spaces, each word capitalized.
+    * suffix, separators to spaces, each word capitalized. The stem is the
+    * part before the LAST dot (Python rsplit('.', 1)[0]), so multi-dot
+    * names keep their interior dots.
     */
   def constituencyFromFilename(filename: String): String = {
-    var stem = Option(filename).getOrElse("").split("\\.", 2)(0)
+    val f = Option(filename).getOrElse("")
+    val dot = f.lastIndexOf('.')
+    var stem = if (dot >= 0) f.substring(0, dot) else f
     Seq("_cover", "-cover", "_image", "-image").foreach { suffix =>
       if (stem.toLowerCase.endsWith(suffix)) stem = stem.dropRight(suffix.length)
     }
@@ -209,11 +213,15 @@ object EnrichBuilders {
       .map(w => w.head.toUpper.toString + w.tail.toLowerCase).mkString(" ")
   }
 
-  /** _extension (:182-187): lowered last suffix, jpg → jpeg, "" if none. */
+  /** _extension (:182-187): lowered suffix after the LAST dot, jpg → jpeg,
+    * "" if no dot. A trailing dot ("file.") yields "" (media_type
+    * image/unknown), matching Python rsplit — not the pre-dot stem.
+    */
   def imageExtension(filename: String): String = {
     val f = Option(filename).getOrElse("")
-    if (!f.contains(".")) ""
-    else f.split("\\.").last.toLowerCase match { case "jpg" => "jpeg"; case e => e }
+    val dot = f.lastIndexOf('.')
+    if (dot < 0) ""
+    else f.substring(dot + 1).toLowerCase match { case "jpg" => "jpeg"; case e => e }
   }
 
   private def firstCol(df: DataFrame, names: String*): org.apache.spark.sql.Column =

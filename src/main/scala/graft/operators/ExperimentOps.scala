@@ -42,11 +42,15 @@ object ExperimentOps {
     }
 
   /** Variant×candidate fan-out (build_sentence_candidates :291-330): base
-    * candidates from [[SentenceOps.buildCandidates]] (split, word-count
-    * bounds, per-(week, dedupe-key) first-wins), crossed with the variant
-    * list. candidate_id is the reference's
-    * sha256(variant||week||speaker||quote)[:24] — variant-scoped, so
-    * every downstream join/retry keys on it.
+    * candidates from [[SentenceOps.buildCandidates]] (split with
+    * MAX_SENTENCE_WORDS=60 threaded into the semicolon sub-split,
+    * word-count bounds, per-(week, speaker, quote_norm) first-wins — the
+    * reference dedupes on (variant, week, speaker, quote_norm) :326, and
+    * variant is a constant per base row, so the pre-fan-out dedupe is
+    * equivalent), crossed with the variant list. candidate_id is the
+    * reference's sha256(variant||week||normalize_ws(speaker)||quote)[:24]
+    * (:156-158) — variant-scoped, so every downstream join/retry keys on
+    * it.
     *
     * Speeches schema: (week_id, debate_date, speaker_name, speech_text,
     * section_name, speech_id) — extra columns pass through.
@@ -63,7 +67,7 @@ object ExperimentOps {
     base.crossJoin(broadcast(vdf))
       .withColumn("candidate_id",
         substring(sha2(concat_ws("||", col("variant_id"), col("week_id"),
-          col("speaker_name"), col("quote")), 256), 1, 24))
+          trim(regexp_replace(col("speaker_name"), "\\s+", " ")), col("quote")), 256), 1, 24))
   }
 
   /** select_top_rows (:602-612): rank per (variant, week) by score desc,

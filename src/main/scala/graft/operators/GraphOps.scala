@@ -69,6 +69,15 @@ object GraphOps {
           neighMin("label") === col("_ln"), "left")
         .select(col("node"), least(col("label"), coalesce(col("_ll"), col("label"))).as("label"),
           col("_old"))
+      // localCheckpoint truncates lineage so plan size stays bounded, at
+      // two costs: (a) checkpoint blocks live outside the cache manager,
+      // so the labels.unpersist() below is a no-op on checkpoint rounds —
+      // blocks free only when the RDD is GC'd on the driver; (b) the
+      // blocks are executor-local, so an executor loss mid-run is
+      // unrecoverable (no lineage to recompute from). For very long runs
+      // on preemptible clusters, prefer reliable checkpointing
+      // (sc.setCheckpointDir + .checkpoint()) at the price of an HDFS
+      // round-trip every checkpointEvery rounds.
       val updated =
         if ((iter + 1) % checkpointEvery == 0) jumped.localCheckpoint(false) // lazy:
           // materialized by the count below, same single job

@@ -60,15 +60,21 @@ object ScrubOps {
     * each text from its uncovered positions. Shuffles are keyed by span
     * hash and doc id; nothing is quadratic in corpus size.
     *
-    * Spans are hashed (xxhash64-based, [[DedupOps.shingleHashesOfWordHashes]]
-    * convention): collisions conflate spans at ~k²/2⁶⁴ probability —
-    * the same accepted trade as the MinHash path.
+    * Spans are hashed with FNV-1a64 word hashes folded by the same
+    * Horner polynomial as [[DedupOps.shingleHashesOfWordHashes]]:
+    * collisions conflate spans at ~k²/2⁶⁴ probability — the same
+    * accepted trade as the MinHash path.
     *
     * Output: (id, n_words, n_covered, text_clean) for every input doc;
     * with `emitWordHashes` an extra `wh_clean` array<long> of the
-    * SURVIVING words' xxhash64 values, so a downstream shingle consumer
-    * (the curation chain's near-dup stage) skips re-tokenizing and
-    * re-hashing the cleaned text entirely.
+    * SURVIVING words' FNV-1a64 values ([[SpanHash.fnv1a64]], NOT
+    * xxhash64 — shingles derived from wh_clean are only comparable to
+    * tables built from the same kernel, e.g. via
+    * [[DedupOps.shingleHashesOfWordHashes]] over wh_clean; joining them
+    * against xxhash64-based tables like shingleTable output or the
+    * corpus dedup index silently matches nothing), so a downstream
+    * shingle consumer (the curation chain's near-dup stage) skips
+    * re-tokenizing and re-hashing the cleaned text entirely.
     */
   /** One span-table row: 0-based start position + folded span hash. */
   final case class SpanEntry(start: Int, h: Long)
@@ -88,11 +94,21 @@ object ScrubOps {
   object SpanHash {
     /** Exactly DedupOps.normText + split: trim, ROOT-locale lower,
       * collapse \s+, split on single space (empty text → one "" token,
-      * matching Spark's split semantics and the DuckDB oracle).
+      * matching Spark's split semantics and the DuckDB oracle). The trim
+      * strips SPACE characters only — Spark's trim() and DuckDB's trim()
+      * strip ' ' (not \n/\t), while Java String.trim strips all chars
+      * <= U+0020; using the latter would drop a leading "" token on
+      * newline-framed text and shift every span position vs normText.
       */
-    def tokenize(text: String): Array[String] =
-      Option(text).getOrElse("").trim.toLowerCase(java.util.Locale.ROOT)
+    def tokenize(text: String): Array[String] = {
+      val s = Option(text).getOrElse("")
+      var from = 0
+      var to = s.length
+      while (from < to && s.charAt(from) == ' ') from += 1
+      while (to > from && s.charAt(to - 1) == ' ') to -= 1
+      s.substring(from, to).toLowerCase(java.util.Locale.ROOT)
         .replaceAll("\\s+", " ").split(" ", -1)
+    }
 
     /** FNV-1a 64-bit over UTF-8 bytes — a deterministic 64-bit word
       * hash. Spans group by hash only (the oracle groups the span

@@ -40,18 +40,23 @@ object SentenceOps {
   }
 
   /** Candidate build: explode speeches into sentences with word-count
-    * bounds and per-(week, dedupe-key) first-wins dedupe; candidate ids
-    * are sha256("week||speaker||sentence")[:24] (…:144-148).
+    * bounds and per-(week, speaker, dedupe-key) first-wins dedupe
+    * (drop_duplicates subset :239 includes speaker_name); candidate ids
+    * are sha256("week||normalize_ws(speaker)||sentence")[:24] (…:146-148).
+    * maxWords governs BOTH the semicolon sub-split inside splitSentences
+    * and the word-count filter, as in the reference where one
+    * MAX_SENTENCE_WORDS constant feeds both.
     */
   def buildCandidates(speeches: DataFrame, weekCol: String, speakerCol: String,
                       textCol: String, minWords: Int = 5, maxWords: Int = 60): DataFrame = {
     val spark = speeches.sparkSession
     val enc = Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING)
+    val splitMax = maxWords
     val exploded = speeches
       .select(col(weekCol).cast("string"), col(speakerCol).cast("string"), col(textCol).cast("string"))
       .as(enc)
       .flatMap { case (week, speaker, text) =>
-        splitSentences(text).map(s => (week, speaker, s))
+        splitSentences(text, splitMax).map(s => (week, speaker, s))
       }(enc)
       .toDF("week_id", "speaker_name", "sentence")
 
@@ -60,9 +65,11 @@ object SentenceOps {
       .filter(col("word_count").between(minWords, maxWords))
       .withColumn("dedupe_key", udf(normalizeForDedupe _).apply(col("sentence")))
       .withColumn("candidate_id",
-        substring(sha2(concat_ws("||", col("week_id"), col("speaker_name"), col("sentence")), 256), 1, 24))
+        substring(sha2(concat_ws("||", col("week_id"),
+          udf(normalizeWs _).apply(col("speaker_name")), col("sentence")), 256), 1, 24))
 
-    val w = Window.partitionBy("week_id", "dedupe_key").orderBy(col("candidate_id").asc)
+    val w = Window.partitionBy("week_id", "speaker_name", "dedupe_key")
+      .orderBy(col("candidate_id").asc)
     measured.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .drop("_rn", "dedupe_key")
   }

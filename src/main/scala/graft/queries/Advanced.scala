@@ -296,7 +296,7 @@ object Advanced {
         |    lower(sentence) AS dk
         |  FROM sent WHERE wc BETWEEN 1 AND 500),
         |kept AS (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY week_id, dk ORDER BY cid) AS rn FROM meas)
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY week_id, speaker, dk ORDER BY cid) AS rn FROM meas)
         |SELECT week_id, speaker AS speaker_name, CAST(COUNT(*) AS BIGINT) AS n_candidates
         |FROM kept WHERE rn = 1 GROUP BY week_id, speaker
         |ORDER BY speaker_name""".stripMargin,

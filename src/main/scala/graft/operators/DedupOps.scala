@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Large-scale text deduplication operators (north-star surface beyond the
   * reference): exact, n-gram Jaccard brute force, MinHash+LSH, SimHash.
@@ -140,6 +141,52 @@ object DedupOps {
         b => struct(a.as("doc_a"), b.as("doc_b")))))
   }
 
+  /** Default LSH bucket-width cap (see [[boundBuckets]]): 5000 members →
+    * at most ~1.25e7 pairs from one bucket. Buckets wider than this are
+    * overwhelmingly templated/boilerplate mass that banding cannot
+    * discriminate, not genuine near-dup neighborhoods.
+    */
+  val DefaultMaxBucket = 5000
+
+  /** Band-table rows restricted to buckets of width in [minWidth,
+    * maxBucket] — the standard LSH skew guard. A degenerate bucket (one
+    * hot band hash over millions of near-identical docs that exact dedup
+    * didn't collapse) would otherwise materialize an O(m) member list on
+    * a single executor and explode m(m-1)/2 candidate pairs: the classic
+    * skewed-key scale-killer at 100 TB.
+    *
+    * Width is counted with a partition-keyed window BEFORE any
+    * collect_list, so the oversized bucket's rows only ever sit in the
+    * window's spillable row buffer — never in an in-memory aggregation
+    * array — and the groupBy that follows reuses the window's hash
+    * partitioning (no second exchange; verified by BucketCapSpec).
+    *
+    * Recall trade (documented like the b×r bound at
+    * [[minhashNearDupPairsFromShingles]]): a true near-dup pair inside a
+    * dropped bucket is found only if some OTHER band puts it in a
+    * surviving bucket. Pairs of genuinely high similarity collide in
+    * many bands, so the loss concentrates on borderline pairs inside
+    * degenerate mass — use [[oversizedBuckets]] to monitor what a corpus
+    * is dropping.
+    */
+  private def boundBuckets(banded: DataFrame, keys: Seq[String],
+                           maxBucket: Int, minWidth: Long = 2L): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    banded.withColumn("_bw", count(lit(1)).over(w))
+      .filter(col("_bw") >= minWidth && col("_bw") <= maxBucket)
+      .drop("_bw")
+  }
+
+  /** Monitoring view of what [[boundBuckets]] drops: the bucket keys and
+    * widths above maxBucket, heaviest first. Run it on a corpus sample
+    * (or the corpus index's band table) before picking a cap.
+    */
+  def oversizedBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+    banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_width"))
+      .filter(col("bucket_width") > maxBucket)
+      .orderBy(col("bucket_width").desc)
+
   /** The bands × rowsPerBand band structs (band_idx, band_hash) over the
     * h0..h{numHashes-1} signature columns of the input scope.
     */
@@ -157,13 +204,16 @@ object DedupOps {
   /** LSH candidate pairs: band the signature (bands × rowsPerBand =
     * numHashes), hash each band, emit distinct id pairs per bucket.
     * Single shuffle keyed by bucket; the signature plan is evaluated
-    * once (vs twice for a self-join formulation).
+    * once (vs twice for a self-join formulation). Buckets wider than
+    * maxBucket are dropped before the member lists build
+    * ([[boundBuckets]] — skew guard + recall note).
     */
-  def lshCandidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = bandTable(sig, bands, rowsPerBand)
+  def lshCandidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val banded = boundBuckets(bandTable(sig, bands, rowsPerBand),
+      Seq("band_idx", "band_hash"), maxBucket)
     banded.groupBy("band_idx", "band_hash")
       .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
       .select(explode(pairsOf(col("ids"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b")).distinct()
   }
@@ -176,9 +226,10 @@ object DedupOps {
   def minhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
                           n: Int = 3, numHashes: Int = 64, bands: Int = 32,
                           threshold: Double = 0.5,
-                          cacheShingles: Boolean = true): DataFrame =
+                          cacheShingles: Boolean = true,
+                          maxBucket: Int = DefaultMaxBucket): DataFrame =
     minhashNearDupPairsFromShingles(shingleHashTable(docs, textCol, idCol, n),
-      numHashes, bands, threshold, cacheShingles)
+      numHashes, bands, threshold, cacheShingles, maxBucket)
 
   /** [[minhashNearDupPairs]] over a prepared (doc_id, sg) hashed-shingle
     * table — for callers that already hold tokenized/hashed words (the
@@ -195,7 +246,8 @@ object DedupOps {
   def minhashNearDupPairsFromShingles(sh0: DataFrame,
                                       numHashes: Int = 64, bands: Int = 32,
                                       threshold: Double = 0.5,
-                                      cacheShingles: Boolean = true): DataFrame = {
+                                      cacheShingles: Boolean = true,
+                                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // The shingle table feeds three consumers (signature agg + both
     // verify-join sides) — persist it once instead of recomputing the
     // most expensive narrow stage per consumer. At corpus scale, write it
@@ -205,7 +257,7 @@ object DedupOps {
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sh0
     val sig = minhashSignaturesFromShingles(sh, numHashes)
-    val cand = lshCandidatePairs(sig, bands, numHashes / bands)
+    val cand = lshCandidatePairs(sig, bands, numHashes / bands, maxBucket)
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sg").as("sg_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sg").as("sg_b")), Seq("doc_b"))
@@ -271,7 +323,8 @@ object DedupOps {
   def lshEmbeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                                dim: Int, bands: Int = 16, planesPerBand: Int = 8,
                                t2: Double = 0.81,
-                               cacheQuantized: Boolean = true): DataFrame = {
+                               cacheQuantized: Boolean = true,
+                               maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // the quantized table feeds three consumers (banding + both verify
@@ -300,9 +353,9 @@ object DedupOps {
           (bj, bucket, vid)
         }
       }.toDF("band_idx", "band_val", "vid")
-    val cand = banded.groupBy("band_idx", "band_val")
+    val cand = boundBuckets(banded, Seq("band_idx", "band_val"), maxBucket)
+      .groupBy("band_idx", "band_val")
       .agg(collect_list(col("vid")).as("ids"))
-      .filter(size(col("ids")) > 1)
       .select(explode(pairsOf(col("ids"))).as("p"))
       .select(col("p.doc_a").as("vec_a"), col("p.doc_b").as("vec_b")).distinct()
     cand
@@ -346,7 +399,8 @@ object DedupOps {
     * distance ≤ 3 across 4 bands guarantees one untouched band), then
     * exact hamming filter.
     */
-  def simhashNearDupPairs(sig: DataFrame, maxHamming: Int = 3, bits: Int = 64): DataFrame = {
+  def simhashNearDupPairs(sig: DataFrame, maxHamming: Int = 3, bits: Int = 64,
+                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bandWidth = bits / 4
     val bandMask = (1L << bandWidth) - 1
     val bandCols = (0 until 4).map { j =>
@@ -360,9 +414,9 @@ object DedupOps {
     // check needs no join back
     // array_sort on structs orders by doc_id (first field) → pairs come
     // out with doc_a < doc_b without a normalization pass
-    banded.groupBy("band_idx", "band_val")
+    boundBuckets(banded, Seq("band_idx", "band_val"), maxBucket)
+      .groupBy("band_idx", "band_val")
       .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
-      .filter(size(col("members")) > 1)
       .select(explode(flatten(transform(col("members"), (a, i) =>
         transform(slice(col("members"), i + 2, size(col("members"))),
           b => struct(a.getField("doc_id").as("doc_a"), b.getField("doc_id").as("doc_b"),
@@ -397,7 +451,8 @@ object DedupOps {
   def incrementalDedup(newBatch: DataFrame, corpus: DataFrame,
                        textCol: String, idCol: String,
                        n: Int = 3, numHashes: Int = 64, bands: Int = 32,
-                       threshold: Double = 0.5): DataFrame = {
+                       threshold: Double = 0.5,
+                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // In-session convenience wrapper: derives the corpus index here and
     // persists its two join-side frames (each feeds the prepared kernel
     // once per side, and Spark would otherwise recompute the corpus scan
@@ -406,12 +461,13 @@ object DedupOps {
     // the index ONCE with [[buildCorpusDedupIndex]], write it to parquet,
     // and call [[incrementalDedupPrepared]] per batch: that is the shape
     // whose per-ingest cost is proportional to the batch, not the corpus.
-    val idx0 = buildCorpusDedupIndex(corpus, textCol, idCol, n, numHashes, bands)
+    val idx0 = buildCorpusDedupIndex(corpus, textCol, idCol, n, numHashes, bands, maxBucket)
     val idx = CorpusDedupIndex(
       idx0.fingerprints,
       idx0.shingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       idx0.bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    incrementalDedupPrepared(newBatch, idx, textCol, idCol, n, numHashes, bands, threshold)
+    incrementalDedupPrepared(newBatch, idx, textCol, idCol, n, numHashes, bands, threshold,
+      maxBucket)
   }
 
   /** Precomputed corpus-side dedup index: text fingerprints for the exact
@@ -429,15 +485,24 @@ object DedupOps {
 
   /** Build the three corpus index frames. Parameters must match the ones
     * later passed to [[incrementalDedupPrepared]].
+    *
+    * The band table is capped at BUILD time ([[boundBuckets]], width-1
+    * buckets kept — they are valid join targets for future batches):
+    * a degenerate corpus bucket would otherwise fan out every ingest
+    * batch that touches it, forever. Dropping it once here bounds the
+    * candidate join on the corpus side permanently; run
+    * [[oversizedBuckets]] on the uncapped band table when tuning.
     */
   def buildCorpusDedupIndex(corpus: DataFrame, textCol: String, idCol: String,
                             n: Int = 3, numHashes: Int = 64,
-                            bands: Int = 32): CorpusDedupIndex = {
+                            bands: Int = 32,
+                            maxBucket: Int = DefaultMaxBucket): CorpusDedupIndex = {
     val fp = corpus.select(col(idCol).cast("long").as("cid"),
       sha2(normText(col(textCol)), 256).as("_h"))
     val sh = shingleHashTable(corpus, textCol, idCol, n)
-    val banded = bandTable(minhashSignaturesFromShingles(sh, numHashes),
-      bands, numHashes / bands)
+    val banded = boundBuckets(
+      bandTable(minhashSignaturesFromShingles(sh, numHashes), bands, numHashes / bands),
+      Seq("band_idx", "band_hash"), maxBucket, minWidth = 1L)
     CorpusDedupIndex(fp, sh, banded)
   }
 
@@ -453,7 +518,8 @@ object DedupOps {
   def incrementalDedupPrepared(newBatch: DataFrame, index: CorpusDedupIndex,
                                textCol: String, idCol: String,
                                n: Int = 3, numHashes: Int = 64, bands: Int = 32,
-                               threshold: Double = 0.5): DataFrame = {
+                               threshold: Double = 0.5,
+                               maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // four consumers (both exact joins, the anti-join, the final roster)
     // re-evaluate the fingerprint projection — persist it once (batch-
     // sized; freed by the caller's clearCache or session end)
@@ -479,8 +545,13 @@ object DedupOps {
     val shNew = shingleHashTable(surv.select(col("nid").as(idCol), col("_text").as(textCol)),
         textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandsNew = bandTable(minhashSignaturesFromShingles(shNew, numHashes),
-      bands, numHashes / bands)
+    // batch-side skew guard: a degenerate NEW-side bucket is dropped
+    // before either candidate leg (width-1 buckets stay — a lone new doc
+    // still probes the corpus); the corpus side was capped at index
+    // build, so per-candidate fan-out is ≤ maxBucket on both legs
+    val bandsNew = boundBuckets(
+      bandTable(minhashSignaturesFromShingles(shNew, numHashes), bands, numHashes / bands),
+      Seq("band_idx", "band_hash"), maxBucket, minWidth = 1L)
 
     val candCorpus = bandsNew.select(col("doc_id").as("nid"), col("band_idx"), col("band_hash"))
       .join(index.bands.select(col("doc_id").as("partner"), col("band_idx"), col("band_hash")),

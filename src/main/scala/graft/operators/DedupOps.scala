@@ -475,9 +475,9 @@ object DedupOps {
     * hashes for the candidate stage. At scale each frame is written once
     * as a parquet table when a batch is ACCEPTED into the corpus, then
     * every subsequent ingest reads them instead of re-shingling /
-    * re-signing 100 TB per day. Write `bands` bucketed by (band_idx,
-    * band_hash) and `shingles`/`fingerprints` bucketed by their keys to
-    * make the per-batch joins co-located.
+    * re-signing 100 TB per day. Persist with [[writeCorpusDedupIndex]]
+    * (bucketed tables keyed by each frame's join key) so the per-batch
+    * joins are co-located — no corpus-side exchange, ever.
     */
   final case class CorpusDedupIndex(fingerprints: DataFrame, // (cid, _h)
                                     shingles: DataFrame,     // (doc_id, sg)
@@ -505,6 +505,70 @@ object DedupOps {
       Seq("band_idx", "band_hash"), maxBucket, minWidth = 1L)
     CorpusDedupIndex(fp, sh, banded)
   }
+
+  /** Persist a corpus index as BUCKETED tables (saveAsTable — bucketing
+    * needs catalog metadata, so these are tables, not bare parquet
+    * directories): bands by its join key (band_idx, band_hash),
+    * fingerprints by _h, shingles by doc_id. A bucketed side reports its
+    * hash partitioning from the scan, so every per-batch join in
+    * [[incrementalDedupPrepared]] plans with NO corpus-side exchange —
+    * only the batch-sized side shuffles (to the bucket count). At 100 TB
+    * that corpus shuffle is exactly the cost the prepared index exists
+    * to avoid; paying the layout once at accept-time makes daily ingest
+    * joins read-co-located forever after. Bucket count: size so one
+    * bucket of the largest table ≈ 100-500 MB at the target corpus
+    * scale; it also becomes the minimum join parallelism.
+    */
+  def writeCorpusDedupIndex(idx: CorpusDedupIndex, tablePrefix: String,
+                            buckets: Int = 64, path: Option[String] = None): Unit = {
+    def write(df: DataFrame, name: String, cols: Seq[String]): Unit = {
+      val w0 = df.write.bucketBy(buckets, cols.head, cols.tail: _*)
+        .sortBy(cols.head, cols.tail: _*).mode("overwrite")
+      // explicit path → EXTERNAL table: the files outlive the (possibly
+      // in-memory) catalog and a later session re-attaches them with
+      // [[attachCorpusDedupIndex]] instead of rebuilding the corpus index
+      val w = path.fold(w0)(p => w0.option("path", s"$p/$name"))
+      w.saveAsTable(s"${tablePrefix}_$name")
+    }
+    write(idx.fingerprints, "fingerprints", Seq("_h"))
+    write(idx.shingles, "shingles", Seq("doc_id"))
+    write(idx.bands, "bands", Seq("band_idx", "band_hash"))
+  }
+
+  /** Re-register an index previously written by [[writeCorpusDedupIndex]]
+    * with an explicit path, in a session whose catalog doesn't know it
+    * (e.g. a fresh in-memory catalog). Pure DDL — no data moves; buckets
+    * must match the written layout or joins will be silently wrong.
+    */
+  def attachCorpusDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                             tablePrefix: String, path: String,
+                             buckets: Int = 64): Unit = {
+    def ddl(name: String, schema: String, cols: String): Unit =
+      spark.sql(s"""CREATE TABLE IF NOT EXISTS ${tablePrefix}_$name ($schema)
+        |USING PARQUET
+        |CLUSTERED BY ($cols) SORTED BY ($cols) INTO $buckets BUCKETS
+        |LOCATION '$path/$name'""".stripMargin)
+    ddl("fingerprints", "cid BIGINT, `_h` STRING", "`_h`")
+    ddl("shingles", "doc_id BIGINT, sg ARRAY<BIGINT>", "doc_id")
+    ddl("bands", "doc_id BIGINT, band_idx INT, band_hash BIGINT", "band_idx, band_hash")
+  }
+
+  /** Read an index persisted by [[writeCorpusDedupIndex]]. The frames
+    * carry the bucketed layout, so downstream joins on the bucket keys
+    * need no corpus-side exchange (asserted by CorpusIndexSpec).
+    */
+  def readCorpusDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                           tablePrefix: String): CorpusDedupIndex =
+    CorpusDedupIndex(
+      spark.table(s"${tablePrefix}_fingerprints"),
+      spark.table(s"${tablePrefix}_shingles"),
+      spark.table(s"${tablePrefix}_bands"))
+
+  /** True when all three index tables exist in the catalog. */
+  def corpusDedupIndexExists(spark: org.apache.spark.sql.SparkSession,
+                             tablePrefix: String): Boolean =
+    Seq("_fingerprints", "_shingles", "_bands")
+      .forall(s => spark.catalog.tableExists(tablePrefix + s))
 
   /** [[incrementalDedup]] against a PRECOMPUTED corpus index: every
     * corpus-side artifact (fingerprints, shingles, band hashes) comes in
@@ -567,10 +631,18 @@ object DedupOps {
       .select(col("p.nid"), col("p.partner"))
     val cand = candCorpus.unionByName(candNew).distinct()
 
-    val partnerShingles = index.shingles.unionByName(shNew)
-    val nearMatch = cand
+    // partner shingles join per SIDE (not a pre-join union): a union of
+    // the bucketed corpus table with the batch frame would erase the
+    // corpus layout's partitioning and force a full corpus-shingle
+    // shuffle; joined separately, the corpus leg reads co-located from a
+    // bucketed index while only the candidate side (batch-sized) moves
+    val candSh = cand
       .join(shNew.select(col("doc_id").as("nid"), col("sg").as("sg_n")), Seq("nid"))
-      .join(partnerShingles.select(col("doc_id").as("partner"), col("sg").as("sg_p")), Seq("partner"))
+    val nearCorpus = candSh
+      .join(index.shingles.select(col("doc_id").as("partner"), col("sg").as("sg_p")), Seq("partner"))
+    val nearNew = candSh
+      .join(shNew.select(col("doc_id").as("partner"), col("sg").as("sg_p")), Seq("partner"))
+    val nearMatch = nearCorpus.unionByName(nearNew)
       .filter(jaccard(col("sg_n"), col("sg_p")) >= threshold)
       .groupBy("nid").agg(min("partner").as("match_id"))
 

@@ -238,27 +238,27 @@ object LlmPipeline {
     }),
 
     // Same judgment through the PREPARED path: the corpus fingerprint/
-    // shingle/band index is materialized to parquet once per sf dir and
-    // every subsequent run only reads it — per-ingest compute is
-    // proportional to the batch, which is what makes daily ingestion into
-    // a 100 TB corpus viable. Output (and oracle) identical to q73.
+    // shingle/band index is materialized ONCE per sf dir as bucketed
+    // tables (each bucketed by its join key) and every subsequent run
+    // only reads it — per-ingest compute is proportional to the batch
+    // and the corpus side joins co-located with no exchange, which is
+    // what makes daily ingestion into a 100 TB corpus viable. Output
+    // (and oracle) identical to q73.
     "q78_incremental_dedup_prepared" -> ((s, dir) => {
       val (corpus, newBatch) = incrementalBatchParts(s, dir)
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_q78_index_" + Integer.toHexString(dir.hashCode))
-      val marker = new java.io.File(root, "_INDEX_READY")
-      if (!marker.exists()) {
-        val idx = DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id",
-          n = 3, numHashes = 64, bands = 32)
-        idx.fingerprints.write.mode("overwrite").parquet(new java.io.File(root, "fingerprints").getPath)
-        idx.shingles.write.mode("overwrite").parquet(new java.io.File(root, "shingles").getPath)
-        idx.bands.write.mode("overwrite").parquet(new java.io.File(root, "bands").getPath)
-        marker.createNewFile()
+      val prefix = "graft_q78_index_" + Integer.toHexString(dir.hashCode)
+      val root = new java.io.File(sys.props("java.io.tmpdir"), prefix)
+      if (!DedupOps.corpusDedupIndexExists(s, prefix)) {
+        // bucketed files survive across sessions; the in-memory catalog
+        // doesn't — re-attach when present, build+write only once per dir
+        if (new java.io.File(root, "bands/_SUCCESS").exists())
+          DedupOps.attachCorpusDedupIndex(s, prefix, root.getPath, buckets = 16)
+        else DedupOps.writeCorpusDedupIndex(
+          DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id",
+            n = 3, numHashes = 64, bands = 32),
+          prefix, buckets = 16, path = Some(root.getPath))
       }
-      val idx = DedupOps.CorpusDedupIndex(
-        s.read.parquet(new java.io.File(root, "fingerprints").getPath),
-        s.read.parquet(new java.io.File(root, "shingles").getPath),
-        s.read.parquet(new java.io.File(root, "bands").getPath))
+      val idx = DedupOps.readCorpusDedupIndex(s, prefix)
       DedupOps.incrementalDedupPrepared(newBatch, idx, "text", "doc_id",
           n = 3, numHashes = 64, bands = 32, threshold = 0.5)
         .orderBy("new_id")

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps
+
+/** The bucketed corpus dedup index: writeCorpusDedupIndex persists the
+  * three frames as tables bucketed by their join keys, so every corpus
+  * leg of incrementalDedupPrepared joins CO-LOCATED — the scan reports
+  * the bucket partitioning and the planner inserts no corpus-side
+  * exchange. At 100 TB the corpus shuffle this removes IS the cost the
+  * prepared index exists to avoid; only batch-sized sides may move.
+  */
+class CorpusIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val prefix = "graft_test_corpus_idx"
+
+  private def dropIndex(): Unit =
+    Seq("_fingerprints", "_shingles", "_bands")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $prefix$s"))
+
+  private lazy val corpus = (0 until 400).map { i =>
+    (i.toLong, s"corpus document number $i talks about topic ${i % 40} in moderate detail with ${i % 7} extra side remarks included")
+  }.toDF("doc_id", "text")
+
+  private lazy val newBatch = Seq(
+    (10000L, "corpus document number 37 talks about topic 37 in moderate detail with 2 extra side remarks included"),
+    (10001L, "an entirely new document with no relatives in the corpus whatsoever today"),
+    (10002L, "corpus document number 55 talks about topic 15 in moderate detail with 6 extra side remarks also included")
+  ).toDF("doc_id", "text")
+
+  /** All nodes of the plan tree, unwrapping AQE containers (the final
+    * adaptive plan's leaves are query stages whose real subtrees hang
+    * off `plan`, not `children`).
+    */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+    case q: QueryStageExec => q +: allNodes(q.plan)
+    case other => other +: (other.children ++ other.subqueries).flatMap(allNodes)
+  }
+
+  /** Root-to-node paths (root first) for every index-table scan. */
+  private def pathsToIndexScans(p: SparkPlan, acc: List[SparkPlan]): Seq[List[SparkPlan]] = {
+    val acc2 = p :: acc
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case o => o.children ++ o.subqueries
+    }
+    val here = p match {
+      case s: FileSourceScanExec if s.tableIdentifier.exists(_.table.startsWith(prefix)) =>
+        Seq(acc2.reverse)
+      case _ => Nil
+    }
+    here ++ kids.flatMap(pathsToIndexScans(_, acc2))
+  }
+
+  test("round-trips through bucketed tables, re-attaches, and matches the in-memory path") {
+    dropIndex()
+    val extPath = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_test_corpus_idx_files").getPath
+    try {
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"), prefix,
+        buckets = 4, path = Some(extPath))
+      assert(DedupOps.corpusDedupIndexExists(spark, prefix))
+      val idx = DedupOps.readCorpusDedupIndex(spark, prefix)
+      val prepared = DedupOps.incrementalDedupPrepared(newBatch, idx, "text", "doc_id")
+        .orderBy("new_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val direct = DedupOps.incrementalDedup(newBatch, corpus, "text", "doc_id")
+        .orderBy("new_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(prepared == direct, s"prepared $prepared vs direct $direct")
+      assert(prepared.toMap.apply(10000L) == "exact_dup")
+      assert(prepared.toMap.apply(10001L) == "kept")
+
+      // catalog loss (fresh session) → DDL-only re-attach over the same
+      // files must reproduce the judgment without rebuilding the index
+      dropIndex()
+      assert(!DedupOps.corpusDedupIndexExists(spark, prefix))
+      DedupOps.attachCorpusDedupIndex(spark, prefix, extPath, buckets = 4)
+      val reattached = DedupOps.incrementalDedupPrepared(
+          newBatch, DedupOps.readCorpusDedupIndex(spark, prefix), "text", "doc_id")
+        .orderBy("new_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(reattached == direct, s"re-attached $reattached vs direct $direct")
+    } finally {
+      dropIndex()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(extPath))
+    }
+  }
+
+  test("per-batch joins have no corpus-side exchange: index scans are bucketed leaves") {
+    dropIndex()
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force shuffle joins: broadcasting the index side would hide the
+      // exchange question (and can't happen at real corpus scale)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"), prefix, buckets = 4)
+      val idx = DedupOps.readCorpusDedupIndex(spark, prefix)
+      val out = DedupOps.incrementalDedupPrepared(newBatch, idx, "text", "doc_id")
+      out.collect()
+      val nodes = allNodes(out.queryExecution.executedPlan)
+
+      // every index-table scan runs as a bucketed scan...
+      val idxScans = nodes.collect {
+        case s: FileSourceScanExec if s.tableIdentifier.exists(_.table.startsWith(prefix)) => s
+      }
+      assert(idxScans.nonEmpty, "no index-table scans in the plan")
+      idxScans.foreach(s => assert(s.bucketedScan,
+        s"index scan of ${s.tableIdentifier.get.table} is not bucketed"))
+
+      // ...and the path from each index scan UP to its nearest join
+      // ancestor crosses no shuffle: the corpus side feeds its join
+      // straight from the bucketed layout. (Shuffles ABOVE the join —
+      // e.g. the post-join groupBy — are batch-sized results and fine.)
+      val paths = pathsToIndexScans(out.queryExecution.executedPlan, Nil)
+      assert(paths.nonEmpty, "no root-to-index-scan paths found")
+      paths.foreach { path =>
+        val belowJoin = path.reverse.takeWhile {
+          case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+          case _ => true
+        }
+        val crossed = belowJoin.collect {
+          case e: ShuffleExchangeExec => e
+          case q: ShuffleQueryStageExec => q
+        }
+        assert(crossed.isEmpty,
+          s"corpus index scan shuffles before its join:\n${path.last.treeString.take(800)}")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      dropIndex()
+    }
+  }
+}

@@ -149,16 +149,14 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("prepared incremental dedup reads the corpus index, not the corpus") {
-    // force a fresh index build for the audit dir, then plan the query
-    val root = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_q78_index_" + Integer.toHexString(dir.hashCode))
+    // the index materializes as bucketed catalog tables; the query plan
+    // must scan those tables (not recompute the corpus) and the near
+    // stage stays bucketed (no all-pairs join)
     val p = plan("q78_incremental_dedup_prepared")
-    assert(root.isDirectory, "index build did not materialize")
-    // corpus-side artifacts come from the index parquet — the plan scans
-    // the index directory; and the near stage stays bucketed (no
-    // all-pairs join)
     assert(p.contains("graft_q78_index"),
-      "corpus side is not read from the prepared parquet index")
+      "corpus side is not read from the prepared bucketed index")
+    assert(p.contains("Bucketed: true"),
+      "index scans lost the bucketed layout")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "prepared dedup degenerated to an all-pairs join")
   }

@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.Advanced.queries ++
       graft.queries.SilverFlatten.queries ++
       graft.queries.Temporal.queries ++
-      graft.queries.Analytic.queries
+      graft.queries.Analytic.queries ++
+      graft.queries.GoldActivity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.Advanced.oracles ++
       graft.queries.SilverFlatten.oracles ++
       graft.queries.Temporal.oracles ++
-      graft.queries.Analytic.oracles
+      graft.queries.Analytic.oracles ++
+      graft.queries.GoldActivity.oracles
 }

@@ -46,7 +46,19 @@ object CurationPipeline {
   def curateStages(docs: DataFrame, textCol: String, idCol: String, langCol: String,
                    evalPred: Column, maxDupTenths: Int = 7,
                    ngramN: Int = 3, jaccardThreshold: Double = 0.5,
-                   contamN: Int = 5): Seq[(String, DataFrame)] = {
+                   contamN: Int = 5): Seq[(String, DataFrame)] =
+    curateStagesWithCaches(docs, textCol, idCol, langCol, evalPred,
+      maxDupTenths, ngramN, jaccardThreshold, contamN)._1
+
+  /** [[curateStages]] plus every frame the chain persisted (stage frames
+    * AND the internal shingle table) so an owner can unpersist them all
+    * after its final action — see [[curateToParquet]].
+    */
+  private def curateStagesWithCaches(docs: DataFrame, textCol: String, idCol: String,
+                   langCol: String,
+                   evalPred: Column, maxDupTenths: Int = 7,
+                   ngramN: Int = 3, jaccardThreshold: Double = 0.5,
+                   contamN: Int = 5): (Seq[(String, DataFrame)], Seq[DataFrame]) = {
     // one materialized tokenization feeds stage 1 (lambda-CSE: see
     // DedupOps.shinglesOfWords)
     val base = docs.select(
@@ -74,9 +86,13 @@ object CurationPipeline {
 
     // 3. near-dup removal: LSH candidates + exact verify (same engine
     // as q28; _nt is already normalized so re-normalization is a
-    // no-op), drop the larger id of each pair
-    val dropped = DedupOps.minhashNearDupPairs(keep2, "_nt", "doc_id",
-        n = ngramN, threshold = jaccardThreshold)
+    // no-op), drop the larger id of each pair. The shingle table is
+    // persisted HERE (not inside minhashNearDupPairs) so the chain owns
+    // every cache it creates and can hand them to an unpersisting caller.
+    val sh = DedupOps.shingleHashTable(keep2, "_nt", "doc_id", ngramN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropped = DedupOps.minhashNearDupPairsFromShingles(sh,
+        threshold = jaccardThreshold, cacheShingles = false)
       .select(col("doc_b").as("doc_id")).distinct()
     val keep3 = keep2.join(dropped, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -90,8 +106,29 @@ object CurationPipeline {
         "_nt", "doc_id", evalPred, contamN)
       .select(col("train_doc").as("doc_id"))
     val result = keep3.join(contaminated, Seq("doc_id"), "left_anti")
-    Seq("1_repetition_gate" -> keep1, "2_exact_dedup" -> keep2,
-      "3_near_dedup" -> keep3, "4_decontaminated" -> result)
+    (Seq("1_repetition_gate" -> keep1, "2_exact_dedup" -> keep2,
+      "3_near_dedup" -> keep3, "4_decontaminated" -> result),
+      Seq(keep2, sh, keep3))
+  }
+
+  /** [[curate]] in the corpus-scale shape: every stage materializes to
+    * `outDir/<label>.parquet` (later stages reuse the in-session caches
+    * while writing; the parquet gives restartability), then every cache
+    * the chain created is unpersisted — a long-lived session can run
+    * curation repeatedly without accumulating executor storage. Returns
+    * the final survivors read back from parquet.
+    */
+  def curateToParquet(docs: DataFrame, textCol: String, idCol: String, langCol: String,
+                      evalPred: Column, outDir: String, maxDupTenths: Int = 7,
+                      ngramN: Int = 3, jaccardThreshold: Double = 0.5,
+                      contamN: Int = 5): DataFrame = {
+    val (stages, caches) = curateStagesWithCaches(docs, textCol, idCol, langCol,
+      evalPred, maxDupTenths, ngramN, jaccardThreshold, contamN)
+    stages.foreach { case (label, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/$label.parquet")
+    }
+    caches.foreach(_.unpersist())
+    docs.sparkSession.read.parquet(s"$outDir/${stages.last._1}.parquet")
   }
 
   /** The FULL curation chain a web-scale training pipeline runs —
@@ -135,7 +172,18 @@ object CurationPipeline {
                  lineWords: Int = 4, lineMinDocs: Int = 3,
                  spanWords: Int = 10, spanMinCount: Int = 2,
                  ngramN: Int = 3, jaccardThreshold: Double = 0.5,
-                 contamN: Int = 5): Seq[(String, DataFrame)] = {
+                 contamN: Int = 5): Seq[(String, DataFrame)] =
+    curateFullStagesWithCaches(docs, textCol, idCol, langCol, evalPred, minWords,
+      lineWords, lineMinDocs, spanWords, spanMinCount, ngramN,
+      jaccardThreshold, contamN)._1
+
+  private def curateFullStagesWithCaches(docs: DataFrame, textCol: String, idCol: String,
+                 langCol: String,
+                 evalPred: Column, minWords: Int = 15,
+                 lineWords: Int = 4, lineMinDocs: Int = 3,
+                 spanWords: Int = 10, spanMinCount: Int = 2,
+                 ngramN: Int = 3, jaccardThreshold: Double = 0.5,
+                 contamN: Int = 5): (Seq[(String, DataFrame)], Seq[DataFrame]) = {
     val base = docs.select(
         col(idCol).cast("long").as("doc_id"),
         col(langCol).as("lang"),
@@ -169,17 +217,20 @@ object CurationPipeline {
     // 4. span-level substring dedup over the line-cleaned corpus;
     // emitWordHashes hands the surviving words' hashes straight to the
     // near-dup stage (no re-tokenize / re-hash of the cleaned text)
-    val keep4 = ScrubOps.spanDedup(keep3, "_t", "doc_id", spanWords, spanMinCount,
-        emitWordHashes = true)
+    val (spanned, spanCaches) = ScrubOps.spanDedupWithCaches(keep3, "_t", "doc_id",
+      spanWords, spanMinCount, emitWordHashes = true)
+    val keep4 = spanned
       .filter(col("text_clean") =!= "")
       .select(col("doc_id"), col("text_clean").as("_t"), col("wh_clean"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // 5. near-dup removal, shingling the span stage's word-hash arrays
-    val dropped = DedupOps.minhashNearDupPairsFromShingles(
-        keep4.select(col("doc_id"),
-          DedupOps.shingleHashesOfWordHashes(col("wh_clean"), ngramN).as("sg")),
-        threshold = jaccardThreshold)
+    // 5. near-dup removal, shingling the span stage's word-hash arrays;
+    // the shingle frame persists here (chain-owned, see curateStages)
+    val shTbl = keep4.select(col("doc_id"),
+        DedupOps.shingleHashesOfWordHashes(col("wh_clean"), ngramN).as("sg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropped = DedupOps.minhashNearDupPairsFromShingles(shTbl,
+        threshold = jaccardThreshold, cacheShingles = false)
       .select(col("doc_b").as("doc_id")).distinct()
     val keep5 = keep4.join(dropped, Seq("doc_id"), "left_anti")
       .select("doc_id", "_t")
@@ -194,9 +245,30 @@ object CurationPipeline {
     val result = keep5.join(contaminated, Seq("doc_id"), "left_anti")
       .join(base.select("doc_id", "lang"), Seq("doc_id"))
       .withColumn("_ws", split(col("_t"), " "))
-    Seq("1_quality_gate" -> keep1, "2_exact_dedup" -> keep2,
+    (Seq("1_quality_gate" -> keep1, "2_exact_dedup" -> keep2,
       "3_line_scrub" -> keep3, "4_span_dedup" -> keep4,
-      "5_near_dedup" -> keep5, "6_decontaminated" -> result)
+      "5_near_dedup" -> keep5, "6_decontaminated" -> result),
+      Seq(keep2) ++ spanCaches ++ Seq(keep4, shTbl, keep5))
+  }
+
+  /** [[curateFull]] in the corpus-scale shape (see [[curateToParquet]]):
+    * per-stage parquet materialization, then every chain-created cache
+    * unpersists. Returns the final survivors read back from parquet.
+    */
+  def curateFullToParquet(docs: DataFrame, textCol: String, idCol: String, langCol: String,
+                 evalPred: Column, outDir: String, minWords: Int = 15,
+                 lineWords: Int = 4, lineMinDocs: Int = 3,
+                 spanWords: Int = 10, spanMinCount: Int = 2,
+                 ngramN: Int = 3, jaccardThreshold: Double = 0.5,
+                 contamN: Int = 5): DataFrame = {
+    val (stages, caches) = curateFullStagesWithCaches(docs, textCol, idCol, langCol,
+      evalPred, minWords, lineWords, lineMinDocs, spanWords, spanMinCount,
+      ngramN, jaccardThreshold, contamN)
+    stages.foreach { case (label, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/$label.parquet")
+    }
+    caches.foreach(_.unpersist())
+    docs.sparkSession.read.parquet(s"$outDir/${stages.last._1}.parquet")
   }
 
   /** Per-language corpus stats over the curated survivors. The

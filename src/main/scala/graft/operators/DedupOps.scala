@@ -470,6 +470,29 @@ object DedupOps {
       maxBucket)
   }
 
+  /** [[incrementalDedup]] with an eager sink: writes the judgment to
+    * `outPath` and unpersists EVERY frame the run cached (the derived
+    * index sides and the prepared kernel's batch frames) before
+    * returning the result read back from parquet. This is the shape for
+    * a long-lived session ingesting batch after batch — nothing
+    * accumulates in executor storage between calls.
+    */
+  def incrementalDedupToParquet(newBatch: DataFrame, corpus: DataFrame,
+                                textCol: String, idCol: String, outPath: String,
+                                n: Int = 3, numHashes: Int = 64, bands: Int = 32,
+                                threshold: Double = 0.5,
+                                maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val idx0 = buildCorpusDedupIndex(corpus, textCol, idCol, n, numHashes, bands, maxBucket)
+    val sh = idx0.shingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bd = idx0.bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (out, caches) = incrementalDedupPreparedWithCaches(newBatch,
+      CorpusDedupIndex(idx0.fingerprints, sh, bd),
+      textCol, idCol, n, numHashes, bands, threshold, maxBucket)
+    out.write.mode("overwrite").parquet(outPath)
+    (Seq(sh, bd) ++ caches).foreach(_.unpersist())
+    newBatch.sparkSession.read.parquet(outPath)
+  }
+
   /** Precomputed corpus-side dedup index: text fingerprints for the exact
     * stage, hashed shingle sets for the verify stage, and MinHash band
     * hashes for the candidate stage. At scale each frame is written once
@@ -583,7 +606,20 @@ object DedupOps {
                                textCol: String, idCol: String,
                                n: Int = 3, numHashes: Int = 64, bands: Int = 32,
                                threshold: Double = 0.5,
-                               maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                               maxBucket: Int = DefaultMaxBucket): DataFrame =
+    incrementalDedupPreparedWithCaches(newBatch, index, textCol, idCol,
+      n, numHashes, bands, threshold, maxBucket)._1
+
+  /** [[incrementalDedupPrepared]] plus the batch-sized frames it
+    * persisted, so an eager caller can unpersist them after its final
+    * action (see [[incrementalDedupToParquet]]).
+    */
+  private def incrementalDedupPreparedWithCaches(
+                               newBatch: DataFrame, index: CorpusDedupIndex,
+                               textCol: String, idCol: String,
+                               n: Int = 3, numHashes: Int = 64, bands: Int = 32,
+                               threshold: Double = 0.5,
+                               maxBucket: Int = DefaultMaxBucket): (DataFrame, Seq[DataFrame]) = {
     // four consumers (both exact joins, the anti-join, the final roster)
     // re-evaluate the fingerprint projection — persist it once (batch-
     // sized; freed by the caller's clearCache or session end)
@@ -646,12 +682,13 @@ object DedupOps {
       .filter(jaccard(col("sg_n"), col("sg_p")) >= threshold)
       .groupBy("nid").agg(min("partner").as("match_id"))
 
-    nfp.select("nid")
+    val roster = nfp.select("nid")
       .join(exactMatch.withColumn("status", lit("exact_dup")), Seq("nid"), "left")
       .join(nearMatch.withColumnRenamed("match_id", "_nm"), Seq("nid"), "left")
       .select(col("nid").as("new_id"),
         coalesce(col("status"), when(col("_nm").isNotNull, "near_dup").otherwise("kept")).as("status"),
         coalesce(col("match_id"), col("_nm")).as("match_id"))
+    (roster, Seq(nfp, shNew))
   }
 
   /** Benchmark-decontamination report: training docs (evalPred false)

@@ -137,7 +137,16 @@ object ScrubOps {
 
   def spanDedup(df: DataFrame, textCol: String, idCol: String,
       spanWords: Int, minCount: Int = 2,
-      emitWordHashes: Boolean = false): DataFrame = {
+      emitWordHashes: Boolean = false): DataFrame =
+    spanDedupWithCaches(df, textCol, idCol, spanWords, minCount, emitWordHashes)._1
+
+  /** [[spanDedup]] plus the internally persisted tokenized frame, so an
+    * eager caller (the curation chain's parquet sink) can unpersist it
+    * after its final action.
+    */
+  private[operators] def spanDedupWithCaches(df: DataFrame, textCol: String, idCol: String,
+      spanWords: Int, minCount: Int = 2,
+      emitWordHashes: Boolean = false): (DataFrame, Seq[DataFrame]) = {
     val spark = df.sparkSession
     import spark.implicits._
     // typed map (see SpanHash): tokenize + word-hash + span-fold in one
@@ -186,7 +195,7 @@ object ScrubOps {
       textClean(col("_ws"), col("_cov")).as("text_clean"))
     val cols = if (emitWordHashes)
       base :+ whClean(col("_wh"), col("_cov")).as("wh_clean") else base
-    joined.select(cols: _*)
+    (joined.select(cols: _*), Seq(ws))
   }
 
   /** C4-style line-level boilerplate removal: a line that appears in

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CurationPipeline, DedupOps}
+
+/** The eager chain runners must leave executor storage exactly as they
+  * found it: a long-lived session running curation or ingest dedup
+  * repeatedly must not accumulate cached frames (round-4/5 advice — the
+  * lazy chains persist between stages by design, so the parquet-sink
+  * variants own the unpersist).
+  */
+class CacheHygieneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"), s"graft_cachehygiene_$name").getPath
+
+  private lazy val docs = ((0 until 60).map { i =>
+    (i.toLong, s"document number $i about topic ${i % 7} with several words of content to pass the gates easily", "en")
+  } ++ Seq(
+    (100L, "document number 3 about topic 3 with several words of content to pass the gates easily", "en"), // exact dup of 3
+    (900L, "an evaluation benchmark question about topic seven and its answer text", "en")
+  )).toDF("doc_id", "text", "lang")
+
+  test("curateToParquet unpersists every chain cache") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = CurationPipeline.curateToParquet(docs, "text", "doc_id", "lang",
+      col("doc_id") >= 900, tmp("curate"))
+    assert(out.count() > 0)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after == before, s"curateToParquet leaked ${after - before} cached frames")
+  }
+
+  test("curateFullToParquet unpersists every chain cache") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = CurationPipeline.curateFullToParquet(docs, "text", "doc_id", "lang",
+      col("doc_id") >= 900, tmp("curatefull"),
+      minWords = 3, lineWords = 2, lineMinDocs = 50, spanWords = 3, spanMinCount = 50)
+    assert(out.count() > 0)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after == before, s"curateFullToParquet leaked ${after - before} cached frames")
+  }
+
+  test("incrementalDedupToParquet unpersists the index and batch caches") {
+    val corpus = docs.filter(col("doc_id") < 900)
+    val batch = Seq(
+      (5000L, "document number 3 about topic 3 with several words of content to pass the gates easily"),
+      (5001L, "a brand new document with entirely original content today")
+    ).toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = DedupOps.incrementalDedupToParquet(batch, corpus, "text", "doc_id", tmp("inc"))
+    val byId = out.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(byId(5000L) == "exact_dup" && byId(5001L) == "kept")
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after == before, s"incrementalDedupToParquet leaked ${after - before} cached frames")
+  }
+}

@@ -671,9 +671,12 @@ object DedupOps {
     // the bucketed corpus table with the batch frame would erase the
     // corpus layout's partitioning and force a full corpus-shingle
     // shuffle; joined separately, the corpus leg reads co-located from a
-    // bucketed index while only the candidate side (batch-sized) moves
+    // bucketed index while only the candidate side (batch-sized) moves.
+    // candSh feeds both legs — persisted (batch-sized) so the candidate
+    // generation doesn't run twice
     val candSh = cand
       .join(shNew.select(col("doc_id").as("nid"), col("sg").as("sg_n")), Seq("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nearCorpus = candSh
       .join(index.shingles.select(col("doc_id").as("partner"), col("sg").as("sg_p")), Seq("partner"))
     val nearNew = candSh
@@ -688,7 +691,7 @@ object DedupOps {
       .select(col("nid").as("new_id"),
         coalesce(col("status"), when(col("_nm").isNotNull, "near_dup").otherwise("kept")).as("status"),
         coalesce(col("match_id"), col("_nm")).as("match_id"))
-    (roster, Seq(nfp, shNew))
+    (roster, Seq(nfp, shNew, candSh))
   }
 
   /** Benchmark-decontamination report: training docs (evalPred false)

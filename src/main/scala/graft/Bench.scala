@@ -49,8 +49,11 @@ object Bench {
     "q76_ann_topk_trained",     // end-to-end trained-quantizer IVF ANN (training
                                 // cost included — see ProfileMain for the split)
     "q77_corpus_pipeline_full", // curation chain v2 (gate+scrub+dedup+decontam)
-    "q78_incremental_dedup_prepared") // prepared-index ingest dedup (batch-cost path;
+    "q78_incremental_dedup_prepared", // prepared-index ingest dedup (batch-cost path;
                                 // first-ever run at an SF also builds the index)
+    "q79_member_activity_monthly",      // A4 monthly mart (outer-join grain)
+    "q80_constituency_activity_yearly", // A5 mart (lookup join + grid densify)
+    "q81_content_fact_pool")    // F17 templated fact pool (3-family union)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -232,17 +232,25 @@ object CurationPipeline {
     val dropped = DedupOps.minhashNearDupPairsFromShingles(shTbl,
         threshold = jaccardThreshold, cacheShingles = false)
       .select(col("doc_b").as("doc_id")).distinct()
+    // keep5 carries wh_clean forward: the decontamination stage shingles
+    // the SAME surviving-word hashes (split(_t) words == the surviving
+    // words, FNV'd == wh_clean) instead of re-tokenizing every survivor
     val keep5 = keep4.join(dropped, Seq("doc_id"), "left_anti")
-      .select("doc_id", "_t")
+      .select("doc_id", "_t", "wh_clean")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // 6. decontamination vs the ORIGINAL eval texts
-    val contaminated = DedupOps.contaminationReport(
-        keep5.select(col("doc_id"), col("_t").as("_nt")).unionByName(
-          base.filter(col("_is_eval")).select("doc_id", "_nt")),
-        "_nt", "doc_id", evalPred, contamN)
+    // 6. decontamination vs the ORIGINAL eval texts — eval side hashed
+    // with the same FNV kernel so the shingle families match
+    val evalWh = ScrubOps.fnvWordHashTable(
+        base.filter(col("_is_eval")).select("doc_id", "_nt"), "_nt", "doc_id")
+      .select(col("doc_id"), lit(true).as("_is_eval"), col("wh").as("_wh"))
+    val trainWh = keep5.select(col("doc_id"), lit(false).as("_is_eval"),
+      col("wh_clean").as("_wh"))
+    val contaminated = DedupOps.contaminationReportFromWordHashes(
+        trainWh.unionByName(evalWh), contamN)
       .select(col("train_doc").as("doc_id"))
     val result = keep5.join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "_t")
       .join(base.select("doc_id", "lang"), Seq("doc_id"))
       .withColumn("_ws", split(col("_t"), " "))
     (Seq("1_quality_gate" -> keep1, "2_exact_dedup" -> keep2,

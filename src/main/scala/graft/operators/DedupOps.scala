@@ -716,11 +716,23 @@ object DedupOps {
     // valid up to that bound). The word-hash array materializes in its
     // own projection and is referenced twice downstream, which keeps
     // CollapseProject from inlining the split into the shingle lambda.
-    val sh = docs
+    contaminationReportFromWordHashes(docs
       .select(col(idCol).cast("long").as("doc_id"), evalPred.as("_is_eval"),
-        transform(split(normText(col(textCol)), " "), w => xxhash64(w)).as("_wh"))
-      .select(col("doc_id"), col("_is_eval"),
-        explode(shingleHashesOfWordHashes(col("_wh"), n)).as("sg"))
+        transform(split(normText(col(textCol)), " "), w => xxhash64(w)).as("_wh")),
+      n, broadcastEval)
+  }
+
+  /** [[contaminationReport]] over PRE-HASHED word arrays — input
+    * (doc_id, _is_eval, _wh array<long>). Both sides must hash with the
+    * SAME word-hash function (mixing families silently matches
+    * nothing); the curation chain feeds the span stage's surviving
+    * FNV-1a64 hashes here and hashes the eval texts with the same
+    * kernel, skipping a full survivor re-tokenize.
+    */
+  def contaminationReportFromWordHashes(wordHashes: DataFrame, n: Int,
+                                        broadcastEval: Boolean = true): DataFrame = {
+    val sh = wordHashes.select(col("doc_id"), col("_is_eval"),
+      explode(shingleHashesOfWordHashes(col("_wh"), n)).as("sg"))
     val evalSide0 = sh.filter(col("_is_eval")).select(col("sg"), col("doc_id").as("eval_doc"))
     // benchmarks are usually tiny vs the corpus → broadcast; pass false
     // for an eval side too large for executor memory (shuffle join)

@@ -135,6 +135,21 @@ object ScrubOps {
       }
   }
 
+  /** (id, wh) FNV-1a64 word-hash table via the SpanHash kernel — the
+    * companion for consumers joining against wh_clean-derived shingles
+    * (same tokenize + same hash family; see the wh_clean compatibility
+    * warning on [[spanDedup]]'s docs).
+    */
+  def fnvWordHashTable(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, SpanHash.tokenize(text).map(SpanHash.fnv1a64).toSeq) }
+      .toDF(idCol, "wh")
+  }
+
   def spanDedup(df: DataFrame, textCol: String, idCol: String,
       spanWords: Int, minCount: Int = 2,
       emitWordHashes: Boolean = false): DataFrame =

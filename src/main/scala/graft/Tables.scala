@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Catalog shim: logical table name → parquet path under a scale-factor
   * dir. At cluster scale this is where a real catalog (metastore / batch
@@ -15,12 +16,18 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS); Spark reads it only as a
+    // events.ts has shipped as two physical types across driver testdata
+    // generations: parquet TIMESTAMP(NANOS) — which Spark reads only as a
     // nanos long (spark.sql.legacy.parquet.nanosAsLong=true, set by our
-    // session builders) — surface it as a proper micros timestamp, the
-    // same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
+    // session builders) — and plain timestamp[us], which Spark reads as
+    // TIMESTAMP_NTZ. Normalize both to a session-TZ (UTC) timestamp, the
+    // same value DuckDB sees casting either to TIMESTAMP.
     if (name == "events")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     else df
   }
 

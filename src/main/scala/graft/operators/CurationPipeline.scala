@@ -74,14 +74,12 @@ object CurationPipeline {
       (size(col("_ws")) - size(array_distinct(col("_ws")))) * 10 <=
         size(col("_ws")) * maxDupTenths)
 
-    // 2. exact dedup: min doc_id per normalized text (window, one
-    // shuffle on the text hash). Persisted: it feeds the near-dup
+    // 2. exact dedup: min doc_id per normalized text (combinable
+    // min-agg + semi-join — skew-proof on mass-duplicate corpora, see
+    // DedupOps.keepMinIdPerText). Persisted: it feeds the near-dup
     // shingle table AND the anti-join base (at corpus scale each stage
     // writes parquet instead).
-    val keep2 = keep1
-      .withColumn("_rn", row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(sha2(col("_nt"), 256)).orderBy(col("doc_id").asc)))
-      .filter(col("_rn") === 1).drop("_rn")
+    val keep2 = DedupOps.keepMinIdPerText(keep1, "_nt", "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 3. near-dup removal: LSH candidates + exact verify (same engine
@@ -197,11 +195,9 @@ object CurationPipeline {
       .filter(size(TextOps.gopherFailReasons(col("_ws"), minWords = minWords)) === 0)
 
     // 2. exact dedup on the normalized text (before span dedup: full
-    // copies share every span and would annihilate each other there)
-    val keep2 = keep1
-      .withColumn("_rn", row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(sha2(col("_nt"), 256)).orderBy(col("doc_id").asc)))
-      .filter(col("_rn") === 1).drop("_rn")
+    // copies share every span and would annihilate each other there).
+    // Combinable min-agg + semi-join — skew-proof, see keepMinIdPerText.
+    val keep2 = DedupOps.keepMinIdPerText(keep1, "_nt", "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 3. line-level boilerplate removal over the deduped corpus

@@ -19,17 +19,40 @@ object DedupOps {
 
   /** Exact dedupe (hash-groupBy): keep the smallest id per normalized-text
     * hash. Returns (survivors, dupGroups).
+    *
+    * Shape: `groupBy(hash).agg(min(id))` + semi-join back, NOT a
+    * `row_number` window. A window puts every member of one hash group in
+    * one task's sort — a mass-duplicate corpus (millions of copies of one
+    * boilerplate page, the normal web-crawl pathology) turns that into a
+    * single-task spill-and-sort. The aggregate is map-side combinable
+    * (each input partition contributes one (hash, min) row regardless of
+    * skew) and the semi-join back is AQE-splittable, so no key width ever
+    * concentrates on one task.
     */
   def exactDedup(docs: DataFrame, textCol: String, idCol: String): (DataFrame, DataFrame) = {
     val hashed = docs.withColumn("_text_hash", sha2(normText(col(textCol)), 256))
-    val survivors = hashed.withColumn("_keep",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy("_text_hash").orderBy(col(idCol).asc)))
-      .filter(col("_keep") === 1).drop("_keep")
+    val keepers = hashed.groupBy("_text_hash").agg(min(col(idCol)).as(idCol))
+    val survivors = hashed.join(keepers, Seq("_text_hash", idCol), "left_semi")
+      // restore the caller's column order (semi-join keys lead otherwise)
+      .select(docs.columns.map(col) :+ col("_text_hash"): _*)
     val groups = hashed.groupBy("_text_hash")
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper_id"))
       .filter(col("n_docs") > 1)
     (survivors, groups)
+  }
+
+  /** Keep exactly the row whose `idCol` is the group minimum per
+    * sha2(`textCol`) — the survivors half of [[exactDedup]] for callers
+    * whose text is already normalized (the curation chains' `_nt`).
+    * Same skew rationale as [[exactDedup]]: combinable min-aggregate +
+    * semi-join back instead of a single-task-per-group window. Preserves
+    * the input's exact column set and order.
+    */
+  def keepMinIdPerText(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val hashed = df.withColumn("_xh", sha2(col(textCol), 256))
+    val keepers = hashed.groupBy("_xh").agg(min(col(idCol)).as(idCol))
+    hashed.join(keepers, Seq("_xh", idCol), "left_semi")
+      .select(df.columns.map(col): _*)
   }
 
   /** Distinct word n-gram shingles of the text, as strings. The readable
@@ -629,8 +652,11 @@ object DedupOps {
 
     // exact matches: min corpus id per hash, min earlier new id per hash
     val exactC = nfp.join(index.fingerprints, Seq("_h")).groupBy("nid").agg(min("cid").as("_mc"))
-    val wH = org.apache.spark.sql.expressions.Window.partitionBy("_h")
-    val exactN = nfp.withColumn("_minNid", min("nid").over(wH))
+    // combinable min-agg + join back, not a window: same skew rationale
+    // as exactDedup — a batch full of one duplicated text must not land
+    // one partition-wide group in a single task
+    val exactN = nfp
+      .join(nfp.groupBy("_h").agg(min("nid").as("_minNid")), Seq("_h"))
       .filter(col("_minNid") < col("nid"))
       .select(col("nid"), col("_minNid").as("_mn"))
     val exactMatch = exactC.join(exactN, Seq("nid"), "full_outer")

@@ -121,6 +121,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("exact dedup is a combinable min-agg, not a per-group window") {
+    // a row_number window puts every member of one text-hash group in a
+    // single task's sort — a mass-duplicate corpus (millions of copies
+    // of one boilerplate page) becomes a one-task spill. The min-agg +
+    // semi-join shape contributes one (hash, min) row per input
+    // partition regardless of skew: the plan must show a partial
+    // aggregate BEFORE the exchange and no Window at all
+    val p = plan("q26_dedup_exact")
+    assert(!p.contains("Window"), "exact dedup regressed to a window")
+    assert(p.contains("partial_min"),
+      s"no map-side partial min before the exchange:\n${p.take(2000)}")
+  }
+
   test("incremental dedup and span dedup never join the corpus all-pairs") {
     Seq("q73_incremental_dedup", "q75_span_dedup", "q76_ann_topk_trained").foreach { q =>
       val p = plan(q)

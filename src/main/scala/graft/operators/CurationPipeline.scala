@@ -35,9 +35,10 @@ object CurationPipeline {
   def curate(docs: DataFrame, textCol: String, idCol: String, langCol: String,
              evalPred: Column, maxDupTenths: Int = 7,
              ngramN: Int = 3, jaccardThreshold: Double = 0.5,
-             contamN: Int = 5): DataFrame =
+             contamN: Int = 5,
+                 maxBucket: Int = DedupOps.DefaultMaxBucket): DataFrame =
     curateStages(docs, textCol, idCol, langCol, evalPred, maxDupTenths,
-      ngramN, jaccardThreshold, contamN).last._2
+      ngramN, jaccardThreshold, contamN, maxBucket).last._2
 
   /** [[curate]] with its stage boundaries exposed (label → survivors so
     * far) — the profiling surface: timing each frame gives the
@@ -46,19 +47,24 @@ object CurationPipeline {
   def curateStages(docs: DataFrame, textCol: String, idCol: String, langCol: String,
                    evalPred: Column, maxDupTenths: Int = 7,
                    ngramN: Int = 3, jaccardThreshold: Double = 0.5,
-                   contamN: Int = 5): Seq[(String, DataFrame)] =
+                   contamN: Int = 5,
+                 maxBucket: Int = DedupOps.DefaultMaxBucket): Seq[(String, DataFrame)] =
     curateStagesWithCaches(docs, textCol, idCol, langCol, evalPred,
-      maxDupTenths, ngramN, jaccardThreshold, contamN)._1
+      maxDupTenths, ngramN, jaccardThreshold, contamN, maxBucket)._1
 
   /** [[curateStages]] plus every frame the chain persisted (stage frames
     * AND the internal shingle table) so an owner can unpersist them all
-    * after its final action — see [[curateToParquet]].
+    * after its final action — see [[curateToParquet]] — plus the chain's
+    * monitoring reports (near-dup cap drops; lazy, evaluated only when a
+    * sink writes them).
     */
   private def curateStagesWithCaches(docs: DataFrame, textCol: String, idCol: String,
                    langCol: String,
                    evalPred: Column, maxDupTenths: Int = 7,
                    ngramN: Int = 3, jaccardThreshold: Double = 0.5,
-                   contamN: Int = 5): (Seq[(String, DataFrame)], Seq[DataFrame]) = {
+                   contamN: Int = 5,
+                 maxBucket: Int = DedupOps.DefaultMaxBucket):
+      (Seq[(String, DataFrame)], Seq[DataFrame], Seq[(String, DataFrame)]) = {
     // one materialized tokenization feeds stage 1 (lambda-CSE: see
     // DedupOps.shinglesOfWords)
     val base = docs.select(
@@ -90,7 +96,7 @@ object CurationPipeline {
     val sh = DedupOps.shingleHashTable(keep2, "_nt", "doc_id", ngramN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dropped = DedupOps.minhashNearDupPairsFromShingles(sh,
-        threshold = jaccardThreshold, cacheShingles = false)
+        threshold = jaccardThreshold, cacheShingles = false, maxBucket = maxBucket)
       .select(col("doc_b").as("doc_id")).distinct()
     val keep3 = keep2.join(dropped, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -106,7 +112,12 @@ object CurationPipeline {
     val result = keep3.join(contaminated, Seq("doc_id"), "left_anti")
     (Seq("1_repetition_gate" -> keep1, "2_exact_dedup" -> keep2,
       "3_near_dedup" -> keep3, "4_decontaminated" -> result),
-      Seq(keep2, sh, keep3))
+      Seq(keep2, sh, keep3),
+      // cap-drop observability ("no silent caps"): the LSH buckets the
+      // near-dup stage's cap discarded, over the SAME persisted shingle
+      // frame the candidates ran on
+      Seq("near_dup_cap_drops" ->
+        DedupOps.minhashOversizedBuckets(sh, maxBucket = maxBucket)))
   }
 
   /** [[curate]] in the corpus-scale shape: every stage materializes to
@@ -119,11 +130,17 @@ object CurationPipeline {
   def curateToParquet(docs: DataFrame, textCol: String, idCol: String, langCol: String,
                       evalPred: Column, outDir: String, maxDupTenths: Int = 7,
                       ngramN: Int = 3, jaccardThreshold: Double = 0.5,
-                      contamN: Int = 5): DataFrame = {
-    val (stages, caches) = curateStagesWithCaches(docs, textCol, idCol, langCol,
-      evalPred, maxDupTenths, ngramN, jaccardThreshold, contamN)
+                      contamN: Int = 5,
+                 maxBucket: Int = DedupOps.DefaultMaxBucket): DataFrame = {
+    val (stages, caches, reports) = curateStagesWithCaches(docs, textCol, idCol, langCol,
+      evalPred, maxDupTenths, ngramN, jaccardThreshold, contamN, maxBucket)
     stages.foreach { case (label, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$label.parquet")
+    }
+    // monitoring artifacts: what the caps dropped, recorded next to the
+    // stage outputs so a production run never discards mass silently
+    reports.foreach { case (label, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/reports/$label.parquet")
     }
     caches.foreach(_.unpersist())
     docs.sparkSession.read.parquet(s"$outDir/${stages.last._1}.parquet")
@@ -159,10 +176,11 @@ object CurationPipeline {
                  lineWords: Int = 4, lineMinDocs: Int = 3,
                  spanWords: Int = 10, spanMinCount: Int = 2,
                  ngramN: Int = 3, jaccardThreshold: Double = 0.5,
-                 contamN: Int = 5): DataFrame =
+                 contamN: Int = 5,
+                 maxBucket: Int = DedupOps.DefaultMaxBucket): DataFrame =
     curateFullStages(docs, textCol, idCol, langCol, evalPred, minWords,
       lineWords, lineMinDocs, spanWords, spanMinCount, ngramN,
-      jaccardThreshold, contamN).last._2
+      jaccardThreshold, contamN, maxBucket).last._2
 
   /** [[curateFull]] with stage boundaries exposed for profiling. */
   def curateFullStages(docs: DataFrame, textCol: String, idCol: String, langCol: String,
@@ -170,10 +188,11 @@ object CurationPipeline {
                  lineWords: Int = 4, lineMinDocs: Int = 3,
                  spanWords: Int = 10, spanMinCount: Int = 2,
                  ngramN: Int = 3, jaccardThreshold: Double = 0.5,
-                 contamN: Int = 5): Seq[(String, DataFrame)] =
+                 contamN: Int = 5,
+                 maxBucket: Int = DedupOps.DefaultMaxBucket): Seq[(String, DataFrame)] =
     curateFullStagesWithCaches(docs, textCol, idCol, langCol, evalPred, minWords,
       lineWords, lineMinDocs, spanWords, spanMinCount, ngramN,
-      jaccardThreshold, contamN)._1
+      jaccardThreshold, contamN, maxBucket)._1
 
   private def curateFullStagesWithCaches(docs: DataFrame, textCol: String, idCol: String,
                  langCol: String,
@@ -181,7 +200,9 @@ object CurationPipeline {
                  lineWords: Int = 4, lineMinDocs: Int = 3,
                  spanWords: Int = 10, spanMinCount: Int = 2,
                  ngramN: Int = 3, jaccardThreshold: Double = 0.5,
-                 contamN: Int = 5): (Seq[(String, DataFrame)], Seq[DataFrame]) = {
+                 contamN: Int = 5,
+                 maxBucket: Int = DedupOps.DefaultMaxBucket):
+      (Seq[(String, DataFrame)], Seq[DataFrame], Seq[(String, DataFrame)]) = {
     val base = docs.select(
         col(idCol).cast("long").as("doc_id"),
         col(langCol).as("lang"),
@@ -226,7 +247,7 @@ object CurationPipeline {
         DedupOps.shingleHashesOfWordHashes(col("wh_clean"), ngramN).as("sg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dropped = DedupOps.minhashNearDupPairsFromShingles(shTbl,
-        threshold = jaccardThreshold, cacheShingles = false)
+        threshold = jaccardThreshold, cacheShingles = false, maxBucket = maxBucket)
       .select(col("doc_b").as("doc_id")).distinct()
     // keep5 carries wh_clean forward: the decontamination stage shingles
     // the SAME surviving-word hashes (split(_t) words == the surviving
@@ -252,7 +273,9 @@ object CurationPipeline {
     (Seq("1_quality_gate" -> keep1, "2_exact_dedup" -> keep2,
       "3_line_scrub" -> keep3, "4_span_dedup" -> keep4,
       "5_near_dedup" -> keep5, "6_decontaminated" -> result),
-      Seq(keep2) ++ spanCaches ++ Seq(keep4, shTbl, keep5))
+      Seq(keep2) ++ spanCaches ++ Seq(keep4, shTbl, keep5),
+      Seq("near_dup_cap_drops" ->
+        DedupOps.minhashOversizedBuckets(shTbl, maxBucket = maxBucket)))
   }
 
   /** [[curateFull]] in the corpus-scale shape (see [[curateToParquet]]):
@@ -264,12 +287,16 @@ object CurationPipeline {
                  lineWords: Int = 4, lineMinDocs: Int = 3,
                  spanWords: Int = 10, spanMinCount: Int = 2,
                  ngramN: Int = 3, jaccardThreshold: Double = 0.5,
-                 contamN: Int = 5): DataFrame = {
-    val (stages, caches) = curateFullStagesWithCaches(docs, textCol, idCol, langCol,
+                 contamN: Int = 5,
+                 maxBucket: Int = DedupOps.DefaultMaxBucket): DataFrame = {
+    val (stages, caches, reports) = curateFullStagesWithCaches(docs, textCol, idCol, langCol,
       evalPred, minWords, lineWords, lineMinDocs, spanWords, spanMinCount,
-      ngramN, jaccardThreshold, contamN)
+      ngramN, jaccardThreshold, contamN, maxBucket)
     stages.foreach { case (label, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$label.parquet")
+    }
+    reports.foreach { case (label, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/reports/$label.parquet")
     }
     caches.foreach(_.unpersist())
     docs.sparkSession.read.parquet(s"$outDir/${stages.last._1}.parquet")

@@ -171,6 +171,14 @@ object DedupOps {
     */
   val DefaultMaxBucket = 5000
 
+  /** Explicit "no cap" for oracle-checked query paths: the DuckDB
+    * oracles replay uncapped LSH semantics, so every SparkEntry query
+    * passes this instead of silently relying on the data staying under
+    * [[DefaultMaxBucket]] — a corpus that DID hit the cap would then
+    * diverge from its oracle loudly instead of being masked.
+    */
+  val NoBucketCap: Int = Int.MaxValue
+
   /** Band-table rows restricted to buckets of width in [minWidth,
     * maxBucket] — the standard LSH skew guard. A degenerate bucket (one
     * hot band hash over millions of near-identical docs that exact dedup
@@ -209,6 +217,28 @@ object DedupOps {
       .agg(count(lit(1)).as("bucket_width"))
       .filter(col("bucket_width") > maxBucket)
       .orderBy(col("bucket_width").desc)
+
+  /** [[oversizedBuckets]] of the MinHash band table a (doc_id, sg)
+    * shingle frame produces — the cap-drop monitoring companion to
+    * [[minhashNearDupPairsFromShingles]] with the same parameters:
+    * (band_idx, band_hash, bucket_width) for every bucket the cap
+    * discards. Lazy; callers persist the shingle frame (the curation
+    * chains already do) so evaluating the report costs one extra
+    * signature + banding pass over cached shingles, not a re-tokenize.
+    */
+  def minhashOversizedBuckets(sh: DataFrame, numHashes: Int = 64, bands: Int = 32,
+                              maxBucket: Int = DefaultMaxBucket): DataFrame =
+    oversizedBuckets(bandTable(minhashSignaturesFromShingles(sh, numHashes),
+      bands, numHashes / bands), Seq("band_idx", "band_hash"), maxBucket)
+
+  /** One-row rollup of a cap-drop report ([[oversizedBuckets]] /
+    * [[minhashOversizedBuckets]]): how many buckets the cap dropped and
+    * how many member rows they held — the number a 100 TB curation run
+    * logs so dropped mass is never silent.
+    */
+  def capDropSummary(drops: DataFrame): DataFrame =
+    drops.agg(count(lit(1)).as("n_dropped_buckets"),
+      coalesce(sum(col("bucket_width")), lit(0L)).as("n_dropped_rows"))
 
   /** The bands × rowsPerBand band structs (band_idx, band_hash) over the
     * h0..h{numHashes-1} signature columns of the input scope.
@@ -488,7 +518,8 @@ object DedupOps {
     val idx = CorpusDedupIndex(
       idx0.fingerprints,
       idx0.shingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      idx0.bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      idx0.bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      idx0.params)
     incrementalDedupPrepared(newBatch, idx, textCol, idCol, n, numHashes, bands, threshold,
       maxBucket)
   }
@@ -509,7 +540,7 @@ object DedupOps {
     val sh = idx0.shingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bd = idx0.bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (out, caches) = incrementalDedupPreparedWithCaches(newBatch,
-      CorpusDedupIndex(idx0.fingerprints, sh, bd),
+      CorpusDedupIndex(idx0.fingerprints, sh, bd, idx0.params),
       textCol, idCol, n, numHashes, bands, threshold, maxBucket)
     out.write.mode("overwrite").parquet(outPath)
     (Seq(sh, bd) ++ caches).foreach(_.unpersist())
@@ -527,7 +558,15 @@ object DedupOps {
     */
   final case class CorpusDedupIndex(fingerprints: DataFrame, // (cid, _h)
                                     shingles: DataFrame,     // (doc_id, sg)
-                                    bands: DataFrame)        // (doc_id, band_idx, band_hash)
+                                    bands: DataFrame,        // (doc_id, band_idx, band_hash)
+                                    params: Option[CorpusIndexParams] = None)
+
+  /** The build parameters an index's band/shingle tables are only valid
+    * for. Carried by [[buildCorpusDedupIndex]]'s result and the written
+    * manifest so [[incrementalDedupPrepared]] can verify an ingest call
+    * matches them instead of silently joining mismatched band families.
+    */
+  final case class CorpusIndexParams(n: Int, numHashes: Int, bands: Int, maxBucket: Int)
 
   /** Build the three corpus index frames. Parameters must match the ones
     * later passed to [[incrementalDedupPrepared]].
@@ -542,14 +581,29 @@ object DedupOps {
   def buildCorpusDedupIndex(corpus: DataFrame, textCol: String, idCol: String,
                             n: Int = 3, numHashes: Int = 64,
                             bands: Int = 32,
-                            maxBucket: Int = DefaultMaxBucket): CorpusDedupIndex = {
+                            maxBucket: Int = DefaultMaxBucket): CorpusDedupIndex =
+    buildCorpusDedupIndexWithReport(corpus, textCol, idCol, n, numHashes, bands, maxBucket)._1
+
+  /** [[buildCorpusDedupIndex]] plus the cap-drop report: the corpus
+    * buckets wider than maxBucket that the band table permanently
+    * excludes, as (band_idx, band_hash, bucket_width). A 100 TB accept
+    * job writes/logs this next to the index ([[capDropSummary]] for the
+    * one-row rollup) so the dropped mass is recorded, never silent.
+    * Both frames are lazy; the report shares the corpus shingle plan.
+    */
+  def buildCorpusDedupIndexWithReport(corpus: DataFrame, textCol: String, idCol: String,
+                            n: Int = 3, numHashes: Int = 64,
+                            bands: Int = 32,
+                            maxBucket: Int = DefaultMaxBucket): (CorpusDedupIndex, DataFrame) = {
     val fp = corpus.select(col(idCol).cast("long").as("cid"),
       sha2(normText(col(textCol)), 256).as("_h"))
     val sh = shingleHashTable(corpus, textCol, idCol, n)
     val banded = boundBuckets(
       bandTable(minhashSignaturesFromShingles(sh, numHashes), bands, numHashes / bands),
       Seq("band_idx", "band_hash"), maxBucket, minWidth = 1L)
-    CorpusDedupIndex(fp, sh, banded)
+    (CorpusDedupIndex(fp, sh, banded,
+      Some(CorpusIndexParams(n, numHashes, bands, maxBucket))),
+      minhashOversizedBuckets(sh, numHashes, bands, maxBucket))
   }
 
   /** Persist a corpus index as BUCKETED tables (saveAsTable — bucketing
@@ -579,36 +633,119 @@ object DedupOps {
     write(idx.fingerprints, "fingerprints", Seq("_h"))
     write(idx.shingles, "shingles", Seq("doc_id"))
     write(idx.bands, "bands", Seq("band_idx", "band_hash"))
+    val spark = idx.bands.sparkSession
+    // build params ride the bands table's properties so every read path
+    // (same-session read or cross-session attach) recovers them for the
+    // ingest-call verification in incrementalDedupPrepared
+    idx.params.foreach(p => spark.sql(
+      s"""ALTER TABLE ${tablePrefix}_bands SET TBLPROPERTIES ${paramsProps(p)}"""))
+    // layout manifest next to the files: attach verifies against it
+    // instead of trusting the caller's bucket count (a mismatched bucket
+    // DDL would make every join silently wrong)
+    path.foreach { p =>
+      val manifest: Map[String, Any] = Map(
+        "buckets" -> buckets,
+        "schemas" -> Map(
+          "fingerprints" -> idx.fingerprints.schema.toDDL,
+          "shingles" -> idx.shingles.schema.toDDL,
+          "bands" -> idx.bands.schema.toDDL)) ++
+        idx.params.map(pr => "params" -> Map(
+          "n" -> pr.n, "numHashes" -> pr.numHashes,
+          "bands" -> pr.bands, "maxBucket" -> pr.maxBucket))
+      writeTextFile(spark, s"$p/manifest.json", graft.io.StableJson.write(manifest))
+    }
+  }
+
+  private def paramsProps(p: CorpusIndexParams): String =
+    s"""('graft.index.n'='${p.n}','graft.index.numHashes'='${p.numHashes}',""" +
+      s"""'graft.index.bands'='${p.bands}','graft.index.maxBucket'='${p.maxBucket}')"""
+
+  private def writeTextFile(spark: org.apache.spark.sql.SparkSession,
+                            path: String, content: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(hp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readTextFile(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Option[String] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) None
+    else {
+      val in = fs.open(hp)
+      try {
+        val bytes = org.apache.commons.io.IOUtils.toByteArray(in)
+        Some(new String(bytes, "UTF-8"))
+      } finally in.close()
+    }
   }
 
   /** Re-register an index previously written by [[writeCorpusDedupIndex]]
     * with an explicit path, in a session whose catalog doesn't know it
-    * (e.g. a fresh in-memory catalog). Pure DDL — no data moves; buckets
-    * must match the written layout or joins will be silently wrong.
+    * (e.g. a fresh in-memory catalog). Pure DDL — no data moves. The
+    * written manifest.json is the layout's source of truth: attach reads
+    * bucket count and schemas from it and REFUSES a caller-supplied
+    * bucket count that disagrees (a mismatched bucket DDL makes every
+    * downstream join silently wrong — that footgun must be loud).
+    * Indexes written before manifests existed must be rebuilt.
+    *
+    * @param buckets optional cross-check; -1 (default) takes the
+    *                manifest's count, any other value must equal it
     */
   def attachCorpusDedupIndex(spark: org.apache.spark.sql.SparkSession,
                              tablePrefix: String, path: String,
-                             buckets: Int = 64): Unit = {
-    def ddl(name: String, schema: String, cols: String): Unit =
-      spark.sql(s"""CREATE TABLE IF NOT EXISTS ${tablePrefix}_$name ($schema)
+                             buckets: Int = -1): Unit = {
+    val manifestJson = readTextFile(spark, s"$path/manifest.json").getOrElse(
+      throw new IllegalStateException(
+        s"no manifest.json under $path — the index predates layout manifests " +
+          "(or the path is wrong); rebuild it with writeCorpusDedupIndex"))
+    val m = graft.io.StableJson.parse(manifestJson).asInstanceOf[Map[String, Any]]
+    val manifestBuckets = m("buckets").asInstanceOf[Number].intValue()
+    require(buckets < 0 || buckets == manifestBuckets,
+      s"bucket count mismatch: caller says $buckets, manifest at $path says " +
+        s"$manifestBuckets — attaching with the wrong count would make every " +
+        "bucketed join silently wrong")
+    val schemas = m("schemas").asInstanceOf[Map[String, Any]]
+    def ddl(name: String, cols: String): Unit =
+      spark.sql(s"""CREATE TABLE IF NOT EXISTS ${tablePrefix}_$name (${schemas(name)})
         |USING PARQUET
-        |CLUSTERED BY ($cols) SORTED BY ($cols) INTO $buckets BUCKETS
+        |CLUSTERED BY ($cols) SORTED BY ($cols) INTO $manifestBuckets BUCKETS
         |LOCATION '$path/$name'""".stripMargin)
-    ddl("fingerprints", "cid BIGINT, `_h` STRING", "`_h`")
-    ddl("shingles", "doc_id BIGINT, sg ARRAY<BIGINT>", "doc_id")
-    ddl("bands", "doc_id BIGINT, band_idx INT, band_hash BIGINT", "band_idx, band_hash")
+    ddl("fingerprints", "`_h`")
+    ddl("shingles", "doc_id")
+    ddl("bands", "band_idx, band_hash")
+    m.get("params").map(_.asInstanceOf[Map[String, Any]]).foreach { pm =>
+      def i(k: String) = pm(k).asInstanceOf[Number].intValue()
+      spark.sql(s"""ALTER TABLE ${tablePrefix}_bands SET TBLPROPERTIES ${paramsProps(
+        CorpusIndexParams(i("n"), i("numHashes"), i("bands"), i("maxBucket")))}""")
+    }
   }
 
   /** Read an index persisted by [[writeCorpusDedupIndex]]. The frames
     * carry the bucketed layout, so downstream joins on the bucket keys
-    * need no corpus-side exchange (asserted by CorpusIndexSpec).
+    * need no corpus-side exchange (asserted by CorpusIndexSpec); the
+    * build params come back from the bands table's properties so
+    * [[incrementalDedupPrepared]] can verify the ingest call against
+    * them.
     */
   def readCorpusDedupIndex(spark: org.apache.spark.sql.SparkSession,
-                           tablePrefix: String): CorpusDedupIndex =
+                           tablePrefix: String): CorpusDedupIndex = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${tablePrefix}_bands")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val params = for {
+      n <- props.get("graft.index.n")
+      nh <- props.get("graft.index.numHashes")
+      b <- props.get("graft.index.bands")
+      mb <- props.get("graft.index.maxBucket")
+    } yield CorpusIndexParams(n.toInt, nh.toInt, b.toInt, mb.toInt)
     CorpusDedupIndex(
       spark.table(s"${tablePrefix}_fingerprints"),
       spark.table(s"${tablePrefix}_shingles"),
-      spark.table(s"${tablePrefix}_bands"))
+      spark.table(s"${tablePrefix}_bands"),
+      params)
+  }
 
   /** True when all three index tables exist in the catalog. */
   def corpusDedupIndexExists(spark: org.apache.spark.sql.SparkSession,
@@ -643,6 +780,20 @@ object DedupOps {
                                n: Int = 3, numHashes: Int = 64, bands: Int = 32,
                                threshold: Double = 0.5,
                                maxBucket: Int = DefaultMaxBucket): (DataFrame, Seq[DataFrame]) = {
+    // an index built with different shingle n / signature count / banding
+    // produces band hashes from a DIFFERENT hash family: the joins would
+    // run fine and match (almost) nothing. When the index carries its
+    // build params (buildCorpusDedupIndex result, or a read/attach of a
+    // manifested index), a mismatched ingest call is an error, not a
+    // silently-empty judgment. maxBucket may legitimately differ (the
+    // corpus cap applied at build; this arg caps only the batch side).
+    index.params.foreach { p =>
+      require(p.n == n && p.numHashes == numHashes && p.bands == bands,
+        s"corpus index built with (n=${p.n}, numHashes=${p.numHashes}, " +
+          s"bands=${p.bands}) but ingest called with (n=$n, " +
+          s"numHashes=$numHashes, bands=$bands) — the band families would " +
+          "not match and every new doc would wrongly judge as kept")
+    }
     // four consumers (both exact joins, the anti-join, the final roster)
     // re-evaluate the fingerprint projection — persist it once (batch-
     // sized; freed by the caller's clearCache or session end)

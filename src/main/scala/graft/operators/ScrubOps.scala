@@ -218,12 +218,18 @@ object ScrubOps {
     * (navigation chrome, cookie banners, boilerplate headers), and the
     * surviving lines are reassembled in original order.
     *
-    * Plan shape at scale: one explode + one (line → distinct-doc count)
-    * aggregation — map-side combinable after the in-doc distinct — then
-    * an anti-join of lines against the frequent set. The frequent set is
-    * tiny relative to the corpus (boilerplate by definition repeats), so
-    * Spark/AQE broadcasts it; the reassembly groupBy shuffles each doc's
-    * surviving lines once, keyed by the high-cardinality doc id.
+    * Plan shape at scale: line IDENTITY travels as an xxhash64, never as
+    * the line string — the frequency count is one hash-keyed map-side-
+    * combinable aggregation (the in-doc distinct happens scan-side via
+    * array_distinct, so each doc contributes each line hash once before
+    * the exchange), and the anti-join key is the 8-byte hash. The
+    * frequent set is tiny relative to the corpus (boilerplate by
+    * definition repeats) and hash-only, so Spark/AQE broadcasts it; the
+    * only string-bearing shuffle left is the reassembly groupBy, which
+    * moves each doc's surviving lines once, keyed by the
+    * high-cardinality doc id. Hash collisions conflate lines at ~2⁻⁶⁴
+    * per pair — the same accepted trade as the MinHash path, invisible
+    * to the string-level oracle at any realistic corpus size.
     *
     * Output: (id, n_lines, n_kept, text_clean), one row per input doc —
     * docs whose every line is boilerplate survive with empty text so the
@@ -233,16 +239,20 @@ object ScrubOps {
       minDocs: Int): DataFrame = {
     val id = col(idCol).cast("long").as(idCol)
     val lines = df.select(id, posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", xxhash64(col("line")))
 
-    // distinct docs per line; array_distinct before the explode would
-    // also work but the (line, id) distinct lets the partial aggregate
-    // shrink the shuffle the same way with one pass
-    val frequent = lines.select(col("line"), col(idCol)).distinct()
-      .groupBy("line").agg(count(lit(1)).as("n_docs"))
+    // (lh, id) distinct then count — the same two-exchange shape as the
+    // string version but keyed by the 8-byte hash (computed in the
+    // codegen'd projection above, NOT inside a higher-order lambda,
+    // which would evaluate interpreted); the partial distinct shrinks
+    // in-doc repeats map-side and no string ever enters an exchange on
+    // this leg
+    val frequent = lines.select(col("lh"), col(idCol)).distinct()
+      .groupBy("lh").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-      .select("line")
+      .select("lh")
 
-    val kept = lines.join(frequent, Seq("line"), "left_anti")
+    val kept = lines.join(frequent, Seq("lh"), "left_anti")
 
     val counts = df.select(id, size(split(col(textCol), "\n")).cast("long").as("n_lines"))
     counts.join(

@@ -40,7 +40,8 @@ object LlmPipeline {
     "q28_neardup_minhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       DedupOps.minhashNearDupPairs(docs, "text", "doc_id",
-          n = 3, numHashes = 64, bands = 32, threshold = 0.5)
+          n = 3, numHashes = 64, bands = 32, threshold = 0.5,
+          maxBucket = DedupOps.NoBucketCap)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -52,7 +53,8 @@ object LlmPipeline {
       val docs = t(s, dir, "documents")
       val sig = DedupOps.simhash(docs, "text", "doc_id",
         tokenHash = DedupOps.shaTokenHash, bits = 60)
-      DedupOps.simhashNearDupPairs(sig, maxHamming = 3, bits = 60)
+      DedupOps.simhashNearDupPairs(sig, maxHamming = 3, bits = 60,
+          maxBucket = DedupOps.NoBucketCap)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("doc_a", "doc_b")
     }),
@@ -106,7 +108,8 @@ object LlmPipeline {
     // p ≈ 1e-7.
     "q55_neardup_embedding_lsh" -> ((s, dir) => {
       DedupOps.lshEmbeddingNearDupPairs(nearDupCorpus(s, dir), "vid", "vd",
-          dim = 64, bands = 16, planesPerBand = 16, t2 = 0.81)
+          dim = 64, bands = 16, planesPerBand = 16, t2 = 0.81,
+          maxBucket = DedupOps.NoBucketCap)
         .orderBy("vec_a", "vec_b")
     }),
 
@@ -183,7 +186,8 @@ object LlmPipeline {
     "q68_neardup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = DedupOps.minhashNearDupPairs(docs, "text", "doc_id",
-        n = 3, numHashes = 64, bands = 32, threshold = 0.5)
+        n = 3, numHashes = 64, bands = 32, threshold = 0.5,
+        maxBucket = DedupOps.NoBucketCap)
       GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
         .orderBy("doc_id")
     }),
@@ -205,7 +209,8 @@ object LlmPipeline {
     // per-language stats. The oracle replays every stage in SQL.
     "q77_corpus_pipeline_full" -> ((s, dir) => {
       val curated = CurationPipeline.curateFull(t(s, dir, "documents"),
-        "text", "doc_id", "lang", col("doc_id") % 10 === 0)
+        "text", "doc_id", "lang", col("doc_id") % 10 === 0,
+        maxBucket = DedupOps.NoBucketCap)
       CurationPipeline.statsByLang(curated)
     }),
 
@@ -233,7 +238,8 @@ object LlmPipeline {
     "q73_incremental_dedup" -> ((s, dir) => {
       val (corpus, newBatch) = incrementalBatchParts(s, dir)
       DedupOps.incrementalDedup(newBatch, corpus, "text", "doc_id",
-          n = 3, numHashes = 64, bands = 32, threshold = 0.5)
+          n = 3, numHashes = 64, bands = 32, threshold = 0.5,
+          maxBucket = DedupOps.NoBucketCap)
         .orderBy("new_id")
     }),
 
@@ -246,21 +252,25 @@ object LlmPipeline {
     // (and oracle) identical to q73.
     "q78_incremental_dedup_prepared" -> ((s, dir) => {
       val (corpus, newBatch) = incrementalBatchParts(s, dir)
-      val prefix = "graft_q78_index_" + Integer.toHexString(dir.hashCode)
+      // v2: uncapped build (oracle parity — see DedupOps.NoBucketCap) +
+      // layout manifest; the name bump orphans pre-manifest index dirs
+      val prefix = "graft_q78v2_index_" + Integer.toHexString(dir.hashCode)
       val root = new java.io.File(sys.props("java.io.tmpdir"), prefix)
       if (!DedupOps.corpusDedupIndexExists(s, prefix)) {
         // bucketed files survive across sessions; the in-memory catalog
         // doesn't — re-attach when present, build+write only once per dir
-        if (new java.io.File(root, "bands/_SUCCESS").exists())
-          DedupOps.attachCorpusDedupIndex(s, prefix, root.getPath, buckets = 16)
+        if (new java.io.File(root, "manifest.json").exists())
+          DedupOps.attachCorpusDedupIndex(s, prefix, root.getPath)
         else DedupOps.writeCorpusDedupIndex(
           DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id",
-            n = 3, numHashes = 64, bands = 32),
+            n = 3, numHashes = 64, bands = 32,
+            maxBucket = DedupOps.NoBucketCap),
           prefix, buckets = 16, path = Some(root.getPath))
       }
       val idx = DedupOps.readCorpusDedupIndex(s, prefix)
       DedupOps.incrementalDedupPrepared(newBatch, idx, "text", "doc_id",
-          n = 3, numHashes = 64, bands = 32, threshold = 0.5)
+          n = 3, numHashes = 64, bands = 32, threshold = 0.5,
+          maxBucket = DedupOps.NoBucketCap)
         .orderBy("new_id")
     }),
 
@@ -322,7 +332,8 @@ object LlmPipeline {
     // the whole chain in SQL (brute-force near-dup pairs).
     "q67_corpus_pipeline" -> ((s, dir) => {
       val curated = CurationPipeline.curate(t(s, dir, "documents"),
-        "text", "doc_id", "lang", col("doc_id") % 10 === 0)
+        "text", "doc_id", "lang", col("doc_id") % 10 === 0,
+        maxBucket = DedupOps.NoBucketCap)
       CurationPipeline.statsByLang(curated)
     }),
   )

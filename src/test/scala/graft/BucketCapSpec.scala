@@ -122,6 +122,41 @@ class BucketCapSpec extends SparkSpec {
     assert(widths.nonEmpty && widths.forall(_ > 10), s"monitor missed the hot bucket: ${widths.toSeq}")
   }
 
+  test("index build reports what the cap dropped; summary rolls it up") {
+    val (idx, drops) = DedupOps.buildCorpusDedupIndexWithReport(
+      docs, "text", "doc_id", maxBucket = 10)
+    assert(idx.params.exists(_.maxBucket == 10))
+    val rows = drops.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("bucket_width") > 10),
+      s"index-build report missed the hot bucket: ${rows.toSeq}")
+    val s = DedupOps.capDropSummary(drops).collect()(0)
+    assert(s.getAs[Long]("n_dropped_buckets") == rows.length.toLong)
+    assert(s.getAs[Long]("n_dropped_rows") == rows.map(_.getAs[Long]("bucket_width")).sum)
+    // and an uncapped summary is an explicit zero row, not an empty frame
+    val z = DedupOps.capDropSummary(
+      DedupOps.minhashOversizedBuckets(
+        DedupOps.shingleHashTable(docs, "text", "doc_id", 3),
+        maxBucket = DedupOps.NoBucketCap)).collect()(0)
+    assert(z.getAs[Long]("n_dropped_buckets") == 0L && z.getAs[Long]("n_dropped_rows") == 0L)
+  }
+
+  test("curation sink records the near-dup cap drops next to the stage outputs") {
+    val out = new java.io.File(sys.props("java.io.tmpdir"), "graft_cap_report_chain").getPath
+    try {
+      val curated = graft.operators.CurationPipeline.curateToParquet(
+        docs.withColumn("lang", lit("en")), "text", "doc_id", "lang",
+        evalPred = col("doc_id") < 0, outDir = out, maxBucket = 10)
+      // the cap protected the run: templated family survives (no pairs)
+      assert(curated.count() >= 40)
+      val report = spark.read.parquet(s"$out/reports/near_dup_cap_drops.parquet")
+      val widths = report.collect().map(_.getAs[Long]("bucket_width"))
+      assert(widths.nonEmpty && widths.forall(_ > 10),
+        s"chain cap-drop report missed the hot bucket: ${widths.toSeq}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    }
+  }
+
   test("width window and member collect share one exchange; candidate stage shape is unchanged") {
     // literal signature frame isolates the candidate generator's plan
     val sig = (1 to 6).map(i => (i.toLong, (i % 2).toLong, (i % 3).toLong))

@@ -92,6 +92,54 @@ class CorpusIndexSpec extends SparkSpec {
     }
   }
 
+  test("manifest is the layout's source of truth: mismatches raise, params round-trip") {
+    dropIndex()
+    val extPath = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_test_corpus_idx_manifest").getPath
+    try {
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id",
+          n = 3, numHashes = 64, bands = 32, maxBucket = 100),
+        prefix, buckets = 4, path = Some(extPath))
+
+      // params persisted on the bands table and recovered by read
+      val idx = DedupOps.readCorpusDedupIndex(spark, prefix)
+      assert(idx.params.contains(DedupOps.CorpusIndexParams(3, 64, 32, 100)),
+        s"params not recovered: ${idx.params}")
+
+      // an ingest call with a different band family must refuse loudly
+      // (it would otherwise run fine and judge everything kept)
+      val e1 = intercept[IllegalArgumentException] {
+        DedupOps.incrementalDedupPrepared(newBatch, idx, "text", "doc_id",
+          n = 4, numHashes = 64, bands = 32)
+      }
+      assert(e1.getMessage.contains("band families"), e1.getMessage)
+
+      // wrong caller bucket count at attach: refuse (silently-wrong joins)
+      dropIndex()
+      val e2 = intercept[IllegalArgumentException] {
+        DedupOps.attachCorpusDedupIndex(spark, prefix, extPath, buckets = 8)
+      }
+      assert(e2.getMessage.contains("bucket count mismatch"), e2.getMessage)
+
+      // manifest-driven attach (no caller count) restores layout + params
+      DedupOps.attachCorpusDedupIndex(spark, prefix, extPath)
+      val reattached = DedupOps.readCorpusDedupIndex(spark, prefix)
+      assert(reattached.params.contains(DedupOps.CorpusIndexParams(3, 64, 32, 100)))
+
+      // a path with no manifest (pre-manifest index / wrong dir): refuse
+      dropIndex()
+      val e3 = intercept[IllegalStateException] {
+        DedupOps.attachCorpusDedupIndex(spark, prefix,
+          new java.io.File(sys.props("java.io.tmpdir"), "graft_no_such_idx").getPath)
+      }
+      assert(e3.getMessage.contains("manifest"), e3.getMessage)
+    } finally {
+      dropIndex()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(extPath))
+    }
+  }
+
   test("per-batch joins have no corpus-side exchange: index scans are bucketed leaves") {
     dropIndex()
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -166,7 +166,7 @@ class PlanAuditSpec extends SparkSpec {
     // must scan those tables (not recompute the corpus) and the near
     // stage stays bucketed (no all-pairs join)
     val p = plan("q78_incremental_dedup_prepared")
-    assert(p.contains("graft_q78_index"),
+    assert(p.contains("graft_q78v2_index"),
       "corpus side is not read from the prepared bucketed index")
     assert(p.contains("Bucketed: true"),
       "index scans lost the bucketed layout")

@@ -53,7 +53,9 @@ object Bench {
                                 // first-ever run at an SF also builds the index)
     "q79_member_activity_monthly",      // A4 monthly mart (outer-join grain)
     "q80_constituency_activity_yearly", // A5 mart (lookup join + grid densify)
-    "q81_content_fact_pool")    // F17 templated fact pool (3-family union)
+    "q81_content_fact_pool",    // F17 templated fact pool (3-family union)
+    "q82_skew_neardup_capped",  // planted hot-bucket corpus: capped LSH near-dup
+    "q83_skew_ingest_capped")   // planted hot-bucket corpus: capped prepared ingest
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -79,8 +79,12 @@ object TemplatePipeline {
     */
   def enrichContext(payload: Map[String, Any], issueLimit: Int = 8): Map[String, Any] = {
     def counts(key: String): Seq[RendererContext.IssueCount] = payload.get(key) match {
-      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Long]].toSeq
-        .map { case (l, n) => RendererContext.IssueCount(l, n) }
+      // match any boxed numeric — a hand-built or JSON-parsed payload
+      // carries Ints/Integers where the builder emits Longs (the
+      // reference's Dict[str, int] accepts both)
+      case Some(m: Map[_, _]) => m.toSeq.collect {
+        case (l, n: Number) => RendererContext.IssueCount(String.valueOf(l), n.longValue)
+      }
       case _ => Nil
     }
     val datasets = payload.get("datasets_used") match {

@@ -201,15 +201,28 @@ object AcceptanceChecks {
                     candidateBillDebates: DataFrame, officialBillDebates: DataFrame,
                     candidateBills: DataFrame,
                     candidateManifests: DataFrame,
-                    actualCounts: String => (Long, Long)): Acceptance = {
+                    actualCounts: String => (Long, Long),
+                    officialSources: Map[String, String] = Map.empty): Acceptance = {
     val partyDups = businessDuplicates(candidateParties,
       Seq("member_code", "party_uri", "party_start", "party_end")).count()
     val conDups = businessDuplicates(candidateConstituencies,
       Seq("member_code", "constituency_uri", "represent_start", "represent_end")).count()
-    val partyChanges = currentValueDifferences(candidateParties, productionParties,
-      Seq("party_uri", "party_name")).count()
-    val conChanges = currentValueDifferences(candidateConstituencies, productionConstituencies,
-      Seq("constituency_uri", "constituency_name")).count()
+    // bounded difference samples ride the detail string (the reference
+    // records changes[:20] — verify_validation_fixes.py:358-359 — so a
+    // failing report names WHAT drifted, not just how much)
+    def changeSamples(diffs: DataFrame): (Long, String) = {
+      val rows = diffs.limit(21).collect()
+      val n = if (rows.length > 20) diffs.count() else rows.length.toLong
+      (n, rows.take(20).map(r =>
+        s"${r.getString(0)}:${r.getSeq[String](1).mkString("+")}<>${r.getSeq[String](2).mkString("+")}")
+        .mkString(","))
+    }
+    val (partyChanges, partySamples) = changeSamples(
+      currentValueDifferences(candidateParties, productionParties,
+        Seq("party_uri", "party_name")))
+    val (conChanges, conSamples) = changeSamples(
+      currentValueDifferences(candidateConstituencies, productionConstituencies,
+        Seq("constituency_uri", "constituency_name")))
 
     val liveBills = candidateBills.select(col("bill_id"))
     val sectionCheck = keyCompleteness(candidateSections, officialSections, "debate_section_id")
@@ -223,9 +236,10 @@ object AcceptanceChecks {
       officialBillDebates, liveBills)
     val controlCheck = validateControlManifests(candidateManifests, actualCounts)
 
-    def kcDetails(k: KeyCompleteness): String =
+    def kcDetails(k: KeyCompleteness, sourceKey: String): String =
       s"official_rows=${k.officialRows} candidate_rows=${k.candidateRows} " +
-        s"missing_count=${k.missingCount} missing_samples=${k.missingSamples.mkString(",")}"
+        s"missing_count=${k.missingCount} missing_samples=${k.missingSamples.mkString(",")} " +
+        s"source=${officialSources.getOrElse(sourceKey, "")}"
 
     acceptance(batchId, Seq(
       check("batch_manifest_validated",
@@ -238,21 +252,22 @@ object AcceptanceChecks {
       check("member_constituency_business_keys_unique", conDups == 0,
         s"duplicate_rows=$conDups"),
       check("current_party_values_unchanged", partyChanges == 0,
-        s"difference_count=$partyChanges"),
+        s"difference_count=$partyChanges samples=$partySamples"),
       check("current_constituency_values_unchanged", conChanges == 0,
-        s"difference_count=$conChanges"),
+        s"difference_count=$conChanges samples=$conSamples"),
       check("recent_official_debate_sections_present",
-        sectionCheck.missingCount == 0, kcDetails(sectionCheck)),
+        sectionCheck.missingCount == 0, kcDetails(sectionCheck, "debates")),
       check("recent_official_questions_present",
-        questionCheck.missingCount == 0, kcDetails(questionCheck)),
+        questionCheck.missingCount == 0, kcDetails(questionCheck, "questions")),
       check("official_bill_versions_present",
-        versionCheck.missingCount == 0, kcDetails(versionCheck)),
+        versionCheck.missingCount == 0, kcDetails(versionCheck, "legislation")),
       check("official_bill_debate_business_rows_present",
         debateCheck.missingBusinessRows == 0,
         s"official_rows_for_candidate_bills=${debateCheck.officialRowsForCandidateBills} " +
           s"candidate_rows=${debateCheck.candidateRows} " +
           s"missing_business_rows=${debateCheck.missingBusinessRows} " +
-          s"missing_samples=${debateCheck.missingSamples.mkString(",")}"),
+          s"missing_samples=${debateCheck.missingSamples.mkString(",")} " +
+          s"source=${officialSources.getOrElse("legislation", "")}"),
       check("control_manifest_counts_and_schemas_match_candidate",
         controlCheck.missingTables.isEmpty && controlCheck.failureCount == 0,
         s"row_count=${controlCheck.rowCount} " +

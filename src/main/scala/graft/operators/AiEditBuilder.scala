@@ -46,6 +46,10 @@ object AiEditBuilder {
       urlSuffix match {
         case ".jpeg" => ".jpg"
         case s @ (".jpg" | ".png" | ".webp") => s
+        // the reference's mimetypes.guess_type fallback
+        // (render_member_profile_ai_edit.py:110-112) resolves the common
+        // jpeg aliases to image/jpeg → .jpg
+        case ".jpe" | ".jif" | ".jfif" | ".pjpeg" | ".pjp" => ".jpg"
         case _ => ".png"
       }
     }

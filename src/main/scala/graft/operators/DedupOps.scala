@@ -772,9 +772,11 @@ object DedupOps {
 
   /** [[incrementalDedupPrepared]] plus the batch-sized frames it
     * persisted, so an eager caller can unpersist them after its final
-    * action (see [[incrementalDedupToParquet]]).
+    * action (see [[incrementalDedupToParquet]] and the streaming
+    * per-trigger sink StreamOps.nearDupIntakeSink, which must not let
+    * caches accumulate across micro-batches).
     */
-  private def incrementalDedupPreparedWithCaches(
+  private[graft] def incrementalDedupPreparedWithCaches(
                                newBatch: DataFrame, index: CorpusDedupIndex,
                                textCol: String, idCol: String,
                                n: Int = 3, numHashes: Int = 64, bands: Int = 32,

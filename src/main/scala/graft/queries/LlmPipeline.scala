@@ -336,7 +336,106 @@ object LlmPipeline {
         maxBucket = DedupOps.NoBucketCap)
       CurationPipeline.statsByLang(curated)
     }),
+
+    // ---- skewed-corpus fixture: the LSH bucket cap AT BENCH SCALE ----
+    // A 4×-corpus-size templated family (identical 20-word skeleton +
+    // one unique trailing token per doc — distinct texts, so exact dedup
+    // keeps all of them; pairwise Jaccard 0.9) lands ~90% of its members
+    // in ONE band bucket per band. Uncapped, that is O(famN²) candidate
+    // pairs (2e8 at sf0.1) — the web-boilerplate pathology the cap
+    // exists for. Capped at `skewCap`, the family contributes nothing.
+
+    // Near-dup pairs over the skewed corpus, cap active: the family's
+    // wide buckets drop before member lists build, its suffix-influenced
+    // buckets are width-1 (no pairs), and every genuine base pair is in
+    // narrow buckets — so the capped output over base∪family equals the
+    // BRUTE pairs over base alone, which is exactly the oracle.
+    "q82_skew_neardup_capped" -> ((s, dir) => {
+      DedupOps.minhashNearDupPairs(skewedDocs(s, dir), "text", "doc_id",
+          n = 3, numHashes = 64, bands = 32, threshold = 0.5,
+          maxBucket = skewCap)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Daily-ingest shape under skew: the capped bucketed index is built
+    // (and persisted, q78-style) over base∪family; the batch carries
+    // exact copies, near-perturbed copies, and 20 fresh family members.
+    // Expected: copies judge exact_dup, perturbed judge near_dup, and
+    // the family probes' corpus buckets were dropped at index build so
+    // they judge against each other only (greedy: first kept, rest
+    // near_dup of it). The oracle replays the uncapped stages brute
+    // WITH the family removed from the corpus-near leg — modeling the
+    // cap — so a cap regression (family pairs leaking, or probes
+    // fanning out) diverges loudly.
+    "q83_skew_ingest_capped" -> ((s, dir) => {
+      val (corpus, batch) = skewIngestParts(s, dir)
+      val prefix = "graft_q83_index_" + Integer.toHexString(dir.hashCode)
+      val root = new java.io.File(sys.props("java.io.tmpdir"), prefix)
+      if (!DedupOps.corpusDedupIndexExists(s, prefix)) {
+        if (new java.io.File(root, "manifest.json").exists())
+          DedupOps.attachCorpusDedupIndex(s, prefix, root.getPath)
+        else DedupOps.writeCorpusDedupIndex(
+          DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id",
+            n = 3, numHashes = 64, bands = 32, maxBucket = skewCap),
+          prefix, buckets = 16, path = Some(root.getPath))
+      }
+      val idx = DedupOps.readCorpusDedupIndex(s, prefix)
+      DedupOps.incrementalDedupPrepared(batch, idx, "text", "doc_id",
+          n = 3, numHashes = 64, bands = 32, threshold = 0.5,
+          maxBucket = skewCap)
+        .orderBy("new_id")
+    }),
   )
+
+  /** Bucket cap for the planted-skew fixture: far below the family's
+    * per-band bucket width (~0.9 × 4 × corpus size) and far above any
+    * genuine bucket in the base corpus.
+    */
+  private val skewCap = 500
+
+  /** One 21-word near-identical family member per k: 20 shared words + a
+    * unique trailing token vk. 3-gram shingles: 18 shared + 1 unique →
+    * pairwise Jaccard 18/20 = 0.9. Keep in byte-sync with the SQL
+    * oracles, which rebuild the family with this exact literal.
+    */
+  private val skewTemplate = "breaking news update follow this link for the " +
+    "full exclusive story today with more details inside our live coverage page v"
+
+  /** Base documents ∪ the templated hot family (4× the base count, ids
+    * under +1e6). The family count derives from the base table so the
+    * fixture scales with SF; the count() is a parquet-metadata job.
+    */
+  private def skewedDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val famN = base.count() * 4
+    val fam = s.range(famN).select((col("id") + 1000000L).as("doc_id"),
+      concat(lit(skewTemplate), col("id")).as("text"))
+    base.unionByName(fam)
+  }
+
+  /** q83 parts: (skewed corpus, ingest batch). Batch legs: exact copies
+    * of every 50th base doc (+2e6), ` zz<id>`-perturbed copies of every
+    * 40th-remainder-7 base doc (+4e6; 2 new shingles → Jaccard ≥ 0.83
+    * vs source for any doc of ≥ 4 words), and 20 fresh family members
+    * (+3e6, suffix ids beyond the corpus family's).
+    */
+  private def skewIngestParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val famN = base.count() * 4
+    val fam = s.range(famN).select((col("id") + 1000000L).as("doc_id"),
+      concat(lit(skewTemplate), col("id")).as("text"))
+    val exactLeg = base.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val nearLeg = base.filter(col("doc_id") % 40 === 7)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(col("text"), lit(" zz"), col("doc_id")).as("text"))
+    val probes = s.range(20).select((col("id") + 3000000L).as("doc_id"),
+      concat(lit(skewTemplate), col("id") + famN).as("text"))
+    (base.unionByName(fam),
+      exactLeg.unionByName(nearLeg).unionByName(probes))
+  }
 
   /** q73/q78 shared batch construction: corpus = doc_id % 7 != 3; the new
     * batch re-ids %7==3 docs under +1e6, plants corpus exact-dups (%50==0
@@ -785,6 +884,12 @@ object LlmPipeline {
     // q78 (prepared-index path) must produce the identical judgment.
     "q78_incremental_dedup_prepared" -> incrementalDedupSql,
     "q73_incremental_dedup" -> incrementalDedupSql,
+
+    // the cap makes the planted hot family contribute NOTHING, so the
+    // capped pairs over base∪family must equal the brute pairs over the
+    // base corpus alone — q27's oracle verbatim
+    "q82_skew_neardup_capped" -> shingleCte,
+    "q83_skew_ingest_capped" -> skewIngestSql,
   ) ++ oraclesTail
 
   /** Shared q73/q78 oracle: exact stage on normalized-text equality, near
@@ -824,6 +929,56 @@ object LlmPipeline {
         |  COALESCE(e.match_id, nr.m) AS match_id
         |FROM newb n LEFT JOIN exact e ON n.nid = e.nid LEFT JOIN near nr ON n.nid = nr.nid
         |ORDER BY new_id""".stripMargin
+
+  /** q83 oracle: the q73-style uncapped brute replay over the skewed
+    * corpus, with ONE deliberate divergence that models the cap — the
+    * corpus-near leg (shc) sees the BASE documents only, because the
+    * planted family's band buckets exceed skewCap and are dropped at
+    * index build. Everything else (exact stage incl. the family,
+    * in-batch greedy near stage incl. the 20 family probes matching
+    * each other) replays uncapped semantics brute-force, so any cap
+    * regression — family pairs leaking into candidates, probes fanning
+    * out against the corpus family — diverges from this oracle.
+    */
+  private def skewIngestSql: String =
+    """WITH a0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+      |  FROM documents),
+      |famk AS (SELECT CAST((d.rn - 1) * 4 + x.i AS BIGINT) AS k
+      |  FROM (SELECT ROW_NUMBER() OVER (ORDER BY doc_id) AS rn FROM documents) d
+      |  CROSS JOIN (VALUES (0), (1), (2), (3)) AS x(i)),
+      |fam AS (SELECT 1000000 + k AS doc_id, '@TPL' || k AS nt FROM famk),
+      |corpus AS (SELECT doc_id, nt FROM a0 UNION ALL SELECT doc_id, nt FROM fam),
+      |newb AS (
+      |  SELECT doc_id + 2000000 AS nid, nt FROM a0 WHERE doc_id % 50 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 4000000, nt || ' zz' || doc_id FROM a0 WHERE doc_id % 40 = 7
+      |  UNION ALL
+      |  SELECT 3000000 + r.range AS nid,
+      |    '@TPL' || ((SELECT COUNT(*) * 4 FROM documents) + r.range) AS nt
+      |  FROM range(20) r),
+      |nb AS (SELECT nid, nt, string_split(nt, ' ') AS ws FROM newb),
+      |exact_c AS (SELECT n.nid, MIN(c.doc_id) AS m FROM nb n JOIN corpus c ON n.nt = c.nt GROUP BY n.nid),
+      |exact_n AS (SELECT a.nid, MIN(b.nid) AS m FROM nb a JOIN nb b ON a.nt = b.nt AND b.nid < a.nid GROUP BY a.nid),
+      |exact AS (SELECT COALESCE(ec.nid, en.nid) AS nid, COALESCE(LEAST(ec.m, en.m), ec.m, en.m) AS match_id
+      |  FROM exact_c ec FULL OUTER JOIN exact_n en ON ec.nid = en.nid),
+      |surv AS (SELECT * FROM nb WHERE nid NOT IN (SELECT nid FROM exact)),
+      |shn AS (SELECT nid, list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sg
+      |  FROM surv WHERE len(ws) >= 3),
+      |shc AS (SELECT doc_id, list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sg
+      |  FROM (SELECT doc_id, string_split(nt, ' ') AS ws FROM a0) WHERE len(ws) >= 3),
+      |near_c AS (SELECT s.nid, MIN(c.doc_id) AS m FROM shn s JOIN shc c
+      |  ON len(list_intersect(s.sg, c.sg)) * 2.0 >= len(list_distinct(list_concat(s.sg, c.sg))) GROUP BY s.nid),
+      |near_n AS (SELECT b.nid, MIN(a.nid) AS m FROM shn a JOIN shn b ON a.nid < b.nid
+      |  AND len(list_intersect(a.sg, b.sg)) * 2.0 >= len(list_distinct(list_concat(a.sg, b.sg))) GROUP BY b.nid),
+      |near AS (SELECT COALESCE(nc.nid, nn.nid) AS nid, COALESCE(LEAST(nc.m, nn.m), nc.m, nn.m) AS m
+      |  FROM near_c nc FULL OUTER JOIN near_n nn ON nc.nid = nn.nid)
+      |SELECT n.nid AS new_id,
+      |  CASE WHEN e.nid IS NOT NULL THEN 'exact_dup'
+      |       WHEN nr.nid IS NOT NULL THEN 'near_dup' ELSE 'kept' END AS status,
+      |  COALESCE(e.match_id, nr.m) AS match_id
+      |FROM newb n LEFT JOIN exact e ON n.nid = e.nid LEFT JOIN near nr ON n.nid = nr.nid
+      |ORDER BY new_id""".stripMargin.replace("@TPL", skewTemplate)
 
   private def oraclesTail: Map[String, String] = Map(
     // re-runs span dedup on the span STRINGS (the Spark side hashes

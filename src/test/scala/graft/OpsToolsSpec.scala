@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.io.{OpsTools, StableJson}
+
+/** Ports of the reference's operational driver scripts: the object-store
+  * inventory audit (oireachtas_audit_inventory.py) and the deterministic
+  * Instagram copy-pack builder (instagram_build_copy_pack.py). Expected
+  * strings are hand-derived from the reference's Python.
+  */
+class OpsToolsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("inventory audit lists prefixes recursively, key-sorted, with a summary") {
+    val root = Files.createTempDirectory("graft_audit_root").toString
+    val out = Files.createTempDirectory("graft_audit_out").toString
+    def put(rel: String, bytes: Int): Unit = {
+      val f = new java.io.File(root, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, Array.fill[Byte](bytes)(65))
+    }
+    put("processed/oireachtas_unified/latest/members.parquet/part-0.parquet", 10)
+    put("processed/oireachtas_unified/latest/members.csv", 7)
+    put("processed/oireachtas_unified/gold/profile.csv", 5)
+    put("processed/oireachtas_unified/unaudited/skip.csv", 99) // outside prefixes
+
+    val summary = OpsTools.auditInventory(spark, root, out,
+      now = () => "2026-08-13T00:00:00Z")
+    assert(summary("object_count") == 3)
+    assert(summary("total_bytes") == 22L)
+    val counts = summary("prefix_counts").asInstanceOf[Map[String, Int]]
+    assert(counts("processed/oireachtas_unified/latest/") == 2)
+    assert(counts("processed/oireachtas_unified/gold/") == 1)
+    assert(counts("processed/oireachtas_unified/review/") == 0)
+
+    val csv = spark.read.option("header", "true").csv(s"$out/s3_inventory.csv")
+      .collect().map(r => (r.getAs[String]("key"), r.getAs[String]("size")))
+    assert(csv.map(_._1).toSeq == csv.map(_._1).toSeq.sorted, "inventory not key-sorted")
+    assert(csv.toMap.apply("processed/oireachtas_unified/latest/members.csv") == "7")
+
+    val js = StableJson.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "summary.json")), "UTF-8"))
+      .asInstanceOf[Map[String, Any]]
+    assert(js("generated_at_utc") == "2026-08-13T00:00:00Z")
+    assert(js("object_count") == 3L && js("total_bytes") == 22L)
+  }
+
+  test("copy pack builds reference captions, alt text, safety notes, and files") {
+    val copyDir = Files.createTempDirectory("graft_copy_pack").resolve("copy").toString
+    val review = Seq(
+      ("Seán Ó Briain", "Ind", "Galway West", "", "82%", "", "3", "no", "yes", "low-res photo", "ok.png"),
+      ("Mary Black", "FF", "Cork North", "Housing", "91%", "12", "1", "yes", "no", "", "img/mary.png")
+    ).toDF("full_name", "party", "constituency", "top_issue_2025",
+      "vote_participation_pct_2025", "speech_count_2025", "speech_rank_2025",
+      "publish_ready", "needs_photo_check", "warnings", "output_file_rel")
+
+    val manifest = OpsTools.buildCopyPack(review, copyDir,
+      now = () => "2026-08-13T00:00:00Z")
+    val items = manifest("items").asInstanceOf[Seq[Map[String, String]]]
+    assert(items.size == 2)
+    val sean = items.find(_("full_name") == "Seán Ó Briain").get
+
+    // slugify: non-[a-z0-9] runs → "-" (reference slugify, line 24-27)
+    assert(sean("slug") == "se-n-briain", sean("slug"))
+    // caption: blank top issue / speech count fall back to the
+    // reference's defaults (build_caption, lines 51-70)
+    val expectedCaption =
+      """TD profile: Seán Ó Briain (Ind, Galway West).
+        |
+        |Top 2025 debate issue in this dataset: No classified issue yet.
+        |Vote participation: 82%.
+        |Speech activity: 0 issue-labelled speeches; rank 3.
+        |
+        |Source: Oireachtas data pipeline. Review before publishing.
+        |
+        |#EirePolitic #IrishPolitics #DailEireann #Oireachtas #DataPolitics""".stripMargin
+    assert(sean("caption") == expectedCaption, sean("caption"))
+    assert(sean("alt_text") ==
+      "Profile card for Seán Ó Briain, Ind TD for Galway West. " +
+        "The card lists top 2025 debate issue as No classified issue yet, " +
+        "vote participation as 82%, and speech activity as 0 issue-labelled " +
+        "speeches with rank 3.", sean("alt_text"))
+    assert(sean("safety_notes") ==
+      "publish_ready is not yes; photo needs checking; render warnings: low-res photo")
+
+    val mary = items.find(_("full_name") == "Mary Black").get
+    assert(mary("slug") == "mary-black" && mary("safety_notes") == "")
+
+    // per-slug text files + BOM'd captions.csv exist with the same copy
+    val capFile = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(copyDir, "se-n-briain.caption.txt")), "UTF-8")
+    assert(capFile == expectedCaption)
+    val csvBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(copyDir, "captions.csv"))
+    assert(csvBytes(0) == 0xEF.toByte && csvBytes(1) == 0xBB.toByte && csvBytes(2) == 0xBF.toByte,
+      "captions.csv missing the utf-8-sig BOM")
+
+    // hashtag normalization (normalize_hashtags, lines 37-48)
+    assert(OpsTools.normalizeHashtags(Some("a, #b ,")) == Seq("#a", "#b"))
+    assert(OpsTools.normalizeHashtags(Some(" ")) == OpsTools.DefaultHashtags)
+    assert(OpsTools.normalizeHashtags(None) == OpsTools.DefaultHashtags)
+  }
+}

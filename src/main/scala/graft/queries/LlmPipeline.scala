@@ -254,7 +254,7 @@ object LlmPipeline {
       val (corpus, newBatch) = incrementalBatchParts(s, dir)
       // v2: uncapped build (oracle parity — see DedupOps.NoBucketCap) +
       // layout manifest; the name bump orphans pre-manifest index dirs
-      val prefix = "graft_q78v2_index_" + Integer.toHexString(dir.hashCode)
+      val prefix = "graft_q78v2_index_" + corpusStamp(dir)
       val root = new java.io.File(sys.props("java.io.tmpdir"), prefix)
       if (!DedupOps.corpusDedupIndexExists(s, prefix)) {
         // bucketed files survive across sessions; the in-memory catalog
@@ -369,7 +369,7 @@ object LlmPipeline {
     // fanning out) diverges loudly.
     "q83_skew_ingest_capped" -> ((s, dir) => {
       val (corpus, batch) = skewIngestParts(s, dir)
-      val prefix = "graft_q83_index_" + Integer.toHexString(dir.hashCode)
+      val prefix = "graft_q83_index_" + corpusStamp(dir)
       val root = new java.io.File(sys.props("java.io.tmpdir"), prefix)
       if (!DedupOps.corpusDedupIndexExists(s, prefix)) {
         if (new java.io.File(root, "manifest.json").exists())
@@ -386,6 +386,18 @@ object LlmPipeline {
         .orderBy("new_id")
     }),
   )
+
+  /** Persisted-index dir stamp: the sf dir's identity PLUS the source
+    * table's (size, mtime) fingerprint, so a regenerated testdata set
+    * orphans the previous rounds' index instead of silently joining a
+    * stale corpus (the driver rewrote every parquet this round — an
+    * index keyed on the path alone would have gone quietly wrong).
+    */
+  private def corpusStamp(dir: String): String = {
+    val f = new java.io.File(dir, "documents.parquet")
+    Integer.toHexString(dir.hashCode) + "_" +
+      java.lang.Long.toHexString(f.length() ^ (f.lastModified() * 31))
+  }
 
   /** Bucket cap for the planted-skew fixture: far below the family's
     * per-band bucket width (~0.9 × 4 × corpus size) and far above any

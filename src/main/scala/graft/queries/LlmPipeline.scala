@@ -257,6 +257,8 @@ object LlmPipeline {
       val prefix = "graft_q78v2_index_" + corpusStamp(dir)
       val root = new java.io.File(sys.props("java.io.tmpdir"), prefix)
       if (!DedupOps.corpusDedupIndexExists(s, prefix)) {
+        cleanStaleIndexDirs("graft_q78v2_index_" +
+          Integer.toHexString(dir.hashCode) + "_", prefix)
         // bucketed files survive across sessions; the in-memory catalog
         // doesn't — re-attach when present, build+write only once per dir
         if (new java.io.File(root, "manifest.json").exists())
@@ -372,6 +374,8 @@ object LlmPipeline {
       val prefix = "graft_q83_index_" + corpusStamp(dir)
       val root = new java.io.File(sys.props("java.io.tmpdir"), prefix)
       if (!DedupOps.corpusDedupIndexExists(s, prefix)) {
+        cleanStaleIndexDirs("graft_q83_index_" +
+          Integer.toHexString(dir.hashCode) + "_", prefix)
         if (new java.io.File(root, "manifest.json").exists())
           DedupOps.attachCorpusDedupIndex(s, prefix, root.getPath)
         else DedupOps.writeCorpusDedupIndex(
@@ -397,6 +401,17 @@ object LlmPipeline {
     val f = new java.io.File(dir, "documents.parquet")
     Integer.toHexString(dir.hashCode) + "_" +
       java.lang.Long.toHexString(f.length() ^ (f.lastModified() * 31))
+  }
+
+  /** Drop persisted index dirs whose data stamp no longer matches —
+    * regenerated testdata would otherwise accumulate one orphaned
+    * bucketed index per generation under java.io.tmpdir.
+    */
+  private def cleanStaleIndexDirs(family: String, keep: String): Unit = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith(family) && f.getName != keep)
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
   }
 
   /** Bucket cap for the planted-skew fixture: far below the family's

@@ -134,6 +134,17 @@ class PlanAuditSpec extends SparkSpec {
       s"no map-side partial min before the exchange:\n${p.take(2000)}")
   }
 
+  test("skew-fixture queries stay banded: no all-pairs join over the hot family") {
+    // base∪family is 5× the corpus with one degenerate bucket per band —
+    // any cartesian/nested-loop here would be the 2e8-pair blowup the
+    // cap exists to prevent
+    Seq("q82_skew_neardup_capped").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to an all-pairs join")
+    }
+  }
+
   test("incremental dedup and span dedup never join the corpus all-pairs") {
     Seq("q73_incremental_dedup", "q75_span_dedup", "q76_ann_topk_trained").foreach { q =>
       val p = plan(q)

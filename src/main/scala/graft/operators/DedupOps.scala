@@ -761,6 +761,45 @@ object DedupOps {
     Seq("_fingerprints", "_shingles", "_bands")
       .forall(s => spark.catalog.tableExists(tablePrefix + s))
 
+  /** Append newly ACCEPTED docs to a persisted corpus index — the other
+    * half of the daily-ingest lifecycle: [[incrementalDedupPrepared]]
+    * judges a batch against the index, and the batch's `kept` docs join
+    * the corpus HERE, batch-sized, instead of re-shingling/re-signing
+    * the whole corpus. Inserts respect the tables' bucketed layout
+    * (datasource bucketed tables hash appended rows into per-bucket
+    * files), so the zero-corpus-side-exchange join property survives
+    * appends — CorpusIndexSpec proves judgments against an appended
+    * index match a fresh build over the unioned corpus.
+    *
+    * Derivations use the index's RECORDED build params (manifested
+    * write / attach / build); an index without params refuses, since
+    * guessing n/bands would corrupt the band family silently.
+    *
+    * Cap note: the width cap was applied at BUILD time; appended rows
+    * can legitimately grow a bucket past `maxBucket` over many accepts.
+    * Monitor with [[oversizedBuckets]] over the bands table and re-cap
+    * during periodic compaction (a batch-sized scheduled job); the
+    * batch-side cap in [[incrementalDedupPrepared]] still bounds
+    * per-ingest fan-out meanwhile.
+    */
+  def appendToCorpusDedupIndex(accepted: DataFrame, textCol: String, idCol: String,
+                               tablePrefix: String): Unit = {
+    val spark = accepted.sparkSession
+    val idx = readCorpusDedupIndex(spark, tablePrefix)
+    val p = idx.params.getOrElse(throw new IllegalStateException(
+      s"index $tablePrefix carries no build params — write it with " +
+        "writeCorpusDedupIndex (manifested) before appending"))
+    val fp = accepted.select(col(idCol).cast("long").as("cid"),
+      sha2(normText(col(textCol)), 256).as("_h"))
+    val sh = shingleHashTable(accepted, textCol, idCol, p.n)
+    val banded = bandTable(minhashSignaturesFromShingles(sh, p.numHashes),
+      p.bands, p.numHashes / p.bands)
+    // insertInto matches columns by POSITION against the table schema
+    fp.write.mode("append").insertInto(s"${tablePrefix}_fingerprints")
+    sh.write.mode("append").insertInto(s"${tablePrefix}_shingles")
+    banded.write.mode("append").insertInto(s"${tablePrefix}_bands")
+  }
+
   /** [[incrementalDedup]] against a PRECOMPUTED corpus index: every
     * corpus-side artifact (fingerprints, shingles, band hashes) comes in
     * as a frame — typically parquet reads — so per-ingest compute is

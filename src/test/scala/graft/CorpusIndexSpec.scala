@@ -140,6 +140,70 @@ class CorpusIndexSpec extends SparkSpec {
     }
   }
 
+  test("append keeps the index equivalent to a fresh build and the scans bucketed") {
+    dropIndex()
+    try {
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"), prefix, buckets = 4)
+
+      // accept a batch into the corpus via append (batch-sized work)
+      val accepted = Seq(
+        (5000L, "an accepted document about incremental corpus growth over time"),
+        (5001L, "corpus document number 901 talks about topic 21 in moderate detail with 5 extra side remarks included")
+      ).toDF("doc_id", "text")
+      DedupOps.appendToCorpusDedupIndex(accepted, "text", "doc_id", prefix)
+
+      // a later batch judged against the APPENDED index must match the
+      // judgment against a fresh index built over corpus ∪ accepted
+      val later = Seq(
+        (9000L, "an accepted document about incremental corpus growth over time"),   // exact of 5000
+        (9001L, "corpus document number 901 talks about topic 21 in moderate detail with 9 extra side remarks included"), // near of 5001
+        (9002L, "nothing like anything else present in this corpus at all today")
+      ).toDF("doc_id", "text")
+      val viaAppend = DedupOps.incrementalDedupPrepared(
+          later, DedupOps.readCorpusDedupIndex(spark, prefix), "text", "doc_id")
+        .orderBy("new_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val viaRebuild = DedupOps.incrementalDedupPrepared(
+          later, DedupOps.buildCorpusDedupIndex(corpus.unionByName(accepted), "text", "doc_id"),
+          "text", "doc_id")
+        .orderBy("new_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(viaAppend == viaRebuild, s"append $viaAppend vs rebuild $viaRebuild")
+      assert(viaAppend.toMap.apply(9000L) == "exact_dup")
+      assert(viaAppend.toMap.apply(9001L) == "near_dup")
+      assert(viaAppend.toMap.apply(9002L) == "kept")
+
+      // appended files keep the bucketed layout: index scans still
+      // report bucketed and plan no corpus-side exchange
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val out = DedupOps.incrementalDedupPrepared(
+          later, DedupOps.readCorpusDedupIndex(spark, prefix), "text", "doc_id")
+        out.collect()
+        val idxScans = allNodes(out.queryExecution.executedPlan).collect {
+          case s: FileSourceScanExec if s.tableIdentifier.exists(_.table.startsWith(prefix)) => s
+        }
+        assert(idxScans.nonEmpty)
+        idxScans.foreach(s => assert(s.bucketedScan,
+          s"post-append scan of ${s.tableIdentifier.get.table} lost the bucketed layout"))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+
+      // params are required: an unmanifested index refuses the append
+      val bare = "graft_test_bare_idx"
+      Seq("_fingerprints", "_shingles", "_bands")
+        .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $bare$sfx"))
+      val idx0 = DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id")
+      DedupOps.writeCorpusDedupIndex(
+        idx0.copy(params = None), bare, buckets = 4)
+      val e = intercept[IllegalStateException] {
+        DedupOps.appendToCorpusDedupIndex(accepted, "text", "doc_id", bare)
+      }
+      assert(e.getMessage.contains("build params"), e.getMessage)
+      Seq("_fingerprints", "_shingles", "_bands")
+        .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $bare$sfx"))
+    } finally dropIndex()
+  }
+
   test("per-batch joins have no corpus-side exchange: index scans are bucketed leaves") {
     dropIndex()
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

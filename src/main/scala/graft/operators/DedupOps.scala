@@ -789,15 +789,26 @@ object DedupOps {
     val p = idx.params.getOrElse(throw new IllegalStateException(
       s"index $tablePrefix carries no build params — write it with " +
         "writeCorpusDedupIndex (manifested) before appending"))
-    val fp = accepted.select(col(idCol).cast("long").as("cid"),
+    // Pin the accepted rows BEFORE the first insert: `accepted` is
+    // typically derived from a judgment against THIS index (a semi-join
+    // on the `kept` roster), so a lazy plan re-evaluated between the
+    // three inserts would see the partially-updated tables — the
+    // fingerprint insert would make every accepted doc exact-match
+    // itself and the shingle/band inserts would write an empty frame.
+    // localCheckpoint(eager) materializes once and truncates lineage
+    // (batch-sized; within one job, the executor-loss caveat is moot).
+    val acc = accepted.select(col(idCol).cast("long").as(idCol),
+      col(textCol).cast("string").as(textCol)).localCheckpoint(true)
+    val fp = acc.select(col(idCol).as("cid"),
       sha2(normText(col(textCol)), 256).as("_h"))
-    val sh = shingleHashTable(accepted, textCol, idCol, p.n)
+    val sh = shingleHashTable(acc, textCol, idCol, p.n)
     val banded = bandTable(minhashSignaturesFromShingles(sh, p.numHashes),
       p.bands, p.numHashes / p.bands)
     // insertInto matches columns by POSITION against the table schema
     fp.write.mode("append").insertInto(s"${tablePrefix}_fingerprints")
     sh.write.mode("append").insertInto(s"${tablePrefix}_shingles")
     banded.write.mode("append").insertInto(s"${tablePrefix}_bands")
+    acc.unpersist()
   }
 
   /** [[incrementalDedup]] against a PRECOMPUTED corpus index: every

@@ -209,6 +209,48 @@ object StreamOps {
         ()
       }
 
+  /** [[nearDupIntakeSink]] with PER-TRIGGER index maintenance: each
+    * micro-batch is judged against the NAMED persisted index (read
+    * fresh per trigger), its `kept` docs append to both the sink and —
+    * via [[graft.operators.DedupOps.appendToCorpusDedupIndex]] — the
+    * index's bucketed tables. Batch N+1 therefore judges against the
+    * corpus PLUS every doc accepted in batches ≤ N: a near-dup of an
+    * earlier trigger's accepted doc now drops, closing the
+    * static-index variant's cross-trigger window entirely. Per-trigger
+    * cost stays batch-proportional on both the judge side (bucketed
+    * co-located corpus joins) and the accept side (batch-sized
+    * derivations + bucketed appends).
+    */
+  def nearDupIntakeSinkWithIndexUpdate(stream: DataFrame, tablePrefix: String,
+                        textCol: String, idCol: String, targetPath: String,
+                        n: Int = 3, numHashes: Int = 64, bands: Int = 32,
+                        threshold: Double = 0.5,
+                        maxBucket: Int = graft.operators.DedupOps.DefaultMaxBucket)
+  : DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val idx = graft.operators.DedupOps.readCorpusDedupIndex(spark, tablePrefix)
+        val (roster, caches) = graft.operators.DedupOps
+          .incrementalDedupPreparedWithCaches(batch, idx, textCol, idCol,
+            n, numHashes, bands, threshold, maxBucket)
+        val kept = batch
+          .withColumn("_nid", col(idCol).cast("long"))
+          .join(roster.filter(col("status") === "kept")
+            .select(col("new_id").as("_nid")), Seq("_nid"), "left_semi")
+          .drop("_nid")
+        kept.write.mode("append").parquet(targetPath)
+        // appendToCorpusDedupIndex pins `kept` (localCheckpoint) before
+        // its first insert — the lazy judgment plan must not re-evaluate
+        // against the partially-updated tables
+        graft.operators.DedupOps.appendToCorpusDedupIndex(
+          kept, textCol, idCol, tablePrefix)
+        caches.foreach(_.unpersist())
+        ()
+      }
+
   def curateStream(stream: DataFrame, tsCol: String, delay: String,
                    textCol: String, maxDupTenths: Int = 7): DataFrame = {
     val w = split(graft.operators.DedupOps.normText(col(textCol)), " ")

@@ -203,6 +203,48 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set(101L, 201L), s"intake sink kept $out")
   }
 
+  test("self-updating intake sink drops near-dups of EARLIER triggers' accepted docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.DedupOps
+    val target = Files.createTempDirectory("graft_ndu_sink").resolve("t").toString
+    val prefix = "graft_test_stream_idx"
+    def drop(): Unit = Seq("_fingerprints", "_shingles", "_bands")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $prefix$s"))
+    drop()
+    try {
+      val corpus = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank")
+      ).toDF("doc_id", "text")
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"), prefix, buckets = 2)
+
+      val input = MemoryStream[(Long, String)]
+      val stream = input.toDF().toDF("doc_id", "text")
+
+      // trigger 1: a novel doc — accepted AND appended to the index
+      val q1 = StreamOps.nearDupIntakeSinkWithIndexUpdate(
+        stream, prefix, "text", "doc_id", target).start()
+      input.addData(
+        (100L, "fresh material arriving in the first trigger about spark state stores"))
+      q1.processAllAvailable(); q1.stop()
+
+      // trigger 2: a NEAR-dup of trigger 1's accepted doc (one word
+      // changed) must now drop — the static-index sink would keep it —
+      // plus an exact dup of it and a genuinely novel doc
+      val q2 = StreamOps.nearDupIntakeSinkWithIndexUpdate(
+        stream, prefix, "text", "doc_id", target).start()
+      input.addData(
+        (200L, "fresh material arriving in the first trigger about spark state machines"),
+        (201L, "fresh material arriving in the first trigger about spark state stores"),
+        (202L, "wholly unrelated second trigger content concerning broadcast variables"))
+      q2.processAllAvailable(); q2.stop()
+
+      val out = spark.read.parquet(target).select("doc_id")
+        .as[Long].collect().toSet
+      assert(out == Set(100L, 202L), s"self-updating sink kept $out")
+    } finally drop()
+  }
+
   test("foreachBatch upsert sink merges micro-batches with M2 semantics") {
     implicit val sqlCtx = spark.sqlContext
     val target = Files.createTempDirectory("graft_sink").resolve("t").toString

@@ -811,6 +811,34 @@ object DedupOps {
     acc.unpersist()
   }
 
+  /** Periodic compaction of an appended index (copy-on-write): re-apply
+    * the width cap to the bands table — appends legitimately grow
+    * buckets past `maxBucket` over many accepts ([[appendToCorpusDedupIndex]])
+    * — and rewrite all three frames as a FRESH bucketed index under
+    * `toPrefix`, coalescing the per-append small files. Writing to a new
+    * prefix/path rather than in place is deliberate: overwriting a
+    * table mid-read is a self-referential rewrite, and at corpus scale
+    * the swap is a pointer update (the BatchStore promote pattern), not
+    * a data move. Returns the dropped-buckets report for the run's
+    * logs ("no silent caps"). Ingest continues against `fromPrefix`
+    * until the caller swaps.
+    */
+  def compactCorpusDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                              fromPrefix: String, toPrefix: String,
+                              buckets: Int, path: Option[String] = None,
+                              maxBucketOverride: Option[Int] = None): DataFrame = {
+    val idx = readCorpusDedupIndex(spark, fromPrefix)
+    val p = idx.params.getOrElse(throw new IllegalStateException(
+      s"index $fromPrefix carries no build params — cannot re-cap without them"))
+    val cap = maxBucketOverride.getOrElse(p.maxBucket)
+    val recapped = boundBuckets(idx.bands, Seq("band_idx", "band_hash"), cap, minWidth = 1L)
+    writeCorpusDedupIndex(
+      CorpusDedupIndex(idx.fingerprints, idx.shingles, recapped,
+        Some(p.copy(maxBucket = cap))),
+      toPrefix, buckets, path)
+    oversizedBuckets(idx.bands, Seq("band_idx", "band_hash"), cap)
+  }
+
   /** [[incrementalDedup]] against a PRECOMPUTED corpus index: every
     * corpus-side artifact (fingerprints, shingles, band hashes) comes in
     * as a frame — typically parquet reads — so per-ingest compute is

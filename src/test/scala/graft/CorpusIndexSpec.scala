@@ -204,6 +204,54 @@ class CorpusIndexSpec extends SparkSpec {
     } finally dropIndex()
   }
 
+  test("compaction re-caps buckets that appends grew past the limit") {
+    dropIndex()
+    val toPrefix = prefix + "_compacted"
+    def dropTo(): Unit = Seq("_fingerprints", "_shingles", "_bands")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $toPrefix$s"))
+    dropTo()
+    try {
+      // capped build over the plain corpus: no bucket near the cap
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id", maxBucket = 12),
+        prefix, buckets = 4)
+
+      // appends grow a hot templated family far past the cap (appends
+      // deliberately do NOT re-cap — batch-sized accepts can't see the
+      // cumulative width)
+      val fam = (0 until 30).map(i =>
+        (7000L + i, "repeated template body with one unique trailing token marker " +
+          s"for member v$i")).toDF("doc_id", "text")
+      DedupOps.appendToCorpusDedupIndex(fam, "text", "doc_id", prefix)
+      val over = DedupOps.oversizedBuckets(
+        DedupOps.readCorpusDedupIndex(spark, prefix).bands,
+        Seq("band_idx", "band_hash"), maxBucket = 12)
+      assert(over.count() > 0, "appends did not grow any bucket past the cap")
+
+      // compact into a fresh prefix: the report names the dropped
+      // buckets and the new bands table is back under the cap
+      val report = DedupOps.compactCorpusDedupIndex(spark, prefix, toPrefix, buckets = 4)
+      assert(report.count() == over.count())
+      val after = DedupOps.readCorpusDedupIndex(spark, toPrefix)
+      assert(DedupOps.oversizedBuckets(after.bands,
+        Seq("band_idx", "band_hash"), maxBucket = 12).count() == 0)
+      assert(after.params.contains(DedupOps.CorpusIndexParams(3, 64, 32, 12)))
+
+      // judgments against the compacted index: a probe whose only
+      // neighborhood is the dropped family bucket judges kept; a
+      // genuine corpus near-dup still judges near_dup
+      val probes = Seq(
+        (9100L, "repeated template body with one unique trailing token marker for member v999"),
+        (9101L, "corpus document number 55 talks about topic 15 in moderate detail with 6 extra side remarks also included")
+      ).toDF("doc_id", "text")
+      val out = DedupOps.incrementalDedupPrepared(probes, after, "text", "doc_id",
+          maxBucket = 12)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(out(9100L) == "kept", s"dropped-bucket probe judged ${out(9100L)}")
+      assert(out(9101L) == "near_dup", s"genuine probe judged ${out(9101L)}")
+    } finally { dropIndex(); dropTo() }
+  }
+
   test("per-batch joins have no corpus-side exchange: index scans are bucketed leaves") {
     dropIndex()
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

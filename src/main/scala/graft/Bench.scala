@@ -55,10 +55,39 @@ object Bench {
     "q80_constituency_activity_yearly", // A5 mart (lookup join + grid densify)
     "q81_content_fact_pool",    // F17 templated fact pool (3-family union)
     "q82_skew_neardup_capped",  // planted hot-bucket corpus: capped LSH near-dup
-    "q83_skew_ingest_capped")   // planted hot-bucket corpus: capped prepared ingest
+    "q83_skew_ingest_capped",   // planted hot-bucket corpus: capped prepared ingest
+    "q84_skew_lifecycle_compacted") // index lifecycle: append → re-cap compact → re-ingest
+
+  /** Testdata fingerprint: first 8 bytes of sha256 over the sorted
+    * (relative path, size, mtime) listing of every file under the SF
+    * dir, descending into directories. Bench output carries it and
+    * PERF_BASELINE.json pins the fingerprint its minima were measured
+    * against — a drift comparison across regenerated testdata is
+    * meaningless (round 7's full re-pin was forced by exactly that),
+    * so on mismatch the bench suppresses the drift map and flags the
+    * mismatch instead of reporting phantom regressions.
+    */
+  def dataFingerprint(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val root = new java.io.File(dir)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    walk(root).sortBy(_.getPath).foreach { f =>
+      md.update((f.getPath.stripPrefix(root.getPath) +
+        s":${f.length}:${f.lastModified}\n").getBytes("UTF-8"))
+    }
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.contains("--fingerprint-only")) {
+      println(dataFingerprint(sfDir))
+      return
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -133,13 +162,29 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } else Map.empty
     }
-    val drift = results.collect {
-      case (k, v, None) if baseline.get(k).exists(b => v > b * 1.5) =>
-        "\"" + k + "\":" + f"${v / baseline(k)}%.2f"
-    }.mkString("{", ",", "}")
+    // Data-fingerprint gate: a baseline pinned on different testdata
+    // (driver regeneration) must not produce a phantom drift map — the
+    // mismatch itself is the finding, and a re-pin without a data change
+    // would be visible as an unchanged fingerprint in the baseline diff.
+    val fingerprint = dataFingerprint(sfDir)
+    val baselineFingerprint = {
+      val f = new java.io.File(baselinePath)
+      if (!f.exists()) None
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        """"_fingerprint"\s*:\s*"([0-9a-f]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      }
+    }
+    val fingerprintMatch = baselineFingerprint.forall(_ == fingerprint)
+    val drift =
+      if (!fingerprintMatch) "{}"
+      else results.collect {
+        case (k, v, None) if baseline.get(k).exists(b => v > b * 1.5) =>
+          "\"" + k + "\":" + f"${v / baseline(k)}%.2f"
+      }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val ok = results.forall(_._3.isEmpty)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"drift":$drift,"ok":$ok,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"drift":$drift,"fingerprint":"$fingerprint","baseline_fingerprint_match":$fingerprintMatch,"ok":$ok,"sf":"$sfDir"}""")
     spark.stop()
     if (!ok) sys.exit(1)
   }

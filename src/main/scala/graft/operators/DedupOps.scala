@@ -28,6 +28,11 @@ object DedupOps {
     * (each input partition contributes one (hash, min) row regardless of
     * skew) and the semi-join back is AQE-splittable, so no key width ever
     * concentrates on one task.
+    *
+    * Assumes `idCol` is unique (true of every current caller's doc ids):
+    * with duplicate ids, EVERY row carrying the group-min id survives the
+    * semi-join, where the old row_number formulation kept exactly one
+    * row per hash group. Deduplicate ids first if they can repeat.
     */
   def exactDedup(docs: DataFrame, textCol: String, idCol: String): (DataFrame, DataFrame) = {
     val hashed = docs.withColumn("_text_hash", sha2(normText(col(textCol)), 256))
@@ -288,9 +293,18 @@ object DedupOps {
                           n: Int = 3, numHashes: Int = 64, bands: Int = 32,
                           threshold: Double = 0.5,
                           cacheShingles: Boolean = true,
-                          maxBucket: Int = DefaultMaxBucket): DataFrame =
-    minhashNearDupPairsFromShingles(shingleHashTable(docs, textCol, idCol, n),
+                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val (pairs, drops) = minhashNearDupPairsFromShinglesWithDrops(
+      shingleHashTable(docs, textCol, idCol, n),
       numHashes, bands, threshold, cacheShingles, maxBucket)
+    // "no silent caps" (VERDICT r7 #3): a bare capped call logs its
+    // one-line drop count eagerly — one signature+banding pass over the
+    // (cached) shingle frame, whose materialization the pairs evaluation
+    // needs anyway. Pipeline callers that own their reporting use
+    // [[minhashNearDupPairsFromShingles]], which stays lazy and silent.
+    drops.foreach(d => logCapDrops("minhashNearDupPairs", d, maxBucket))
+    pairs
+  }
 
   /** [[minhashNearDupPairs]] over a prepared (doc_id, sg) hashed-shingle
     * table — for callers that already hold tokenized/hashed words (the
@@ -308,7 +322,22 @@ object DedupOps {
                                       numHashes: Int = 64, bands: Int = 32,
                                       threshold: Double = 0.5,
                                       cacheShingles: Boolean = true,
-                                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                                      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    minhashNearDupPairsFromShinglesWithDrops(
+      sh0, numHashes, bands, threshold, cacheShingles, maxBucket)._1
+
+  /** [[minhashNearDupPairsFromShingles]] plus the cap-drop report (None
+    * when uncapped): (band_idx, band_hash, bucket_width) of every bucket
+    * the cap excludes, sharing the pairs plan's shingle frame — for
+    * callers that want the drops as data instead of the bare variant's
+    * log line.
+    */
+  def minhashNearDupPairsFromShinglesWithDrops(sh0: DataFrame,
+                                      numHashes: Int = 64, bands: Int = 32,
+                                      threshold: Double = 0.5,
+                                      cacheShingles: Boolean = true,
+                                      maxBucket: Int = DefaultMaxBucket)
+  : (DataFrame, Option[DataFrame]) = {
     // The shingle table feeds three consumers (signature agg + both
     // verify-join sides) — persist it once instead of recomputing the
     // most expensive narrow stage per consumer. At corpus scale, write it
@@ -319,12 +348,34 @@ object DedupOps {
     else sh0
     val sig = minhashSignaturesFromShingles(sh, numHashes)
     val cand = lshCandidatePairs(sig, bands, numHashes / bands, maxBucket)
-    cand
+    val pairs = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sg").as("sg_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sg").as("sg_b")), Seq("doc_b"))
       .withColumn("jaccard", jaccard(col("sg_a"), col("sg_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+    val drops =
+      if (maxBucket == NoBucketCap) None
+      else Some(minhashOversizedBuckets(sh, numHashes, bands, maxBucket))
+    (pairs, drops)
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.DedupOps")
+
+  /** Evaluate a cap-drop report to its one-row rollup and log it — WARN
+    * when buckets actually dropped (recall loss on templated mass must
+    * never be silent), INFO when the cap was a no-op.
+    */
+  private def logCapDrops(op: String, drops: DataFrame, maxBucket: Int): Unit = {
+    val row = capDropSummary(drops).collect()(0)
+    val (nBuckets, nRows) = (row.getLong(0), row.getLong(1))
+    if (nBuckets > 0)
+      log.warn(s"$op: bucket cap $maxBucket dropped $nBuckets bucket(s) / " +
+        s"$nRows member row(s) — near-dup recall inside that mass is gone; " +
+        "run oversizedBuckets for the keys, or pass NoBucketCap on an " +
+        "oracle-checked path")
+    else
+      log.info(s"$op: bucket cap $maxBucket dropped nothing")
   }
 
   // ---------------- embedding-cosine near-dup ----------------
@@ -462,6 +513,18 @@ object DedupOps {
     */
   def simhashNearDupPairs(sig: DataFrame, maxHamming: Int = 3, bits: Int = 64,
                           maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val (pairs, drops) = simhashNearDupPairsWithDrops(sig, maxHamming, bits, maxBucket)
+    // same bare-call cap visibility as minhashNearDupPairs
+    drops.foreach(d => logCapDrops("simhashNearDupPairs", d, maxBucket))
+    pairs
+  }
+
+  /** [[simhashNearDupPairs]] plus the cap-drop report (None when
+    * uncapped), sharing the banded plan.
+    */
+  def simhashNearDupPairsWithDrops(sig: DataFrame, maxHamming: Int = 3, bits: Int = 64,
+                          maxBucket: Int = DefaultMaxBucket)
+  : (DataFrame, Option[DataFrame]) = {
     val bandWidth = bits / 4
     val bandMask = (1L << bandWidth) - 1
     val bandCols = (0 until 4).map { j =>
@@ -475,7 +538,7 @@ object DedupOps {
     // check needs no join back
     // array_sort on structs orders by doc_id (first field) → pairs come
     // out with doc_a < doc_b without a normalization pass
-    boundBuckets(banded, Seq("band_idx", "band_val"), maxBucket)
+    val pairs = boundBuckets(banded, Seq("band_idx", "band_val"), maxBucket)
       .groupBy("band_idx", "band_val")
       .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
       .select(explode(flatten(transform(col("members"), (a, i) =>
@@ -486,6 +549,10 @@ object DedupOps {
         bit_count(col("p.sig_a").bitwiseXOR(col("p.sig_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    val drops =
+      if (maxBucket == NoBucketCap) None
+      else Some(oversizedBuckets(banded, Seq("band_idx", "band_val"), maxBucket))
+    (pairs, drops)
   }
 
   /** Incremental ingestion dedup: judge a NEW batch against an existing
@@ -662,6 +729,10 @@ object DedupOps {
           "bands" -> pr.bands, "maxBucket" -> pr.maxBucket))
       writeTextFile(spark, s"$p/manifest.json", graft.io.StableJson.write(manifest))
     }
+    // fresh append-epoch ledger: the base record pins the just-written
+    // files so torn-append repair can always separate original index
+    // files from partial-append orphans
+    initEpochLedger(spark, tablePrefix)
   }
 
   private def paramsProps(p: CorpusIndexParams): String =
@@ -729,6 +800,8 @@ object DedupOps {
       spark.sql(s"""ALTER TABLE ${tablePrefix}_bands SET TBLPROPERTIES ${paramsProps(
         CorpusIndexParams(i("n"), i("numHashes"), i("bands"), i("maxBucket")))}""")
     }
+    // a crashed append travels with the files — refuse the attach too
+    requireNoTornEpochs(spark, tablePrefix)
   }
 
   /** Read an index persisted by [[writeCorpusDedupIndex]]. The frames
@@ -740,6 +813,9 @@ object DedupOps {
     */
   def readCorpusDedupIndex(spark: org.apache.spark.sql.SparkSession,
                            tablePrefix: String): CorpusDedupIndex = {
+    // never hand out a torn index: a crashed append between inserts
+    // would make near-dup judgments silently blind to some docs
+    requireNoTornEpochs(spark, tablePrefix)
     val props = spark.sql(s"SHOW TBLPROPERTIES ${tablePrefix}_bands")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val params = for {
@@ -761,6 +837,235 @@ object DedupOps {
     Seq("_fingerprints", "_shingles", "_bands")
       .forall(s => spark.catalog.tableExists(tablePrefix + s))
 
+  // ---- append-epoch ledger: crash-safe multi-table appends ----------
+  //
+  // appendToCorpusDedupIndex inserts into THREE tables; a job that dies
+  // between inserts would leave a torn index (a doc in _fingerprints but
+  // absent from _shingles/_bands makes near-dup verification silently
+  // blind to it). The ledger makes the append all-or-nothing in effect:
+  // an `intent` marker is written before the first insert, each insert's
+  // added files are recorded, and a `commit` record closes the epoch.
+  // Readers refuse an index whose ledger shows an intent without a
+  // commit; [[repairCorpusDedupIndex]] quarantines the partial files
+  // (current files minus every committed epoch's recorded files) and
+  // returns the index to its last committed state. Single writer
+  // assumed, like the reference's batch pipeline.
+
+  private val IndexTableNames = Seq("fingerprints", "shingles", "bands")
+
+  private def tableLocationPath(spark: org.apache.spark.sql.SparkSession,
+                                table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+                       p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Ledger directory: a sibling of the three table dirs (`$path/_epochs/
+    * <prefix>` for a path-backed index, `<warehouse>/_epochs/<prefix>`
+    * for a managed one), so an attach over copied files finds the ledger
+    * with them. The leading underscore keeps Spark's file listing from
+    * ever treating it as data.
+    */
+  private[graft] def epochLedgerDir(spark: org.apache.spark.sql.SparkSession,
+                                    tablePrefix: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      tableLocationPath(spark, s"${tablePrefix}_bands").getParent,
+      s"_epochs/$tablePrefix")
+
+  /** Non-hidden leaf files under a table dir, as root-relative paths. */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path): Set[String] = {
+    if (!fs.exists(root)) Set.empty
+    else {
+      val rootStr = root.toUri.getPath.stripSuffix("/")
+      val it = fs.listFiles(root, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        val rel = f.toUri.getPath.stripPrefix(rootStr).stripPrefix("/")
+        if (!rel.split("/").exists(c => c.startsWith("_") || c.startsWith(".")))
+          b += rel
+      }
+      b.result()
+    }
+  }
+
+  private final case class EpochLedger(intents: Map[Long, Map[String, Any]],
+                                       commits: Map[Long, Map[String, Any]]) {
+    def torn: Seq[Long] = (intents.keySet -- commits.keySet).toSeq.sorted
+    def nextEpoch: Long = ((intents.keySet ++ commits.keySet) + 0L).max + 1
+    def committedTags: Set[String] =
+      commits.values.flatMap(_.get("tag").map(String.valueOf)).toSet
+    def committedFilesOf(table: String): Set[String] =
+      commits.values.flatMap(c => epochFilesOf(c, table)).toSet
+  }
+
+  private def epochFilesOf(record: Map[String, Any], table: String): Seq[String] =
+    record.get("tables").collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+      .flatMap(_.get(table)).collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+      .flatMap(_.get("files")).collect { case v: Seq[_] => v.map(String.valueOf) }
+      .getOrElse(Nil)
+
+  private val EpochFileName = "epoch-(\\d+)\\.(intent|commit)\\.json".r
+
+  private def epochFileName(epoch: Long, kind: String): String =
+    f"epoch-$epoch%08d.$kind.json"
+
+  private def readEpochLedger(spark: org.apache.spark.sql.SparkSession,
+                              tablePrefix: String): Option[EpochLedger] = {
+    val dir = epochLedgerDir(spark, tablePrefix)
+    val fs = hadoopFs(spark, dir)
+    if (!fs.exists(dir)) None
+    else {
+      val records = fs.listStatus(dir).toSeq.map(_.getPath).flatMap { p =>
+        p.getName match {
+          case EpochFileName(id, kind) =>
+            readTextFile(spark, p.toString).map(j =>
+              (id.toLong, kind, graft.io.StableJson.parse(j).asInstanceOf[Map[String, Any]]))
+          case _ => None
+        }
+      }
+      Some(EpochLedger(
+        records.collect { case (e, "intent", r) => e -> r }.toMap,
+        records.collect { case (e, "commit", r) => e -> r }.toMap))
+    }
+  }
+
+  /** (Re)initialize the ledger: wipe it and record the CURRENT files of
+    * all three tables as the base epoch, so repair can always separate
+    * original index files from torn-append orphans.
+    */
+  private def initEpochLedger(spark: org.apache.spark.sql.SparkSession,
+                              tablePrefix: String): Unit = {
+    val dir = epochLedgerDir(spark, tablePrefix)
+    hadoopFs(spark, dir).delete(dir, true)
+    val tables = IndexTableNames.map { n =>
+      val loc = tableLocationPath(spark, s"${tablePrefix}_$n")
+      n -> Map("files" -> listDataFiles(hadoopFs(spark, loc), loc).toSeq.sorted)
+    }.toMap
+    writeTextFile(spark, new org.apache.hadoop.fs.Path(dir, epochFileName(0L, "commit")).toString,
+      graft.io.StableJson.write(Map("epoch" -> 0L, "tag" -> "base", "tables" -> tables)))
+  }
+
+  /** Refuse a torn index: an intent without a commit means a previous
+    * append died between table inserts, so the three tables disagree and
+    * near-dup judgments would be silently blind to some appended docs.
+    * Indexes without a ledger (pre-epoch writes) pass — nothing is
+    * tracked for them until their first epoch append bootstraps one.
+    */
+  private def requireNoTornEpochs(spark: org.apache.spark.sql.SparkSession,
+                                  tablePrefix: String): Unit =
+    readEpochLedger(spark, tablePrefix).foreach { led =>
+      if (led.torn.nonEmpty) throw new IllegalStateException(
+        s"index $tablePrefix has torn append epoch(s) ${led.torn.mkString(",")}: " +
+          "a previous appendToCorpusDedupIndex died between table inserts. " +
+          "Run DedupOps.repairCorpusDedupIndex to quarantine the partial files, " +
+          "then retry the append — judging against a torn index would be " +
+          "silently wrong, not an error")
+    }
+
+  /** Quarantine torn append epochs: delete, from each table dir, every
+    * data file not recorded by a committed epoch (the base record from
+    * [[writeCorpusDedupIndex]] plus each completed append), and drop the
+    * torn intent markers. Returns the repair summary:
+    * `{"torn_epochs": [...], "deleted_files": {table: n}}`. A no-op on a
+    * clean or unledgered index.
+    */
+  def repairCorpusDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                             tablePrefix: String): Map[String, Any] =
+    readEpochLedger(spark, tablePrefix) match {
+      case None => Map("torn_epochs" -> Nil, "deleted_files" -> Map.empty[String, Any])
+      case Some(led) if led.torn.isEmpty =>
+        Map("torn_epochs" -> Nil, "deleted_files" -> Map.empty[String, Any])
+      case Some(led) =>
+        require(led.commits.contains(0L),
+          s"ledger for $tablePrefix has no base epoch record — original index " +
+            "files cannot be distinguished from torn-append orphans; rebuild " +
+            "the index with writeCorpusDedupIndex")
+        val deleted = IndexTableNames.map { n =>
+          val loc = tableLocationPath(spark, s"${tablePrefix}_$n")
+          val fs = hadoopFs(spark, loc)
+          val orphans = listDataFiles(fs, loc) -- led.committedFilesOf(n)
+          orphans.foreach(rel => fs.delete(new org.apache.hadoop.fs.Path(loc, rel), false))
+          spark.catalog.refreshByPath(loc.toString)
+          n -> orphans.size
+        }.toMap
+        IndexTableNames.foreach(n => spark.catalog.refreshTable(s"${tablePrefix}_$n"))
+        // cached plans (e.g. a judgment's persisted frames) may pin the
+        // pre-repair file listing and would fail on the deleted orphans;
+        // repair is an exceptional recovery path, so dropping the whole
+        // cache is the safe trade
+        spark.catalog.clearCache()
+        val dir = epochLedgerDir(spark, tablePrefix)
+        led.torn.foreach(e => hadoopFs(spark, dir)
+          .delete(new org.apache.hadoop.fs.Path(dir, epochFileName(e, "intent")), false))
+        Map("torn_epochs" -> led.torn, "deleted_files" -> deleted)
+    }
+
+  // ---- index production pointer (BatchStore S10 integration) --------
+
+  /** Promote an index behind a BatchStore pointer object: readers and
+    * streaming intake sinks resolve the CURRENT prefix through the
+    * pointer per trigger, so a compact+promote rolls them onto the fresh
+    * index without a restart ([[compactCorpusDedupIndex]] writes to a
+    * new prefix; this is the "caller swaps" half). The pointer records
+    * the previous prefix for rollback-by-hand. Run the compact+promote
+    * at a trigger quiet point: appends landing on the OLD prefix after
+    * compaction reads it are not in the new index (re-append them or
+    * quiesce ingest around the swap, as any copy-on-write store).
+    */
+  def promoteCorpusDedupIndex(store: graft.io.BatchStore, pointerKey: String,
+                              tablePrefix: String,
+                              path: Option[String] = None): Map[String, Any] = {
+    val previous = store.readJsonIfExists(pointerKey)
+    val pointer = Map(
+      "table_prefix" -> tablePrefix,
+      "promoted_at_utc" -> store.timestamp(),
+      "previous_table_prefix" ->
+        previous.map(p => String.valueOf(p.getOrElse("table_prefix", null))).orNull) ++
+      path.map("path" -> _)
+    store.putJson(pointerKey, pointer)
+    pointer
+  }
+
+  /** Resolve the current index prefix through a BatchStore pointer,
+    * attaching the tables from the pointer's recorded path when the
+    * session's catalog doesn't know them (fresh session after a swap).
+    */
+  def resolveCorpusDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                              store: graft.io.BatchStore, pointerKey: String): String = {
+    val ptr = store.readJsonIfExists(pointerKey).getOrElse(
+      throw new java.io.FileNotFoundException(s"no index pointer at $pointerKey"))
+    val prefix = String.valueOf(ptr.getOrElse("table_prefix",
+      throw new IllegalStateException(s"index pointer $pointerKey has no table_prefix")))
+    if (!corpusDedupIndexExists(spark, prefix))
+      ptr.get("path").foreach(p => attachCorpusDedupIndex(spark, prefix, String.valueOf(p)))
+    prefix
+  }
+
+  /** Ledger state of an idempotence tag: "committed" (the tagged append
+    * fully applied), "torn" (it died mid-append), or "absent". The
+    * intake sinks consult this before re-running a replayed trigger.
+    */
+  private[graft] def epochTagState(spark: org.apache.spark.sql.SparkSession,
+                                   tablePrefix: String, tag: String): String =
+    readEpochLedger(spark, tablePrefix) match {
+      case None => "absent"
+      case Some(led) =>
+        if (led.committedTags.contains(tag)) "committed"
+        else if (led.torn.exists(e =>
+          led.intents(e).get("tag").map(String.valueOf).contains(tag))) "torn"
+        else "absent"
+    }
+
+  /** Test hook: name of the index table whose append insert should fail
+    * (simulates a job dying mid-append — CorpusIndexSpec's torn-epoch
+    * coverage). Never set outside tests.
+    */
+  private[graft] var appendFaultInjection: Option[String] = None
+
   /** Append newly ACCEPTED docs to a persisted corpus index — the other
     * half of the daily-ingest lifecycle: [[incrementalDedupPrepared]]
     * judges a batch against the index, and the batch's `kept` docs join
@@ -781,34 +1086,93 @@ object DedupOps {
     * during periodic compaction (a batch-sized scheduled job); the
     * batch-side cap in [[incrementalDedupPrepared]] still bounds
     * per-ingest fan-out meanwhile.
+    *
+    * Crash safety: the three inserts are wrapped in an append EPOCH
+    * (intent marker → tracked inserts → commit record, see the ledger
+    * section above). A job that dies mid-append leaves a torn epoch
+    * that read/attach refuse and [[repairCorpusDedupIndex]] rolls back;
+    * the index is never silently judged in a half-appended state.
+    *
+    * @param epochTag optional idempotence key (e.g. a streaming
+    *                 micro-batch id): a committed epoch carrying this
+    *                 tag makes the call a no-op, and a torn epoch
+    *                 carrying it is auto-repaired and redone — the
+    *                 exactly-once contract the intake sinks rely on
+    *                 under foreachBatch replay
     */
   def appendToCorpusDedupIndex(accepted: DataFrame, textCol: String, idCol: String,
-                               tablePrefix: String): Unit = {
+                               tablePrefix: String,
+                               epochTag: Option[String] = None): Unit = {
     val spark = accepted.sparkSession
-    val idx = readCorpusDedupIndex(spark, tablePrefix)
-    val p = idx.params.getOrElse(throw new IllegalStateException(
-      s"index $tablePrefix carries no build params — write it with " +
-        "writeCorpusDedupIndex (manifested) before appending"))
-    // Pin the accepted rows BEFORE the first insert: `accepted` is
-    // typically derived from a judgment against THIS index (a semi-join
-    // on the `kept` roster), so a lazy plan re-evaluated between the
-    // three inserts would see the partially-updated tables — the
-    // fingerprint insert would make every accepted doc exact-match
-    // itself and the shingle/band inserts would write an empty frame.
-    // localCheckpoint(eager) materializes once and truncates lineage
-    // (batch-sized; within one job, the executor-loss caveat is moot).
-    val acc = accepted.select(col(idCol).cast("long").as(idCol),
-      col(textCol).cast("string").as(textCol)).localCheckpoint(true)
-    val fp = acc.select(col(idCol).as("cid"),
-      sha2(normText(col(textCol)), 256).as("_h"))
-    val sh = shingleHashTable(acc, textCol, idCol, p.n)
-    val banded = bandTable(minhashSignaturesFromShingles(sh, p.numHashes),
-      p.bands, p.numHashes / p.bands)
-    // insertInto matches columns by POSITION against the table schema
-    fp.write.mode("append").insertInto(s"${tablePrefix}_fingerprints")
-    sh.write.mode("append").insertInto(s"${tablePrefix}_shingles")
-    banded.write.mode("append").insertInto(s"${tablePrefix}_bands")
-    acc.unpersist()
+    // bootstrap a ledger for indexes written before epochs existed, so
+    // this append (and every later one) is tracked
+    if (readEpochLedger(spark, tablePrefix).isEmpty) initEpochLedger(spark, tablePrefix)
+    val led = readEpochLedger(spark, tablePrefix).get
+    // idempotence by tag (streaming replay): a committed epoch with this
+    // tag means the append fully applied — skip; a TORN epoch with this
+    // tag is our own earlier attempt — auto-repair and redo. Torn
+    // epochs from OTHER appends refuse (readCorpusDedupIndex would too).
+    val alreadyApplied = epochTag.exists(led.committedTags)
+    if (!alreadyApplied) {
+      if (led.torn.nonEmpty) {
+        val allOurs = epochTag.exists(t =>
+          led.torn.forall(e => led.intents(e).get("tag").map(String.valueOf).contains(t)))
+        if (allOurs) repairCorpusDedupIndex(spark, tablePrefix)
+        else requireNoTornEpochs(spark, tablePrefix)
+      }
+      val idx = readCorpusDedupIndex(spark, tablePrefix)
+      val p = idx.params.getOrElse(throw new IllegalStateException(
+        s"index $tablePrefix carries no build params — write it with " +
+          "writeCorpusDedupIndex (manifested) before appending"))
+      // Pin the accepted rows BEFORE the first insert: `accepted` is
+      // typically derived from a judgment against THIS index (a semi-join
+      // on the `kept` roster), so a lazy plan re-evaluated between the
+      // three inserts would see the partially-updated tables — the
+      // fingerprint insert would make every accepted doc exact-match
+      // itself and the shingle/band inserts would write an empty frame.
+      // localCheckpoint(eager) materializes once and truncates lineage
+      // (batch-sized; within one job, the executor-loss caveat is moot).
+      val acc = accepted.select(col(idCol).cast("long").as(idCol),
+        col(textCol).cast("string").as(textCol)).localCheckpoint(true)
+      val docs = acc.count()
+      val fp = acc.select(col(idCol).as("cid"),
+        sha2(normText(col(textCol)), 256).as("_h"))
+      val sh = shingleHashTable(acc, textCol, idCol, p.n).persist()
+      val banded = bandTable(minhashSignaturesFromShingles(sh, p.numHashes),
+        p.bands, p.numHashes / p.bands)
+      // epoch intent BEFORE the first insert: a crash anywhere below
+      // leaves the intent without a commit, which read/attach refuse and
+      // repairCorpusDedupIndex can quarantine (added files are recorded
+      // per insert in the commit; repair derives orphans as current
+      // files minus every committed epoch's files)
+      val dir = epochLedgerDir(spark, tablePrefix)
+      val epoch = led.nextEpoch
+      writeTextFile(spark, new org.apache.hadoop.fs.Path(dir, epochFileName(epoch, "intent")).toString,
+        graft.io.StableJson.write(
+          Map("epoch" -> epoch, "docs" -> docs) ++ epochTag.map("tag" -> _)))
+      // insertInto matches columns by POSITION against the table schema
+      def insertTracked(df: DataFrame, name: String): (String, Map[String, Any]) = {
+        val loc = tableLocationPath(spark, s"${tablePrefix}_$name")
+        val fs = hadoopFs(spark, loc)
+        val before = listDataFiles(fs, loc)
+        if (appendFaultInjection.contains(name))
+          throw new IllegalStateException(s"injected append fault before $name insert")
+        df.write.mode("append").insertInto(s"${tablePrefix}_$name")
+        name -> Map("rows" -> df.count(),
+          "files" -> (listDataFiles(fs, loc) -- before).toSeq.sorted)
+      }
+      try {
+        val tables = Seq(("fingerprints", fp), ("shingles", sh), ("bands", banded))
+          .map { case (n, df) => insertTracked(df, n) }.toMap
+        writeTextFile(spark, new org.apache.hadoop.fs.Path(dir, epochFileName(epoch, "commit")).toString,
+          graft.io.StableJson.write(
+            Map("epoch" -> epoch, "docs" -> docs, "tables" -> tables) ++
+              epochTag.map("tag" -> _)))
+      } finally {
+        sh.unpersist()
+        acc.unpersist()
+      }
+    }
   }
 
   /** Periodic compaction of an appended index (copy-on-write): re-apply
@@ -821,7 +1185,9 @@ object DedupOps {
     * the swap is a pointer update (the BatchStore promote pattern), not
     * a data move. Returns the dropped-buckets report for the run's
     * logs ("no silent caps"). Ingest continues against `fromPrefix`
-    * until the caller swaps.
+    * until the caller swaps — [[promoteCorpusDedupIndex]] is that swap,
+    * and pointer-resolving readers (StreamOps.nearDupIntakeSinkWithIndexPointer)
+    * roll onto `toPrefix` at their next trigger without a restart.
     */
   def compactCorpusDedupIndex(spark: org.apache.spark.sql.SparkSession,
                               fromPrefix: String, toPrefix: String,

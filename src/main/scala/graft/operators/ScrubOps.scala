@@ -220,16 +220,19 @@ object ScrubOps {
     *
     * Plan shape at scale: line IDENTITY travels as an xxhash64, never as
     * the line string — the frequency count is one hash-keyed map-side-
-    * combinable aggregation (the in-doc distinct happens scan-side via
-    * array_distinct, so each doc contributes each line hash once before
-    * the exchange), and the anti-join key is the 8-byte hash. The
-    * frequent set is tiny relative to the corpus (boilerplate by
-    * definition repeats) and hash-only, so Spark/AQE broadcasts it; the
-    * only string-bearing shuffle left is the reassembly groupBy, which
-    * moves each doc's surviving lines once, keyed by the
-    * high-cardinality doc id. Hash collisions conflate lines at ~2⁻⁶⁴
-    * per pair — the same accepted trade as the MinHash path, invisible
-    * to the string-level oracle at any realistic corpus size.
+    * combinable aggregation (a (lh, id) row-distinct whose partial
+    * aggregation collapses in-doc repeats map-side, so each doc
+    * contributes each line hash once across the exchange), and the
+    * anti-join key is the 8-byte hash. The frequent set is tiny relative
+    * to the corpus (boilerplate by definition repeats) and hash-only, so
+    * Spark/AQE broadcasts it; the only string-bearing shuffle left is
+    * the reassembly groupBy, which moves each doc's surviving lines
+    * once, keyed by the high-cardinality doc id. Collision note
+    * (birthday bound, same accepted trade as the MinHash path): ~2⁻⁶⁴
+    * per line PAIR means collisions are expected once the corpus passes
+    * ~2³² distinct lines — at 100 TB a handful of innocent lines will be
+    * conflated with boilerplate and dropped; the string-level oracle
+    * checks the small-SF regime where this is absent.
     *
     * Output: (id, n_lines, n_kept, text_clean), one row per input doc —
     * docs whose every line is boilerplate survive with empty text so the

@@ -389,18 +389,80 @@ object LlmPipeline {
           maxBucket = skewCap)
         .orderBy("new_id")
     }),
+
+    // ---- full index lifecycle at bench scale: append → compact → ----
+    // ---- re-ingest, under planted skew --------------------------------
+    // Round-8 proof that the maintenance half of the daily-ingest story
+    // holds: a batch of 800 fresh family members is ACCEPTED into the
+    // capped index (batch-sized tag-keyed append — idempotent, so bench
+    // reps and verify re-runs hit the committed epoch and skip), the
+    // index is then COMPACTED with re-cap (the appended family's ~0.9 ×
+    // 800-wide band buckets exceed skewCap and drop — the compaction
+    // report must be non-empty), and a second batch is judged against
+    // the compacted index. The batch2 legs pin every lifecycle
+    // property: exact copies of appended docs prove the append survived
+    // compaction (fingerprints are never capped); perturbed base copies
+    // prove compaction preserved the base bands; 20 fresh family
+    // members prove the re-cap holds (their only corpus neighborhood
+    // was dropped, so they judge in-batch greedy only); exact base
+    // copies prove the exact stage end-to-end. The oracle replays all
+    // four legs brute-force with the cap modeled (near leg sees BASE
+    // docs only).
+    "q84_skew_lifecycle_compacted" -> ((s, dir) => {
+      val (corpus, batch1, batch2) = skewLifecycleParts(s, dir)
+      val work = "graft_q84_work_" + corpusStamp(dir)
+      val compacted = work + "_c"
+      val workRoot = new java.io.File(sys.props("java.io.tmpdir"), work)
+      if (!DedupOps.corpusDedupIndexExists(s, work)) {
+        cleanStaleIndexDirs("graft_q84_work_" +
+          Integer.toHexString(dir.hashCode) + "_", work)
+        if (new java.io.File(workRoot, "manifest.json").exists())
+          DedupOps.attachCorpusDedupIndex(s, work, workRoot.getPath)
+        else DedupOps.writeCorpusDedupIndex(
+          DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id",
+            n = 3, numHashes = 64, bands = 32, maxBucket = skewCap),
+          work, buckets = 16, path = Some(workRoot.getPath))
+      }
+      // accept batch1 into the corpus: tag-keyed, so a committed epoch
+      // (earlier rep / earlier JVM over the same persisted index) is a
+      // no-op and the judged state stays deterministic across runs
+      DedupOps.appendToCorpusDedupIndex(batch1, "text", "doc_id", work,
+        epochTag = Some("q84-batch1"))
+      // compact with re-cap into a fresh prefix (copy-on-write swap
+      // target); the appended hot-family buckets MUST show up dropped
+      val report = DedupOps.compactCorpusDedupIndex(s, work, compacted,
+        buckets = 16, path = Some(new java.io.File(
+          sys.props("java.io.tmpdir"), compacted).getPath))
+      require(report.count() > 0,
+        "q84 lifecycle: compaction dropped no buckets — the appended hot " +
+          "family should have grown past the cap")
+      DedupOps.incrementalDedupPrepared(batch2,
+          DedupOps.readCorpusDedupIndex(s, compacted), "text", "doc_id",
+          n = 3, numHashes = 64, bands = 32, threshold = 0.5,
+          maxBucket = skewCap)
+        .orderBy("new_id")
+    }),
   )
 
   /** Persisted-index dir stamp: the sf dir's identity PLUS the source
-    * table's (size, mtime) fingerprint, so a regenerated testdata set
-    * orphans the previous rounds' index instead of silently joining a
-    * stale corpus (the driver rewrote every parquet this round — an
+    * table's (name, size, mtime) fingerprint, so a regenerated testdata
+    * set orphans the previous rounds' index instead of silently joining
+    * a stale corpus (the driver rewrote every parquet in round 7 — an
     * index keyed on the path alone would have gone quietly wrong).
+    * Descends into directories: a Spark-written parquet DIRECTORY would
+    * otherwise stamp only directory metadata and could miss a
+    * regeneration that rewrote the part files in place.
     */
   private def corpusStamp(dir: String): String = {
-    val f = new java.io.File(dir, "documents.parquet")
-    Integer.toHexString(dir.hashCode) + "_" +
-      java.lang.Long.toHexString(f.length() ^ (f.lastModified() * 31))
+    def stampOf(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName)
+          .foldLeft(f.getName.hashCode.toLong)((acc, c) =>
+            acc * 1099511628211L ^ stampOf(c))
+      else f.getName.hashCode.toLong ^ f.length() ^ (f.lastModified() * 31)
+    Integer.toHexString(dir.hashCode) + "_" + java.lang.Long.toHexString(
+      stampOf(new java.io.File(dir, "documents.parquet")))
   }
 
   /** Drop persisted index dirs whose data stamp no longer matches —
@@ -462,6 +524,37 @@ object LlmPipeline {
       concat(lit(skewTemplate), col("id") + famN).as("text"))
     (base.unionByName(fam),
       exactLeg.unionByName(nearLeg).unionByName(probes))
+  }
+
+  /** q84 parts: (skewed corpus, accepted batch1, re-ingest batch2).
+    * batch1 = 800 fresh family members (suffix ids famN..famN+799): wide
+    * enough that their common band buckets (~0.9 × 800 ≈ 718 members)
+    * exceed `skewCap` both in-batch at judgment time and in the index
+    * after the append — the compaction re-cap target. batch2 legs:
+    * exact copies of every 40th batch1 doc (+5e6), ` zz`-perturbed base
+    * docs (+4e6, q83's near leg), 20 fresh family members past batch1's
+    * suffixes (+6e6), exact base copies (+2e6, q83's exact leg).
+    */
+  private def skewLifecycleParts(s: SparkSession, dir: String)
+  : (DataFrame, DataFrame, DataFrame) = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val famN = base.count() * 4
+    val fam = s.range(famN).select((col("id") + 1000000L).as("doc_id"),
+      concat(lit(skewTemplate), col("id")).as("text"))
+    val batch1 = s.range(800).select((col("id") + 3000000L).as("doc_id"),
+      concat(lit(skewTemplate), col("id") + famN).as("text"))
+    val aLeg = s.range(20).select((col("id") * 40 + 5000000L).as("doc_id"),
+      concat(lit(skewTemplate), col("id") * 40 + famN).as("text"))
+    val bLeg = base.filter(col("doc_id") % 40 === 7)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(col("text"), lit(" zz"), col("doc_id")).as("text"))
+    val cLeg = s.range(20).select((col("id") + 6000000L).as("doc_id"),
+      concat(lit(skewTemplate), col("id") + famN + 800L).as("text"))
+    val dLeg = base.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    (base.unionByName(fam), batch1,
+      aLeg.unionByName(bLeg).unionByName(cLeg).unionByName(dLeg))
   }
 
   /** q73/q78 shared batch construction: corpus = doc_id % 7 != 3; the new
@@ -917,6 +1010,7 @@ object LlmPipeline {
     // base corpus alone — q27's oracle verbatim
     "q82_skew_neardup_capped" -> shingleCte,
     "q83_skew_ingest_capped" -> skewIngestSql,
+    "q84_skew_lifecycle_compacted" -> skewLifecycleSql,
   ) ++ oraclesTail
 
   /** Shared q73/q78 oracle: exact stage on normalized-text equality, near
@@ -984,6 +1078,63 @@ object LlmPipeline {
       |  SELECT 3000000 + r.range AS nid,
       |    '@TPL' || ((SELECT COUNT(*) * 4 FROM documents) + r.range) AS nt
       |  FROM range(20) r),
+      |nb AS (SELECT nid, nt, string_split(nt, ' ') AS ws FROM newb),
+      |exact_c AS (SELECT n.nid, MIN(c.doc_id) AS m FROM nb n JOIN corpus c ON n.nt = c.nt GROUP BY n.nid),
+      |exact_n AS (SELECT a.nid, MIN(b.nid) AS m FROM nb a JOIN nb b ON a.nt = b.nt AND b.nid < a.nid GROUP BY a.nid),
+      |exact AS (SELECT COALESCE(ec.nid, en.nid) AS nid, COALESCE(LEAST(ec.m, en.m), ec.m, en.m) AS match_id
+      |  FROM exact_c ec FULL OUTER JOIN exact_n en ON ec.nid = en.nid),
+      |surv AS (SELECT * FROM nb WHERE nid NOT IN (SELECT nid FROM exact)),
+      |shn AS (SELECT nid, list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sg
+      |  FROM surv WHERE len(ws) >= 3),
+      |shc AS (SELECT doc_id, list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sg
+      |  FROM (SELECT doc_id, string_split(nt, ' ') AS ws FROM a0) WHERE len(ws) >= 3),
+      |near_c AS (SELECT s.nid, MIN(c.doc_id) AS m FROM shn s JOIN shc c
+      |  ON len(list_intersect(s.sg, c.sg)) * 2.0 >= len(list_distinct(list_concat(s.sg, c.sg))) GROUP BY s.nid),
+      |near_n AS (SELECT b.nid, MIN(a.nid) AS m FROM shn a JOIN shn b ON a.nid < b.nid
+      |  AND len(list_intersect(a.sg, b.sg)) * 2.0 >= len(list_distinct(list_concat(a.sg, b.sg))) GROUP BY b.nid),
+      |near AS (SELECT COALESCE(nc.nid, nn.nid) AS nid, COALESCE(LEAST(nc.m, nn.m), nc.m, nn.m) AS m
+      |  FROM near_c nc FULL OUTER JOIN near_n nn ON nc.nid = nn.nid)
+      |SELECT n.nid AS new_id,
+      |  CASE WHEN e.nid IS NOT NULL THEN 'exact_dup'
+      |       WHEN nr.nid IS NOT NULL THEN 'near_dup' ELSE 'kept' END AS status,
+      |  COALESCE(e.match_id, nr.m) AS match_id
+      |FROM newb n LEFT JOIN exact e ON n.nid = e.nid LEFT JOIN near nr ON n.nid = nr.nid
+      |ORDER BY new_id""".stripMargin.replace("@TPL", skewTemplate)
+
+  /** q84 oracle: the post-lifecycle corpus state replayed brute with the
+    * cap modeled. Exact stage sees base ∪ family ∪ the 800 ACCEPTED
+    * batch1 docs (the append is never capped on fingerprints); the
+    * corpus-near leg sees the BASE docs only (the planted family was
+    * dropped at build and the appended family's buckets at compaction);
+    * the in-batch near leg replays greedy keep-first among survivors.
+    * Any lifecycle regression — append lost by compaction, base bands
+    * damaged, re-cap inactive — diverges from this oracle.
+    */
+  private def skewLifecycleSql: String =
+    """WITH a0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+      |  FROM documents),
+      |famn AS (SELECT COUNT(*) * 4 AS n FROM documents),
+      |famk AS (SELECT CAST((d.rn - 1) * 4 + x.i AS BIGINT) AS k
+      |  FROM (SELECT ROW_NUMBER() OVER (ORDER BY doc_id) AS rn FROM documents) d
+      |  CROSS JOIN (VALUES (0), (1), (2), (3)) AS x(i)),
+      |fam AS (SELECT 1000000 + k AS doc_id, '@TPL' || k AS nt FROM famk),
+      |kept1 AS (SELECT 3000000 + r.range AS doc_id,
+      |    '@TPL' || ((SELECT n FROM famn) + r.range) AS nt
+      |  FROM range(800) r),
+      |corpus AS (SELECT doc_id, nt FROM a0
+      |  UNION ALL SELECT doc_id, nt FROM fam
+      |  UNION ALL SELECT doc_id, nt FROM kept1),
+      |newb AS (
+      |  SELECT 5000000 + r.range * 40 AS nid,
+      |    '@TPL' || ((SELECT n FROM famn) + r.range * 40) AS nt FROM range(20) r
+      |  UNION ALL
+      |  SELECT doc_id + 4000000, nt || ' zz' || doc_id FROM a0 WHERE doc_id % 40 = 7
+      |  UNION ALL
+      |  SELECT 6000000 + r.range AS nid,
+      |    '@TPL' || ((SELECT n FROM famn) + 800 + r.range) AS nt FROM range(20) r
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, nt FROM a0 WHERE doc_id % 50 = 0),
       |nb AS (SELECT nid, nt, string_split(nt, ' ') AS ws FROM newb),
       |exact_c AS (SELECT n.nid, MIN(c.doc_id) AS m FROM nb n JOIN corpus c ON n.nt = c.nt GROUP BY n.nid),
       |exact_n AS (SELECT a.nid, MIN(b.nid) AS m FROM nb a JOIN nb b ON a.nt = b.nt AND b.nid < a.nid GROUP BY a.nid),

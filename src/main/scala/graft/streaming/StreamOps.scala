@@ -184,6 +184,14 @@ object StreamOps {
     * caught by the in-batch stage only when they share a trigger —
     * tighten the trigger interval or refresh the index more often to
     * narrow that window.
+    *
+    * Replay safety: foreachBatch re-runs a micro-batch whose trigger
+    * never committed to the checkpoint. Each trigger therefore
+    * OVERWRITES its own `batch=<queryId>-<batchId>` partition of
+    * `targetPath` instead of appending — a replayed batch lands on the
+    * same files, not twice (exactly-once under a stable checkpoint;
+    * the index-updating variants extend the same guarantee to the
+    * index append via tag-keyed epochs).
     */
   def nearDupIntakeSink(stream: DataFrame,
                         index: graft.operators.DedupOps.CorpusDedupIndex,
@@ -195,17 +203,13 @@ object StreamOps {
     stream.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (roster, caches) = graft.operators.DedupOps
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val kept = judgeKept(batch, graft.operators.DedupOps
           .incrementalDedupPreparedWithCaches(batch, index, textCol, idCol,
-            n, numHashes, bands, threshold, maxBucket)
-        val kept = batch
-          .withColumn("_nid", col(idCol).cast("long"))
-          .join(roster.filter(col("status") === "kept")
-            .select(col("new_id").as("_nid")), Seq("_nid"), "left_semi")
-          .drop("_nid")
-        kept.write.mode("append").parquet(targetPath)
-        caches.foreach(_.unpersist())
+            n, numHashes, bands, threshold, maxBucket), idCol)
+        writeKeptPartition(kept, targetPath,
+          intakeBatchTag(batch.sparkSession, batchId))
+        kept.unpersist()
         ()
       }
 
@@ -230,26 +234,109 @@ object StreamOps {
     stream.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val idx = graft.operators.DedupOps.readCorpusDedupIndex(spark, tablePrefix)
-        val (roster, caches) = graft.operators.DedupOps
-          .incrementalDedupPreparedWithCaches(batch, idx, textCol, idCol,
-            n, numHashes, bands, threshold, maxBucket)
-        val kept = batch
-          .withColumn("_nid", col(idCol).cast("long"))
-          .join(roster.filter(col("status") === "kept")
-            .select(col("new_id").as("_nid")), Seq("_nid"), "left_semi")
-          .drop("_nid")
-        kept.write.mode("append").parquet(targetPath)
-        // appendToCorpusDedupIndex pins `kept` (localCheckpoint) before
-        // its first insert — the lazy judgment plan must not re-evaluate
-        // against the partially-updated tables
-        graft.operators.DedupOps.appendToCorpusDedupIndex(
-          kept, textCol, idCol, tablePrefix)
-        caches.foreach(_.unpersist())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        intakeUpdateTrigger(batch, batchId, tablePrefix, textCol, idCol,
+          targetPath, n, numHashes, bands, threshold, maxBucket)
         ()
       }
+
+  /** [[nearDupIntakeSinkWithIndexUpdate]] resolving the index through a
+    * [[graft.io.BatchStore]] pointer PER TRIGGER — the rollover half of
+    * the compaction lifecycle: a maintenance job runs
+    * DedupOps.compactCorpusDedupIndex (fresh re-capped prefix) and
+    * DedupOps.promoteCorpusDedupIndex (pointer overwrite), and this
+    * sink's next trigger judges and appends against the compacted index
+    * with no stream restart. Run the compact+promote at a trigger quiet
+    * point: accepted docs appended to the OLD prefix after compaction
+    * read it are not in the new index (the copy-on-write caveat
+    * documented on promoteCorpusDedupIndex).
+    */
+  def nearDupIntakeSinkWithIndexPointer(stream: DataFrame,
+                        store: graft.io.BatchStore, pointerKey: String,
+                        textCol: String, idCol: String, targetPath: String,
+                        n: Int = 3, numHashes: Int = 64, bands: Int = 32,
+                        threshold: Double = 0.5,
+                        maxBucket: Int = graft.operators.DedupOps.DefaultMaxBucket)
+  : DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prefix = graft.operators.DedupOps.resolveCorpusDedupIndex(
+          batch.sparkSession, store, pointerKey)
+        intakeUpdateTrigger(batch, batchId, prefix, textCol, idCol,
+          targetPath, n, numHashes, bands, threshold, maxBucket)
+        ()
+      }
+
+  /** Idempotence tag for one micro-batch: streaming query id (stable
+    * across restarts from the same checkpoint — the replay case) +
+    * batch id. Distinct queries (fresh checkpoints) get distinct tags,
+    * so their batch 0s don't collide.
+    */
+  private def intakeBatchTag(spark: org.apache.spark.sql.SparkSession,
+                             batchId: Long): String = {
+    val qid = Option(spark.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY))
+      .getOrElse("q").replace("-", "").take(12)
+    s"$qid-$batchId"
+  }
+
+  /** Semi-join the batch down to the roster's `kept` docs. */
+  private def judgeKept(batch: DataFrame,
+                        rosterAndCaches: (DataFrame, Seq[DataFrame]),
+                        idCol: String): DataFrame = {
+    val (roster, caches) = rosterAndCaches
+    val kept = batch
+      .withColumn("_nid", col(idCol).cast("long"))
+      .join(roster.filter(col("status") === "kept")
+        .select(col("new_id").as("_nid")), Seq("_nid"), "left_semi")
+      .drop("_nid")
+      // pin before the caches are released (the judgment plan reads them)
+      .localCheckpoint(true)
+    caches.foreach(_.unpersist())
+    kept
+  }
+
+  /** Idempotent target write: each trigger owns the `batch=<tag>`
+    * partition directory and OVERWRITES it, so a replayed micro-batch
+    * (crash before the checkpoint commit) lands on the same files
+    * instead of appending twice. Readers see a standard partitioned
+    * parquet layout — `spark.read.parquet(targetPath)` carries the tag
+    * as a `batch` string column.
+    */
+  private def writeKeptPartition(kept: DataFrame, targetPath: String,
+                                 tag: String): Unit =
+    kept.write.mode("overwrite").parquet(s"$targetPath/batch=$tag")
+
+  /** Shared per-trigger body of the index-updating sinks: exactly-once
+    * under foreachBatch replay. A committed epoch tagged with this
+    * trigger means both the target write and the index append already
+    * applied (the append commits LAST) — skip; a torn tagged epoch is
+    * our own crashed attempt — repair, then redo both idempotently
+    * (deterministic target partition, tag-keyed append).
+    */
+  private def intakeUpdateTrigger(batch: DataFrame, batchId: Long,
+                        tablePrefix: String, textCol: String, idCol: String,
+                        targetPath: String, n: Int, numHashes: Int, bands: Int,
+                        threshold: Double, maxBucket: Int): Unit = {
+    val spark = batch.sparkSession
+    val tag = intakeBatchTag(spark, batchId)
+    graft.operators.DedupOps.epochTagState(spark, tablePrefix, tag) match {
+      case "committed" => ()
+      case state =>
+        if (state == "torn")
+          graft.operators.DedupOps.repairCorpusDedupIndex(spark, tablePrefix)
+        val idx = graft.operators.DedupOps.readCorpusDedupIndex(spark, tablePrefix)
+        val kept = judgeKept(batch, graft.operators.DedupOps
+          .incrementalDedupPreparedWithCaches(batch, idx, textCol, idCol,
+            n, numHashes, bands, threshold, maxBucket), idCol)
+        writeKeptPartition(kept, targetPath, tag)
+        graft.operators.DedupOps.appendToCorpusDedupIndex(
+          kept, textCol, idCol, tablePrefix, epochTag = Some(tag))
+        kept.unpersist()
+    }
+  }
 
   def curateStream(stream: DataFrame, tsCol: String, delay: String,
                    textCol: String, maxDupTenths: Int = 7): DataFrame = {

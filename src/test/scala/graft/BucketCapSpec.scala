@@ -47,6 +47,36 @@ class BucketCapSpec extends SparkSpec {
     assert(uncapped > 40L * 39 / 2 - 50, s"control run lost real pairs: $uncapped")
   }
 
+  test("bare capped generators surface their drop counts (no silent caps)") {
+    // minhash: the planted 40-member family fills ≥11-wide buckets in
+    // every band → the WithDrops report names them and the one-row
+    // rollup counts them (the bare call logs the same rollup)
+    val (pairs, drops) = DedupOps.minhashNearDupPairsFromShinglesWithDrops(
+      DedupOps.shingleHashTable(docs, "text", "doc_id", 3), maxBucket = 10)
+    assert(drops.isDefined, "capped call returned no drop report")
+    val summary = DedupOps.capDropSummary(drops.get).collect()(0)
+    assert(summary.getLong(0) > 0, "planted hot bucket not counted as dropped")
+    assert(summary.getLong(1) >= summary.getLong(0) * 11,
+      s"dropped-row mass ${summary.getLong(1)} too small for " +
+        s"${summary.getLong(0)} buckets wider than 10")
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .contains((1L, 2L)), "pairs result changed by the WithDrops split")
+    // uncapped: no report, nothing to log
+    assert(DedupOps.minhashNearDupPairsFromShinglesWithDrops(
+      DedupOps.shingleHashTable(docs, "text", "doc_id", 3),
+      maxBucket = DedupOps.NoBucketCap)._2.isEmpty)
+
+    // simhash: 30 identical signatures → one width-30 bucket per band
+    val planted = 0x0123456789ABCDEFL
+    val sig = ((0 until 30).map(i => (100L + i, planted)) ++
+      Seq((1L, 0x7F00FF00FF00FF00L))).toDF("doc_id", "simhash")
+    val (_, simDrops) = DedupOps.simhashNearDupPairsWithDrops(sig, maxBucket = 10)
+    assert(simDrops.isDefined)
+    val simSummary = DedupOps.capDropSummary(simDrops.get).collect()(0)
+    assert(simSummary.getLong(0) == 4L && simSummary.getLong(1) == 120L,
+      s"expected 4 width-30 buckets dropped, got ${simSummary.mkString(",")}")
+  }
+
   test("simhash cap drops the degenerate bucket, keeps the genuine pair") {
     // planted signatures: 30 identical (one bucket of width 30 in all 4
     // bands), a hamming-1 genuine pair whose 16-bit bands never collide

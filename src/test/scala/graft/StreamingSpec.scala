@@ -245,6 +245,71 @@ class StreamingSpec extends SparkSpec {
     } finally drop()
   }
 
+  test("pointer-resolved intake rolls onto a compacted index mid-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.DedupOps
+    val target = Files.createTempDirectory("graft_ndp_sink").resolve("t").toString
+    val storeRoot = Files.createTempDirectory("graft_ndp_store").toString
+    val store = graft.io.BatchStore.local(storeRoot)
+    val pointerKey = "pointers/dedup_index.json"
+    val pa = "graft_test_roll_a"
+    val pb = "graft_test_roll_b"
+    def drop(): Unit = for (p <- Seq(pa, pb); s <- Seq("_fingerprints", "_shingles", "_bands"))
+      spark.sql(s"DROP TABLE IF EXISTS $p$s")
+    drop()
+    try {
+      val corpus = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank")
+      ).toDF("doc_id", "text")
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"), pa, buckets = 2)
+      DedupOps.promoteCorpusDedupIndex(store, pointerKey, pa)
+
+      val input = MemoryStream[(Long, String)]
+      val stream = input.toDF().toDF("doc_id", "text")
+      // ONE long-running query across the swap: override the builder's
+      // AvailableNow with a continuous processing-time trigger
+      val q = StreamOps.nearDupIntakeSinkWithIndexPointer(
+          stream, store, pointerKey, "text", "doc_id", target)
+        .trigger(Trigger.ProcessingTime("0 seconds")).start()
+      try {
+        // trigger 1 judges against pa and appends 100 there
+        input.addData(
+          (100L, "fresh material arriving in the first trigger about spark state stores"))
+        q.processAllAvailable()
+
+        // maintenance at a trigger quiet point: compact pa → pb (copy-
+        // on-write re-cap) and swap the pointer — NO stream restart
+        DedupOps.compactCorpusDedupIndex(spark, pa, pb, buckets = 2)
+        DedupOps.promoteCorpusDedupIndex(store, pointerKey, pb)
+
+        // trigger 2 must judge against pb: near-dup of trigger 1's
+        // accepted doc and of the base corpus both drop; novel kept
+        input.addData(
+          (200L, "fresh material arriving in the first trigger about spark state machines"),
+          (201L, "the quick brown fox jumps over the lazy dog near the river bend"),
+          (202L, "wholly unrelated second trigger content concerning broadcast variables"))
+        q.processAllAvailable()
+
+        // trigger 3 proves post-swap appends landed in pb: a near-dup
+        // of trigger 2's accepted doc drops
+        input.addData(
+          (300L, "wholly unrelated second trigger content concerning accumulator variables"),
+          (301L, "a completely distinct third trigger document about shuffle services"))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val out = spark.read.parquet(target).select($"doc_id").as[Long].collect().toSet
+      assert(out == Set(100L, 202L, 301L), s"pointer sink kept $out")
+      // post-swap accepts live in the COMPACTED index's tables
+      val pbFp = spark.table(s"${pb}_fingerprints").count()
+      assert(pbFp == 1 + 1 + 2, s"pb fingerprints $pbFp") // corpus + t1 + t2/t3 accepts...
+    } finally {
+      drop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(storeRoot))
+    }
+  }
+
   test("foreachBatch upsert sink merges micro-batches with M2 semantics") {
     implicit val sqlCtx = spark.sqlContext
     val target = Files.createTempDirectory("graft_sink").resolve("t").toString

@@ -15,10 +15,11 @@ import graft.functions.Fns
   * (process/instagram_build_copy_pack.py:1-170). The column-drop rewrite
   * (process/delete_s3_column.py) lives in [[TableIO.dropColumn]].
   *
-  * Both are driver-side orchestration over bounded data (a file listing,
-  * a ≤200-row review roster) — the same split the reference uses; the
-  * heavy lifting stays in the distributed operators that produced the
-  * audited/packed artifacts.
+  * The copy pack is driver-side orchestration over bounded data (a
+  * ≤200-row review roster) — the same split the reference uses. The
+  * inventory audit DISTRIBUTES its listing (one task per prefix
+  * subtree) and aggregates totals in Spark, because an object-store
+  * inventory is only bounded at the reference's scale, not at 100 TB.
   */
 object OpsTools {
 
@@ -39,63 +40,219 @@ object OpsTools {
     * `etag`/`storage_class` are object-store metadata with no filesystem
     * analog — empty strings off S3, matching the reference's
     * `obj.get(..., "")` defaults for stores that omit them.
+    *
+    * Scale: the driver lists only the IMMEDIATE children of each audited
+    * prefix (a handful of table directories); the recursive walk of each
+    * subtree runs in parallel executor tasks and the rows stay
+    * distributed. An inventory of a 100 TB store (millions of objects)
+    * never materializes on the driver — the reference script's
+    * accumulate-then-sum shape survives only at its original bounded
+    * scale, in [[auditInventory]]'s Spark-side aggregation.
     */
   def inventoryRows(spark: SparkSession, root: String,
                     prefixes: Seq[String] = DefaultAuditPrefixes): DataFrame = {
     val fs = FileSystem.get(new java.net.URI(root).resolve("/"),
       spark.sparkContext.hadoopConfiguration)
     val rootPath = new Path(root)
-    val iso = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ssXXX")
-      .withZone(java.time.ZoneOffset.UTC)
     val qualifiedRoot = fs.makeQualified(rootPath).toString
-    val rows = prefixes.flatMap { prefix =>
+    // (prefix, subtree) work units: one per immediate child of a prefix
+    val units: Seq[(String, String)] = prefixes.flatMap { prefix =>
       val p = new Path(rootPath, prefix.stripSuffix("/"))
       if (!fs.exists(p)) Nil
-      else {
-        val it = fs.listFiles(p, true)
-        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-        while (it.hasNext) {
-          val st = it.next()
-          val key = fs.makeQualified(st.getPath).toString
-            .stripPrefix(qualifiedRoot).stripPrefix("/")
-          buf += Row(prefix, key, st.getLen,
-            "", iso.format(java.time.Instant.ofEpochMilli(st.getModificationTime)), "")
+      else if (fs.getFileStatus(p).isFile) Seq(prefix -> p.toString)
+      else fs.listStatus(p).toSeq.map(st => prefix -> st.getPath.toString)
+    }
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val rowsRdd = spark.sparkContext
+      .parallelize(units, math.max(1, math.min(units.size, 64)))
+      .flatMap { case (prefix, subtree) =>
+        val p = new Path(subtree)
+        val tfs = p.getFileSystem(conf.value)
+        val iso = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ssXXX")
+          .withZone(java.time.ZoneOffset.UTC)
+        val it = tfs.listFiles(p, true)
+        new Iterator[Row] {
+          def hasNext: Boolean = it.hasNext
+          def next(): Row = {
+            val st = it.next()
+            val key = tfs.makeQualified(st.getPath).toString
+              .stripPrefix(qualifiedRoot).stripPrefix("/")
+            Row(prefix, key, st.getLen, "",
+              iso.format(java.time.Instant.ofEpochMilli(st.getModificationTime)), "")
+          }
         }
-        buf.toSeq
       }
-    }.sortBy(_.getString(1))
     val schema = StructType(Seq(
       StructField("prefix", StringType), StructField("key", StringType),
       StructField("size", LongType), StructField("etag", StringType),
       StructField("last_modified_utc", StringType),
       StructField("storage_class", StringType)))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), schema)
+    spark.createDataFrame(rowsRdd, schema).orderBy("key")
   }
 
   /** Full audit run (the script's main): writes `s3_inventory.csv`
     * (key-sorted) and a `summary.json` with object/byte totals and
-    * per-prefix counts into `outDir`, and returns the summary. The clock
-    * injects for deterministic tests (F4 convention).
+    * per-prefix counts into `outDir`, and returns the summary. Totals
+    * aggregate IN Spark (one row back per prefix, not one per object).
+    * The clock injects for deterministic tests (F4 convention).
     */
   def auditInventory(spark: SparkSession, root: String, outDir: String,
                      prefixes: Seq[String] = DefaultAuditPrefixes,
                      now: () => String = BatchStore.defaultNow): Map[String, Any] = {
     val inv = inventoryRows(spark, root, prefixes)
     TableIO.writeCsv(inv.orderBy("key"), s"$outDir/s3_inventory.csv")
-    val collected = inv.collect()
+    val perPrefix = inv.groupBy("prefix")
+      .agg(count(lit(1)).as("n"), sum(col("size")).as("bytes"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val summary: Map[String, Any] = Map(
       "generated_at_utc" -> now(),
       "root" -> root,
-      "object_count" -> collected.length,
-      "total_bytes" -> collected.map(_.getLong(2)).sum,
+      "object_count" -> perPrefix.values.map(_._1).sum,
+      "total_bytes" -> perPrefix.values.map(_._2).sum,
       "prefix_counts" -> prefixes.map(p =>
-        p -> collected.count(_.getString(0) == p)).toMap)
+        p -> perPrefix.get(p).map(_._1).getOrElse(0L)).toMap)
     val fs = FileSystem.get(new java.net.URI(outDir).resolve("/"),
       spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(s"$outDir/summary.json"), true)
     try out.write(StableJson.write(summary).getBytes("UTF-8")) finally out.close()
     summary
+  }
+
+  // ---------------- Instagram max-length stress fixture ----------------
+
+  /** Display fields stressed by default
+    * (instagram_build_max_length_fixture.py:14-22).
+    */
+  val DefaultStressColumns: Seq[String] = Seq(
+    "full_name", "party", "constituency", "top_issue_2025",
+    "vote_participation_pct_2025", "speech_count_2025", "speech_rank_2025")
+
+  /** One-row synthetic stress fixture for template layout testing
+    * (instagram_build_max_length_fixture.py:91-145): start from the row
+    * with the longest `full_name` (any extra columns ride along), then
+    * overwrite each stress column with the longest non-empty value found
+    * anywhere in that column (ties break to the alphabetically-earliest
+    * lowercase value — the reference's determinism rule), take the
+    * longest http(s) `photo_url`, and mark `member_code` as
+    * `synthetic-max-length`. Returns (one-row frame, metadata with
+    * per-field provenance). Bounded review roster → driver-side, like
+    * [[buildCopyPack]]; values are compared as trimmed strings (the
+    * reference reads CSV), so pass a string-typed frame.
+    */
+  def buildMaxLengthFixture(review: DataFrame,
+                            stressColumns: Seq[String] = DefaultStressColumns,
+                            now: () => String = BatchStore.defaultNow)
+  : (DataFrame, Map[String, Any]) = {
+    val cols = review.columns.toSeq
+    val str = review.select(cols.map(c => col(c).cast("string").as(c)): _*)
+    val rows = str.collect()
+    def cleanValue(v: String): String = Option(v).map(_.trim).getOrElse("")
+    def cell(i: Int, c: String): String = rows(i).getAs[String](cols.indexOf(c))
+
+    // (value, sourceIndex, length) of the longest non-empty value;
+    // ties → alphabetically earliest lowercase (longest_value :48-73)
+    def longestValue(c: String): (String, Option[Int], Int) =
+      if (!cols.contains(c)) ("", None, 0)
+      else {
+        var best: Option[Int] = None
+        var bestLen = -1
+        var bestTie = ""
+        rows.indices.foreach { i =>
+          val v = cleanValue(cell(i, c))
+          if (v.nonEmpty) {
+            val tie = v.toLowerCase
+            if (v.length > bestLen ||
+              (v.length == bestLen && (bestTie.isEmpty || tie < bestTie))) {
+              best = Some(i); bestLen = v.length; bestTie = tie
+            }
+          }
+        }
+        best.map(i => (cell(i, c), best, bestLen)).getOrElse(("", None, 0))
+      }
+
+    // longest http(s) photo URL; ties → earliest row (the reference's
+    // pandas sort leaves ties unspecified — earliest-row is our pin)
+    def longestPhoto(): (String, Option[Int], Int) =
+      if (!cols.contains("photo_url")) ("", None, 0)
+      else {
+        val cands = rows.indices
+          .map(i => i -> cleanValue(cell(i, "photo_url")))
+          .filter { case (_, v) =>
+            v.startsWith("http://") || v.startsWith("https://") }
+        if (cands.isEmpty) ("", None, 0)
+        else {
+          val (i, v) = cands.maxBy { case (i, v) => (v.length, -i) }
+          (v, Some(i), v.length)
+        }
+      }
+
+    val available = stressColumns.filter(cols.contains)
+    require(available.nonEmpty,
+      s"None of the stress columns exist in the input table: $stressColumns")
+    val baseCol = if (cols.contains("full_name")) "full_name" else available.head
+    val baseIndex = longestValue(baseCol)._2.getOrElse(0)
+
+    def fullNameOf(i: Option[Int]): String =
+      if (cols.contains("full_name")) i.map(x => cleanValue(cell(x, "full_name"))).getOrElse("")
+      else ""
+    val stressed = available.map(c => c -> longestValue(c))
+    val (photoV, photoI, photoLen) = longestPhoto()
+    val overrides: Map[String, String] =
+      stressed.collect { case (c, (v, Some(_), _)) => c -> v }.toMap ++
+        (if (photoV.nonEmpty) Map("photo_url" -> photoV) else Map.empty) ++
+        (if (cols.contains("member_code")) Map("member_code" -> "synthetic-max-length")
+         else Map.empty)
+    val synthetic = cols.map(c => overrides.getOrElse(c, cell(baseIndex, c)))
+
+    val fieldSources: Map[String, Any] =
+      stressed.map { case (c, (v, i, len)) => c -> Map(
+        "source_row_index" -> i.map(Int.box).orNull,
+        "source_full_name" -> fullNameOf(i),
+        "value" -> cleanValue(v), "length" -> len) }.toMap ++
+        (if (cols.contains("photo_url") && photoV.nonEmpty)
+          Map("photo_url" -> Map(
+            "source_row_index" -> photoI.map(Int.box).orNull,
+            "source_full_name" -> fullNameOf(photoI),
+            "value" -> photoV, "length" -> photoLen))
+         else Map.empty)
+
+    def syn(c: String): String = cleanValue(synthetic(cols.indexOf(c)))
+    val metadata: Map[String, Any] = Map(
+      "success" -> true,
+      "created_at" -> now(),
+      "selection_mode" -> "synthetic_longest_value_per_field",
+      "stress_columns_requested" -> stressColumns,
+      "stress_columns_used" -> available,
+      "selected_full_name" -> (if (cols.contains("full_name")) syn("full_name") else ""),
+      "selected_party" -> (if (cols.contains("party")) syn("party") else ""),
+      "selected_constituency" -> (if (cols.contains("constituency")) syn("constituency") else ""),
+      "synthetic_row" -> true,
+      "input_rows" -> rows.length,
+      "field_sources" -> fieldSources)
+
+    val spark = review.sparkSession
+    val schema = StructType(cols.map(c => StructField(c, StringType)))
+    (spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(synthetic: _*)), 1), schema),
+      metadata)
+  }
+
+  /** The script's main: fixture CSV (BOM'd, one synthetic row) +
+    * metadata JSON next to it; returns the metadata
+    * (instagram_build_max_length_fixture.py:158-171).
+    */
+  def writeMaxLengthFixture(review: DataFrame, outputCsv: String,
+                            stressColumns: Seq[String] = DefaultStressColumns,
+                            now: () => String = BatchStore.defaultNow): Map[String, Any] = {
+    val (fixture, metadata) = buildMaxLengthFixture(review, stressColumns, now)
+    TableIO.writeCsv(fixture, outputCsv, bom = true)
+    val metaPath = outputCsv.replaceAll("\\.csv$", "") + ".metadata.json"
+    val fs = FileSystem.get(new java.net.URI(outputCsv).resolve("/"),
+      review.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(metaPath), true)
+    try out.write(StableJson.write(metadata).getBytes("UTF-8")) finally out.close()
+    metadata
   }
 
   // ---------------- Instagram copy pack ----------------

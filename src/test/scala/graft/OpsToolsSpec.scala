@@ -29,10 +29,10 @@ class OpsToolsSpec extends SparkSpec {
       now = () => "2026-08-13T00:00:00Z")
     assert(summary("object_count") == 3)
     assert(summary("total_bytes") == 22L)
-    val counts = summary("prefix_counts").asInstanceOf[Map[String, Int]]
-    assert(counts("processed/oireachtas_unified/latest/") == 2)
-    assert(counts("processed/oireachtas_unified/gold/") == 1)
-    assert(counts("processed/oireachtas_unified/review/") == 0)
+    val counts = summary("prefix_counts").asInstanceOf[Map[String, Long]]
+    assert(counts("processed/oireachtas_unified/latest/") == 2L)
+    assert(counts("processed/oireachtas_unified/gold/") == 1L)
+    assert(counts("processed/oireachtas_unified/review/") == 0L)
 
     val csv = spark.read.option("header", "true").csv(s"$out/s3_inventory.csv")
       .collect().map(r => (r.getAs[String]("key"), r.getAs[String]("size")))
@@ -44,6 +44,47 @@ class OpsToolsSpec extends SparkSpec {
       .asInstanceOf[Map[String, Any]]
     assert(js("generated_at_utc") == "2026-08-13T00:00:00Z")
     assert(js("object_count") == 3L && js("total_bytes") == 22L)
+  }
+
+  test("max-length fixture picks longest values per field with the reference tie-break") {
+    val out = Files.createTempDirectory("graft_maxlen").resolve("fixture.csv").toString
+    val review = Seq(
+      // longest full_name row is the base row; its extra column rides along
+      ("Seán Ó Coileáin-Mac Gearailt", "FF", "Cork North", "", "82%",
+        "m-001", "https://ex.org/a.png", "base"),
+      // ties on length for party ("IND" vs "SDP"): alphabetically
+      // earliest lowercase wins → "IND"
+      ("Mary Black", "IND", "Galway West Connemara South", "Housing", "91.5%",
+        "m-002", "", "other"),
+      ("Tom Green", "SDP", "Cork", "Climate and Just Transition", "7%",
+        "m-003", "not-a-url", "other2")
+    ).toDF("full_name", "party", "constituency", "top_issue_2025",
+      "vote_participation_pct_2025", "member_code", "photo_url", "extra")
+
+    val meta = OpsTools.writeMaxLengthFixture(review, out,
+      now = () => "2026-08-14T00:00:00Z")
+    val row = spark.read.option("header", "true").csv(out).collect()(0)
+    assert(row.getAs[String]("full_name") == "Seán Ó Coileáin-Mac Gearailt")
+    assert(row.getAs[String]("party") == "IND", "tie must break alphabetically")
+    assert(row.getAs[String]("constituency") == "Galway West Connemara South")
+    assert(row.getAs[String]("top_issue_2025") == "Climate and Just Transition")
+    assert(row.getAs[String]("vote_participation_pct_2025") == "91.5%")
+    assert(row.getAs[String]("member_code") == "synthetic-max-length")
+    assert(row.getAs[String]("photo_url") == "https://ex.org/a.png",
+      "non-http photo values must not win")
+    assert(row.getAs[String]("extra") == "base", "base-row columns must ride along")
+
+    assert(meta("selected_full_name") == "Seán Ó Coileáin-Mac Gearailt")
+    assert(meta("synthetic_row") == true && meta("input_rows") == 3)
+    val fs = meta("field_sources").asInstanceOf[Map[String, Map[String, Any]]]
+    assert(fs("party")("value") == "IND" && fs("party")("source_row_index") == 1)
+    assert(fs("top_issue_2025")("source_full_name") == "Tom Green")
+    assert(fs("photo_url")("length") == 20)
+    // metadata json lands next to the csv
+    val metaJson = StableJson.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out.replaceAll("\\.csv$", "") + ".metadata.json")), "UTF-8"))
+      .asInstanceOf[Map[String, Any]]
+    assert(metaJson("selection_mode") == "synthetic_longest_value_per_field")
   }
 
   test("copy pack builds reference captions, alt text, safety notes, and files") {

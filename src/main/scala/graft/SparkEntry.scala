@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.SilverFlatten.queries ++
       graft.queries.Temporal.queries ++
       graft.queries.Analytic.queries ++
-      graft.queries.GoldActivity.queries
+      graft.queries.GoldActivity.queries ++
+      graft.queries.Parity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.SilverFlatten.oracles ++
       graft.queries.Temporal.oracles ++
       graft.queries.Analytic.oracles ++
-      graft.queries.GoldActivity.oracles
+      graft.queries.GoldActivity.oracles ++
+      graft.queries.Parity.oracles
 }

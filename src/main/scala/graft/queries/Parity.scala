@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Fns, NormalizeNameExpr, Udfs}
+import graft.operators.{EnrichOps, FlattenOps}
+import graft.silver.FlattenSpecs
+import graft.sources.XmlDebateWalker
+
+/** Driver-oracle rows for operators previously verified only by golden
+  * fixtures / ScalaTest ports: the Akoma-Ntoso XML debate walk (N6), the
+  * NFKD normalize-name fuzzy-join key (F1/F2 as J6's key), and the
+  * fixed-key tally explode (N4). Each query builds its structured input
+  * deterministically from the testdata tables so the DuckDB oracle can
+  * reconstruct the expected output without an XML/JSON parser: the input
+  * fields are sanitized to an alphabet where the walker/flattener's
+  * extraction is exactly invertible in SQL.
+  */
+object Parity {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Sanitized lowercase fragment of `text` at [start, start+len): strips
+    * everything outside [a-z0-9 ], collapses whitespace — the same
+    * normalization XmlDebateWalker.normText applies, so embedding the
+    * fragment in XML round-trips it byte-identically.
+    */
+  private def frag(prefix: String, start: Int, len: Int) =
+    trim(concat(lit(prefix + " "), trim(regexp_replace(
+      regexp_replace(substring(col("text"), start, len), "[^a-z0-9 ]", " "),
+      "\\s+", " "))))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // N6 end-to-end with a hash oracle: one synthetic Akoma-Ntoso debate
+    // per document (reference extract/oireachtas/xml_debates.py:31-225) —
+    // a joinable section holding speech 1 (by-ref + <from> + TLCPerson
+    // member href) and a nested non-join "division" section holding
+    // speech 2 (ref-derived speaker fallback, no person entry). The
+    // walker must thread the section stack (division joins to the outer
+    // section), the speech-order counter, the root xml:lang, and the
+    // reference stable_hash speech ids — all reconstructed by the oracle.
+    "q85_xml_debate_walk" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val docs = d.select(
+        concat(lit("deb-"), col("doc_id")).as("debate_id"),
+        col("lang"),
+        concat(lit("pa"), col("doc_id")).as("pid"),
+        concat(lit("M"), col("doc_id") % 101).as("mcode"),
+        concat(lit("Deputy "), col("source")).as("speaker"),
+        col("source"),
+        frag("alpha", 1, 120).as("frag1"),
+        frag("beta", 121, 120).as("frag2"))
+      val xml = concat(
+        lit("<akomaNtoso xml:lang=\""), col("lang"), lit("\"><debate><meta><references>"),
+        lit("<TLCPerson eId=\""), col("pid"),
+        lit("\" href=\"https://example.org/member/id/"), col("mcode"),
+        lit("\" showAs=\""), col("speaker"), lit("\"/></references></meta><debateBody>"),
+        lit("<debateSection eId=\"dbs1\" name=\"main topic\">"),
+        lit("<speech by=\"#"), col("pid"), lit("\"><from>"), col("speaker"),
+        lit("</from><p>"), col("frag1"), lit("</p></speech>"),
+        lit("<debateSection eId=\"dbs2\" name=\"division\">"),
+        lit("<speech by=\"#pb_"), col("source"), lit("\"><p>"), col("frag2"),
+        lit("</p></speech></debateSection></debateSection></debateBody></debate></akomaNtoso>"))
+      val triples = docs
+        .select(col("debate_id"), lit("2024-05-01").as("debate_date"), xml.as("xml"))
+        .as[(String, String, String)]
+      XmlDebateWalker.walkDataset(triples).toDF()
+        .orderBy("debate_id", "speech_order")
+    }),
+
+    // F1/F2 as the J6 join key, NFKD exercised for real: roster names are
+    // accent-mangled (translate to á/é/ö) and mentions add case + padding
+    // noise; only the Catalyst normalize_name expression (NFKD fold +
+    // lower + trim + whitespace collapse, reference normalize.py:39-44)
+    // recovers the key. Customers at custkey%97==0 get a second roster
+    // spelling that normalizes identically → ambiguous → dropped entirely
+    // (pandas keep=False semantics), so their mentions must not match.
+    "q86_nfkd_name_join" -> ((s, dir) => {
+      NormalizeNameExpr.register(s)
+      val c = t(s, dir, "customer")
+      val roster = c.select(col("c_custkey").cast("long").as("roster_id"),
+          col("c_name").as("raw_name"))
+        .unionByName(c.filter(col("c_custkey") % 97 === 0)
+          .select((col("c_custkey") + 9000000L).as("roster_id"),
+            translate(col("c_name"), "aeo", "áéö").as("raw_name")))
+      val unambiguous = roster
+        .withColumn("name_key", NormalizeNameExpr.normalizeName(col("raw_name")))
+        .groupBy("name_key")
+        .agg(count(lit(1)).as("n"), min(col("roster_id")).as("roster_id"))
+        .filter(col("n") === 1).drop("n")
+      c.select(col("c_custkey").cast("long").as("mention_id"),
+          concat(lit("  "), translate(upper(col("c_name")), "AEO", "ÁÉÖ"), lit("   "))
+            .as("mention"))
+        .withColumn("name_key", NormalizeNameExpr.normalizeName(col("mention")))
+        .join(unambiguous, Seq("name_key"))
+        .select(col("mention_id"), col("roster_id"), col("name_key"))
+        .orderBy("mention_id")
+    }),
+
+    // N4 with a hash oracle: the fixed-key tally explode
+    // (table_division_tallies.py:171-195) over synthetic ta/nil/staon
+    // payloads built from orders — ta has a 2-member array and a
+    // sometimes-null API tally (coalesce to array length), nil a 1-member
+    // array, staon no member array at all (count falls back to 0), so
+    // every branch of member_count/tally_mismatch is exercised.
+    "q87_tally_explode" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val payloads = o.select(to_json(struct(
+        concat(lit("v"), col("o_orderkey")).as("voteId"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("date"),
+        struct(lit("Ta").as("showAs"),
+          when(col("o_orderkey") % 4 === 0, lit(null).cast("long"))
+            .otherwise(col("o_orderkey") % 5).as("tally"),
+          array(concat(lit("m"), col("o_custkey")),
+            concat(lit("m"), col("o_orderkey") % 50)).as("members")).as("taVotes"),
+        struct(lit("Nil").as("showAs"),
+          when(col("o_orderkey") % 6 === 0, lit(null).cast("long"))
+            .otherwise(col("o_orderkey") % 3).as("tally"),
+          array(concat(lit("n"), col("o_custkey"))).as("members")).as("nilVotes"),
+        struct(lit("Staon").as("showAs"),
+          (col("o_orderkey") % 7).as("tally")).as("staonVotes"))).as("payload"))
+      FlattenSpecs.tallyKinds.map { case (kind, key) =>
+        FlattenSpecs.tallyTransform(kind)(
+          FlattenOps.flatten(payloads, "payload", FlattenSpecs.tallySpec(kind, key)))
+          .select(col("vote_id"), col("division_date"), col("vote_code"),
+            col("vote_label"), col("member_count"), col("tally_mismatch"),
+            col("division_tally_id"))
+      }.reduce(_.unionByName(_)).orderBy("vote_id", "vote_code")
+    }),
+
+    // F18 vote-label canonicalization, F8 URL absolutization, and the F10
+    // BPE-ish token counter, each across every input branch (accented /
+    // cased labels, blank / absolute / rooted / relative URLs).
+    "q88_scalar_canon" -> ((s, dir) => {
+      val labels = array(Seq("Tá", "TA", "yes", "Aye", "Níl", "NIL", "no",
+        "STAON", "Abstain", "Maybe").map(lit): _*)
+      val k = col("o_orderkey")
+      t(s, dir, "orders").select(
+          k.cast("long").as("okey"),
+          Fns.voteKind(element_at(labels, (k % 10 + 1).cast("int"))).as("vote_kind"),
+          Fns.normalizeUrl(
+            when(k % 4 === 0, lit(""))
+              .when(k % 4 === 1, concat(lit("https://ex.org/p"), k))
+              .when(k % 4 === 2, concat(lit("/path/"), k))
+              .otherwise(concat(lit("rel/"), k)),
+            "https://base.example").as("url"),
+          Fns.tokenCount(col("o_orderpriority")).cast("long").as("n_tokens"))
+        .orderBy("okey")
+    }),
+
+    // L1 row enrich under a driver oracle: the mapPartitions machinery
+    // (template render → per-partition client → citation strip →
+    // whitespace collapse → word clamp, llm_table_runner.py:118-130) runs
+    // for real against a deterministic stub client whose reply the oracle
+    // reconstructs in SQL.
+    "q89_enrich_clean" -> ((s, dir) => {
+      val cfg = EnrichOps.EnrichConfig(idCol = "doc_id",
+        varCols = Seq("source", "text"), outputCol = "summary",
+        promptTemplate = "summarize {source}: {text}",
+        maxWords = 25, stripCitations = true)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("text"))
+      EnrichOps.enrichRows(docs, cfg,
+          () => new EnrichOps.StubModelClient(p => "verdict [1] " + p + "  [22] trailing  padding"))
+        .select(col("doc_id"), col("summary"))
+        .orderBy("doc_id")
+    }),
+
+    // L2 closed-set classification under a driver oracle: enrich with a
+    // stub whose reply embeds the document's own words, then canonicalize
+    // by ordered substring containment with fallback
+    // (speech_issue_classifier.py:52-78,172-181).
+    "q90_classify_labels" -> ((s, dir) => {
+      val cfg = EnrichOps.EnrichConfig(idCol = "doc_id",
+        varCols = Seq("text"), outputCol = "label", promptTemplate = "{text}")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      EnrichOps.classifyRows(docs, cfg, labels = Seq("agg", "join", "scan"),
+          fallback = "other",
+          () => new EnrichOps.StubModelClient(p =>
+            "the reply: " + p.substring(0, math.min(p.length, 60))))
+        .select(col("doc_id"), col("label"))
+        .orderBy("doc_id")
+    }),
+
+    // F6/S9 record hashing under a driver oracle: the canonical-JSON
+    // re-serialization (sorted keys at every depth, compact separators,
+    // normalize.py:68-81) feeding sha256 — input built with keys
+    // deliberately OUT of order so only a true canonical sort matches.
+    "q91_record_hash" -> ((s, dir) => {
+      val payload = to_json(struct(
+        struct(col("source").as("s"), substring(col("text"), 1, 30).as("a")).as("z"),
+        col("lang").as("a")))
+      t(s, dir, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          Udfs.canonicalRecordHash(payload, lit(24)).as("canon_hash"),
+          Udfs.stableRecordHash(array(lit("kb"), lit("ka")),
+            array(col("source"), col("lang"))).as("rec_hash"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q85_xml_debate_walk" ->
+      """WITH base AS (
+        |  SELECT 'deb-' || CAST(doc_id AS VARCHAR) AS debate_id, lang, source,
+        |    'pa' || CAST(doc_id AS VARCHAR) AS pid,
+        |    'M' || CAST(doc_id % 101 AS VARCHAR) AS mcode,
+        |    'Deputy ' || source AS speaker,
+        |    trim('alpha ' || trim(regexp_replace(regexp_replace(substr(text, 1, 120), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g'))) AS frag1,
+        |    trim('beta ' || trim(regexp_replace(regexp_replace(substr(text, 121, 120), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g'))) AS frag2
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT 'speech:' || substr(sha256(lower(debate_id || '|' || debate_id || '/dbs1' || '|1|#' || pid || '|' || frag1)), 1, 24) AS speech_id,
+        |    debate_id, debate_id || '/dbs1' AS debate_section_id, 'dbs1' AS section_eid,
+        |    '2024-05-01' AS debate_date, CAST(1 AS INTEGER) AS speech_order,
+        |    '#' || pid AS speaker_ref, speaker AS speaker_name, mcode AS speaker_member_code,
+        |    frag1 AS speech_text, lang AS language
+        |  FROM base),
+        |s2 AS (
+        |  SELECT 'speech:' || substr(sha256(lower(debate_id || '|' || debate_id || '/dbs1' || '|2|#pb_' || source || '|' || frag2)), 1, 24) AS speech_id,
+        |    debate_id, debate_id || '/dbs1' AS debate_section_id, 'dbs1' AS section_eid,
+        |    '2024-05-01' AS debate_date, CAST(2 AS INTEGER) AS speech_order,
+        |    '#pb_' || source AS speaker_ref, 'pb ' || source AS speaker_name,
+        |    CAST(NULL AS VARCHAR) AS speaker_member_code,
+        |    frag2 AS speech_text, lang AS language
+        |  FROM base)
+        |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |ORDER BY debate_id, speech_order""".stripMargin,
+
+    "q86_nfkd_name_join" ->
+      """WITH roster AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS roster_id, c_name AS raw_name FROM customer
+        |  UNION ALL
+        |  SELECT CAST(c_custkey + 9000000 AS BIGINT), translate(c_name, 'aeo', 'áéö')
+        |  FROM customer WHERE c_custkey % 97 = 0),
+        |keyed AS (
+        |  SELECT roster_id,
+        |    regexp_replace(trim(lower(strip_accents(raw_name))), '\s+', ' ', 'g') AS name_key
+        |  FROM roster),
+        |unambiguous AS (
+        |  SELECT name_key, MIN(roster_id) AS roster_id FROM keyed
+        |  GROUP BY name_key HAVING COUNT(*) = 1),
+        |mentions AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS mention_id,
+        |    regexp_replace(trim(lower(strip_accents('  ' || translate(upper(c_name), 'AEO', 'ÁÉÖ') || '   '))), '\s+', ' ', 'g') AS name_key
+        |  FROM customer)
+        |SELECT m.mention_id, u.roster_id, m.name_key
+        |FROM mentions m JOIN unambiguous u USING (name_key)
+        |ORDER BY m.mention_id""".stripMargin,
+
+    "q87_tally_explode" ->
+      """WITH base AS (
+        |  SELECT 'v' || CAST(o_orderkey AS VARCHAR) AS vote_id,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS division_date, o_orderkey
+        |  FROM orders),
+        |u AS (
+        |  SELECT vote_id, division_date, 'ta' AS vote_code, 'Ta' AS vote_label,
+        |    CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_orderkey % 5 END AS api, 2 AS msize
+        |  FROM base
+        |  UNION ALL
+        |  SELECT vote_id, division_date, 'nil', 'Nil',
+        |    CASE WHEN o_orderkey % 6 = 0 THEN NULL ELSE o_orderkey % 3 END, 1
+        |  FROM base
+        |  UNION ALL
+        |  SELECT vote_id, division_date, 'staon', 'Staon', o_orderkey % 7, 0
+        |  FROM base)
+        |SELECT vote_id, division_date, vote_code, vote_label,
+        |  CAST(coalesce(api, msize) AS VARCHAR) AS member_count,
+        |  CAST((api IS NOT NULL AND msize > 0 AND api <> msize) AS VARCHAR) AS tally_mismatch,
+        |  substr(sha256(lower(vote_id || '|' || division_date || '|' || vote_code)), 1, 16) AS division_tally_id
+        |FROM u ORDER BY vote_id, vote_code""".stripMargin,
+
+    "q88_scalar_canon" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |  CASE lower(trim((['Tá','TA','yes','Aye','Níl','NIL','no','STAON','Abstain','Maybe'])[CAST(o_orderkey % 10 AS INTEGER) + 1]))
+        |    WHEN 'tá' THEN 'ta' WHEN 'ta' THEN 'ta' WHEN 'yes' THEN 'ta' WHEN 'aye' THEN 'ta'
+        |    WHEN 'níl' THEN 'nil' WHEN 'nil' THEN 'nil' WHEN 'no' THEN 'nil'
+        |    WHEN 'staon' THEN 'staon' WHEN 'abstain' THEN 'staon'
+        |    ELSE 'other' END AS vote_kind,
+        |  CASE WHEN o_orderkey % 4 = 0 THEN NULL
+        |       WHEN o_orderkey % 4 = 1 THEN 'https://ex.org/p' || CAST(o_orderkey AS VARCHAR)
+        |       WHEN o_orderkey % 4 = 2 THEN 'https://base.example/path/' || CAST(o_orderkey AS VARCHAR)
+        |       ELSE 'https://base.example/rel/' || CAST(o_orderkey AS VARCHAR) END AS url,
+        |  CAST(len(regexp_extract_all(o_orderpriority, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |FROM orders ORDER BY okey""".stripMargin,
+
+    "q89_enrich_clean" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    'verdict [1] summarize ' || source || ': ' || text || '  [22] trailing  padding' AS r
+        |  FROM documents),
+        |clean AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(r, '\[\d+\]', '', 'g'), '\s+', ' ', 'g')) AS c
+        |  FROM raw)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  array_to_string((string_split(c, ' '))[1:25], ' ') AS summary
+        |FROM clean ORDER BY doc_id""".stripMargin,
+
+    "q90_classify_labels" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace('the reply: ' || substr(text, 1, 60), '\s+', ' ', 'g')) AS r
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CASE WHEN contains(lower(r), 'agg') THEN 'agg'
+        |       WHEN contains(lower(r), 'join') THEN 'join'
+        |       WHEN contains(lower(r), 'scan') THEN 'scan'
+        |       ELSE 'other' END AS label
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    "q91_record_hash" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  substr(sha256('{"a":"' || lang || '","z":{"a":"' || substr(text, 1, 30) || '","s":"' || source || '"}}'), 1, 24) AS canon_hash,
+        |  sha256('{"ka":"' || lang || '","kb":"' || source || '"}') AS rec_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

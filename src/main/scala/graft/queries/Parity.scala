@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Fns, NormalizeNameExpr, Udfs}
-import graft.operators.{EnrichOps, FlattenOps}
+import graft.operators.{EnrichOps, ExperimentOps, FlattenOps}
 import graft.silver.FlattenSpecs
 import graft.sources.XmlDebateWalker
 
@@ -201,6 +201,55 @@ object Parity {
             array(col("source"), col("lang"))).as("rec_hash"))
         .orderBy("doc_id")
     }),
+
+    // L3 batch scoring under a driver oracle: per-group JSON batches with
+    // echo-back validation, retry, and BISECTION
+    // (ridiculous_sentences_weekly.py:296-403) run for real — the stub
+    // scores each candidate as a pure function of its sentence but omits
+    // "poisoned" ids (doc_id % 250 == 0) from every reply, so their
+    // batches fail echo-back, bisect down to singletons, and surface as
+    // null scores while every batchmate still gets its deterministic
+    // score. Ragged batches via batchSize=7 over 25-doc groups.
+    "q92_score_batches" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("source").as("grp"),
+        col("doc_id").cast("string").as("cand_id"),
+        col("text").as("sentence"))
+      val stub = () => new EnrichOps.StubModelClient({ prompt =>
+        val payload = prompt.substring(prompt.indexOf("Candidates:\n") + "Candidates:\n".length)
+        val cands = graft.io.StableJson.parse(payload)
+          .asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]])
+        val good = cands.filterNot(c =>
+          String.valueOf(c("candidate_id")).toLong % 250 == 0)
+        graft.io.StableJson.write(good.map(c => Map(
+          "candidate_id" -> String.valueOf(c("candidate_id")),
+          "score" -> (String.valueOf(c("sentence")).length % 100 + 1))))
+      })
+      EnrichOps.scoreBatches(docs, "grp", "cand_id", "sentence",
+          batchSize = 7, maxRetries = 2, clientFactory = stub)
+        .orderBy("grp", "cand_id")
+    }),
+
+    // L4/A10 under a driver oracle: the full experiment pipeline —
+    // sentence fan-out × prompt variants, deterministic scoring, per-
+    // (variant, week) top-k, and the summary mart
+    // (ridiculous_sentences_weekly.py:576-700). The corpus is
+    // punctuation-free word soup (the q43 device), so the only split
+    // point is the appended closing sentence and the oracle reconstructs
+    // the candidate set, ranks, and aggregates exactly.
+    "q93_experiment_summary" -> ((s, dir) => {
+      val speeches = t(s, dir, "documents").select(
+        (lit(202601) + col("doc_id") % 2).cast("string").as("week_id"),
+        concat(lit("sp_"), col("source")).as("speaker_name"),
+        concat(col("text"), lit(". Closing Remark here!")).as("speech_text"))
+      val variants = Seq(
+        ExperimentOps.PromptVariant("v1", "famA", "direct"),
+        ExperimentOps.PromptVariant("v2", "famB", "witty"))
+      val scorer = (df: DataFrame) =>
+        df.withColumn("score", (length(col("quote")) % 97 + 1).cast("int"))
+      val (_, _, summary) = ExperimentOps.runExperiments(speeches, variants, scorer, topN = 3)
+      summary
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -319,5 +368,45 @@ object Parity {
         |  substr(sha256('{"a":"' || lang || '","z":{"a":"' || substr(text, 1, 30) || '","s":"' || source || '"}}'), 1, 24) AS canon_hash,
         |  sha256('{"ka":"' || lang || '","kb":"' || source || '"}') AS rec_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q92_score_batches" ->
+      """SELECT source AS grp, CAST(doc_id AS VARCHAR) AS cand_id,
+        |  CASE WHEN doc_id % 250 = 0 THEN NULL
+        |       ELSE CAST(length(text) % 100 + 1 AS BIGINT) END AS score
+        |FROM documents ORDER BY grp, cand_id""".stripMargin,
+
+    "q93_experiment_summary" ->
+      """WITH docs AS (
+        |  SELECT CAST(202601 + doc_id % 2 AS VARCHAR) AS week_id,
+        |    'sp_' || source AS speaker_name,
+        |    regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |sent AS (
+        |  SELECT week_id, speaker_name, t || '.' AS quote, len(string_split(t, ' ')) AS wc FROM docs
+        |  UNION ALL
+        |  SELECT week_id, speaker_name, 'Closing Remark here!' AS quote, 3 AS wc FROM docs),
+        |cand AS (
+        |  SELECT DISTINCT week_id, speaker_name, quote FROM sent WHERE wc BETWEEN 1 AND 60),
+        |fan AS (
+        |  SELECT v.variant_id, v.prompt_family, v.approach, c.week_id, c.speaker_name, c.quote,
+        |    CAST(length(c.quote) % 97 + 1 AS INTEGER) AS score
+        |  FROM cand c
+        |  CROSS JOIN (VALUES ('v1','famA','direct'), ('v2','famB','witty')) AS v(variant_id, prompt_family, approach)),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY variant_id, week_id
+        |    ORDER BY score DESC, speaker_name ASC, quote ASC) AS rk FROM fan),
+        |scored_agg AS (
+        |  SELECT variant_id, prompt_family, approach, week_id,
+        |    CAST(COUNT(*) AS BIGINT) AS scored_candidates,
+        |    CAST(MAX(score) AS BIGINT) AS max_score
+        |  FROM fan GROUP BY variant_id, prompt_family, approach, week_id),
+        |top_agg AS (
+        |  SELECT variant_id, week_id, CAST(COUNT(*) AS BIGINT) AS top_rows,
+        |    AVG(score) AS avg_top_score
+        |  FROM ranked WHERE rk <= 3 GROUP BY variant_id, week_id)
+        |SELECT s.variant_id, s.prompt_family, s.approach, s.week_id, s.scored_candidates,
+        |  COALESCE(t.top_rows, 0) AS top_rows, s.max_score, t.avg_top_score
+        |FROM scored_agg s LEFT JOIN top_agg t USING (variant_id, week_id)
+        |ORDER BY variant_id, week_id""".stripMargin,
   )
 }

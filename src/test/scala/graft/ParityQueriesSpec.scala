@@ -97,4 +97,29 @@ class ParityQueriesSpec extends SparkSpec {
     assert(row.getString(out.columns.indexOf("canon_hash")).length === 24)
     assert(row.getString(out.columns.indexOf("rec_hash")).length === 64)
   }
+
+  test("q92: poisoned ids bisect to null scores, batchmates keep theirs") {
+    val docs = Tables.load(spark, dir, "documents").count()
+    val out = graft.queries.Parity.queries("q92_score_batches")(spark, dir).cache()
+    try {
+      assert(out.count() === docs)
+      val poisoned = out.filter(col("score").isNull)
+        .select("cand_id").collect().map(_.getString(0)).toSet
+      val expected = Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") % 250 === 0)
+        .select(col("doc_id").cast("string")).collect().map(_.getString(0)).toSet
+      assert(poisoned === expected)
+      assert(out.filter(col("score").between(1, 100)).count() === docs - expected.size)
+    } finally out.unpersist()
+  }
+
+  test("q93: summary covers every (variant, week) with sane aggregates") {
+    val out = graft.queries.Parity.queries("q93_experiment_summary")(spark, dir).cache()
+    try {
+      assert(out.count() === 4) // 2 variants x 2 weeks
+      assert(out.filter(col("top_rows") === 3).count() === 4)
+      assert(out.filter(col("max_score") < col("avg_top_score")).count() === 0)
+      assert(out.filter(col("scored_candidates") <= 3).count() === 0)
+    } finally out.unpersist()
+  }
 }

@@ -250,6 +250,24 @@ object Parity {
       val (_, _, summary) = ExperimentOps.runExperiments(speeches, variants, scorer, topN = 3)
       summary
     }),
+
+    // F16 key-path discovery over payloads with data-dependent optional
+    // branches (absent API tally → absent JSON key, the same shape the
+    // reference's spec-design helper walks). Sampling is set past the
+    // table size so the discovered counts are exact and the oracle
+    // computes them from the branch conditions.
+    "q94_key_paths" -> ((s, dir) => {
+      import s.implicits._
+      val k = col("o_orderkey")
+      val payloads = t(s, dir, "orders").select(to_json(struct(
+        k.as("id"),
+        struct(col("o_orderstatus").as("st"),
+          when(k % 3 === 0, col("o_orderpriority")).as("pri")).as("meta"),
+        when(k % 2 === 0, array(col("o_custkey"), col("o_custkey") + 1)).as("refs")))
+        .as("payload"))
+      FlattenOps.discoverKeyPaths(payloads, "payload", sample = Int.MaxValue)
+        .toDF("path", "n").orderBy("path")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -408,5 +426,20 @@ object Parity {
         |  COALESCE(t.top_rows, 0) AS top_rows, s.max_score, t.avg_top_score
         |FROM scored_agg s LEFT JOIN top_agg t USING (variant_id, week_id)
         |ORDER BY variant_id, week_id""".stripMargin,
+
+    "q94_key_paths" ->
+      """WITH n AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+        |    CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pri_n,
+        |    CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS refs_n
+        |  FROM orders)
+        |SELECT path, n FROM (
+        |  SELECT 'id' AS path, total AS n FROM n
+        |  UNION ALL SELECT 'meta', total FROM n
+        |  UNION ALL SELECT 'meta.st', total FROM n
+        |  UNION ALL SELECT 'meta.pri', pri_n FROM n
+        |  UNION ALL SELECT 'refs', refs_n FROM n
+        |  UNION ALL SELECT 'refs[]', refs_n FROM n)
+        |ORDER BY path""".stripMargin,
   )
 }

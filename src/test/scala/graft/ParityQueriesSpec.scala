@@ -122,4 +122,14 @@ class ParityQueriesSpec extends SparkSpec {
       assert(out.filter(col("scored_candidates") <= 3).count() === 0)
     } finally out.unpersist()
   }
+
+  test("q94: optional JSON branches surface as partial-count paths") {
+    val orders = Tables.load(spark, dir, "orders").count()
+    val out = graft.queries.Parity.queries("q94_key_paths")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("id") === orders)
+    assert(out("meta.st") === orders)
+    assert(out("meta.pri") < orders && out("meta.pri") > 0)
+    assert(out("refs") === out("refs[]"))
+  }
 }

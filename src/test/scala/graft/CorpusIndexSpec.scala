@@ -389,4 +389,48 @@ class CorpusIndexSpec extends SparkSpec {
       dropIndex()
     }
   }
+
+  test("a month of appends with interleaved crashes converges to the rebuilt index") {
+    dropIndex()
+    try {
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"), prefix, buckets = 4)
+      val batches = (0 until 6).map { b =>
+        (0 until 3).map { i =>
+          (6000L + b * 10 + i,
+            s"daily ingest batch $b accepted document $i concerning subject ${b * 3 + i}")
+        }.toDF("doc_id", "text")
+      }
+      // crash epochs 2 and 4 mid-insert (different tables), repair, retry
+      batches.zipWithIndex.foreach { case (batch, b) =>
+        if (b == 2 || b == 4) {
+          DedupOps.appendFaultInjection = Some(if (b == 2) "shingles" else "bands")
+          intercept[IllegalStateException] {
+            DedupOps.appendToCorpusDedupIndex(batch, "text", "doc_id", prefix,
+              epochTag = Some(s"day$b"))
+          }
+          DedupOps.appendFaultInjection = None
+          // an UNTAGGED observer refuses while torn; the tagged retry
+          // self-repairs and applies
+          intercept[IllegalStateException] {
+            DedupOps.readCorpusDedupIndex(spark, prefix)
+          }
+        }
+        DedupOps.appendToCorpusDedupIndex(batch, "text", "doc_id", prefix,
+          epochTag = Some(s"day$b"))
+      }
+      // every accepted doc across all epochs judges as an exact dup, and
+      // the multi-epoch index equals a fresh build over the full union
+      val all = batches.reduce(_.unionByName(_))
+      val probe = all.select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+      def results(idx: DedupOps.CorpusDedupIndex) =
+        DedupOps.incrementalDedupPrepared(probe, idx, "text", "doc_id")
+          .orderBy("new_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val viaEpochs = results(DedupOps.readCorpusDedupIndex(spark, prefix))
+      assert(viaEpochs.forall(_._2 == "exact_dup"), viaEpochs.take(5).toString)
+      val viaRebuild = results(DedupOps.buildCorpusDedupIndex(
+        corpus.unionByName(all), "text", "doc_id"))
+      assert(viaEpochs == viaRebuild)
+    } finally { DedupOps.appendFaultInjection = None; dropIndex() }
+  }
 }

@@ -82,4 +82,85 @@ object PropertySpec extends Properties("graft") {
       val any: Map[String, Any] = m.map { case (k, v) => k -> (v: Any) }
       graft.io.StableJson.parse(graft.io.StableJson.write(any)) == any
     }
+
+  // ---- XML walker round-trip: generated debates parse back exactly ----
+  // The expected rows are computed AT GENERATION TIME from the tree being
+  // rendered (section stack, join skip-list, speaker fallback), so the
+  // property pins the walker against the generator's structural intent
+  // across random nesting/name/speaker/blank-speech combinations — the
+  // cases a fixed golden fixture can't enumerate.
+
+  private sealed trait DebNode
+  private final case class SpeechNode(ref: Option[String], from: Option[String],
+                                      text: String) extends DebNode
+  private final case class SectionNode(name: String, children: List[DebNode]) extends DebNode
+
+  private val speechTextGen: Gen[String] = for {
+    n <- Gen.chooseNum(0, 6)
+    ws <- Gen.listOfN(n, word)
+    sep <- Gen.oneOf(" ", "  ") // exercises whitespace collapse
+  } yield ws.mkString(sep)
+
+  private val speechGen: Gen[SpeechNode] = for {
+    ref <- Gen.option(word.map("#spk_" + _))
+    from <- Gen.option(Gen.listOfN(2, word).map(_.mkString(" ")))
+    text <- speechTextGen
+  } yield SpeechNode(ref, from, text)
+
+  private def sectionGen(depth: Int): Gen[SectionNode] = for {
+    name <- Gen.oneOf("main topic", "division", "prelude", "ta", "questions")
+    n <- Gen.chooseNum(0, 4)
+    children <- Gen.listOfN(n,
+      if (depth >= 2) speechGen.map(s => s: DebNode)
+      else Gen.frequency(3 -> speechGen.map(s => s: DebNode),
+        1 -> Gen.lzy(sectionGen(depth + 1).map(s => s: DebNode))))
+  } yield SectionNode(name, children)
+
+  private val debateGen: Gen[List[SectionNode]] =
+    Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, sectionGen(0)))
+
+  property("XML walker round-trips generated debates") =
+    Prop.forAll(debateGen) { sections =>
+      val NonJoin = Set("prelude", "division", "ta", "nil", "staon")
+      def norm(s: String) = s.replaceAll("\\s+", " ").trim
+      var eidN = 0
+      var order = 0
+      val xml = new StringBuilder("<debate xml:lang=\"ga\"><debateBody>")
+      val expected = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, String, String)]
+      // stack is innermost-first; the walker joins the innermost section
+      // whose name is not in the skip-list, else the OUTERMOST entry
+      def walk(n: DebNode, stack: List[(String, String)]): Unit = n match {
+        case SectionNode(name, children) =>
+          eidN += 1; val eid = s"sec$eidN"
+          xml.append(s"""<debateSection eId="$eid" name="$name">""")
+          children.foreach(walk(_, (eid, name) :: stack))
+          xml.append("</debateSection>")
+        case SpeechNode(ref, from, text) =>
+          xml.append("<speech")
+          ref.foreach(r => xml.append(s""" by="$r""""))
+          xml.append(">")
+          from.foreach(f => xml.append(s"<from>$f</from>"))
+          xml.append(s"<p>$text</p></speech>")
+          if (norm(text).nonEmpty) {
+            order += 1
+            val joined = stack.find(s => !NonJoin(s._2))
+              .orElse(stack.lastOption).map(_._1).orNull
+            val speaker = from.map(norm).filter(_.nonEmpty)
+              .orElse(ref.map(_.dropWhile(_ == '#').replaceAll("[_-]+", " "))
+                .filter(_.nonEmpty))
+              .orNull
+            expected += ((order, joined, ref.orNull, speaker, norm(text)))
+          }
+      }
+      sections.foreach(walk(_, Nil))
+      xml.append("</debateBody></debate>")
+      val rows = XmlDebateWalker.parse("deb1", "2024-01-01", xml.toString)
+      val got = rows.map(r =>
+        (r.speech_order, r.section_eid, r.speaker_ref, r.speaker_name, r.speech_text))
+      got == expected.toSeq &&
+        rows.forall(_.language == "ga") &&
+        rows.forall(r => r.speech_id.startsWith("speech:") &&
+          r.speech_id.length == "speech:".length + 24)
+    }
 }

@@ -199,4 +199,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "variant fan-out did not broadcast")
   }
+
+  test("parity queries keep clean plans: no cartesians, codegen intact") {
+    // the q85-q94 oracle tier is correctness surface, but its plans must
+    // still be the ones a library user would inherit
+    for (q <- Seq("q86_nfkd_name_join", "q87_tally_explode", "q88_scalar_canon",
+        "q91_record_hash", "q93_experiment_summary")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian")
+      assert(p.contains("*("), s"$q lost codegen:\n${p.take(1200)}")
+    }
+    // the NFKD join's deduped roster is dimension-sized → must broadcast,
+    // and the normalize_name expression must sit inside codegen (the
+    // whole point of promoting it from a UDF)
+    val j = SparkEntry.queries("q86_nfkd_name_join")(spark, dir)
+    j.collect()
+    val jp = j.queryExecution.executedPlan.toString
+    assert(jp.contains("BroadcastHashJoin"), "q86 roster join did not broadcast")
+    assert(jp.contains("normalize_name"), "q86 lost the native expression")
+  }
 }

@@ -480,7 +480,7 @@ object LlmPipeline {
     * per-band bucket width (~0.9 × 4 × corpus size) and far above any
     * genuine bucket in the base corpus.
     */
-  private val skewCap = 500
+  private[graft] val skewCap = 500
 
   /** One 21-word near-identical family member per k: 20 shared words + a
     * unique trailing token vk. 3-gram shingles: 18 shared + 1 unique →
@@ -535,7 +535,7 @@ object LlmPipeline {
     * docs (+4e6, q83's near leg), 20 fresh family members past batch1's
     * suffixes (+6e6), exact base copies (+2e6, q83's exact leg).
     */
-  private def skewLifecycleParts(s: SparkSession, dir: String)
+  private[graft] def skewLifecycleParts(s: SparkSession, dir: String)
   : (DataFrame, DataFrame, DataFrame) = {
     val base = t(s, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))

@@ -169,6 +169,57 @@ object ProfileMain {
         println(f"RECALL planes=$planes%d probes=$probes%d recall=$recall%.4f  time=$secs%5.2f s")
         spark.catalog.clearCache()
       }
+    } else if (args.headOption.contains("q84stages")) {
+      // q84 lifecycle decomposition: the bench entry's cost is the SUM of
+      // four deliberate lifecycle actions — this prints each one's share
+      // so a bench delta can be attributed. Caveats: single-shot (the
+      // stages mutate persisted state, so best-of-3 would measure
+      // no-ops), and the BENCH entry skips build (persisted across reps)
+      // and no-ops the tag-committed append — only compact + re-ingest
+      // recur there. Absolute numbers here carry this host's burst noise
+      // and table-write cold costs; use the bench minimum for drift, this
+      // for SHARE attribution only.
+      import graft.operators.DedupOps
+      val (corpus, batch1, batch2) =
+        graft.queries.LlmPipeline.skewLifecycleParts(spark, sfDir)
+      val cap = graft.queries.LlmPipeline.skewCap
+      val prefix = "graft_profile_q84"
+      def dirOf(p: String) = new java.io.File(sys.props("java.io.tmpdir"), p)
+      def cleanup(): Unit = Seq(prefix, prefix + "_c").foreach { pf =>
+        Seq("_fingerprints", "_shingles", "_bands")
+          .foreach(sx => spark.sql(s"DROP TABLE IF EXISTS $pf$sx"))
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+        }
+        rm(dirOf(pf))
+      }
+      def timed[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"PROFILE q84:$label%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        // the bench clears cache between timed runs; without this the
+        // build's persisted index frames leak across stages and GC
+        // pressure masquerades as stage cost
+        spark.catalog.clearCache()
+        r
+      }
+      // rep 1 is JIT-cold; rep 2 is the bench-comparable share
+      for (rep <- 1 to 2) {
+        cleanup()
+        timed(s"r$rep:build+write")(DedupOps.writeCorpusDedupIndex(
+          DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id",
+            n = 3, numHashes = 64, bands = 32, maxBucket = cap),
+          prefix, buckets = 16, path = Some(dirOf(prefix).getPath)))
+        timed(s"r$rep:append-batch1")(DedupOps.appendToCorpusDedupIndex(
+          batch1, "text", "doc_id", prefix, epochTag = Some("prof1")))
+        timed(s"r$rep:compact+recap")(DedupOps.compactCorpusDedupIndex(spark, prefix,
+          prefix + "_c", buckets = 16,
+          path = Some(dirOf(prefix + "_c").getPath)).count())
+        timed(s"r$rep:re-ingest-batch2")(DedupOps.incrementalDedupPrepared(batch2,
+            DedupOps.readCorpusDedupIndex(spark, prefix + "_c"), "text", "doc_id",
+            n = 3, numHashes = 64, bands = 32, threshold = 0.5, maxBucket = cap)
+          .write.format("noop").mode("overwrite").save())
+        cleanup()
+      }
     } else if (args.headOption.contains("q55stages")) {
       import org.apache.spark.sql.functions._
       import graft.operators.DedupOps

@@ -1150,16 +1150,28 @@ object DedupOps {
       writeTextFile(spark, new org.apache.hadoop.fs.Path(dir, epochFileName(epoch, "intent")).toString,
         graft.io.StableJson.write(
           Map("epoch" -> epoch, "docs" -> docs) ++ epochTag.map("tag" -> _)))
-      // insertInto matches columns by POSITION against the table schema
+      // insertInto matches columns by POSITION against the table schema.
+      // Each frame pins before the count+insert pair: the ledger's row
+      // count and the insert itself would otherwise each derive the frame
+      // from scratch (the bands derivation — minhash over every shingle —
+      // is the expensive one), doubling the append's compute for nothing.
       def insertTracked(df: DataFrame, name: String): (String, Map[String, Any]) = {
         val loc = tableLocationPath(spark, s"${tablePrefix}_$name")
         val fs = hadoopFs(spark, loc)
         val before = listDataFiles(fs, loc)
         if (appendFaultInjection.contains(name))
           throw new IllegalStateException(s"injected append fault before $name insert")
-        df.write.mode("append").insertInto(s"${tablePrefix}_$name")
-        name -> Map("rows" -> df.count(),
-          "files" -> (listDataFiles(fs, loc) -- before).toSeq.sorted)
+        // the shingle frame arrives already persisted (the bands
+        // derivation still reads it after this insert) — leave its
+        // lifecycle to the caller
+        val wasCached = df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+        val pinned = if (wasCached) df else df.persist()
+        try {
+          val rows = pinned.count()
+          pinned.write.mode("append").insertInto(s"${tablePrefix}_$name")
+          name -> Map("rows" -> rows,
+            "files" -> (listDataFiles(fs, loc) -- before).toSeq.sorted)
+        } finally if (!wasCached) { pinned.unpersist(); () }
       }
       try {
         val tables = Seq(("fingerprints", fp), ("shingles", sh), ("bands", banded))

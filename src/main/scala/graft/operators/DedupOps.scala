@@ -696,35 +696,61 @@ object DedupOps {
     */
   def writeCorpusDedupIndex(idx: CorpusDedupIndex, tablePrefix: String,
                             buckets: Int = 64, path: Option[String] = None): Unit = {
-    def write(df: DataFrame, name: String, cols: Seq[String]): Unit = {
-      val w0 = df.write.bucketBy(buckets, cols.head, cols.tail: _*)
-        .sortBy(cols.head, cols.tail: _*).mode("overwrite")
-      // explicit path → EXTERNAL table: the files outlive the (possibly
-      // in-memory) catalog and a later session re-attaches them with
-      // [[attachCorpusDedupIndex]] instead of rebuilding the corpus index
-      val w = path.fold(w0)(p => w0.option("path", s"$p/$name"))
-      w.saveAsTable(s"${tablePrefix}_$name")
-    }
-    write(idx.fingerprints, "fingerprints", Seq("_h"))
-    write(idx.shingles, "shingles", Seq("doc_id"))
-    write(idx.bands, "bands", Seq("band_idx", "band_hash"))
-    val spark = idx.bands.sparkSession
+    writeBucketedIndexTable(idx.fingerprints, tablePrefix, "fingerprints",
+      Seq("_h"), buckets, path)
+    writeBucketedIndexTable(idx.shingles, tablePrefix, "shingles",
+      Seq("doc_id"), buckets, path)
+    writeBucketedIndexTable(idx.bands, tablePrefix, "bands",
+      Seq("band_idx", "band_hash"), buckets, path)
+    finishIndexWrite(idx.bands.sparkSession, tablePrefix, buckets, path,
+      Map("fingerprints" -> idx.fingerprints.schema.toDDL,
+        "shingles" -> idx.shingles.schema.toDDL,
+        "bands" -> idx.bands.schema.toDDL),
+      idx.params)
+  }
+
+  /** One bucketed+sorted index table write (shared by the full write and
+    * the compaction rewrite leg). The frame is repartitioned by the
+    * bucket hash FIRST: `repartition(buckets, cols)` uses the same
+    * murmur3 hash as the bucketed-write bucket id, so each task holds
+    * exactly one bucket and writes exactly one file — without it every
+    * writer task emits a file per bucket it touches (tasks × buckets
+    * files, observed 9× fragmentation at sf0.1), bloating every later
+    * file listing, scan, and append-ledger record for no gain.
+    */
+  private def writeBucketedIndexTable(df: DataFrame, tablePrefix: String,
+                                      name: String, cols: Seq[String],
+                                      buckets: Int, path: Option[String]): Unit = {
+    val w0 = df.repartition(buckets, cols.map(col): _*)
+      .write.bucketBy(buckets, cols.head, cols.tail: _*)
+      .sortBy(cols.head, cols.tail: _*).mode("overwrite")
+    // explicit path → EXTERNAL table: the files outlive the (possibly
+    // in-memory) catalog and a later session re-attaches them with
+    // [[attachCorpusDedupIndex]] instead of rebuilding the corpus index
+    val w = path.fold(w0)(p => w0.option("path", s"$p/$name"))
+    w.saveAsTable(s"${tablePrefix}_$name")
+  }
+
+  /** Shared tail of every index-producing write: build params onto the
+    * bands table, layout manifest next to the files, fresh epoch ledger.
+    */
+  private def finishIndexWrite(spark: org.apache.spark.sql.SparkSession,
+                               tablePrefix: String, buckets: Int,
+                               path: Option[String],
+                               schemas: Map[String, String],
+                               params: Option[CorpusIndexParams]): Unit = {
     // build params ride the bands table's properties so every read path
     // (same-session read or cross-session attach) recovers them for the
     // ingest-call verification in incrementalDedupPrepared
-    idx.params.foreach(p => spark.sql(
+    params.foreach(p => spark.sql(
       s"""ALTER TABLE ${tablePrefix}_bands SET TBLPROPERTIES ${paramsProps(p)}"""))
     // layout manifest next to the files: attach verifies against it
     // instead of trusting the caller's bucket count (a mismatched bucket
     // DDL would make every join silently wrong)
     path.foreach { p =>
       val manifest: Map[String, Any] = Map(
-        "buckets" -> buckets,
-        "schemas" -> Map(
-          "fingerprints" -> idx.fingerprints.schema.toDDL,
-          "shingles" -> idx.shingles.schema.toDDL,
-          "bands" -> idx.bands.schema.toDDL)) ++
-        idx.params.map(pr => "params" -> Map(
+        "buckets" -> buckets, "schemas" -> schemas) ++
+        params.map(pr => "params" -> Map(
           "n" -> pr.n, "numHashes" -> pr.numHashes,
           "bands" -> pr.bands, "maxBucket" -> pr.maxBucket))
       writeTextFile(spark, s"$p/manifest.json", graft.io.StableJson.write(manifest))
@@ -1155,7 +1181,14 @@ object DedupOps {
       // count and the insert itself would otherwise each derive the frame
       // from scratch (the bands derivation — minhash over every shingle —
       // is the expensive one), doubling the append's compute for nothing.
-      def insertTracked(df: DataFrame, name: String): (String, Map[String, Any]) = {
+      // The insert repartitions the pinned frame by the table's bucket
+      // hash so each append adds exactly ONE file per bucket (not one per
+      // writer task per bucket) — long-term fragmentation then grows one
+      // file/bucket per append, which is what compaction's copy-vs-
+      // rewrite threshold measures.
+      val nBuckets = tableBucketCount(spark, s"${tablePrefix}_bands")
+      def insertTracked(df: DataFrame, name: String,
+                        cols: Seq[String]): (String, Map[String, Any]) = {
         val loc = tableLocationPath(spark, s"${tablePrefix}_$name")
         val fs = hadoopFs(spark, loc)
         val before = listDataFiles(fs, loc)
@@ -1168,14 +1201,18 @@ object DedupOps {
         val pinned = if (wasCached) df else df.persist()
         try {
           val rows = pinned.count()
-          pinned.write.mode("append").insertInto(s"${tablePrefix}_$name")
+          val aligned = nBuckets.fold(pinned)(b => pinned.repartition(b, cols.map(col): _*))
+          aligned.write.mode("append").insertInto(s"${tablePrefix}_$name")
           name -> Map("rows" -> rows,
             "files" -> (listDataFiles(fs, loc) -- before).toSeq.sorted)
         } finally if (!wasCached) { pinned.unpersist(); () }
       }
       try {
-        val tables = Seq(("fingerprints", fp), ("shingles", sh), ("bands", banded))
-          .map { case (n, df) => insertTracked(df, n) }.toMap
+        val tables = Seq(
+          ("fingerprints", fp, Seq("_h")),
+          ("shingles", sh, Seq("doc_id")),
+          ("bands", banded, Seq("band_idx", "band_hash")))
+          .map { case (n, df, cols) => insertTracked(df, n, cols) }.toMap
         writeTextFile(spark, new org.apache.hadoop.fs.Path(dir, epochFileName(epoch, "commit")).toString,
           graft.io.StableJson.write(
             Map("epoch" -> epoch, "docs" -> docs, "tables" -> tables) ++
@@ -1190,8 +1227,13 @@ object DedupOps {
   /** Periodic compaction of an appended index (copy-on-write): re-apply
     * the width cap to the bands table — appends legitimately grow
     * buckets past `maxBucket` over many accepts ([[appendToCorpusDedupIndex]])
-    * — and rewrite all three frames as a FRESH bucketed index under
-    * `toPrefix`, coalescing the per-append small files. Writing to a new
+    * — producing a FRESH bucketed index under `toPrefix`. The bands
+    * table is always rewritten (the re-cap changes it); fingerprints and
+    * shingles are rewritten only when fragmented past `maxFilesPerBucket`
+    * files per bucket or when the bucket count changes — otherwise their
+    * files copy byte-for-byte and re-register, because re-shuffling an
+    * unchanged corpus-scale shingle store to re-cap a bands table would
+    * dominate the maintenance job for zero gain. Writing to a new
     * prefix/path rather than in place is deliberate: overwriting a
     * table mid-read is a self-referential rewrite, and at corpus scale
     * the swap is a pointer update (the BatchStore promote pattern), not
@@ -1204,17 +1246,93 @@ object DedupOps {
   def compactCorpusDedupIndex(spark: org.apache.spark.sql.SparkSession,
                               fromPrefix: String, toPrefix: String,
                               buckets: Int, path: Option[String] = None,
-                              maxBucketOverride: Option[Int] = None): DataFrame = {
+                              maxBucketOverride: Option[Int] = None,
+                              maxFilesPerBucket: Int = 4): DataFrame = {
     val idx = readCorpusDedupIndex(spark, fromPrefix)
     val p = idx.params.getOrElse(throw new IllegalStateException(
       s"index $fromPrefix carries no build params — cannot re-cap without them"))
     val cap = maxBucketOverride.getOrElse(p.maxBucket)
-    val recapped = boundBuckets(idx.bands, Seq("band_idx", "band_hash"), cap, minWidth = 1L)
-    writeCorpusDedupIndex(
-      CorpusDedupIndex(idx.fingerprints, idx.shingles, recapped,
-        Some(p.copy(maxBucket = cap))),
-      toPrefix, buckets, path)
+    // Only the bands table CHANGES under compaction (the re-cap filter);
+    // fingerprints and shingles are append-only and already bucketed. At
+    // corpus scale, re-shuffling the full shingle store to re-cap a bands
+    // table would be the single most expensive step of the maintenance
+    // job for zero information gain — so when the destination keeps the
+    // bucket count and the table isn't fragmented past `maxFilesPerBucket`
+    // files per bucket, the files are COPIED byte-for-byte (bucket ids
+    // ride in the file names, per-file sort order rides in the bytes) and
+    // re-registered under the new prefix. Fragmented tables (many small
+    // per-append files) take the Spark rewrite, which is the coalesce
+    // half of compaction's job. A changed bucket count always rewrites.
+    val fromBuckets = tableBucketCount(spark, s"${fromPrefix}_bands")
+    def compactTable(name: String, df: DataFrame, cols: Seq[String]): Unit = {
+      val srcLoc = tableLocationPath(spark, s"${fromPrefix}_$name")
+      val nFiles = listDataFiles(hadoopFs(spark, srcLoc), srcLoc).size
+      val copyable = path.isDefined && fromBuckets.contains(buckets) &&
+        nFiles <= buckets.toLong * maxFilesPerBucket
+      if (copyable)
+        copyBucketedIndexTable(spark, fromPrefix, toPrefix, name, cols,
+          buckets, path.get)
+      else writeBucketedIndexTable(df, toPrefix, name, cols, buckets, path)
+    }
+    compactTable("fingerprints", idx.fingerprints, Seq("_h"))
+    compactTable("shingles", idx.shingles, Seq("doc_id"))
+    writeBucketedIndexTable(
+      boundBuckets(idx.bands, Seq("band_idx", "band_hash"), cap, minWidth = 1L),
+      toPrefix, "bands", Seq("band_idx", "band_hash"), buckets, path)
+    finishIndexWrite(spark, toPrefix, buckets, path,
+      Map("fingerprints" -> idx.fingerprints.schema.toDDL,
+        "shingles" -> idx.shingles.schema.toDDL,
+        "bands" -> idx.bands.schema.toDDL),
+      Some(p.copy(maxBucket = cap)))
     oversizedBuckets(idx.bands, Seq("band_idx", "band_hash"), cap)
+  }
+
+  /** Declared bucket count of a catalog table, if bucketed. */
+  private def tableBucketCount(spark: org.apache.spark.sql.SparkSession,
+                               table: String): Option[Int] =
+    spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+
+  /** Compaction's no-rewrite leg: copy a bucketed table's data files
+    * byte-for-byte into `$destRoot/$name` (names preserved — Spark reads
+    * the bucket id from the file name, so the copied table keeps its
+    * bucketed layout and every downstream join stays corpus-side-
+    * exchange-free) and register the new table over them, attach-style.
+    * The copy runs as executor tasks (one per file batch), never through
+    * decode/encode — at corpus scale this is an object-store server-side
+    * copy per file, not a Spark job over the data.
+    */
+  private def copyBucketedIndexTable(spark: org.apache.spark.sql.SparkSession,
+                                     fromPrefix: String, toPrefix: String,
+                                     name: String, cols: Seq[String],
+                                     buckets: Int, destRoot: String): Unit = {
+    val srcLoc = tableLocationPath(spark, s"${fromPrefix}_$name")
+    val destLoc = new org.apache.hadoop.fs.Path(s"$destRoot/$name")
+    val destFs = hadoopFs(spark, destLoc)
+    spark.sql(s"DROP TABLE IF EXISTS ${toPrefix}_$name")
+    destFs.delete(destLoc, true)
+    destFs.mkdirs(destLoc)
+    val files = listDataFiles(hadoopFs(spark, srcLoc), srcLoc).toSeq.sorted
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val (src, dst) = (srcLoc.toString, destLoc.toString)
+    spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 32)))
+      .foreach { rel =>
+        val c = conf.value
+        val sp = new org.apache.hadoop.fs.Path(s"$src/$rel")
+        val dp = new org.apache.hadoop.fs.Path(s"$dst/$rel")
+        org.apache.hadoop.fs.FileUtil.copy(
+          sp.getFileSystem(c), sp, dp.getFileSystem(c), dp, false, true, c)
+        ()
+      }
+    val colsDdl = cols.map(c => s"`$c`").mkString(", ")
+    val schemaDdl = spark.table(s"${fromPrefix}_$name").schema.toDDL
+    spark.sql(s"""CREATE TABLE ${toPrefix}_$name ($schemaDdl)
+      |USING PARQUET
+      |CLUSTERED BY ($colsDdl) SORTED BY ($colsDdl) INTO $buckets BUCKETS
+      |LOCATION '$destLoc'""".stripMargin)
   }
 
   /** [[incrementalDedup]] against a PRECOMPUTED corpus index: every

@@ -252,6 +252,81 @@ class CorpusIndexSpec extends SparkSpec {
     } finally { dropIndex(); dropTo() }
   }
 
+  test("compaction copies unfragmented fingerprint/shingle files instead of rewriting them") {
+    dropIndex()
+    val toPrefix = prefix + "_compacted"
+    def dropTo(): Unit = Seq("_fingerprints", "_shingles", "_bands")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $toPrefix$s"))
+    dropTo()
+    val srcRoot = new java.io.File(sys.props("java.io.tmpdir"), "graft_test_cidx_copysrc")
+    val dstRoot = new java.io.File(sys.props("java.io.tmpdir"), "graft_test_cidx_copydst")
+    def fileNames(root: java.io.File, table: String): Set[String] =
+      Option(new java.io.File(root, table).listFiles())
+        .getOrElse(Array.empty[java.io.File]).map(_.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+    try {
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id", maxBucket = 12),
+        prefix, buckets = 4, path = Some(srcRoot.getPath))
+      val fam = (0 until 30).map(i =>
+        (7000L + i, "repeated template body with one unique trailing token marker " +
+          s"for member v$i")).toDF("doc_id", "text")
+      DedupOps.appendToCorpusDedupIndex(fam, "text", "doc_id", prefix)
+
+      // same bucket count, few files per bucket → fingerprints/shingles
+      // COPY (identical file names under the new root — the appended
+      // per-epoch files included), bands rewrites re-capped
+      val report = DedupOps.compactCorpusDedupIndex(spark, prefix, toPrefix,
+        buckets = 4, path = Some(dstRoot.getPath))
+      assert(report.count() > 0, "re-cap dropped nothing — family not hot?")
+      assert(fileNames(srcRoot, "fingerprints") == fileNames(dstRoot, "fingerprints"),
+        "fingerprints was rewritten, not copied")
+      assert(fileNames(srcRoot, "shingles") == fileNames(dstRoot, "shingles"),
+        "shingles was rewritten, not copied")
+      assert(fileNames(srcRoot, "bands") != fileNames(dstRoot, "bands"),
+        "bands must rewrite (the re-cap changes it)")
+
+      // the copied tables keep their bucketed layout: judgments match
+      // the rewrite semantics and the index scans stay bucketed leaves
+      val after = DedupOps.readCorpusDedupIndex(spark, toPrefix)
+      assert(after.params.contains(DedupOps.CorpusIndexParams(3, 64, 32, 12)))
+      val probes = Seq(
+        (9100L, "repeated template body with one unique trailing token marker for member v999"),
+        (9101L, "corpus document number 55 talks about topic 15 in moderate detail with 6 extra side remarks also included"),
+        (9102L, "repeated template body with one unique trailing token marker for member v7")
+      ).toDF("doc_id", "text")
+      val judged = DedupOps.incrementalDedupPrepared(probes, after, "text", "doc_id",
+        maxBucket = 12)
+      val out = judged.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(out(9100L) == "kept", s"dropped-bucket probe judged ${out(9100L)}")
+      assert(out(9101L) == "near_dup", s"genuine probe judged ${out(9101L)}")
+      assert(out(9102L) == "exact_dup", s"appended-doc copy judged ${out(9102L)}")
+      val scans = allNodes(judged.queryExecution.executedPlan).collect {
+        case s: FileSourceScanExec if s.tableIdentifier.exists(_.table.startsWith(toPrefix)) => s
+      }
+      assert(scans.nonEmpty, "no compacted-index scans in the plan")
+      scans.foreach(s => assert(s.bucketedScan,
+        s"copied table ${s.tableIdentifier.get.table} lost its bucketed scan"))
+
+      // a changed bucket count can't copy: the rewrite leg re-buckets
+      dropTo()
+      org.apache.commons.io.FileUtils.deleteQuietly(dstRoot)
+      DedupOps.compactCorpusDedupIndex(spark, prefix, toPrefix,
+        buckets = 8, path = Some(dstRoot.getPath))
+      assert(fileNames(srcRoot, "shingles") != fileNames(dstRoot, "shingles"),
+        "bucket-count change must force a rewrite")
+      val rebucketed = DedupOps.readCorpusDedupIndex(spark, toPrefix)
+      val out8 = DedupOps.incrementalDedupPrepared(probes, rebucketed, "text", "doc_id",
+          maxBucket = 12)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(out8 == out, s"re-bucketed judgments drifted: $out8 vs $out")
+    } finally {
+      dropIndex(); dropTo()
+      org.apache.commons.io.FileUtils.deleteQuietly(srcRoot)
+      org.apache.commons.io.FileUtils.deleteQuietly(dstRoot)
+    }
+  }
+
   test("a crashed append is detected, refused, and repaired back to the committed state") {
     dropIndex()
     try {

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Fns, NormalizeNameExpr, Udfs}
+import graft.gold.{GoldMarts, ProfileMetrics}
 import graft.operators.{EnrichOps, ExperimentOps, FlattenOps}
 import graft.silver.FlattenSpecs
 import graft.sources.XmlDebateWalker
@@ -251,6 +252,89 @@ object Parity {
       summary
     }),
 
+    // J5/W2/A7/A8/F15 as one mart under a driver oracle: the full member
+    // profile build (build_member_profile_metrics.py:76-160) — speech
+    // counts with the GLOBAL dense rank (W2: safe only because input is
+    // one row per member), top-issue-per-member, distinct-vote
+    // participation with int-rounded pct, photo/zero-fill fallbacks —
+    // over synthetic rosters carved from customer/orders. Blank member
+    // codes, blank vote ids, NONE/blank issues exercise every filter.
+    "q95_profile_metrics" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val members = c.select(
+        concat(lit("M"), col("c_custkey")).as("member_code"),
+        col("c_name").as("full_name"),
+        concat(lit("CON"), col("c_custkey") % 9).as("constituency"),
+        concat(lit("P"), col("c_custkey") % 5).as("party"))
+      val photos = c.filter(col("c_custkey") % 3 === 0).select(
+        concat(lit("M"), col("c_custkey")).as("member_code"),
+        concat(lit("https://img.example/p"), col("c_custkey")).as("photo_url"))
+      val issues = array(Seq("Health", "Housing", "NONE", "", "Transport",
+        "Justice").map(lit): _*)
+      val debates = o.select(
+        concat(lit("M"), col("o_custkey")).as("member_code"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("speech_date"),
+        element_at(issues, (col("o_orderkey") % 6 + 1).cast("int")).as("issue"))
+      val votes = o.select(
+        when(col("o_orderkey") % 17 === 0, lit(""))
+          .otherwise(concat(lit("M"), col("o_custkey"))).as("member_code"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("date"),
+        when(col("o_orderkey") % 13 === 0, lit(""))
+          .otherwise(concat(lit("v"), col("o_orderkey") % 400)).as("unique_vote_id"))
+      ProfileMetrics.build(members, votes, photos, debates, targetYear = 1995)
+        .orderBy("member_code")
+    }),
+
+    // J2 end-to-end under a driver oracle: gold_current_members
+    // (table_gold_current_members.py:80-150) — current-or-latest row
+    // selection per bridge table (truthy flag desc, open-end-as-9999
+    // desc, start desc), non-blank coalesce fallbacks to the roster's
+    // latest_* columns, office blank-filtering, and the any-current
+    // member mask. Bridge rows are built so every ordering clause
+    // decides some member's winner and no two rows tie.
+    "q96_current_members" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val k = col("c_custkey")
+      def mc = concat(lit("M"), k).as("member_code")
+      val members = c.select(mc, col("c_name").as("full_name"),
+        concat(lit("LP"), k % 5).as("latest_party_name"),
+        when(k % 7 === 0, lit("")).otherwise(concat(lit("LC"), k % 9))
+          .as("latest_constituency_name"),
+        lit("31").as("latest_house_no"),
+        element_at(array(lit("true"), lit("yes"), lit("0"), lit("")),
+          (k % 4 + 1).cast("int")).as("is_current_member"))
+      val memberships = c.select(mc, lit("33").as("house_no"),
+          when(k % 3 === 0, lit("true")).otherwise(lit("0")).as("is_current"),
+          lit("2020-02-08").as("membership_start"),
+          when(k % 5 === 1, lit("2015-06-30")).otherwise(lit(""))
+            .as("membership_end"))
+        .unionByName(c.select(mc, lit("32").as("house_no"),
+          lit("0").as("is_current"), lit("2016-02-26").as("membership_start"),
+          lit("2020-01-31").as("membership_end")))
+      val parties = c.filter(k % 11 =!= 0).select(mc,
+          when(k % 13 === 0, lit("")).otherwise(concat(lit("P"), k % 5))
+            .as("party_name"),
+          lit("1").as("is_current"), lit("2020-02-08").as("party_start"),
+          lit("").as("party_end"))
+        .unionByName(c.filter(k % 11 =!= 0).select(mc,
+          concat(lit("OLD"), k % 5).as("party_name"), lit("0").as("is_current"),
+          lit("2016-02-26").as("party_start"), lit("2020-01-31").as("party_end")))
+      val constituencies = c.filter(k % 2 === 0).select(mc,
+        concat(lit("CC"), k % 9).as("constituency_name"), lit("y").as("is_current"),
+        lit("2020-02-08").as("represent_start"), lit("").as("represent_end"))
+      val offices = c.filter(k % 2 === 0).select(mc,
+          when(k % 6 === 0, lit("")).otherwise(lit("Whip")).as("office_name"),
+          lit("1").as("is_current"), lit("2021-01-01").as("office_start"),
+          lit("").as("office_end"))
+        .unionByName(c.filter(k % 2 === 0).select(mc,
+          lit("Minister of State").as("office_name"), lit("0").as("is_current"),
+          lit("2018-01-01").as("office_start"), lit("2020-12-31").as("office_end")))
+      GoldMarts.currentMembers(members, memberships, parties, constituencies,
+          offices, snapshotDate = "2026-08-14")
+        .orderBy("member_code")
+    }),
+
     // F16 key-path discovery over payloads with data-dependent optional
     // branches (absent API tally → absent JSON key, the same shape the
     // reference's spec-design helper walks). Sampling is set past the
@@ -426,6 +510,129 @@ object Parity {
         |  COALESCE(t.top_rows, 0) AS top_rows, s.max_score, t.avg_top_score
         |FROM scored_agg s LEFT JOIN top_agg t USING (variant_id, week_id)
         |ORDER BY variant_id, week_id""".stripMargin,
+
+    "q95_profile_metrics" ->
+      """WITH members AS (
+        |  SELECT 'M' || CAST(c_custkey AS VARCHAR) AS member_code, c_name AS full_name,
+        |    'CON' || CAST(c_custkey % 9 AS VARCHAR) AS constituency,
+        |    'P' || CAST(c_custkey % 5 AS VARCHAR) AS party
+        |  FROM customer),
+        |photos AS (
+        |  SELECT 'M' || CAST(c_custkey AS VARCHAR) AS member_code,
+        |    'https://img.example/p' || CAST(c_custkey AS VARCHAR) AS photo_url
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |spk AS (
+        |  SELECT 'M' || CAST(o_custkey AS VARCHAR) AS member_code,
+        |    (['Health','Housing','NONE','','Transport','Justice'])[CAST(o_orderkey % 6 AS INTEGER) + 1] AS issue
+        |  FROM orders WHERE year(o_orderdate) = 1995),
+        |spkf AS (SELECT * FROM spk WHERE issue <> '' AND upper(issue) <> 'NONE'),
+        |ranked AS (
+        |  SELECT member_code, speech_count,
+        |    CAST(DENSE_RANK() OVER (ORDER BY speech_count DESC) AS BIGINT) AS speech_rank
+        |  FROM (SELECT member_code, CAST(COUNT(*) AS BIGINT) AS speech_count
+        |        FROM spkf GROUP BY member_code)),
+        |topi AS (
+        |  SELECT member_code, issue AS top_issue, cnt AS top_issue_count FROM (
+        |    SELECT member_code, issue, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |      ROW_NUMBER() OVER (PARTITION BY member_code
+        |        ORDER BY COUNT(*) DESC, issue ASC) AS rn
+        |    FROM spkf GROUP BY member_code, issue) WHERE rn = 1),
+        |vy AS (
+        |  SELECT DISTINCT member_code, unique_vote_id FROM (
+        |    SELECT CASE WHEN o_orderkey % 17 = 0 THEN '' ELSE 'M' || CAST(o_custkey AS VARCHAR) END AS member_code,
+        |      CASE WHEN o_orderkey % 13 = 0 THEN '' ELSE 'v' || CAST(o_orderkey % 400 AS VARCHAR) END AS unique_vote_id
+        |    FROM orders WHERE year(o_orderdate) = 1995)
+        |  WHERE trim(member_code) <> '' AND trim(unique_vote_id) <> ''),
+        |tot AS (SELECT CAST(COUNT(DISTINCT unique_vote_id) AS BIGINT) AS total FROM vy),
+        |vm AS (
+        |  SELECT member_code, CAST(COUNT(*) AS BIGINT) AS distinct_votes_participated,
+        |    CAST(round(COUNT(*) * 100.0 / (SELECT total FROM tot)) AS BIGINT) AS vote_participation_pct
+        |  FROM vy GROUP BY member_code)
+        |SELECT m.member_code, m.full_name, m.constituency, m.party,
+        |  COALESCE(p.photo_url, '') AS photo_url,
+        |  COALESCE(t.top_issue, '') AS top_issue,
+        |  COALESCE(t.top_issue_count, 0) AS top_issue_count,
+        |  COALESCE(v.vote_participation_pct, 0) AS vote_participation_pct,
+        |  COALESCE(v.distinct_votes_participated, 0) AS distinct_votes_participated,
+        |  (SELECT total FROM tot) AS all_distinct_vote_ids,
+        |  COALESCE(r.speech_count, 0) AS speech_count,
+        |  COALESCE(r.speech_rank, 0) AS speech_rank
+        |FROM members m
+        |LEFT JOIN photos p USING (member_code)
+        |LEFT JOIN ranked r USING (member_code)
+        |LEFT JOIN topi t USING (member_code)
+        |LEFT JOIN vm v USING (member_code)
+        |ORDER BY m.member_code""".stripMargin,
+
+    "q96_current_members" ->
+      """WITH base AS (
+        |  SELECT 'M' || CAST(c_custkey AS VARCHAR) AS member_code, c_name AS full_name,
+        |    'LP' || CAST(c_custkey % 5 AS VARCHAR) AS latest_party,
+        |    CASE WHEN c_custkey % 7 = 0 THEN '' ELSE 'LC' || CAST(c_custkey % 9 AS VARCHAR) END AS latest_con,
+        |    (['true','yes','0',''])[CAST(c_custkey % 4 AS INTEGER) + 1] AS cur_flag,
+        |    c_custkey AS k
+        |  FROM customer),
+        |mem_rows AS (
+        |  SELECT member_code, '33' AS house_no,
+        |    CASE WHEN k % 3 = 0 THEN 'true' ELSE '0' END AS is_current,
+        |    '2020-02-08' AS d_start,
+        |    CASE WHEN k % 5 = 1 THEN '2015-06-30' ELSE '' END AS d_end
+        |  FROM base
+        |  UNION ALL
+        |  SELECT member_code, '32', '0', '2016-02-26', '2020-01-31' FROM base),
+        |mem AS (
+        |  SELECT member_code, house_no FROM (
+        |    SELECT member_code, house_no, ROW_NUMBER() OVER (PARTITION BY member_code
+        |      ORDER BY (CASE WHEN lower(trim(is_current)) IN ('true','1','yes','y') THEN 1 ELSE 0 END) DESC,
+        |        COALESCE(TRY_CAST(NULLIF(d_end, '') AS DATE), DATE '9999-12-31') DESC,
+        |        TRY_CAST(d_start AS DATE) DESC) AS rn
+        |    FROM mem_rows) WHERE rn = 1),
+        |party_rows AS (
+        |  SELECT member_code,
+        |    CASE WHEN k % 13 = 0 THEN '' ELSE 'P' || CAST(k % 5 AS VARCHAR) END AS party_name,
+        |    '1' AS is_current, '2020-02-08' AS d_start, '' AS d_end
+        |  FROM base WHERE k % 11 <> 0
+        |  UNION ALL
+        |  SELECT member_code, 'OLD' || CAST(k % 5 AS VARCHAR), '0', '2016-02-26', '2020-01-31'
+        |  FROM base WHERE k % 11 <> 0),
+        |party AS (
+        |  SELECT member_code, party_name FROM (
+        |    SELECT member_code, party_name, ROW_NUMBER() OVER (PARTITION BY member_code
+        |      ORDER BY (CASE WHEN lower(trim(is_current)) IN ('true','1','yes','y') THEN 1 ELSE 0 END) DESC,
+        |        COALESCE(TRY_CAST(NULLIF(d_end, '') AS DATE), DATE '9999-12-31') DESC,
+        |        TRY_CAST(d_start AS DATE) DESC) AS rn
+        |    FROM party_rows) WHERE rn = 1),
+        |con AS (
+        |  SELECT member_code, 'CC' || CAST(k % 9 AS VARCHAR) AS con_name
+        |  FROM base WHERE k % 2 = 0),
+        |office_rows AS (
+        |  SELECT member_code,
+        |    CASE WHEN k % 6 = 0 THEN '' ELSE 'Whip' END AS office_name,
+        |    '1' AS is_current, '2021-01-01' AS d_start, '' AS d_end
+        |  FROM base WHERE k % 2 = 0
+        |  UNION ALL
+        |  SELECT member_code, 'Minister of State', '0', '2018-01-01', '2020-12-31'
+        |  FROM base WHERE k % 2 = 0),
+        |office AS (
+        |  SELECT member_code, office_name FROM (
+        |    SELECT member_code, office_name, ROW_NUMBER() OVER (PARTITION BY member_code
+        |      ORDER BY (CASE WHEN lower(trim(is_current)) IN ('true','1','yes','y') THEN 1 ELSE 0 END) DESC,
+        |        COALESCE(TRY_CAST(NULLIF(d_end, '') AS DATE), DATE '9999-12-31') DESC,
+        |        TRY_CAST(d_start AS DATE) DESC) AS rn
+        |    FROM office_rows) sub WHERE rn = 1 AND trim(office_name) <> '')
+        |SELECT b.member_code, b.full_name,
+        |  COALESCE(NULLIF(trim(p.party_name), ''), NULLIF(trim(b.latest_party), '')) AS party_name,
+        |  COALESCE(NULLIF(trim(c.con_name), ''), NULLIF(trim(b.latest_con), '')) AS constituency_name,
+        |  COALESCE(NULLIF(trim(m.house_no), ''), '31') AS house_no,
+        |  COALESCE(o.office_name, '') AS office_name,
+        |  '2026-08-14' AS snapshot_date
+        |FROM base b
+        |LEFT JOIN mem m USING (member_code)
+        |LEFT JOIN party p USING (member_code)
+        |LEFT JOIN con c USING (member_code)
+        |LEFT JOIN office o USING (member_code)
+        |WHERE lower(trim(b.cur_flag)) IN ('true','1','yes','y')
+        |ORDER BY b.member_code""".stripMargin,
 
     "q94_key_paths" ->
       """WITH n AS (

@@ -123,6 +123,42 @@ class ParityQueriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("q95: profile mart zero-fills, ranks densely, and bounds the pct") {
+    val members = Tables.load(spark, dir, "customer").count()
+    val out = graft.queries.Parity.queries("q95_profile_metrics")(spark, dir).cache()
+    try {
+      assert(out.count() === members) // left joins keep the full roster
+      // dense rank: best rank is 1 and ranks are gapless over speakers
+      val ranks = out.filter(col("speech_rank") > 0)
+        .select("speech_rank").distinct()
+        .collect().map(_.getLong(0)).sorted
+      assert(ranks.headOption.contains(1L), s"best rank ${ranks.headOption}")
+      assert(ranks.toSeq === (1L to ranks.length).toSeq, "dense ranks have gaps")
+      // non-speakers zero-filled, pct within bounds, photo fallback blank
+      assert(out.filter(col("speech_count") === 0 && col("speech_rank") =!= 0).count() === 0)
+      assert(out.filter(col("vote_participation_pct") > 100).count() === 0)
+      assert(out.filter(col("photo_url") === "").count() > 0)
+      assert(out.filter(col("top_issue") === "NONE").count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("q96: only current members survive; every fallback branch populated") {
+    val c = Tables.load(spark, dir, "customer")
+    val current = c.filter(col("c_custkey") % 4 < 2).count()
+    val out = graft.queries.Parity.queries("q96_current_members")(spark, dir).cache()
+    try {
+      assert(out.count() === current) // the any-current mask filters
+      // bridge-over-roster precedence and the latest_* fallbacks both occur
+      assert(out.filter(col("party_name").startsWith("P")).count() > 0)
+      assert(out.filter(col("party_name").startsWith("LP")).count() > 0)
+      assert(out.filter(col("house_no") === "32").count() > 0)   // end-date ordering
+      assert(out.filter(col("house_no") === "33").count() > 0)
+      assert(out.filter(col("office_name") === "Whip").count() > 0)
+      assert(out.filter(col("office_name") === "").count() > 0)  // blank-filtered
+      assert(out.filter(col("office_name") === "Minister of State").count() === 0)
+    } finally out.unpersist()
+  }
+
   test("q94: optional JSON branches surface as partial-count paths") {
     val orders = Tables.load(spark, dir, "orders").count()
     val out = graft.queries.Parity.queries("q94_key_paths")(spark, dir)

@@ -204,7 +204,8 @@ class PlanAuditSpec extends SparkSpec {
     // the q85-q94 oracle tier is correctness surface, but its plans must
     // still be the ones a library user would inherit
     for (q <- Seq("q86_nfkd_name_join", "q87_tally_explode", "q88_scalar_canon",
-        "q91_record_hash", "q93_experiment_summary")) {
+        "q91_record_hash", "q93_experiment_summary", "q95_profile_metrics",
+        "q96_current_members")) {
       val df = SparkEntry.queries(q)(spark, dir)
       df.collect()
       val p = df.queryExecution.executedPlan.toString

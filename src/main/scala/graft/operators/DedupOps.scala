@@ -1310,6 +1310,11 @@ object DedupOps {
     val srcLoc = tableLocationPath(spark, s"${fromPrefix}_$name")
     val destLoc = new org.apache.hadoop.fs.Path(s"$destRoot/$name")
     val destFs = hadoopFs(spark, destLoc)
+    // the copy leg clears its destination first — compacting "into" the
+    // source location would delete the files it is about to copy
+    require(destFs.makeQualified(destLoc) != hadoopFs(spark, srcLoc).makeQualified(srcLoc),
+      s"compaction destination $destLoc is the source table's own location — " +
+        "copy-on-write compaction must write to a fresh path")
     spark.sql(s"DROP TABLE IF EXISTS ${toPrefix}_$name")
     destFs.delete(destLoc, true)
     destFs.mkdirs(destLoc)

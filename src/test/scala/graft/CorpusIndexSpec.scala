@@ -465,6 +465,39 @@ class CorpusIndexSpec extends SparkSpec {
     }
   }
 
+  test("prepared judgments equal direct incremental dedup on seeded random corpora") {
+    // generative sweep over duplicate/near-dup densities: texts draw from
+    // a small word pool so exact copies, perturbed copies, and genuinely
+    // fresh docs all occur at varying rates. The prepared path (index
+    // frames + joins) must judge identically to the direct path for
+    // every seed — in memory, no persisted tables, so this covers the
+    // derivation/join algebra rather than the storage layout.
+    val pool = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      def text() = Seq.fill(6 + rnd.nextInt(8))(pool(rnd.nextInt(pool.size))).mkString(" ")
+      val corpusTexts = Vector.fill(60)(text())
+      val corpus = corpusTexts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val batch = (0 until 25).map { i =>
+        val t = rnd.nextInt(4) match {
+          case 0 => corpusTexts(rnd.nextInt(corpusTexts.size))          // exact dup
+          case 1 => corpusTexts(rnd.nextInt(corpusTexts.size)) + " zz"  // near dup
+          case _ => text()                                              // fresh-ish
+        }
+        (1000L + i, t)
+      }.toDF("doc_id", "text")
+      val direct = DedupOps.incrementalDedup(batch, corpus, "text", "doc_id")
+        .orderBy("new_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val prepared = DedupOps.incrementalDedupPrepared(batch,
+          DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"), "text", "doc_id")
+        .orderBy("new_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(prepared == direct,
+        s"seed $seed: prepared ${prepared.take(8)} vs direct ${direct.take(8)}")
+    }
+  }
+
   test("a month of appends with interleaved crashes converges to the rebuilt index") {
     dropIndex()
     try {

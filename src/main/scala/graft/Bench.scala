@@ -67,20 +67,7 @@ object Bench {
     * so on mismatch the bench suppresses the drift map and flags the
     * mismatch instead of reporting phantom regressions.
     */
-  def dataFingerprint(dir: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-          .sortBy(_.getName).toSeq.flatMap(walk)
-      else Seq(f)
-    val root = new java.io.File(dir)
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    walk(root).sortBy(_.getPath).foreach { f =>
-      md.update((f.getPath.stripPrefix(root.getPath) +
-        s":${f.length}:${f.lastModified}\n").getBytes("UTF-8"))
-    }
-    md.digest().take(8).map("%02x".format(_)).mkString
-  }
+  def dataFingerprint(dir: String): String = graft.io.Fingerprint.ofTree(dir)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -100,23 +100,31 @@ object OpsTools {
   def auditInventory(spark: SparkSession, root: String, outDir: String,
                      prefixes: Seq[String] = DefaultAuditPrefixes,
                      now: () => String = BatchStore.defaultNow): Map[String, Any] = {
+    // pin the listing once: the distributed walk re-runs per action
+    // otherwise (csv write + orderBy sampling + summary agg = three full
+    // recursive listings of the store), and a file created between the
+    // csv and summary actions would make summary.json disagree with the
+    // s3_inventory.csv rows it claims to describe
     val inv = inventoryRows(spark, root, prefixes)
-    TableIO.writeCsv(inv.orderBy("key"), s"$outDir/s3_inventory.csv")
-    val perPrefix = inv.groupBy("prefix")
-      .agg(count(lit(1)).as("n"), sum(col("size")).as("bytes"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val summary: Map[String, Any] = Map(
-      "generated_at_utc" -> now(),
-      "root" -> root,
-      "object_count" -> perPrefix.values.map(_._1).sum,
-      "total_bytes" -> perPrefix.values.map(_._2).sum,
-      "prefix_counts" -> prefixes.map(p =>
-        p -> perPrefix.get(p).map(_._1).getOrElse(0L)).toMap)
-    val fs = FileSystem.get(new java.net.URI(outDir).resolve("/"),
-      spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new Path(s"$outDir/summary.json"), true)
-    try out.write(StableJson.write(summary).getBytes("UTF-8")) finally out.close()
-    summary
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      TableIO.writeCsv(inv, s"$outDir/s3_inventory.csv")
+      val perPrefix = inv.groupBy("prefix")
+        .agg(count(lit(1)).as("n"), sum(col("size")).as("bytes"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val summary: Map[String, Any] = Map(
+        "generated_at_utc" -> now(),
+        "root" -> root,
+        "object_count" -> perPrefix.values.map(_._1).sum,
+        "total_bytes" -> perPrefix.values.map(_._2).sum,
+        "prefix_counts" -> prefixes.map(p =>
+          p -> perPrefix.get(p).map(_._1).getOrElse(0L)).toMap)
+      val fs = FileSystem.get(new java.net.URI(outDir).resolve("/"),
+        spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(new Path(s"$outDir/summary.json"), true)
+      try out.write(StableJson.write(summary).getBytes("UTF-8")) finally out.close()
+      summary
+    } finally { inv.unpersist(); () }
   }
 
   // ---------------- Instagram max-length stress fixture ----------------
@@ -168,6 +176,11 @@ object OpsTools {
             }
           }
         }
+        // the RAW untrimmed cell goes into the fixture row while the
+        // metadata records the trimmed value/length — deliberately
+        // mirroring the reference (instagram_build_max_length_fixture.py
+        // :68 returns best_value = raw; :109-113 records clean_value),
+        // whose fixture stresses layout with the padding included
         best.map(i => (cell(i, c), best, bestLen)).getOrElse(("", None, 0))
       }
 

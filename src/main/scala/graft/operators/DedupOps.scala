@@ -738,7 +738,8 @@ object DedupOps {
                                tablePrefix: String, buckets: Int,
                                path: Option[String],
                                schemas: Map[String, String],
-                               params: Option[CorpusIndexParams]): Unit = {
+                               params: Option[CorpusIndexParams],
+                               carriedTags: Seq[String] = Nil): Unit = {
     // build params ride the bands table's properties so every read path
     // (same-session read or cross-session attach) recovers them for the
     // ingest-call verification in incrementalDedupPrepared
@@ -758,7 +759,7 @@ object DedupOps {
     // fresh append-epoch ledger: the base record pins the just-written
     // files so torn-append repair can always separate original index
     // files from partial-append orphans
-    initEpochLedger(spark, tablePrefix)
+    initEpochLedger(spark, tablePrefix, carriedTags)
   }
 
   private def paramsProps(p: CorpusIndexParams): String =
@@ -923,7 +924,10 @@ object DedupOps {
     def torn: Seq[Long] = (intents.keySet -- commits.keySet).toSeq.sorted
     def nextEpoch: Long = ((intents.keySet ++ commits.keySet) + 0L).max + 1
     def committedTags: Set[String] =
-      commits.values.flatMap(_.get("tag").map(String.valueOf)).toSet
+      commits.values.flatMap(_.get("tag").map(String.valueOf)).toSet ++
+        commits.values.flatMap(_.get("carried_tags").collect {
+          case s: Seq[_] => s.map(String.valueOf)
+        }.getOrElse(Nil))
     def committedFilesOf(table: String): Set[String] =
       commits.values.flatMap(c => epochFilesOf(c, table)).toSet
   }
@@ -962,17 +966,31 @@ object DedupOps {
   /** (Re)initialize the ledger: wipe it and record the CURRENT files of
     * all three tables as the base epoch, so repair can always separate
     * original index files from torn-append orphans.
+    *
+    * `carriedTags`: idempotence tags whose appends are already REFLECTED
+    * in the base files — compaction passes the source index's committed
+    * tags so a streaming trigger replayed across a compact+promote still
+    * reads as committed. Without this, a trigger that committed its
+    * append on the OLD prefix and crashed before the checkpoint commit
+    * would re-judge against the compacted index (which already contains
+    * its accepted docs via the copied fingerprints), judge everything
+    * exact_dup, and overwrite its target partition with an empty frame —
+    * silent data loss in the sink.
     */
   private def initEpochLedger(spark: org.apache.spark.sql.SparkSession,
-                              tablePrefix: String): Unit = {
+                              tablePrefix: String,
+                              carriedTags: Seq[String] = Nil): Unit = {
     val dir = epochLedgerDir(spark, tablePrefix)
     hadoopFs(spark, dir).delete(dir, true)
     val tables = IndexTableNames.map { n =>
       val loc = tableLocationPath(spark, s"${tablePrefix}_$n")
       n -> Map("files" -> listDataFiles(hadoopFs(spark, loc), loc).toSeq.sorted)
     }.toMap
+    val base: Map[String, Any] =
+      Map("epoch" -> 0L, "tag" -> "base", "tables" -> tables) ++
+        (if (carriedTags.nonEmpty) Map("carried_tags" -> carriedTags.sorted) else Map.empty)
     writeTextFile(spark, new org.apache.hadoop.fs.Path(dir, epochFileName(0L, "commit")).toString,
-      graft.io.StableJson.write(Map("epoch" -> 0L, "tag" -> "base", "tables" -> tables)))
+      graft.io.StableJson.write(base))
   }
 
   /** Refuse a torn index: an intent without a commit means a previous
@@ -1279,11 +1297,23 @@ object DedupOps {
     writeBucketedIndexTable(
       boundBuckets(idx.bands, Seq("band_idx", "band_hash"), cap, minWidth = 1L),
       toPrefix, "bands", Seq("band_idx", "band_hash"), buckets, path)
+    // the source's committed idempotence tags carry into the new ledger:
+    // every tagged append is already reflected in the compacted files, so
+    // a streaming trigger replayed ACROSS the compact+promote must read
+    // as committed — re-judging it against an index that already holds
+    // its accepted docs would empty-overwrite its target partition.
+    // The carry is transitive (committedTags includes previously carried
+    // tags), so the list grows by one short string per tagged append over
+    // the index's lifetime — trivial for batch cadences; if a per-minute
+    // stream ever makes it heavy, compaction may prune to recent tags,
+    // since foreachBatch replays only the single in-flight trigger.
+    val carried = readEpochLedger(spark, fromPrefix)
+      .map(_.committedTags - "base").getOrElse(Set.empty).toSeq
     finishIndexWrite(spark, toPrefix, buckets, path,
       Map("fingerprints" -> idx.fingerprints.schema.toDDL,
         "shingles" -> idx.shingles.schema.toDDL,
         "bands" -> idx.bands.schema.toDDL),
-      Some(p.copy(maxBucket = cap)))
+      Some(p.copy(maxBucket = cap)), carried)
     oversizedBuckets(idx.bands, Seq("band_idx", "band_hash"), cap)
   }
 

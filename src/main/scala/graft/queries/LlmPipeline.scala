@@ -453,17 +453,9 @@ object LlmPipeline {
     * otherwise stamp only directory metadata and could miss a
     * regeneration that rewrote the part files in place.
     */
-  private def corpusStamp(dir: String): String = {
-    def stampOf(f: java.io.File): Long =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-          .sortBy(_.getName)
-          .foldLeft(f.getName.hashCode.toLong)((acc, c) =>
-            acc * 1099511628211L ^ stampOf(c))
-      else f.getName.hashCode.toLong ^ f.length() ^ (f.lastModified() * 31)
-    Integer.toHexString(dir.hashCode) + "_" + java.lang.Long.toHexString(
-      stampOf(new java.io.File(dir, "documents.parquet")))
-  }
+  private def corpusStamp(dir: String): String =
+    Integer.toHexString(dir.hashCode) + "_" + graft.io.Fingerprint.ofTree(
+      new java.io.File(dir, "documents.parquet").getPath)
 
   /** Drop persisted index dirs whose data stamp no longer matches —
     * regenerated testdata would otherwise accumulate one orphaned

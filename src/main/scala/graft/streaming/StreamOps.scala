@@ -249,7 +249,12 @@ object StreamOps {
     * with no stream restart. Run the compact+promote at a trigger quiet
     * point: accepted docs appended to the OLD prefix after compaction
     * read it are not in the new index (the copy-on-write caveat
-    * documented on promoteCorpusDedupIndex).
+    * documented on promoteCorpusDedupIndex). A trigger that committed
+    * its append BEFORE the compact and replays AFTER the promote is
+    * safe: compaction carries the source ledger's committed tags into
+    * the new index's ledger, so the replay reads "committed" and no-ops
+    * instead of re-judging (which would see its own docs in the
+    * compacted index and empty-overwrite its target partition).
     */
   def nearDupIntakeSinkWithIndexPointer(stream: DataFrame,
                         store: graft.io.BatchStore, pointerKey: String,

@@ -465,6 +465,52 @@ class CorpusIndexSpec extends SparkSpec {
     }
   }
 
+  test("compaction carries committed idempotence tags into the new ledger") {
+    // the replay-across-maintenance hole: a trigger commits its tagged
+    // append on prefix A, the process dies before the streaming
+    // checkpoint commit, maintenance compacts A→B and promotes, and the
+    // replayed trigger judges against B. B already CONTAINS the
+    // trigger's accepted docs (copied fingerprints), so without the
+    // carried tag the re-judgment would call them all exact_dup, keep
+    // nothing, and overwrite the trigger's target partition with an
+    // empty frame. The carried tag makes the replay a no-op instead.
+    dropIndex()
+    val toPrefix = prefix + "_compacted"
+    def dropTo(): Unit = Seq("_fingerprints", "_shingles", "_bands")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $toPrefix$s"))
+    dropTo()
+    val srcRoot = new java.io.File(sys.props("java.io.tmpdir"), "graft_test_cidx_tagsrc")
+    val dstRoot = new java.io.File(sys.props("java.io.tmpdir"), "graft_test_cidx_tagdst")
+    try {
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"),
+        prefix, buckets = 4, path = Some(srcRoot.getPath))
+      val accepted = Seq((5000L, "a trigger-accepted document about carried tags"))
+        .toDF("doc_id", "text")
+      DedupOps.appendToCorpusDedupIndex(accepted, "text", "doc_id", prefix,
+        epochTag = Some("stream-42-7"))
+      DedupOps.compactCorpusDedupIndex(spark, prefix, toPrefix,
+        buckets = 4, path = Some(dstRoot.getPath))
+      assert(DedupOps.epochTagState(spark, toPrefix, "stream-42-7") == "committed",
+        "committed tag lost across compaction — a replayed trigger would " +
+          "re-judge and empty-overwrite its target partition")
+      // the replayed append is a no-op on the compacted index
+      val fpBefore = spark.table(s"${toPrefix}_fingerprints").count()
+      DedupOps.appendToCorpusDedupIndex(accepted, "text", "doc_id", toPrefix,
+        epochTag = Some("stream-42-7"))
+      assert(spark.table(s"${toPrefix}_fingerprints").count() == fpBefore)
+      // an unrelated new tag still appends normally
+      DedupOps.appendToCorpusDedupIndex(
+        Seq((5001L, "a later trigger document")).toDF("doc_id", "text"),
+        "text", "doc_id", toPrefix, epochTag = Some("stream-42-8"))
+      assert(spark.table(s"${toPrefix}_fingerprints").count() == fpBefore + 1)
+    } finally {
+      dropIndex(); dropTo()
+      org.apache.commons.io.FileUtils.deleteQuietly(srcRoot)
+      org.apache.commons.io.FileUtils.deleteQuietly(dstRoot)
+    }
+  }
+
   test("prepared judgments equal direct incremental dedup on seeded random corpora") {
     // generative sweep over duplicate/near-dup densities: texts draw from
     // a small word pool so exact copies, perturbed copies, and genuinely

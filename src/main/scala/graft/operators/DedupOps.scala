@@ -17,6 +17,15 @@ object DedupOps {
   /** Normalized text for identity: lower, collapse whitespace. */
   def normText(c: Column): Column = regexp_replace(lower(trim(c)), "\\s+", " ")
 
+  /** Canonical exact-identity fingerprint: sha256 of [[normText]]. Every
+    * exact-dedup site — batch dedup, the prepared corpus index, the
+    * streaming intake's anti-join — derives from THIS definition
+    * (TextOps.fingerprint re-exports it); a normalization change made in
+    * one inlined copy would silently desynchronize the exact stage
+    * across batch and stream with no error.
+    */
+  def textFingerprint(c: Column): Column = sha2(normText(c), 256)
+
   /** Exact dedupe (hash-groupBy): keep the smallest id per normalized-text
     * hash. Returns (survivors, dupGroups).
     *
@@ -35,7 +44,7 @@ object DedupOps {
     * row per hash group. Deduplicate ids first if they can repeat.
     */
   def exactDedup(docs: DataFrame, textCol: String, idCol: String): (DataFrame, DataFrame) = {
-    val hashed = docs.withColumn("_text_hash", sha2(normText(col(textCol)), 256))
+    val hashed = docs.withColumn("_text_hash", textFingerprint(col(textCol)))
     val keepers = hashed.groupBy("_text_hash").agg(min(col(idCol)).as(idCol))
     val survivors = hashed.join(keepers, Seq("_text_hash", idCol), "left_semi")
       // restore the caller's column order (semi-join keys lead otherwise)
@@ -452,6 +461,13 @@ object DedupOps {
     val banded = q.select(col("vid"), col("qv")).as[(Long, Seq[Long])]
       .flatMap { case (vid, qvSeq) =>
         val qv = qvSeq.toArray
+        // a vector longer than `dim` would index past the sign rows
+        // (executor ArrayIndexOutOfBounds after task retries); a shorter
+        // one would silently hash on a truncated prefix — both are
+        // caller errors worth naming
+        require(qv.length == dim,
+          s"embedding id=$vid has ${qv.length} components but the LSH was " +
+            s"built for dim=$dim — pass the column's true dimensionality")
         (0 until bands).iterator.map { bj =>
           var bucket = 0L
           var p = 0
@@ -525,6 +541,14 @@ object DedupOps {
   def simhashNearDupPairsWithDrops(sig: DataFrame, maxHamming: Int = 3, bits: Int = 64,
                           maxBucket: Int = DefaultMaxBucket)
   : (DataFrame, Option[DataFrame]) = {
+    // 4 equal bands guarantee a shared band only for hamming <= 3
+    // (pigeonhole); a larger maxHamming would silently MISS qualifying
+    // pairs whose differing bits fall one per band — refuse rather than
+    // under-deliver the contract the parameter states
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhash banding covers hamming <= 3 (4-band pigeonhole); " +
+        s"maxHamming=$maxHamming would silently miss pairs — use more " +
+        "bands (minhash path) or a brute verifier for larger radii")
     val bandWidth = bits / 4
     val bandMask = (1L << bandWidth) - 1
     val bandCols = (0 until 4).map { j =>
@@ -671,7 +695,7 @@ object DedupOps {
                             bands: Int = 32,
                             maxBucket: Int = DefaultMaxBucket): (CorpusDedupIndex, DataFrame) = {
     val fp = corpus.select(col(idCol).cast("long").as("cid"),
-      sha2(normText(col(textCol)), 256).as("_h"))
+      textFingerprint(col(textCol)).as("_h"))
     val sh = shingleHashTable(corpus, textCol, idCol, n)
     val banded = boundBuckets(
       bandTable(minhashSignaturesFromShingles(sh, numHashes), bands, numHashes / bands),
@@ -814,11 +838,29 @@ object DedupOps {
         s"$manifestBuckets — attaching with the wrong count would make every " +
         "bucketed join silently wrong")
     val schemas = m("schemas").asInstanceOf[Map[String, Any]]
-    def ddl(name: String, cols: String): Unit =
-      spark.sql(s"""CREATE TABLE IF NOT EXISTS ${tablePrefix}_$name (${schemas(name)})
+    def ddl(name: String, cols: String): Unit = {
+      val table = s"${tablePrefix}_$name"
+      // IF NOT EXISTS alone would silently keep a STALE registration: a
+      // session that attached this prefix before the on-disk index was
+      // rebuilt with a different bucket count (or moved) would keep its
+      // old bucket DDL over the new files — every co-located join then
+      // reads the wrong buckets and judges silently wrong. Re-attach
+      // drops a registration that disagrees with the manifest.
+      if (spark.catalog.tableExists(table)) {
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+        val expectedLoc = new org.apache.hadoop.fs.Path(s"$path/$name")
+        val sameBuckets = meta.bucketSpec.exists(_.numBuckets == manifestBuckets)
+        val sameLoc = new org.apache.hadoop.fs.Path(meta.location).toUri.getPath ==
+          expectedLoc.toUri.getPath
+        if (!sameBuckets || !sameLoc) spark.sql(s"DROP TABLE $table")
+      }
+      spark.sql(s"""CREATE TABLE IF NOT EXISTS $table (${schemas(name)})
         |USING PARQUET
         |CLUSTERED BY ($cols) SORTED BY ($cols) INTO $manifestBuckets BUCKETS
         |LOCATION '$path/$name'""".stripMargin)
+      ()
+    }
     ddl("fingerprints", "`_h`")
     ddl("shingles", "doc_id")
     ddl("bands", "band_idx, band_hash")
@@ -1180,7 +1222,7 @@ object DedupOps {
         col(textCol).cast("string").as(textCol)).localCheckpoint(true)
       val docs = acc.count()
       val fp = acc.select(col(idCol).as("cid"),
-        sha2(normText(col(textCol)), 256).as("_h"))
+        textFingerprint(col(textCol)).as("_h"))
       val sh = shingleHashTable(acc, textCol, idCol, p.n).persist()
       val banded = bandTable(minhashSignaturesFromShingles(sh, p.numHashes),
         p.bands, p.numHashes / p.bands)
@@ -1270,6 +1312,19 @@ object DedupOps {
     val p = idx.params.getOrElse(throw new IllegalStateException(
       s"index $fromPrefix carries no build params — cannot re-cap without them"))
     val cap = maxBucketOverride.getOrElse(p.maxBucket)
+    // copy-on-write means a FRESH destination, on BOTH legs: the copy leg
+    // clears its destination before copying, and the rewrite leg would
+    // overwrite the very files its input plan is reading — guard here so
+    // the protection doesn't silently vanish when fragmentation flips a
+    // table from the copy leg to the rewrite leg
+    path.foreach { dst =>
+      val srcRoot = tableLocationPath(spark, s"${fromPrefix}_bands").getParent
+      val dstRoot = new org.apache.hadoop.fs.Path(dst)
+      require(hadoopFs(spark, dstRoot).makeQualified(dstRoot) !=
+          hadoopFs(spark, srcRoot).makeQualified(srcRoot),
+        s"compaction destination $dst is the source index's own root — " +
+          "copy-on-write compaction must write to a fresh path")
+    }
     // Only the bands table CHANGES under compaction (the re-cap filter);
     // fingerprints and shingles are append-only and already bucketed. At
     // corpus scale, re-shuffling the full shingle store to re-cap a bands
@@ -1417,7 +1472,7 @@ object DedupOps {
     // re-evaluate the fingerprint projection — persist it once (batch-
     // sized; freed by the caller's clearCache or session end)
     val nfp = newBatch.select(col(idCol).cast("long").as("nid"), col(textCol).as("_text"))
-      .withColumn("_h", sha2(normText(col("_text")), 256))
+      .withColumn("_h", textFingerprint(col("_text")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // exact matches: min corpus id per hash, min earlier new id per hash

@@ -197,7 +197,7 @@ object TextOps {
   /** Document fingerprint: sha256 of normalized text (exact identity) —
     * the key for exact dedupe and incremental skip logic.
     */
-  def fingerprint(text: Column): Column = sha2(DedupOps.normText(text), 256)
+  def fingerprint(text: Column): Column = DedupOps.textFingerprint(text)
 
   /** Token count re-export (BPE-ish regex proxy). */
   def tokenCount(text: Column): Column = Fns.tokenCount(text)

@@ -87,7 +87,9 @@ object StreamOps {
     * (SURVEY §2.12 north-star surface; same expression works in batch).
     *
     * Column names must be distinct across the two sides except the join
-    * key (equi-joined via the key condition and deduplicated).
+    * key, which MAY share a name: references are dataset-qualified (bare
+    * `col(k)` would be AMBIGUOUS_REFERENCE when both sides carry `k`),
+    * and a same-named right key is dropped from the output.
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String,
@@ -96,17 +98,30 @@ object StreamOps {
                    joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, delay)
     val r = right.withWatermark(rightTs, delay)
-    l.join(r,
-      col(leftKey) === col(rightKey) &&
-        col(rightTs) >= col(leftTs) + expr(s"INTERVAL $lowerBound") &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upperBound"),
+    val joined = l.join(r,
+      l(leftKey) === r(rightKey) &&
+        r(rightTs) >= l(leftTs) + expr(s"INTERVAL $lowerBound") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $upperBound"),
       joinType)
+    if (leftKey == rightKey) joined.drop(r(rightKey)) else joined
   }
 
   /** foreachBatch upsert sink: each micro-batch merges into the target
     * parquet table with the reference's M2 semantics (incoming wins on pk).
     * The reference's read-modify-write "latest" sink (io_s3.py:118-145)
     * expressed as a streaming sink.
+    *
+    * Swap protocol: merged data stages to `_staged`, the live table
+    * renames to `_backup`, staged renames in, backup drops — so a FULL
+    * copy of the table exists on disk at every instant, every rename
+    * result is checked (a false return, e.g. an object store whose
+    * rename is non-atomic copy, fails the trigger loudly instead of
+    * stranding the sink), and a trigger that finds the target missing
+    * with a backup present restores the backup first (the
+    * crash-between-renames window). Read errors on an EXISTING target
+    * propagate — the old catch-all that substituted an empty table on
+    * any transient read failure would have made the next swap erase the
+    * accumulated history.
     */
   def upsertSink(stream: DataFrame, targetPath: String, pk: Seq[String])
   : DataStreamWriter[Row] =
@@ -115,30 +130,31 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val existing =
-          try spark.read.parquet(targetPath)
-          catch { case _: Exception => batch.limit(0) }
-        val merged = MergeOps.upsert(existing, batch, pk)
-        // stage-then-swap: write to a temp dir, atomically repoint
-        val tmp = targetPath + "_staged"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
         val target = new org.apache.hadoop.fs.Path(targetPath)
-        fs.delete(target, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+        // the TARGET's filesystem, not the default one — with
+        // fs.defaultFS=hdfs:// and an s3a:// target, delete/rename would
+        // otherwise run against paths that don't exist
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val backup = new org.apache.hadoop.fs.Path(targetPath + "_backup")
+        val tmp = new org.apache.hadoop.fs.Path(targetPath + "_staged")
+        if (!fs.exists(target) && fs.exists(backup))
+          require(fs.rename(backup, target),
+            s"upsertSink: could not restore $backup to $target after a crashed swap")
+        val existing =
+          if (fs.exists(target)) spark.read.parquet(targetPath)
+          else batch.limit(0)
+        val merged = MergeOps.upsert(existing, batch, pk)
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(backup, true)
+        if (fs.exists(target))
+          require(fs.rename(target, backup),
+            s"upsertSink: rename $target -> $backup failed")
+        require(fs.rename(tmp, target),
+          s"upsertSink: rename $tmp -> $target failed — previous table at $backup")
+        fs.delete(backup, true)
         ()
       }
 
-  /** Streaming corpus intake: the stateless curation stages apply to a
-    * stream unchanged (repetition filter is expression-only), and exact
-    * dedup becomes a fingerprint-keyed dropDuplicatesWithinWatermark —
-    * state bounded by the watermark horizon instead of growing with the
-    * corpus. Near-dup removal and decontamination remain periodic batch
-    * jobs over the deduped sink (they need corpus-wide joins); this is
-    * the standard lambda-architecture split for a live ingest feed.
-    * `maxDupTenths` mirrors CurationPipeline.curate.
-    */
   /** Streaming incremental intake against a static curated corpus: drop
     * stream docs whose text fingerprint already exists in the corpus
     * fingerprint table (stream-static LEFT OUTER join + null filter —
@@ -155,7 +171,7 @@ object StreamOps {
                               tsCol: String, delay: String,
                               textCol: String): DataFrame = {
     val withFp = stream.withColumn("_fp",
-      sha2(graft.operators.DedupOps.normText(col(textCol)), 256))
+      graft.operators.DedupOps.textFingerprint(col(textCol)))
     val fresh = withFp
       .join(corpusFp.select(col("fp").as("_fp"), lit(true).as("_in_corpus")),
         Seq("_fp"), "left_outer")
@@ -343,13 +359,22 @@ object StreamOps {
     }
   }
 
+  /** Streaming corpus intake: the stateless curation stages apply to a
+    * stream unchanged (repetition filter is expression-only), and exact
+    * dedup becomes a fingerprint-keyed dropDuplicatesWithinWatermark —
+    * state bounded by the watermark horizon instead of growing with the
+    * corpus. Near-dup removal and decontamination remain periodic batch
+    * jobs over the deduped sink (they need corpus-wide joins); this is
+    * the standard lambda-architecture split for a live ingest feed.
+    * `maxDupTenths` mirrors CurationPipeline.curate.
+    */
   def curateStream(stream: DataFrame, tsCol: String, delay: String,
                    textCol: String, maxDupTenths: Int = 7): DataFrame = {
     val w = split(graft.operators.DedupOps.normText(col(textCol)), " ")
     val filtered = stream
       .filter(size(w) >= 2 &&
         (size(w) - size(array_distinct(w))) * 10 <= size(w) * maxDupTenths)
-      .withColumn("_fp", sha2(graft.operators.DedupOps.normText(col(textCol)), 256))
+      .withColumn("_fp", graft.operators.DedupOps.textFingerprint(col(textCol)))
     dedupWithinWatermark(filtered, tsCol, delay, Seq("_fp")).drop("_fp")
   }
 }

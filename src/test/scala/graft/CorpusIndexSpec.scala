@@ -465,6 +465,50 @@ class CorpusIndexSpec extends SparkSpec {
     }
   }
 
+  test("re-attach refuses to keep a stale registration; same-root compaction refuses") {
+    dropIndex()
+    val extPath = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_test_cidx_stale").getPath
+    try {
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"), prefix,
+        buckets = 4, path = Some(extPath))
+      // the on-disk index is rebuilt with a DIFFERENT bucket count while
+      // this session still holds the 4-bucket registration; re-attach
+      // must replace the stale DDL (IF NOT EXISTS alone would keep the
+      // 4-bucket metadata over 8-bucket files — silently wrong joins)
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"), prefix + "_tmp",
+        buckets = 8, path = Some(extPath + "2"))
+      DedupOps.attachCorpusDedupIndex(spark, prefix, extPath + "2")
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(s"${prefix}_bands"))
+      assert(meta.bucketSpec.exists(_.numBuckets == 8),
+        s"stale 4-bucket registration survived re-attach: ${meta.bucketSpec}")
+      val judged = DedupOps.incrementalDedupPrepared(
+          newBatch, DedupOps.readCorpusDedupIndex(spark, prefix), "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(judged(10000L) == "exact_dup" && judged(10001L) == "kept")
+
+      // compacting "into" the source root would overwrite files the
+      // input plan is reading (rewrite leg) or delete-before-copy (copy
+      // leg) — refused on both legs at the top
+      val e = intercept[IllegalArgumentException] {
+        DedupOps.compactCorpusDedupIndex(spark, prefix, prefix + "_c",
+          buckets = 8, path = Some(extPath + "2"))
+      }
+      assert(e.getMessage.contains("fresh path"), e.getMessage)
+    } finally {
+      dropIndex()
+      Seq("_fingerprints", "_shingles", "_bands").foreach { sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS ${prefix}_tmp$sfx")
+        spark.sql(s"DROP TABLE IF EXISTS ${prefix}_c$sfx")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(extPath))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(extPath + "2"))
+    }
+  }
+
   test("compaction carries committed idempotence tags into the new ledger") {
     // the replay-across-maintenance hole: a trigger commits its tagged
     // append on prefix A, the process dies before the streaming

@@ -21,6 +21,30 @@ class DedupOpsSpec extends SparkSpec {
     (6L, "one two three one two three one two three") // repeated n-grams collapse
   ).toDF("doc_id", "text")
 
+  test("simhash banding refuses a radius the 4-band pigeonhole cannot cover") {
+    val sig = Seq((1L, 0L), (2L, 15L)).toDF("doc_id", "simhash")
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.simhashNearDupPairs(sig, maxHamming = 4)
+    }
+    assert(e.getMessage.contains("hamming"), e.getMessage)
+    // radius 3 remains the working contract
+    assert(DedupOps.simhashNearDupPairs(sig, maxHamming = 3).count() >= 0)
+  }
+
+  test("embedding LSH refuses vectors whose length disagrees with dim") {
+    val emb = Seq(
+      (1L, Array.fill(8)(0.5f).toSeq),
+      (2L, Array.fill(16)(0.5f).toSeq)   // wrong length
+    ).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      DedupOps.lshEmbeddingNearDupPairs(emb, "vec_id", "embedding", dim = 8,
+        bands = 2, planesPerBand = 4).count()
+    }
+    // the executor-side require surfaces through Spark's task failure
+    assert(e.getMessage.contains("dim=8") ||
+      Option(e.getCause).exists(_.getMessage.contains("dim=8")), e.toString)
+  }
+
   test("hashed shingle sets have the same cardinality as string shingle sets") {
     val both = docs.select(col("doc_id"),
         size(DedupOps.shingles(col("text"), 3)).as("n_str"),

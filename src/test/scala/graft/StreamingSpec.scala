@@ -327,5 +327,46 @@ class StreamingSpec extends SparkSpec {
     val out = spark.read.parquet(target).orderBy("pk")
       .as[(String, String)].collect().toSeq
     assert(out == Seq(("a", "1"), ("b", "2"), ("c", "1")))
+
+    // crash-window recovery: a trigger that died between the two swap
+    // renames leaves the full table only at _backup — the next trigger
+    // must restore it before merging, not rebuild from its own batch
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(target),
+      new org.apache.hadoop.fs.Path(target + "_backup")))
+    val q3 = StreamOps.upsertSink(stream, target, Seq("pk")).start()
+    input.addData(("d", "1"))
+    q3.processAllAvailable(); q3.stop()
+    val recovered = spark.read.parquet(target).orderBy("pk")
+      .as[(String, String)].collect().toSeq
+    assert(recovered == Seq(("a", "1"), ("b", "2"), ("c", "1"), ("d", "1")),
+      s"backup not restored before merge: $recovered")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(target + "_backup")))
+  }
+
+  test("interval join supports a same-named key on both sides") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val l = imps.toDF().toDF("user_id", "imp_ts")
+    val r = clicks.toDF().toDF("user_id", "click_ts")
+    val joined = StreamOps.intervalJoin(l, r, "user_id", "user_id",
+      "imp_ts", "click_ts", "10 minutes", "0 seconds", "1 hour")
+    // the shared key dedupes to a single output column
+    assert(joined.columns.count(_ == "user_id") == 1, joined.columns.toSeq)
+    val sink = new java.io.File(
+      Files.createTempDirectory("graft_ij").toFile, "out").getPath
+    val ckp = Files.createTempDirectory("graft_ij_ckp").toString
+    val q = joined.writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckp).start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    imps.addData((7L, ts(0)), (8L, ts(0)))
+    clicks.addData((7L, ts(30)), (8L, ts(45)), (9L, ts(30)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.read.parquet(sink)
+    assert(rows.count() == 2, "one joined row per matched user expected")
+    assert(rows.select("user_id").orderBy("user_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(7L, 8L))
   }
 }

@@ -171,7 +171,15 @@ object Bench {
       }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val ok = results.forall(_._3.isEmpty)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"drift":$drift,"fingerprint":"$fingerprint","baseline_fingerprint_match":$fingerprintMatch,"ok":$ok,"sf":"$sfDir"}""")
+    // a mismatch makes the drift map VACUOUS, not clean — carry that as
+    // its own top-level warning so "drift":{} on regenerated testdata
+    // can never read as "no drift" (tools/benchcheck.py refuses it too)
+    val warning =
+      if (fingerprintMatch) ""
+      else s""","warning":"baseline fingerprint mismatch (data ${fingerprint} vs baseline ${baselineFingerprint.getOrElse("<none>")}): drift map suppressed and VACUOUS — re-pin PERF_BASELINE.json on the current testdata""""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"drift":$drift,"fingerprint":"$fingerprint","baseline_fingerprint_match":$fingerprintMatch$warning,"ok":$ok,"sf":"$sfDir"}""")
+    if (!fingerprintMatch)
+      System.err.println("BENCH WARNING: baseline fingerprint mismatch — drift comparison was vacuous")
     spark.stop()
     if (!ok) sys.exit(1)
   }

@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.Temporal.queries ++
       graft.queries.Analytic.queries ++
       graft.queries.GoldActivity.queries ++
-      graft.queries.Parity.queries
+      graft.queries.Parity.queries ++
+      graft.queries.IoParity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.Temporal.oracles ++
       graft.queries.Analytic.oracles ++
       graft.queries.GoldActivity.oracles ++
-      graft.queries.Parity.oracles
+      graft.queries.Parity.oracles ++
+      graft.queries.IoParity.oracles
 }

@@ -69,8 +69,12 @@ object ProfileMetrics {
       .groupBy("member_code")
       .agg(count(lit(1)).as("distinct_votes_participated"))
       .withColumn("vote_participation_pct",
+        // count * 100.0 / total, in THIS operand order: the DuckDB oracle
+        // (Parity q95) computes COUNT(*) * 100.0 / total, and the reverse
+        // order (count / total * 100.0) can land on the other side of an
+        // exact .5 rounding boundary for some count/total pairs
         if (totalVoteIds > 0)
-          round(col("distinct_votes_participated").cast("double") / totalVoteIds * 100.0)
+          round(col("distinct_votes_participated") * 100.0 / totalVoteIds)
             .cast("long")
         else lit(0L))
 

@@ -52,6 +52,35 @@ object TableIO {
   def writeParquet(df: DataFrame, target: String): Unit =
     df.write.mode("overwrite").parquet(target)
 
+  /** Column-name cleanup for CSV→parquet recodes (reference
+    * process/debate_speeches_csv_to_parquet.py:35-60): lowercase,
+    * whitespace/hyphen runs → underscore, every OTHER non-alphanumeric
+    * dropped (not folded — "é" disappears, matching the reference's
+    * ascii-only keep), underscores collapsed and trimmed, empty → col;
+    * then collisions deduped by PROBING `_2`, `_3`, ... against every
+    * name taken so far (so "name", "name_2", "name" yields name,
+    * name_2, name_3 — a per-base counter would re-collide on name_2).
+    */
+  def cleanColumnNames(df: DataFrame): DataFrame = {
+    def clean(name: String): String = {
+      val s = name.trim.toLowerCase
+        .replaceAll("[\\s\\-]+", "_")
+        .replaceAll("[^a-z0-9_]", "")
+        .replaceAll("_+", "_")
+        .replaceAll("^_+|_+$", "")
+      if (s.isEmpty) "col" else s
+    }
+    val seen = scala.collection.mutable.Set.empty[String]
+    val renamed = df.columns.map { c =>
+      val base = clean(c)
+      val unique = (Iterator.single(base) ++
+        Iterator.from(2).map(i => s"${base}_$i")).find(!seen.contains(_)).get
+      seen += unique
+      unique
+    }
+    df.toDF(renamed.toIndexedSeq: _*)
+  }
+
   /** M8 scoped replace at the file layout: a hive-partitioned parquet
     * table where an overwrite rewrites ONLY the partitions present in
     * the incoming frame (dynamic partition overwrite), leaving every

@@ -763,7 +763,8 @@ object DedupOps {
                                path: Option[String],
                                schemas: Map[String, String],
                                params: Option[CorpusIndexParams],
-                               carriedTags: Seq[String] = Nil): Unit = {
+                               carriedTags: Seq[String] = Nil,
+                               compactedFrom: Option[Map[String, Any]] = None): Unit = {
     // build params ride the bands table's properties so every read path
     // (same-session read or cross-session attach) recovers them for the
     // ingest-call verification in incrementalDedupPrepared
@@ -783,7 +784,7 @@ object DedupOps {
     // fresh append-epoch ledger: the base record pins the just-written
     // files so torn-append repair can always separate original index
     // files from partial-append orphans
-    initEpochLedger(spark, tablePrefix, carriedTags)
+    initEpochLedger(spark, tablePrefix, carriedTags, compactedFrom)
   }
 
   private def paramsProps(p: CorpusIndexParams): String =
@@ -853,7 +854,18 @@ object DedupOps {
         val sameBuckets = meta.bucketSpec.exists(_.numBuckets == manifestBuckets)
         val sameLoc = new org.apache.hadoop.fs.Path(meta.location).toUri.getPath ==
           expectedLoc.toUri.getPath
-        if (!sameBuckets || !sameLoc) spark.sql(s"DROP TABLE $table")
+        if (!sameBuckets || !sameLoc) {
+          // only EXTERNAL registrations are safe to drop: DROP TABLE on a
+          // MANAGED table (written via writeCorpusDedupIndex with no path)
+          // deletes its data files — attaching an external index under an
+          // in-use managed prefix would silently destroy the managed
+          // index's data
+          require(meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+            s"table $table is MANAGED and disagrees with the manifest at $path " +
+              "— refusing to DROP it (that would delete its data files); " +
+              "attach under a different prefix or drop the managed index yourself")
+          spark.sql(s"DROP TABLE $table")
+        }
       }
       spark.sql(s"""CREATE TABLE IF NOT EXISTS $table (${schemas(name)})
         |USING PARQUET
@@ -972,6 +984,21 @@ object DedupOps {
         }.getOrElse(Nil))
     def committedFilesOf(table: String): Set[String] =
       commits.values.flatMap(c => epochFilesOf(c, table)).toSet
+    /** Committed idempotence tags in append order (base-carried tags
+      * first — oldest by construction — then per-epoch tags by epoch id),
+      * so compaction's carry can prune to the most RECENT window.
+      */
+    def orderedCommittedTags: Seq[String] = {
+      val baseCarried = commits.get(0L)
+        .flatMap(_.get("carried_tags").collect { case s: Seq[_] => s.map(String.valueOf) })
+        .getOrElse(Nil)
+      val epochTags = commits.toSeq.sortBy(_._1)
+        .collect { case (e, r) if e != 0L => r.get("tag").map(String.valueOf) }
+        .flatten
+      (baseCarried ++ epochTags).distinct.filterNot(_ == "base")
+    }
+    def ledgerId: Option[String] =
+      commits.get(0L).flatMap(_.get("ledger_id")).map(String.valueOf)
   }
 
   private def epochFilesOf(record: Map[String, Any], table: String): Seq[String] =
@@ -986,8 +1013,16 @@ object DedupOps {
     f"epoch-$epoch%08d.$kind.json"
 
   private def readEpochLedger(spark: org.apache.spark.sql.SparkSession,
-                              tablePrefix: String): Option[EpochLedger] = {
-    val dir = epochLedgerDir(spark, tablePrefix)
+                              tablePrefix: String): Option[EpochLedger] =
+    readEpochLedgerAt(spark, epochLedgerDir(spark, tablePrefix))
+
+  /** Ledger read by DIRECTORY, not catalog prefix: the promote-time
+    * coverage check re-reads the SOURCE index's ledger from the path the
+    * compaction snapshot recorded, which must work even in a session
+    * whose catalog no longer registers the source prefix.
+    */
+  private def readEpochLedgerAt(spark: org.apache.spark.sql.SparkSession,
+                                dir: org.apache.hadoop.fs.Path): Option[EpochLedger] = {
     val fs = hadoopFs(spark, dir)
     if (!fs.exists(dir)) None
     else {
@@ -1018,10 +1053,23 @@ object DedupOps {
     * its accepted docs via the copied fingerprints), judge everything
     * exact_dup, and overwrite its target partition with an empty frame —
     * silent data loss in the sink.
+    *
+    * `compactedFrom`: compaction's snapshot of the SOURCE index it read
+    * (prefix, ledger dir, committed epochs, table locations, bucket
+    * count, ledger id) — [[promoteCorpusDedupIndexChecked]] diffs the
+    * source's CURRENT committed epochs against this snapshot at promote
+    * time, closing the window where an append commits on the old prefix
+    * between compaction's read and the pointer swap.
+    *
+    * The base record also carries a fresh `ledger_id`: a full re-WRITE
+    * of a prefix restarts epoch numbering, so the promote-time diff
+    * compares identities first — matching epoch ids on a rewritten
+    * source would otherwise read as "covered".
     */
   private def initEpochLedger(spark: org.apache.spark.sql.SparkSession,
                               tablePrefix: String,
-                              carriedTags: Seq[String] = Nil): Unit = {
+                              carriedTags: Seq[String] = Nil,
+                              compactedFrom: Option[Map[String, Any]] = None): Unit = {
     val dir = epochLedgerDir(spark, tablePrefix)
     hadoopFs(spark, dir).delete(dir, true)
     val tables = IndexTableNames.map { n =>
@@ -1029,8 +1077,10 @@ object DedupOps {
       n -> Map("files" -> listDataFiles(hadoopFs(spark, loc), loc).toSeq.sorted)
     }.toMap
     val base: Map[String, Any] =
-      Map("epoch" -> 0L, "tag" -> "base", "tables" -> tables) ++
-        (if (carriedTags.nonEmpty) Map("carried_tags" -> carriedTags.sorted) else Map.empty)
+      Map("epoch" -> 0L, "tag" -> "base", "tables" -> tables,
+        "ledger_id" -> java.util.UUID.randomUUID().toString) ++
+        (if (carriedTags.nonEmpty) Map("carried_tags" -> carriedTags.sorted) else Map.empty) ++
+        compactedFrom.map("compacted_from" -> _)
     writeTextFile(spark, new org.apache.hadoop.fs.Path(dir, epochFileName(0L, "commit")).toString,
       graft.io.StableJson.write(base))
   }
@@ -1097,10 +1147,11 @@ object DedupOps {
     * pointer per trigger, so a compact+promote rolls them onto the fresh
     * index without a restart ([[compactCorpusDedupIndex]] writes to a
     * new prefix; this is the "caller swaps" half). The pointer records
-    * the previous prefix for rollback-by-hand. Run the compact+promote
-    * at a trigger quiet point: appends landing on the OLD prefix after
-    * compaction reads it are not in the new index (re-append them or
-    * quiesce ingest around the swap, as any copy-on-write store).
+    * the previous prefix for rollback-by-hand. This raw form swaps
+    * UNCHECKED — prefer [[promoteCorpusDedupIndexChecked]], which diffs
+    * the source ledger's committed epochs against compaction's snapshot
+    * and heals (or refuses on) appends that landed on the OLD prefix
+    * after compaction read it.
     */
   def promoteCorpusDedupIndex(store: graft.io.BatchStore, pointerKey: String,
                               tablePrefix: String,
@@ -1114,6 +1165,143 @@ object DedupOps {
       path.map("path" -> _)
     store.putJson(pointerKey, pointer)
     pointer
+  }
+
+  /** [[promoteCorpusDedupIndex]] with the compact-promote append window
+    * CLOSED: before swapping the pointer, diff the source index's
+    * CURRENT committed epochs against the snapshot compaction recorded
+    * (`compacted_from` in the target's base ledger record). An append
+    * that committed on the old prefix after compaction's read would be
+    * silently absent from the promoted index — near-dup judgments would
+    * go blind to its docs, forever and without an error. On a gap this
+    * either HEALS (default: copy the missing epochs' recorded files into
+    * the promoted index's tables — valid because append files carry
+    * their bucket ids in their names and the bucket layout matched at
+    * compaction — re-recording each as a committed epoch with its
+    * original idempotence tag) or REFUSES, naming the missing epochs.
+    *
+    * Refuses rather than heals when: the source was fully re-written
+    * since compaction (ledger identity mismatch — the snapshot no longer
+    * describes it), or the bucket counts differ (copied files would land
+    * in the wrong buckets and every bucketed join would be silently
+    * wrong). Targets without a `compacted_from` record (fresh builds,
+    * pre-guard compactions) promote unchecked, as before.
+    *
+    * Returns the pointer plus `healed_epochs` (source epoch ids copied
+    * in; empty when the snapshot covered everything).
+    */
+  def promoteCorpusDedupIndexChecked(spark: org.apache.spark.sql.SparkSession,
+                                     store: graft.io.BatchStore, pointerKey: String,
+                                     tablePrefix: String,
+                                     path: Option[String] = None,
+                                     healMissing: Boolean = true): Map[String, Any] = {
+    val healed = healPromoteCoverageGap(spark, tablePrefix, healMissing)
+    promoteCorpusDedupIndex(store, pointerKey, tablePrefix, path) +
+      ("healed_epochs" -> healed)
+  }
+
+  /** The coverage diff + heal behind [[promoteCorpusDedupIndexChecked]]:
+    * returns the source epoch ids healed into `toPrefix` (empty when the
+    * compaction snapshot already covered the source's committed state).
+    */
+  private def healPromoteCoverageGap(spark: org.apache.spark.sql.SparkSession,
+                                     toPrefix: String,
+                                     healMissing: Boolean): Seq[Long] = {
+    val tgtLedger = readEpochLedger(spark, toPrefix)
+    val cf = tgtLedger.flatMap(_.commits.get(0L))
+      .flatMap(_.get("compacted_from").collect {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      })
+    cf.fold(Seq.empty[Long]) { snap =>
+      val ledgerDir = new org.apache.hadoop.fs.Path(String.valueOf(snap("ledger_dir")))
+      val snapEpochs = snap.get("epochs").collect {
+        case s: Seq[_] => s.map(v => String.valueOf(v).toLong)
+      }.getOrElse(Nil).toSet
+      readEpochLedgerAt(spark, ledgerDir).fold(Seq.empty[Long]) { src =>
+        // identity first: a re-written source restarts epoch numbering,
+        // so matching ids prove nothing about coverage
+        val snapId = snap.get("ledger_id").map(String.valueOf)
+        if (snapId.isDefined && src.ledgerId.isDefined && snapId != src.ledgerId)
+          throw new IllegalStateException(
+            s"promote refused: the source index at $ledgerDir was re-written " +
+              "since this compaction (ledger identity changed) — the compacted " +
+              s"index $toPrefix no longer describes it; re-run the compaction")
+        // epoch 0 is the base state compaction consumed (snapshotted, or
+        // bootstrapped from exactly that state by the first later append);
+        // epochs a previous checked promote already healed into the
+        // target are recorded there as `healed_from_epoch` — skip them,
+        // making repeated checked promotes idempotent
+        val healedAlready = tgtLedger.map(_.commits.values.flatMap(
+          _.get("healed_from_epoch").collect { case l: Long => l }).toSet)
+          .getOrElse(Set.empty[Long])
+        val missing = (src.commits.keySet - 0L) -- snapEpochs -- healedAlready
+        if (missing.isEmpty) Nil
+        else {
+          val names = missing.toSeq.sorted
+          val tagsOf = names.map(e =>
+            e -> src.commits(e).get("tag").map(String.valueOf).getOrElse("<untagged>"))
+          if (!healMissing) throw new IllegalStateException(
+            s"promote refused: epoch(s) ${tagsOf.map { case (e, t) => s"$e(tag=$t)" }
+              .mkString(", ")} committed on the source index AFTER compaction " +
+              s"read it — the compacted index $toPrefix is missing their docs. " +
+              "Re-append them, re-compact, or promote with healMissing=true")
+          val srcBuckets = snap.get("buckets").map(v => String.valueOf(v).toInt).getOrElse(-1)
+          val tgtBuckets = tableBucketCount(spark, s"${toPrefix}_bands").getOrElse(-2)
+          require(srcBuckets == tgtBuckets,
+            s"promote cannot heal epochs ${names.mkString(",")}: the source was " +
+              s"bucketed into $srcBuckets and the compacted index into $tgtBuckets " +
+              "— appended files carry their bucket ids in their names, so a copy " +
+              "would mis-bucket them; re-run the compaction instead")
+          val locs = snap("locations").asInstanceOf[Map[String, Any]]
+          names.foreach(e => healEpochByFileCopy(spark, toPrefix, locs, e, src.commits(e)))
+          names
+        }
+      }
+    }
+  }
+
+  /** Copy one committed source epoch's recorded files into the promoted
+    * index's tables and re-record it as a committed epoch (same tag, so
+    * streaming replay idempotence carries). Runs under the target's own
+    * intent→commit protocol: a crash mid-copy leaves a torn epoch the
+    * readers refuse and repair quarantines — never a silently
+    * half-healed index.
+    */
+  private def healEpochByFileCopy(spark: org.apache.spark.sql.SparkSession,
+                                  toPrefix: String, locs: Map[String, Any],
+                                  srcEpoch: Long, rec: Map[String, Any]): Unit = {
+    val led = readEpochLedger(spark, toPrefix).get
+    val dir = epochLedgerDir(spark, toPrefix)
+    val epoch = led.nextEpoch
+    val tag = rec.get("tag").map(String.valueOf)
+    writeTextFile(spark,
+      new org.apache.hadoop.fs.Path(dir, epochFileName(epoch, "intent")).toString,
+      graft.io.StableJson.write(Map("epoch" -> epoch,
+        "healed_from_epoch" -> srcEpoch) ++ tag.map("tag" -> _)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tables = IndexTableNames.map { n =>
+      val files = epochFilesOf(rec, n)
+      val srcLoc = new org.apache.hadoop.fs.Path(String.valueOf(locs(n)))
+      val dstLoc = tableLocationPath(spark, s"${toPrefix}_$n")
+      files.foreach { rel =>
+        val sp = new org.apache.hadoop.fs.Path(srcLoc, rel)
+        val dp = new org.apache.hadoop.fs.Path(dstLoc, rel)
+        org.apache.hadoop.fs.FileUtil.copy(
+          sp.getFileSystem(conf), sp, dp.getFileSystem(conf), dp, false, true, conf)
+      }
+      spark.catalog.refreshByPath(dstLoc.toString)
+      n -> (Map("files" -> files.sorted) ++
+        rec.get("tables").collect { case m: Map[_, _] =>
+          m.asInstanceOf[Map[String, Any]]
+        }.flatMap(_.get(n)).collect { case m: Map[_, _] =>
+          m.asInstanceOf[Map[String, Any]].get("rows")
+        }.flatten.map("rows" -> _))
+    }.toMap
+    writeTextFile(spark,
+      new org.apache.hadoop.fs.Path(dir, epochFileName(epoch, "commit")).toString,
+      graft.io.StableJson.write(Map("epoch" -> epoch, "tables" -> tables,
+        "healed_from_epoch" -> srcEpoch) ++ tag.map("tag" -> _)))
+    IndexTableNames.foreach(n => spark.catalog.refreshTable(s"${toPrefix}_$n"))
   }
 
   /** Resolve the current index prefix through a BatchStore pointer,
@@ -1307,8 +1495,14 @@ object DedupOps {
                               fromPrefix: String, toPrefix: String,
                               buckets: Int, path: Option[String] = None,
                               maxBucketOverride: Option[Int] = None,
-                              maxFilesPerBucket: Int = 4): DataFrame = {
+                              maxFilesPerBucket: Int = 4,
+                              carryRecentTags: Int = 64): DataFrame = {
     val idx = readCorpusDedupIndex(spark, fromPrefix)
+    // ONE ledger snapshot, taken with the read above, serves both the
+    // carried-tags computation and the promote-time coverage diff — a
+    // second read after the table writes could see epochs the written
+    // files don't contain
+    val srcLedger = readEpochLedger(spark, fromPrefix)
     val p = idx.params.getOrElse(throw new IllegalStateException(
       s"index $fromPrefix carries no build params — cannot re-cap without them"))
     val cap = maxBucketOverride.getOrElse(p.maxBucket)
@@ -1320,10 +1514,14 @@ object DedupOps {
     path.foreach { dst =>
       val srcRoot = tableLocationPath(spark, s"${fromPrefix}_bands").getParent
       val dstRoot = new org.apache.hadoop.fs.Path(dst)
-      require(hadoopFs(spark, dstRoot).makeQualified(dstRoot) !=
-          hadoopFs(spark, srcRoot).makeQualified(srcRoot),
-        s"compaction destination $dst is the source index's own root — " +
-          "copy-on-write compaction must write to a fresh path")
+      require(!pathsOverlap(
+          hadoopFs(spark, dstRoot).makeQualified(dstRoot),
+          hadoopFs(spark, srcRoot).makeQualified(srcRoot)),
+        s"compaction destination $dst overlaps the source index's root " +
+          s"$srcRoot — copy-on-write compaction must write to a fresh path " +
+          "(a nested destination would plant new files under a source table " +
+          "dir, and the source's recursive file listing would fold them into " +
+          "its ledger/base pinning)")
     }
     // Only the bands table CHANGES under compaction (the re-cap filter);
     // fingerprints and shingles are append-only and already bucketed. At
@@ -1357,19 +1555,53 @@ object DedupOps {
     // a streaming trigger replayed ACROSS the compact+promote must read
     // as committed — re-judging it against an index that already holds
     // its accepted docs would empty-overwrite its target partition.
-    // The carry is transitive (committedTags includes previously carried
-    // tags), so the list grows by one short string per tagged append over
-    // the index's lifetime — trivial for batch cadences; if a per-minute
-    // stream ever makes it heavy, compaction may prune to recent tags,
-    // since foreachBatch replays only the single in-flight trigger.
-    val carried = readEpochLedger(spark, fromPrefix)
-      .map(_.committedTags - "base").getOrElse(Set.empty).toSeq
+    // The carry is transitive (orderedCommittedTags includes previously
+    // carried tags) but PRUNED to the most recent `carryRecentTags`:
+    // foreachBatch replays only the single in-flight trigger, so a
+    // bounded recent window preserves replay semantics while keeping the
+    // list from growing one tag per append for the index's lifetime.
+    val carried = srcLedger.map(_.orderedCommittedTags).getOrElse(Nil)
+      .takeRight(carryRecentTags)
+    // snapshot of what this compaction actually consumed, stamped into
+    // the new index's base ledger record: promoteCorpusDedupIndexChecked
+    // diffs the source's current committed epochs against it, catching
+    // appends that COMMIT on the old prefix between this read and the
+    // pointer swap (they would otherwise be silently absent from the
+    // promoted index)
+    val compactedFrom: Map[String, Any] = Map(
+      "prefix" -> fromPrefix,
+      "ledger_dir" -> epochLedgerDir(spark, fromPrefix).toString,
+      "epochs" -> srcLedger.map(_.commits.keySet.toSeq.sorted).getOrElse(Nil),
+      "locations" -> IndexTableNames.map(n =>
+        n -> tableLocationPath(spark, s"${fromPrefix}_$n").toString).toMap,
+      // the SOURCE's bucket count: heal-by-file-copy is only valid when
+      // the source's appended files (bucket ids ride in the names) were
+      // bucketed the same way as the promoted index
+      "buckets" -> fromBuckets.getOrElse(-1)) ++
+      srcLedger.flatMap(_.ledgerId).map("ledger_id" -> _)
     finishIndexWrite(spark, toPrefix, buckets, path,
       Map("fingerprints" -> idx.fingerprints.schema.toDDL,
         "shingles" -> idx.shingles.schema.toDDL,
         "bands" -> idx.bands.schema.toDDL),
-      Some(p.copy(maxBucket = cap)), carried)
+      Some(p.copy(maxBucket = cap)), carried, Some(compactedFrom))
     oversizedBuckets(idx.bands, Seq("band_idx", "band_hash"), cap)
+  }
+
+  /** True when either qualified path is an ancestor of (or equal to) the
+    * other. Exact-equality checks miss the nested cases: a destination
+    * inside the source root passes `!=` yet plants foreign files under a
+    * source table dir, and a source inside the destination would be
+    * deleted by the copy leg's destination clear.
+    */
+  private def pathsOverlap(a: org.apache.hadoop.fs.Path,
+                           b: org.apache.hadoop.fs.Path): Boolean = {
+    def comps(p: org.apache.hadoop.fs.Path): Seq[String] = {
+      val u = p.toUri
+      Seq(Option(u.getScheme).getOrElse(""), Option(u.getAuthority).getOrElse("")) ++
+        u.getPath.split("/").filter(_.nonEmpty).toSeq
+    }
+    val (ca, cb) = (comps(a), comps(b))
+    ca.startsWith(cb) || cb.startsWith(ca)
   }
 
   /** Declared bucket count of a catalog table, if bucketed. */
@@ -1395,11 +1627,13 @@ object DedupOps {
     val srcLoc = tableLocationPath(spark, s"${fromPrefix}_$name")
     val destLoc = new org.apache.hadoop.fs.Path(s"$destRoot/$name")
     val destFs = hadoopFs(spark, destLoc)
-    // the copy leg clears its destination first — compacting "into" the
-    // source location would delete the files it is about to copy
-    require(destFs.makeQualified(destLoc) != hadoopFs(spark, srcLoc).makeQualified(srcLoc),
-      s"compaction destination $destLoc is the source table's own location — " +
-        "copy-on-write compaction must write to a fresh path")
+    // the copy leg clears its destination first — compacting "into" (or
+    // under, or over a parent of) the source location would delete the
+    // files it is about to copy
+    require(!pathsOverlap(destFs.makeQualified(destLoc),
+        hadoopFs(spark, srcLoc).makeQualified(srcLoc)),
+      s"compaction destination $destLoc overlaps the source table's " +
+        "location — copy-on-write compaction must write to a fresh path")
     spark.sql(s"DROP TABLE IF EXISTS ${toPrefix}_$name")
     destFs.delete(destLoc, true)
     destFs.mkdirs(destLoc)

@@ -89,7 +89,10 @@ object StreamOps {
     * Column names must be distinct across the two sides except the join
     * key, which MAY share a name: references are dataset-qualified (bare
     * `col(k)` would be AMBIGUOUS_REFERENCE when both sides carry `k`),
-    * and a same-named right key is dropped from the output.
+    * and the two same-named keys collapse to ONE output column. For
+    * right/full outer joins that surviving column COALESCES the two
+    * sides — an unconditional drop of the right key would null the key
+    * on every unmatched right row, losing the join key value.
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String,
@@ -103,7 +106,16 @@ object StreamOps {
         r(rightTs) >= l(leftTs) + expr(s"INTERVAL $lowerBound") &&
         r(rightTs) <= l(leftTs) + expr(s"INTERVAL $upperBound"),
       joinType)
-    if (leftKey == rightKey) joined.drop(r(rightKey)) else joined
+    val jt = joinType.toLowerCase.replaceAll("[_ ]", "")
+    if (leftKey != rightKey) joined
+    else if (jt.contains("semi") || jt.contains("anti")) joined // left cols only
+    else if (jt.startsWith("right") || jt.startsWith("full") || jt == "outer") {
+      // unmatched right rows carry the key only on the right side
+      val cols = left.columns.map(c =>
+        if (c == leftKey) coalesce(l(c), r(rightKey)).as(leftKey) else l(c)) ++
+        right.columns.filterNot(_ == rightKey).map(r(_))
+      joined.select(cols.toIndexedSeq: _*)
+    } else joined.drop(r(rightKey))
   }
 
   /** foreachBatch upsert sink: each micro-batch merges into the target
@@ -260,12 +272,13 @@ object StreamOps {
     * [[graft.io.BatchStore]] pointer PER TRIGGER — the rollover half of
     * the compaction lifecycle: a maintenance job runs
     * DedupOps.compactCorpusDedupIndex (fresh re-capped prefix) and
-    * DedupOps.promoteCorpusDedupIndex (pointer overwrite), and this
-    * sink's next trigger judges and appends against the compacted index
-    * with no stream restart. Run the compact+promote at a trigger quiet
-    * point: accepted docs appended to the OLD prefix after compaction
-    * read it are not in the new index (the copy-on-write caveat
-    * documented on promoteCorpusDedupIndex). A trigger that committed
+    * DedupOps.promoteCorpusDedupIndexChecked (pointer overwrite), and
+    * this sink's next trigger judges and appends against the compacted
+    * index with no stream restart. The CHECKED promote closes the
+    * append window: a trigger whose tagged append commits on the OLD
+    * prefix after compaction read it is healed into (or loudly blocks)
+    * the promoted index, so no quiesce is required around the swap.
+    * A trigger that committed
     * its append BEFORE the compact and replays AFTER the promote is
     * safe: compaction carries the source ledger's committed tags into
     * the new index's ledger, so the replay reads "committed" and no-ops
@@ -308,13 +321,27 @@ object StreamOps {
                         rosterAndCaches: (DataFrame, Seq[DataFrame]),
                         idCol: String): DataFrame = {
     val (roster, caches) = rosterAndCaches
+    // Pin the ROSTER first: the judgment plan is a DAG whose exact-stage
+    // and candidate-stage subtrees appear under several join legs, and a
+    // `filter(status)` pushed into the un-materialized plan re-executes
+    // every un-persisted subtree (and re-broadcasts the corpus-side
+    // bands/shingle relations) — measured 55-100s per 130-doc trigger
+    // at sf0.1 vs ~2s for the single-pass judgment. One batch-sized
+    // materialization here makes the semi-join below read 130 cached
+    // rows instead of re-running the chain.
+    val rosterPinned = roster.localCheckpoint(true)
     val kept = batch
       .withColumn("_nid", col(idCol).cast("long"))
-      .join(roster.filter(col("status") === "kept")
+      .join(rosterPinned.filter(col("status") === "kept")
         .select(col("new_id").as("_nid")), Seq("_nid"), "left_semi")
       .drop("_nid")
       // pin before the caches are released (the judgment plan reads them)
       .localCheckpoint(true)
+    // kept's lineage is truncated by its own checkpoint, so the roster
+    // pin can release now — without this, one batch-sized checkpoint
+    // lingers in the BlockManager per trigger until the ContextCleaner
+    // happens to collect it
+    rosterPinned.unpersist()
     caches.foreach(_.unpersist())
     kept
   }
@@ -337,24 +364,37 @@ object StreamOps {
     * our own crashed attempt — repair, then redo both idempotently
     * (deterministic target partition, tag-keyed append).
     */
+  /** Test/profiler hook: print per-stage timings of each intake trigger
+    * to stdout. Never set outside profiling runs.
+    */
+  private[graft] var intakeDebug = false
+
   private def intakeUpdateTrigger(batch: DataFrame, batchId: Long,
                         tablePrefix: String, textCol: String, idCol: String,
                         targetPath: String, n: Int, numHashes: Int, bands: Int,
                         threshold: Double, maxBucket: Int): Unit = {
     val spark = batch.sparkSession
+    def t[A](label: String)(f: => A): A =
+      if (!intakeDebug) f else {
+        val t0 = System.nanoTime(); val r = f
+        println(f"  intake[$batchId]:$label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        r
+      }
     val tag = intakeBatchTag(spark, batchId)
     graft.operators.DedupOps.epochTagState(spark, tablePrefix, tag) match {
       case "committed" => ()
       case state =>
         if (state == "torn")
           graft.operators.DedupOps.repairCorpusDedupIndex(spark, tablePrefix)
-        val idx = graft.operators.DedupOps.readCorpusDedupIndex(spark, tablePrefix)
-        val kept = judgeKept(batch, graft.operators.DedupOps
+        val idx = t("read-index")(
+          graft.operators.DedupOps.readCorpusDedupIndex(spark, tablePrefix))
+        val judged = t("judge")(graft.operators.DedupOps
           .incrementalDedupPreparedWithCaches(batch, idx, textCol, idCol,
-            n, numHashes, bands, threshold, maxBucket), idCol)
-        writeKeptPartition(kept, targetPath, tag)
-        graft.operators.DedupOps.appendToCorpusDedupIndex(
-          kept, textCol, idCol, tablePrefix, epochTag = Some(tag))
+            n, numHashes, bands, threshold, maxBucket))
+        val kept = t("kept")(judgeKept(batch, judged, idCol))
+        t("write-partition")(writeKeptPartition(kept, targetPath, tag))
+        t("append-index")(graft.operators.DedupOps.appendToCorpusDedupIndex(
+          kept, textCol, idCol, tablePrefix, epochTag = Some(tag)))
         kept.unpersist()
     }
   }

@@ -631,4 +631,196 @@ class CorpusIndexSpec extends SparkSpec {
       assert(viaEpochs == viaRebuild)
     } finally { DedupOps.appendFaultInjection = None; dropIndex() }
   }
+
+  test("an append committing between compaction read and promote is healed by the checked promote") {
+    // THE compact-promote window: a streaming trigger's tagged append
+    // COMMITS on the old prefix after compaction has read it, and the
+    // trigger's checkpoint also commits — foreachBatch never replays it,
+    // so without the promote-time diff the doc would be present in the
+    // old index, absent from the promoted one, and near-dup judgments
+    // would be silently blind to it forever.
+    dropIndex()
+    val toPrefix = prefix + "_compacted"
+    def dropTo(): Unit = Seq("_fingerprints", "_shingles", "_bands")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $toPrefix$s"))
+    dropTo()
+    val srcRoot = new java.io.File(sys.props("java.io.tmpdir"), "graft_test_cidx_winsrc")
+    val dstRoot = new java.io.File(sys.props("java.io.tmpdir"), "graft_test_cidx_windst")
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft_cidx_store").toString
+    val store = graft.io.BatchStore.local(storeRoot)
+    val pointerKey = "pointers/dedup_index.json"
+    try {
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"),
+        prefix, buckets = 4, path = Some(srcRoot.getPath))
+      // covered append (before compaction reads) — must NOT be re-healed
+      DedupOps.appendToCorpusDedupIndex(
+        Seq((6000L, "a document accepted before the compaction read happened"))
+          .toDF("doc_id", "text"),
+        "text", "doc_id", prefix, epochTag = Some("covered-1"))
+      DedupOps.compactCorpusDedupIndex(spark, prefix, toPrefix,
+        buckets = 4, path = Some(dstRoot.getPath))
+      // the window: two appends commit on the OLD prefix after the
+      // compaction read, before the promote
+      val late1 = Seq((6001L, "a late document committing inside the promote window"))
+        .toDF("doc_id", "text")
+      val late2 = Seq((6002L, "another distinct late arrival with its own content entirely"))
+        .toDF("doc_id", "text")
+      DedupOps.appendToCorpusDedupIndex(late1, "text", "doc_id", prefix,
+        epochTag = Some("late-1"))
+      DedupOps.appendToCorpusDedupIndex(late2, "text", "doc_id", prefix,
+        epochTag = Some("late-2"))
+
+      // refuse mode names the gap
+      val e = intercept[IllegalStateException] {
+        DedupOps.promoteCorpusDedupIndexChecked(spark, store, pointerKey,
+          toPrefix, path = Some(dstRoot.getPath), healMissing = false)
+      }
+      assert(e.getMessage.contains("late-1") && e.getMessage.contains("late-2"),
+        e.getMessage)
+
+      // heal mode copies the missing epochs in and swaps the pointer
+      val promoted = DedupOps.promoteCorpusDedupIndexChecked(spark, store,
+        pointerKey, toPrefix, path = Some(dstRoot.getPath))
+      assert(promoted("healed_epochs").asInstanceOf[Seq[Long]].size == 2, promoted)
+      assert(DedupOps.resolveCorpusDedupIndex(spark, store, pointerKey) == toPrefix)
+
+      // the promoted index now judges the late docs: exact copies are
+      // exact_dup (fingerprints healed), perturbed copies near_dup
+      // (shingles AND bands healed — fingerprints alone can't do this),
+      // and the replayed tags read committed (append idempotence holds)
+      val probes = Seq(
+        (9000L, "a late document committing inside the promote window"),
+        (9001L, "another distinct late arrival with its own content entirely"),
+        (9002L, "a late document committing inside the promote area"),
+        (9003L, "a genuinely novel probe document unrelated to everything else here")
+      ).toDF("doc_id", "text")
+      val out = DedupOps.incrementalDedupPrepared(probes,
+          DedupOps.readCorpusDedupIndex(spark, toPrefix), "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(out(9000L) == "exact_dup", s"healed fingerprint miss: ${out(9000L)}")
+      assert(out(9001L) == "exact_dup", s"healed fingerprint miss: ${out(9001L)}")
+      assert(out(9002L) == "near_dup", s"healed bands/shingles miss: ${out(9002L)}")
+      assert(out(9003L) == "kept", s"novel probe judged ${out(9003L)}")
+      for (tag <- Seq("covered-1", "late-1", "late-2"))
+        assert(DedupOps.epochTagState(spark, toPrefix, tag) == "committed",
+          s"tag $tag not committed on the promoted index")
+
+      // a second checked promote is a no-op (healed epochs are recorded,
+      // not re-copied) and the healed index passes a full read
+      val again = DedupOps.promoteCorpusDedupIndexChecked(spark, store,
+        pointerKey, toPrefix, path = Some(dstRoot.getPath))
+      assert(again("healed_epochs").asInstanceOf[Seq[Long]].isEmpty, again)
+      DedupOps.readCorpusDedupIndex(spark, toPrefix)
+
+      // a REWRITTEN source (ledger identity change) refuses the promote:
+      // its epoch numbering restarted, so the snapshot proves nothing
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"),
+        prefix, buckets = 4, path = Some(srcRoot.getPath))
+      val e2 = intercept[IllegalStateException] {
+        DedupOps.promoteCorpusDedupIndexChecked(spark, store, pointerKey,
+          toPrefix, path = Some(dstRoot.getPath))
+      }
+      assert(e2.getMessage.contains("re-written"), e2.getMessage)
+    } finally {
+      dropIndex(); dropTo()
+      org.apache.commons.io.FileUtils.deleteQuietly(srcRoot)
+      org.apache.commons.io.FileUtils.deleteQuietly(dstRoot)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(storeRoot))
+    }
+  }
+
+  test("compaction prunes carried tags to the recent window, keeping replay semantics") {
+    // foreachBatch replays only the single in-flight trigger, so the
+    // carry needs a bounded recent window, not the index's full tag
+    // history — without pruning the base record grows one tag per
+    // tagged append for the index's lifetime
+    dropIndex()
+    val toPrefix = prefix + "_compacted"
+    def dropTo(): Unit = Seq("_fingerprints", "_shingles", "_bands")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $toPrefix$s"))
+    dropTo()
+    val srcRoot = new java.io.File(sys.props("java.io.tmpdir"), "graft_test_cidx_prunesrc")
+    val dstRoot = new java.io.File(sys.props("java.io.tmpdir"), "graft_test_cidx_prunedst")
+    try {
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"),
+        prefix, buckets = 4, path = Some(srcRoot.getPath))
+      for (i <- 1 to 6)
+        DedupOps.appendToCorpusDedupIndex(
+          Seq((6000L + i, s"unique appended document number $i with its own words"))
+            .toDF("doc_id", "text"),
+          "text", "doc_id", prefix, epochTag = Some(f"trig-$i%02d"))
+      DedupOps.compactCorpusDedupIndex(spark, prefix, toPrefix,
+        buckets = 4, path = Some(dstRoot.getPath), carryRecentTags = 3)
+      // only the 3 most recent tags carry; older ones age out
+      for (t <- Seq("trig-04", "trig-05", "trig-06"))
+        assert(DedupOps.epochTagState(spark, toPrefix, t) == "committed",
+          s"recent tag $t lost by pruning")
+      for (t <- Seq("trig-01", "trig-02", "trig-03"))
+        assert(DedupOps.epochTagState(spark, toPrefix, t) == "absent",
+          s"old tag $t survived pruning")
+      // the in-flight trigger (always the newest) replays as a no-op
+      val fpBefore = spark.table(s"${toPrefix}_fingerprints").count()
+      DedupOps.appendToCorpusDedupIndex(
+        Seq((6006L, "unique appended document number 6 with its own words"))
+          .toDF("doc_id", "text"),
+        "text", "doc_id", toPrefix, epochTag = Some("trig-06"))
+      assert(spark.table(s"${toPrefix}_fingerprints").count() == fpBefore)
+    } finally {
+      dropIndex(); dropTo()
+      org.apache.commons.io.FileUtils.deleteQuietly(srcRoot)
+      org.apache.commons.io.FileUtils.deleteQuietly(dstRoot)
+    }
+  }
+
+  test("compaction refuses nested destinations; attach refuses to drop a managed index") {
+    dropIndex()
+    val srcRoot = new java.io.File(sys.props("java.io.tmpdir"), "graft_test_cidx_nest")
+    try {
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"),
+        prefix, buckets = 4, path = Some(srcRoot.getPath))
+      // a destination NESTED INSIDE the source root passes an exact-
+      // equality guard yet plants the new index's files under a source
+      // table dir — the source's recursive listing would fold them into
+      // its ledger pinning and repair could delete them
+      val nested = new java.io.File(srcRoot, "fingerprints/sub").getPath
+      val e = intercept[IllegalArgumentException] {
+        DedupOps.compactCorpusDedupIndex(spark, prefix, prefix + "_n",
+          buckets = 4, path = Some(nested))
+      }
+      assert(e.getMessage.contains("overlap"), e.getMessage)
+      // ...and a destination that is an ANCESTOR of the source root
+      // would have the copy leg delete the source before copying it
+      val e2 = intercept[IllegalArgumentException] {
+        DedupOps.compactCorpusDedupIndex(spark, prefix, prefix + "_n",
+          buckets = 4, path = Some(sys.props("java.io.tmpdir")))
+      }
+      assert(e2.getMessage.contains("overlap"), e2.getMessage)
+
+      // attach over an in-use MANAGED prefix must refuse, not DROP: for
+      // a managed table DROP TABLE deletes the data files themselves
+      val managed = "graft_test_cidx_managed"
+      Seq("_fingerprints", "_shingles", "_bands")
+        .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $managed$s"))
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"),
+        managed, buckets = 2) // no path → MANAGED tables
+      val e3 = intercept[IllegalArgumentException] {
+        DedupOps.attachCorpusDedupIndex(spark, managed, srcRoot.getPath)
+      }
+      assert(e3.getMessage.contains("MANAGED"), e3.getMessage)
+      // the managed index's data survived the refused attach
+      assert(spark.table(s"${managed}_fingerprints").count() > 0)
+      Seq("_fingerprints", "_shingles", "_bands")
+        .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $managed$s"))
+    } finally {
+      dropIndex()
+      Seq("_fingerprints", "_shingles", "_bands")
+        .foreach(s => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_n$s"))
+      org.apache.commons.io.FileUtils.deleteQuietly(srcRoot)
+    }
+  }
 }

@@ -142,4 +142,17 @@ class OpsToolsSpec extends SparkSpec {
     assert(OpsTools.normalizeHashtags(Some(" ")) == OpsTools.DefaultHashtags)
     assert(OpsTools.normalizeHashtags(None) == OpsTools.DefaultHashtags)
   }
+
+  test("cleanColumnNames ports the csv-to-parquet recode's clean + probing dedupe") {
+    // reference process/debate_speeches_csv_to_parquet.py:35-60 —
+    // lowercase, whitespace/hyphens → _, OTHER non-alphanumerics DROPPED
+    // (ascii-only keep: the accent vanishes, not folds), collapse/trim,
+    // empty → col; dedupe probes _2, _3... against every taken name
+    val df = Seq(("x", "x", "x", "x", "x", "x", "x"))
+      .toDF(" Speaker-Name ", "café", "name_2", "Name", "name", "%%", "a..b")
+    val cleaned = graft.io.TableIO.cleanColumnNames(df)
+    assert(cleaned.columns.toSeq ==
+      Seq("speaker_name", "caf", "name_2", "name", "name_3", "col", "ab"),
+      cleaned.columns.toSeq.toString)
+  }
 }

@@ -109,6 +109,30 @@ class PlanAuditSpec extends SparkSpec {
       "curation chain contains an all-pairs join")
   }
 
+  test("q67 plan shape is pinned: scan/exchange/join counts unchanged") {
+    // adjudication pin for the twice-flagged q67 bench drift (round 8
+    // verdict): the committed quiet-window evidence (PERF.md round 9)
+    // shows the operator at 3.4-3.6s isolated with an unchanged plan —
+    // the bench-context inflation is JVM neighborhood (codegen-cache /
+    // GC), not a plan regression. This pin makes any FUTURE structural
+    // regression (extra scan, lost broadcast, extra shuffle) fail CI
+    // instead of surfacing as an unexplained drift flag.
+    val p = plan("q67_corpus_pipeline")
+    def uniq(pat: String): Int =
+      pat.r.findAllMatchIn(p).map(_.group(1)).toSet.size
+    val scans = uniq("""Scan parquet\s+\((\d+)\)""")
+    val shuffles = uniq("""[^t]Exchange\s+\((\d+)\)""")
+    val broadcasts = uniq("""BroadcastExchange\s+\((\d+)\)""")
+    val antis = uniq("""SortMergeJoin LeftAnti\s+\((\d+)\)""")
+    assert(scans == 3, s"q67 parquet scans changed: $scans (was 3 — one per " +
+      "uncached consumer of documents; more means a lost cache reuse)")
+    assert(shuffles == 10, s"q67 shuffle exchanges changed: $shuffles (was 10)")
+    assert(broadcasts == 4, s"q67 broadcast joins changed: $broadcasts (was 4 " +
+      "— fewer means a broadcast fell back to a shuffle join)")
+    assert(antis == 2, s"q67 left-anti joins changed: $antis (near-dup drop + " +
+      "decontamination drop)")
+  }
+
   test("scrub/quality operators are pure projections: no exchange at all") {
     // PII redaction and the quality gate must stay scan-side — a shuffle
     // appearing here means a window/groupBy snuck into a per-row op

@@ -278,10 +278,14 @@ class StreamingSpec extends SparkSpec {
           (100L, "fresh material arriving in the first trigger about spark state stores"))
         q.processAllAvailable()
 
-        // maintenance at a trigger quiet point: compact pa → pb (copy-
-        // on-write re-cap) and swap the pointer — NO stream restart
+        // maintenance mid-stream: compact pa → pb (copy-on-write re-cap)
+        // and swap the pointer via the CHECKED promote — NO stream
+        // restart and no quiesce requirement (an append committing in
+        // the window would be healed; here the window is empty)
         DedupOps.compactCorpusDedupIndex(spark, pa, pb, buckets = 2)
-        DedupOps.promoteCorpusDedupIndex(store, pointerKey, pb)
+        val promoted = DedupOps.promoteCorpusDedupIndexChecked(
+          spark, store, pointerKey, pb)
+        assert(promoted("healed_epochs").asInstanceOf[Seq[Long]].isEmpty)
 
         // trigger 2 must judge against pb: near-dup of trigger 1's
         // accepted doc and of the base corpus both drop; novel kept
@@ -368,5 +372,21 @@ class StreamingSpec extends SparkSpec {
     assert(rows.count() == 2, "one joined row per matched user expected")
     assert(rows.select("user_id").orderBy("user_id")
       .collect().map(_.getLong(0)).toSeq == Seq(7L, 8L))
+  }
+
+  test("interval join keeps the key on unmatched right rows of outer joins") {
+    // an unconditional drop of the same-named right key would null the
+    // key on every unmatched right row of a right/full outer join —
+    // the surviving column must coalesce the two sides (batch mode:
+    // same expression, no watermark state needed)
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val l = Seq((7L, ts(0))).toDF("user_id", "imp_ts")
+    val r = Seq((7L, ts(30)), (9L, ts(30))).toDF("user_id", "click_ts")
+    val joined = StreamOps.intervalJoin(l, r, "user_id", "user_id",
+      "imp_ts", "click_ts", "10 minutes", "0 seconds", "1 hour", "full_outer")
+    assert(joined.columns.count(_ == "user_id") == 1, joined.columns.toSeq)
+    val out = joined.select("user_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(7L, 9L),
+      s"unmatched right row lost its join key: $out")
   }
 }

@@ -109,6 +109,60 @@ object IoParity {
           stable(j1, j2).as("canon"))
         .orderBy("n_nationkey")
     }),
+
+    // S10 batch pointer router + F4 injectable clock, full lifecycle
+    // against REAL pointer files (reference extract/oireachtas/batch.py;
+    // ops-tool port scale — one table per nation row, driver-side like
+    // the reference script): record + assemble + promote b1, then a
+    // batch with DQ failures whose manifest must assemble FAILED and
+    // whose promote must refuse, then promote b3 and roll back to b1
+    // through the previous pointer. Every resolved path and every
+    // timestamp (fixed clock) is reconstructed by the oracle.
+    "q100_batch_pointer_router" -> ((s, dir) => {
+      import s.implicits._
+      val root = scratch(dir, "q100").getPath
+      val store = graft.io.BatchStore.local(root, () => "2026-01-02T03:04:05Z")
+      val keys = t(s, dir, "nation").select(col("n_nationkey").cast("long"))
+        .as[Long].collect().sorted.toSeq
+      val tables = keys.map(k => s"t$k")
+      def logical(k: Long) = s"latest/parquet/t$k.parquet"
+      def seed(b: String, dq: Long => String): Unit = {
+        keys.foreach { k =>
+          store.putJson(store.batchKeyForProductionKey(logical(k), b),
+            Map("rows" -> k))
+          store.recordBatchTable(b, s"t$k", rowCount = k * 10, dqStatus = dq(k),
+            primaryKey = Seq("id"), columns = Seq("id", "v"),
+            candidateKeys = Seq(logical(k)))
+        }
+      }
+      seed("b1", _ => "pass")
+      val m1 = store.assembleBatchManifest("b1", tables)
+      store.promoteBatch("b1", actor = "q100")
+      val resolved1 = keys.map(k => k -> store.resolveProductionKey(logical(k))).toMap
+      seed("b2", k => if (k % 5 == 0) "fail" else "pass")
+      val m2 = store.assembleBatchManifest("b2", tables)
+      val b2Promotion =
+        try { store.promoteBatch("b2", actor = "q100"); "promoted" }
+        catch { case _: IllegalArgumentException => "refused" }
+      seed("b3", _ => "pass")
+      store.assembleBatchManifest("b3", tables)
+      store.promoteBatch("b3", actor = "q100")
+      val resolved3 = keys.map(k => k -> store.resolveProductionKey(logical(k))).toMap
+      val rb = store.rollbackPrevious(actor = "q100")
+      val resolvedRb = keys.map(k => k -> store.resolveProductionKey(logical(k))).toMap
+      keys.map(k => (s"t$k",
+          String.valueOf(m1("status")),
+          String.valueOf(m2("status")),
+          if (k % 5 == 0) "failed" else "validated",
+          b2Promotion,
+          resolved1(k), resolved3(k), resolvedRb(k),
+          String.valueOf(rb("rolled_back_from_batch_id")),
+          String.valueOf(rb("promoted_at_utc"))))
+        .toDF("table_name", "b1_manifest_status", "b2_manifest_status",
+          "b2_entry_status", "b2_promotion", "resolved_b1", "resolved_b3",
+          "resolved_after_rollback", "rolled_back_from", "promoted_at_utc")
+        .orderBy("table_name")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -141,5 +195,23 @@ object IoParity {
         |    CAST(n_nationkey AS VARCHAR) || ',"name":"' || n_name || '"}' AS canon
         |FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+
+    "q100_batch_pointer_router" ->
+      """SELECT 't' || CAST(n_nationkey AS VARCHAR) AS table_name,
+        |  'validated' AS b1_manifest_status,
+        |  'failed' AS b2_manifest_status,
+        |  CASE WHEN n_nationkey % 5 = 0 THEN 'failed' ELSE 'validated' END
+        |    AS b2_entry_status,
+        |  'refused' AS b2_promotion,
+        |  'batches/b1/tables/t' || CAST(n_nationkey AS VARCHAR) || '/parquet/t'
+        |    || CAST(n_nationkey AS VARCHAR) || '.parquet' AS resolved_b1,
+        |  'batches/b3/tables/t' || CAST(n_nationkey AS VARCHAR) || '/parquet/t'
+        |    || CAST(n_nationkey AS VARCHAR) || '.parquet' AS resolved_b3,
+        |  'batches/b1/tables/t' || CAST(n_nationkey AS VARCHAR) || '/parquet/t'
+        |    || CAST(n_nationkey AS VARCHAR) || '.parquet' AS resolved_after_rollback,
+        |  'b3' AS rolled_back_from,
+        |  '2026-01-02T03:04:05Z' AS promoted_at_utc
+        |FROM nation
+        |ORDER BY table_name""".stripMargin,
   )
 }

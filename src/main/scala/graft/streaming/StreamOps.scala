@@ -232,12 +232,15 @@ object StreamOps {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val kept = judgeKept(batch, graft.operators.DedupOps
-          .incrementalDedupPreparedWithCaches(batch, index, textCol, idCol,
-            n, numHashes, bands, threshold, maxBucket), idCol)
-        writeKeptPartition(kept, targetPath,
-          intakeBatchTag(batch.sparkSession, batchId))
-        kept.unpersist()
+        // idle triggers write nothing (see intakeUpdateTrigger)
+        if (!batch.isEmpty) {
+          val kept = judgeKept(batch, graft.operators.DedupOps
+            .incrementalDedupPreparedWithCaches(batch, index, textCol, idCol,
+              n, numHashes, bands, threshold, maxBucket), idCol)
+          writeKeptPartition(kept, targetPath,
+            intakeBatchTag(batch.sparkSession, batchId))
+          kept.unpersist()
+        }
         ()
       }
 
@@ -381,6 +384,13 @@ object StreamOps {
         r
       }
     val tag = intakeBatchTag(spark, batchId)
+    // idle triggers must not touch the index: an empty micro-batch would
+    // otherwise still judge, write an empty partition, and append an
+    // empty tag-keyed EPOCH — an unattended per-minute stream would grow
+    // the ledger (and each trigger's ledger read) by thousands of no-op
+    // records between compactions. Skipping is replay-safe: an empty
+    // batch re-judges to the same empty result.
+    if (batch.isEmpty) return
     graft.operators.DedupOps.epochTagState(spark, tablePrefix, tag) match {
       case "committed" => ()
       case state =>
@@ -393,8 +403,13 @@ object StreamOps {
             n, numHashes, bands, threshold, maxBucket))
         val kept = t("kept")(judgeKept(batch, judged, idCol))
         t("write-partition")(writeKeptPartition(kept, targetPath, tag))
-        t("append-index")(graft.operators.DedupOps.appendToCorpusDedupIndex(
-          kept, textCol, idCol, tablePrefix, epochTag = Some(tag)))
+        // an all-duplicates batch keeps nothing: write the (empty)
+        // partition for replay determinism, but don't add an empty epoch
+        // to the index — the tag staying "absent" just means a replay
+        // re-derives the same empty result
+        if (!kept.isEmpty)
+          t("append-index")(graft.operators.DedupOps.appendToCorpusDedupIndex(
+            kept, textCol, idCol, tablePrefix, epochTag = Some(tag)))
         kept.unpersist()
     }
   }

@@ -1260,6 +1260,12 @@ object DedupOps {
     }
   }
 
+  /** Test hook: name of the index table whose heal file-copy should fail
+    * (simulates a promote dying mid-heal — CorpusIndexSpec's torn-heal
+    * coverage). Never set outside tests.
+    */
+  private[graft] var healFaultInjection: Option[String] = None
+
   /** Copy one committed source epoch's recorded files into the promoted
     * index's tables and re-record it as a committed epoch (same tag, so
     * streaming replay idempotence carries). Runs under the target's own
@@ -1280,6 +1286,8 @@ object DedupOps {
         "healed_from_epoch" -> srcEpoch) ++ tag.map("tag" -> _)))
     val conf = spark.sparkContext.hadoopConfiguration
     val tables = IndexTableNames.map { n =>
+      if (healFaultInjection.contains(n))
+        throw new IllegalStateException(s"injected heal fault before $n copy")
       val files = epochFilesOf(rec, n)
       val srcLoc = new org.apache.hadoop.fs.Path(String.valueOf(locs(n)))
       val dstLoc = tableLocationPath(spark, s"${toPrefix}_$n")
@@ -1306,7 +1314,12 @@ object DedupOps {
 
   /** Resolve the current index prefix through a BatchStore pointer,
     * attaching the tables from the pointer's recorded path when the
-    * session's catalog doesn't know them (fresh session after a swap).
+    * session's catalog doesn't know them (fresh session after a swap) —
+    * or when it knows them at a DIFFERENT location: an a→b→a prefix
+    * alternation (compact b back onto a retired prefix's name at a new
+    * path) would otherwise find the STALE same-prefix registration and
+    * silently judge against the retired index. attach re-verifies the
+    * manifest and replaces mismatched external registrations.
     */
   def resolveCorpusDedupIndex(spark: org.apache.spark.sql.SparkSession,
                               store: graft.io.BatchStore, pointerKey: String): String = {
@@ -1314,7 +1327,15 @@ object DedupOps {
       throw new java.io.FileNotFoundException(s"no index pointer at $pointerKey"))
     val prefix = String.valueOf(ptr.getOrElse("table_prefix",
       throw new IllegalStateException(s"index pointer $pointerKey has no table_prefix")))
-    if (!corpusDedupIndexExists(spark, prefix))
+    val registeredElsewhere = ptr.get("path").exists { p =>
+      corpusDedupIndexExists(spark, prefix) && {
+        val registered = tableLocationPath(spark, s"${prefix}_bands").toUri.getPath
+        val expected = new org.apache.hadoop.fs.Path(s"${String.valueOf(p)}/bands")
+          .toUri.getPath
+        registered != expected
+      }
+    }
+    if (!corpusDedupIndexExists(spark, prefix) || registeredElsewhere)
       ptr.get("path").foreach(p => attachCorpusDedupIndex(spark, prefix, String.valueOf(p)))
     prefix
   }

@@ -731,6 +731,70 @@ class CorpusIndexSpec extends SparkSpec {
     }
   }
 
+  test("a promote dying mid-heal leaves a refusable torn epoch, repairs, and re-heals") {
+    // the heal copies files into three tables — a crash between copies
+    // must follow the SAME torn-epoch discipline as a crashed append:
+    // the pointer is NOT swapped, readers refuse the half-healed index,
+    // repair quarantines the partial files, and the next checked
+    // promote re-heals from scratch
+    dropIndex()
+    val toPrefix = prefix + "_compacted"
+    def dropTo(): Unit = Seq("_fingerprints", "_shingles", "_bands")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $toPrefix$s"))
+    dropTo()
+    val srcRoot = new java.io.File(sys.props("java.io.tmpdir"), "graft_test_cidx_hfsrc")
+    val dstRoot = new java.io.File(sys.props("java.io.tmpdir"), "graft_test_cidx_hfdst")
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft_cidx_hfstore").toString
+    val store = graft.io.BatchStore.local(storeRoot)
+    val pointerKey = "pointers/dedup_index.json"
+    try {
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"),
+        prefix, buckets = 4, path = Some(srcRoot.getPath))
+      DedupOps.compactCorpusDedupIndex(spark, prefix, toPrefix,
+        buckets = 4, path = Some(dstRoot.getPath))
+      DedupOps.appendToCorpusDedupIndex(
+        Seq((6100L, "a windowed late arrival carrying brand new content today"))
+          .toDF("doc_id", "text"),
+        "text", "doc_id", prefix, epochTag = Some("late-hf"))
+
+      // the promote dies between the fingerprint copy and the bands copy
+      DedupOps.healFaultInjection = Some("bands")
+      intercept[IllegalStateException] {
+        DedupOps.promoteCorpusDedupIndexChecked(spark, store, pointerKey,
+          toPrefix, path = Some(dstRoot.getPath))
+      }
+      DedupOps.healFaultInjection = None
+      // the pointer was never swapped...
+      assert(store.readJsonIfExists(pointerKey).isEmpty,
+        "pointer swapped despite the heal dying")
+      // ...and the half-healed index REFUSES reads until repaired
+      val e = intercept[IllegalStateException] {
+        DedupOps.readCorpusDedupIndex(spark, toPrefix)
+      }
+      assert(e.getMessage.contains("torn"), e.getMessage)
+      val repair = DedupOps.repairCorpusDedupIndex(spark, toPrefix)
+      assert(repair("torn_epochs").asInstanceOf[Seq[Long]].nonEmpty, repair)
+
+      // the retry re-heals the full epoch and swaps
+      val promoted = DedupOps.promoteCorpusDedupIndexChecked(spark, store,
+        pointerKey, toPrefix, path = Some(dstRoot.getPath))
+      assert(promoted("healed_epochs").asInstanceOf[Seq[Long]].size == 1, promoted)
+      val out = DedupOps.incrementalDedupPrepared(
+          Seq((9100L, "a windowed late arrival carrying brand new content today"))
+            .toDF("doc_id", "text"),
+          DedupOps.readCorpusDedupIndex(spark, toPrefix), "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(out(9100L) == "exact_dup", s"re-heal incomplete: ${out(9100L)}")
+    } finally {
+      DedupOps.healFaultInjection = None
+      dropIndex(); dropTo()
+      org.apache.commons.io.FileUtils.deleteQuietly(srcRoot)
+      org.apache.commons.io.FileUtils.deleteQuietly(dstRoot)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(storeRoot))
+    }
+  }
+
   test("compaction prunes carried tags to the recent window, keeping replay semantics") {
     // foreachBatch replays only the single in-flight trigger, so the
     // carry needs a bounded recent window, not the index's full tag
@@ -772,6 +836,59 @@ class CorpusIndexSpec extends SparkSpec {
       dropIndex(); dropTo()
       org.apache.commons.io.FileUtils.deleteQuietly(srcRoot)
       org.apache.commons.io.FileUtils.deleteQuietly(dstRoot)
+    }
+  }
+
+  test("pointer resolve re-attaches when the catalog holds the prefix at a stale path") {
+    // a→b→a prefix alternation: the pointer moves a RETIRED prefix name
+    // onto a fresh path, but this session's catalog still registers the
+    // prefix at the old path — resolve must notice the location mismatch
+    // and re-attach, not silently judge against the retired index
+    dropIndex()
+    val path1 = new java.io.File(sys.props("java.io.tmpdir"), "graft_test_cidx_alt1")
+    val path2 = new java.io.File(sys.props("java.io.tmpdir"), "graft_test_cidx_alt2")
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft_cidx_altstore").toString
+    val store = graft.io.BatchStore.local(storeRoot)
+    val pointerKey = "pointers/dedup_index.json"
+    val tmpPrefix = prefix + "_gen2"
+    def dropTmp(): Unit = Seq("_fingerprints", "_shingles", "_bands")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $tmpPrefix$s"))
+    try {
+      val corpusB = Seq(
+        (9000L, "generation two corpus document that generation one never contained"))
+        .toDF("doc_id", "text")
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"),
+        prefix, buckets = 4, path = Some(path1.getPath))
+      // a later generation's files land at path2 (written under a
+      // scratch prefix, then dropped from the catalog — the files and
+      // manifest are what the pointer will reference)
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpusB, "text", "doc_id"),
+        tmpPrefix, buckets = 4, path = Some(path2.getPath))
+      dropTmp()
+      // the pointer moves the ORIGINAL prefix name onto the new path
+      // while this session still registers it at path1
+      DedupOps.promoteCorpusDedupIndex(store, pointerKey, prefix,
+        Some(path2.getPath))
+      val resolved = DedupOps.resolveCorpusDedupIndex(spark, store, pointerKey)
+      assert(resolved == prefix)
+      val out = DedupOps.incrementalDedupPrepared(
+          Seq(
+            (1L, "generation two corpus document that generation one never contained"),
+            (2L, "corpus document number 7 talks about topic 7 in moderate detail with 0 extra side remarks included")
+          ).toDF("doc_id", "text"),
+          DedupOps.readCorpusDedupIndex(spark, resolved), "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(out(1L) == "exact_dup",
+        s"resolve kept judging against the retired generation: ${out(1L)}")
+      assert(out(2L) == "kept",
+        s"generation-one doc should be unknown to generation two: ${out(2L)}")
+    } finally {
+      dropIndex(); dropTmp()
+      org.apache.commons.io.FileUtils.deleteQuietly(path1)
+      org.apache.commons.io.FileUtils.deleteQuietly(path2)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(storeRoot))
     }
   }
 

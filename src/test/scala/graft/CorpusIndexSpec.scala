@@ -588,6 +588,110 @@ class CorpusIndexSpec extends SparkSpec {
     }
   }
 
+  test("a quarter of appends, crashes, compactions, and checked promotes converges") {
+    // Generative capstone for the FULL maintenance lifecycle: a seeded
+    // random schedule of daily appends (some dying mid-insert), periodic
+    // compactions onto fresh generations, late appends committing INSIDE
+    // the compact→promote window, and checked promotes (some dying
+    // mid-heal), all resolved through the production pointer. Whatever
+    // the schedule, the surviving generation must judge exactly like a
+    // fresh build over the base corpus plus every batch that ever
+    // COMMITTED — torn work never surfaces, committed work never drops.
+    dropIndex()
+    val rnd = new scala.util.Random(20260814L)
+    val tables = Seq("fingerprints", "shingles", "bands")
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft_cidx_lcstore").toString
+    val store = graft.io.BatchStore.local(storeRoot)
+    val pointerKey = "pointers/dedup_index.json"
+    def genPrefix(g: Int) = s"${prefix}_gen$g"
+    def genDir(g: Int) = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_test_cidx_lcgen$g")
+    val maxGen = 5
+    def dropAll(): Unit = (0 to maxGen).foreach { g =>
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${genPrefix(g)}_$t"))
+      org.apache.commons.io.FileUtils.deleteQuietly(genDir(g))
+    }
+    dropAll()
+    try {
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"),
+        genPrefix(0), buckets = 4, path = Some(genDir(0).getPath))
+      DedupOps.promoteCorpusDedupIndex(store, pointerKey, genPrefix(0),
+        Some(genDir(0).getPath))
+      var gen = 0
+      val committed = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      def mkBatch(day: Int, slot: String): Seq[(Long, String)] =
+        (0 until 2 + rnd.nextInt(2)).map(i =>
+          (8000L + day * 100 + (if (slot == "late") 50 else 0) + i,
+            s"lifecycle $slot day $day doc $i about subject ${rnd.nextInt(1000)}"))
+      def append(rows: Seq[(Long, String)], prefix: String, tag: String): Unit = {
+        val df = rows.toDF("doc_id", "text")
+        if (rnd.nextDouble() < 0.25) {
+          DedupOps.appendFaultInjection = Some(tables(rnd.nextInt(3)))
+          intercept[IllegalStateException] {
+            DedupOps.appendToCorpusDedupIndex(df, "text", "doc_id", prefix,
+              epochTag = Some(tag))
+          }
+          DedupOps.appendFaultInjection = None
+          // torn: untagged observers refuse until the tagged retry
+          // self-repairs and applies
+          intercept[IllegalStateException] {
+            DedupOps.readCorpusDedupIndex(spark, prefix)
+          }
+        }
+        DedupOps.appendToCorpusDedupIndex(df, "text", "doc_id", prefix,
+          epochTag = Some(tag))
+        committed ++= rows
+      }
+      for (day <- 0 until 12) {
+        val current = DedupOps.resolveCorpusDedupIndex(spark, store, pointerKey)
+        assert(current == genPrefix(gen))
+        append(mkBatch(day, "daily"), current, s"day$day")
+        if (day % 4 == 3 && gen < maxGen - 1) {
+          val from = genPrefix(gen); val to = genPrefix(gen + 1)
+          DedupOps.compactCorpusDedupIndex(spark, from, to, buckets = 4,
+            path = Some(genDir(gen + 1).getPath))
+          // half the maintenance windows see a late append COMMIT on the
+          // old generation after compaction read it
+          val hasLate = rnd.nextBoolean()
+          if (hasLate) append(mkBatch(day, "late"), from, s"late$day")
+          if (hasLate && rnd.nextBoolean()) {
+            // the promote dies mid-heal; repair, then retry
+            DedupOps.healFaultInjection = Some(tables(rnd.nextInt(3)))
+            intercept[IllegalStateException] {
+              DedupOps.promoteCorpusDedupIndexChecked(spark, store, pointerKey,
+                to, Some(genDir(gen + 1).getPath))
+            }
+            DedupOps.healFaultInjection = None
+            DedupOps.repairCorpusDedupIndex(spark, to)
+          }
+          val promoted = DedupOps.promoteCorpusDedupIndexChecked(spark, store,
+            pointerKey, to, Some(genDir(gen + 1).getPath))
+          assert(promoted("healed_epochs").asInstanceOf[Seq[Long]].nonEmpty == hasLate,
+            s"day $day: healed=${promoted("healed_epochs")} hasLate=$hasLate")
+          gen += 1
+        }
+      }
+      val finalPrefix = DedupOps.resolveCorpusDedupIndex(spark, store, pointerKey)
+      val probe = committed.toSeq.map { case (id, txt) => (id + 100000L, txt) }
+        .toDF("doc_id", "text")
+      def results(idx: DedupOps.CorpusDedupIndex) =
+        DedupOps.incrementalDedupPrepared(probe, idx, "text", "doc_id")
+          .orderBy("new_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val viaLifecycle = results(DedupOps.readCorpusDedupIndex(spark, finalPrefix))
+      assert(viaLifecycle.forall(_._2 == "exact_dup"),
+        s"committed docs lost across the lifecycle: ${viaLifecycle.filter(_._2 != "exact_dup").take(5)}")
+      val viaRebuild = results(DedupOps.buildCorpusDedupIndex(
+        corpus.unionByName(committed.toSeq.toDF("doc_id", "text")), "text", "doc_id"))
+      assert(viaLifecycle == viaRebuild)
+    } finally {
+      DedupOps.appendFaultInjection = None
+      DedupOps.healFaultInjection = None
+      dropAll(); dropIndex()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(storeRoot))
+    }
+  }
+
   test("a month of appends with interleaved crashes converges to the rebuilt index") {
     dropIndex()
     try {

@@ -132,6 +132,101 @@ object SimilarityOps {
       .orderBy("vid").limit(k).collect()
       .map(r => r.getSeq[Long](1).toArray).toSeq
 
+  // ---- product quantization: the compressed ANN scan ----------------
+
+  /** PQ codebooks: m subspaces × k centroids over quantized subvectors.
+    * Deterministic seeding (the k smallest-id vectors, the same
+    * convention as [[initialCentroids]], so an oracle can reconstruct
+    * the model); production refines each subspace codebook with
+    * [[kmeansStepSums]] Lloyd iterations instead. The whole model is
+    * k·dim longs — a plan literal, not data.
+    */
+  def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, m: Int, k: Int): Seq[Seq[Array[Long]]] = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    val seeds = initialCentroids(emb, idCol, vecCol, k)
+    (0 until m).map(mi => seeds.map(_.slice(mi * sub, (mi + 1) * sub)))
+  }
+
+  /** Per-subspace squared-L2 distances of a quantized vector to all k
+    * centroids of one codebook: `array<long>` of length k, exact
+    * integer arithmetic (same [[quantize]] convention as every
+    * embedding operator here — bit-identical across engines).
+    */
+  private def subspaceDists(qv: Column, cb: Seq[Array[Long]],
+                            mi: Int, sub: Int): Column = {
+    val piece = slice(qv, mi * sub + 1, sub)
+    array(cb.map { c =>
+      val cl = array(c.map(lit).toSeq: _*)
+      aggregate(zip_with(piece, cl, (x, y) => (x - y) * (x - y)),
+        lit(0L), (a, x) => a + x)
+    }: _*)
+  }
+
+  /** PQ-encode: dim floats → m small codes (argmin centroid per
+    * subspace, ties to the lowest index — array_position returns the
+    * FIRST minimum). A 64-dim float vector becomes m=4 codes: the scan
+    * set shrinks ~64×, which is what makes a linear ADC scan viable
+    * over a corpus whose raw vectors no longer fit the cluster.
+    */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+               codebooks: Seq[Seq[Array[Long]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    emb.select(col(idCol).cast("long").as("vid"), quantize(col(vecCol)).as("qv"))
+      .withColumn("codes", array((0 until m).map { mi =>
+        val d = subspaceDists(col("qv"), codebooks(mi), mi, sub)
+        (array_position(d, array_min(d)) - 1).cast("int")
+      }: _*))
+      .select(col("vid"), col("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query
+    * precomputes its m×k lookup table ONCE (m·k longs), then every
+    * (query, neighbor) distance is m positional lookups + adds over the
+    * neighbor's codes — never a touch of the neighbor's raw floats.
+    * `cellCol` restricts the scan to the query's IVF cell (equi-join —
+    * the 100 TB composition: coarse cells prune the scan set, codes
+    * compress what remains); without it the scan is the full corpus
+    * (the PQ-Flat baseline). Distances are exact longs end to end, so
+    * ranks are deterministic (ties break to the lower neighbor id).
+    */
+  def pqAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
+                codebooks: Seq[Seq[Array[Long]]], k: Int = 5,
+                cellCol: Option[String] = None): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val encoded = pqEncode(emb, idCol, vecCol, codebooks)
+      .withColumnRenamed("vid", "neighbor_id")
+    val encodedWithCell = cellCol match {
+      case Some(c) => emb.select(col(idCol).cast("long").as("neighbor_id"),
+          col(c).cast("long").as("_ncell"))
+        .join(encoded, Seq("neighbor_id"))
+      case None => encoded
+    }
+    val luts = emb.select(Seq(col(idCol).cast("long").as("query_id"),
+        quantize(col(vecCol)).as("qv")) ++
+        cellCol.map(c => col(c).cast("long").as("_qcell")): _*)
+      .withColumn("lut", array((0 until m).map(mi =>
+        subspaceDists(col("qv"), codebooks(mi), mi, sub)): _*))
+      .drop("qv")
+    val pairs = (cellCol match {
+      case Some(_) => luts.join(encodedWithCell,
+        col("_qcell") === col("_ncell") && col("query_id") =!= col("neighbor_id"))
+      case None => luts.crossJoin(encodedWithCell)
+        .filter(col("query_id") =!= col("neighbor_id"))
+    }).withColumn("adc_dist", aggregate(
+        zip_with(col("codes"), col("lut"), (c, row) => element_at(row, c + 1)),
+        lit(0L), (a, x) => a + x))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(Seq(col("query_id"), col("neighbor_id"), col("adc_dist"),
+        col("rank").cast("long").as("rank")) ++
+        cellCol.map(_ => col("_qcell").as("cell")): _*)
+  }
+
   /** One Lloyd step's sufficient statistics: per-(cell, dim) component
     * sums and member counts. The dim-explode is narrow and hash
     * aggregation partially combines per partition, so the shuffle is

@@ -163,6 +163,32 @@ object IoParity {
           "resolved_after_rollback", "rolled_back_from", "promoted_at_utc")
         .orderBy("table_name")
     }),
+
+    // S11 review bundle round-tripped: writeReviewBundle emits a sample
+    // CSV (first N of the ordered input), a canonical schema.json, and
+    // a dq.json next to it; the query reads all three back (CSV through
+    // the S5 all-string reader, JSONs as raw canonical bytes) so the
+    // oracle can reconstruct the sample rows AND both JSON documents by
+    // string concatenation.
+    "q101_review_bundle" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val bundleDir = new java.io.File(scratch(dir, "q101"), "bundle").getPath
+      val src = n.select(col("n_nationkey").cast("string").as("key"),
+          col("n_name").as("name"))
+        .orderBy(col("key"))
+      TableIO.writeReviewBundle(src, bundleDir, sampleRows = 10,
+        dq = Map("row_count" -> 25L, "status" -> "pass"))
+      def readText(p: String): String = {
+        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+        new String(bytes, "UTF-8")
+      }
+      val schemaJson = readText(s"$bundleDir/schema.json")
+      val dqJson = readText(s"$bundleDir/dq.json")
+      TableIO.readCsvAllString(s, s"$bundleDir/sample.csv", Seq("key", "name"))
+        .withColumn("schema_json", lit(schemaJson))
+        .withColumn("dq_json", lit(dqJson))
+        .orderBy(col("key"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -213,5 +239,14 @@ object IoParity {
         |  '2026-01-02T03:04:05Z' AS promoted_at_utc
         |FROM nation
         |ORDER BY table_name""".stripMargin,
+
+    "q101_review_bundle" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS key, n_name AS name,
+        |  '{"columns":["key","name"],"types":{"key":"string","name":"string"}}'
+        |    AS schema_json,
+        |  '{"row_count":25,"status":"pass"}' AS dq_json
+        |FROM nation
+        |ORDER BY key
+        |LIMIT 10""".stripMargin,
   )
 }

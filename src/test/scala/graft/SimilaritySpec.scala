@@ -86,4 +86,42 @@ class SimilaritySpec extends SparkSpec {
     assert(multi > single, s"multi=$multi single=$single")
     assert(multi >= 0.15, s"multi-probe recall too low: $multi")
   }
+
+  test("product quantization: codes are stable, twins collide, ADC finds the twin") {
+    val cb = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 4, k = 16)
+    assert(cb.length == 4 && cb.forall(_.length == 16) &&
+      cb.forall(_.forall(_.length == 16)))
+    val codes = SimilarityOps.pqEncode(emb, "vec_id", "embedding", cb)
+    val rows = codes.collect()
+    assert(rows.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 16)),
+      "a code escaped the [0,16) codebook range")
+    // an identical vector must encode to identical codes, and a
+    // full-corpus ADC scan must rank the twin first (identical codes →
+    // the minimum possible ADC distance for that query)
+    val v0 = emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect()(0)
+    val twinId = 999999L
+    val withTwin = emb.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"))
+      .unionByName(Seq((twinId, v0.getSeq[Float](1)))
+        .toDF("vec_id", "embedding"))
+    val twinCodes = SimilarityOps.pqEncode(withTwin, "vec_id", "embedding", cb)
+      .filter(col("vid").isin(v0.getLong(0), twinId))
+      .collect().map(_.getSeq[Int](1)).toSeq
+    assert(twinCodes.distinct.size == 1,
+      s"identical vectors encoded differently: $twinCodes")
+    val top1 = SimilarityOps.pqAdcTopK(withTwin, "vec_id", "embedding", cb, k = 1)
+      .filter(col("query_id") === twinId).collect()
+    assert(top1.length == 1 && top1(0).getLong(1) == v0.getLong(0),
+      s"ADC top-1 for the twin was ${top1.toSeq}")
+    // the cell-restricted variant only ever pairs within a cell
+    val cellPairs = SimilarityOps.pqAdcTopK(emb, "vec_id", "embedding", cb,
+        k = 3, cellCol = Some("label"))
+      .join(emb.select(col("vec_id").cast("long").as("neighbor_id"),
+        col("label").cast("long").as("ncell")), Seq("neighbor_id"))
+    assert(cellPairs.filter(col("cell") =!= col("ncell")).count() == 0,
+      "cell-restricted ADC paired across cells")
+  }
 }

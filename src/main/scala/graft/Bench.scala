@@ -56,7 +56,8 @@ object Bench {
     "q81_content_fact_pool",    // F17 templated fact pool (3-family union)
     "q82_skew_neardup_capped",  // planted hot-bucket corpus: capped LSH near-dup
     "q83_skew_ingest_capped",   // planted hot-bucket corpus: capped prepared ingest
-    "q84_skew_lifecycle_compacted") // index lifecycle: append → re-cap compact → re-ingest
+    "q84_skew_lifecycle_compacted", // index lifecycle: append → re-cap compact → re-ingest
+    "q102_ann_topk_pq")         // product-quantization ANN: encode + cell-restricted ADC scan
 
   /** Testdata fingerprint: first 8 bytes of sha256 over the sorted
     * (relative path, size, mtime) listing of every file under the SF

@@ -109,6 +109,15 @@ class PlanAuditSpec extends SparkSpec {
       "curation chain contains an all-pairs join")
   }
 
+  test("PQ ADC scan joins on the cell, never all-pairs") {
+    // the cell-restricted ADC variant must plan its scan as a hash join
+    // on the coarse cell — a cartesian/nested-loop here would defeat the
+    // IVF pruning that makes the compressed scan viable at scale
+    val p = plan("q102_ann_topk_pq")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "cell-restricted ADC planned as an all-pairs join")
+  }
+
   test("q67 plan shape is pinned: scan/exchange/join counts unchanged") {
     // adjudication pin for the twice-flagged q67 bench drift (round 8
     // verdict): the committed quiet-window evidence (PERF.md round 9)

@@ -1079,7 +1079,14 @@ object DedupOps {
     val base: Map[String, Any] =
       Map("epoch" -> 0L, "tag" -> "base", "tables" -> tables,
         "ledger_id" -> java.util.UUID.randomUUID().toString) ++
-        (if (carriedTags.nonEmpty) Map("carried_tags" -> carriedTags.sorted) else Map.empty) ++
+        // APPEND order, not sorted: orderedCommittedTags treats this list
+        // as oldest-first, and compaction's carry prunes with takeRight.
+        // Real intake tags ("$qid-$batchId") are not zero-padded, so a
+        // lexicographic sort would reorder qid-10 before qid-9 and a
+        // CHAINED compaction's prune could drop the most recent tag —
+        // exactly the replayed-trigger empty-overwrite this carry exists
+        // to prevent. StableJson preserves array order both ways.
+        (if (carriedTags.nonEmpty) Map("carried_tags" -> carriedTags) else Map.empty) ++
         compactedFrom.map("compacted_from" -> _)
     writeTextFile(spark, new org.apache.hadoop.fs.Path(dir, epochFileName(0L, "commit")).toString,
       graft.io.StableJson.write(base))
@@ -1148,12 +1155,14 @@ object DedupOps {
     * index without a restart ([[compactCorpusDedupIndex]] writes to a
     * new prefix; this is the "caller swaps" half). The pointer records
     * the previous prefix for rollback-by-hand. This raw form swaps
-    * UNCHECKED — prefer [[promoteCorpusDedupIndexChecked]], which diffs
-    * the source ledger's committed epochs against compaction's snapshot
-    * and heals (or refuses on) appends that landed on the OLD prefix
-    * after compaction read it.
+    * UNCHECKED, so it is package-private: the only public promote is
+    * [[promoteCorpusDedupIndexChecked]], which diffs the source ledger's
+    * committed epochs against compaction's snapshot and heals (or
+    * refuses on) appends that landed on the OLD prefix after compaction
+    * read it. An external caller reaching for a shorter name must not be
+    * able to re-open that append window by accident.
     */
-  def promoteCorpusDedupIndex(store: graft.io.BatchStore, pointerKey: String,
+  private[graft] def promoteCorpusDedupIndex(store: graft.io.BatchStore, pointerKey: String,
                               tablePrefix: String,
                               path: Option[String] = None): Map[String, Any] = {
     val previous = store.readJsonIfExists(pointerKey)
@@ -1189,6 +1198,16 @@ object DedupOps {
     *
     * Returns the pointer plus `healed_epochs` (source epoch ids copied
     * in; empty when the snapshot covered everything).
+    *
+    * The check narrows the append window to the diff-to-swap instant,
+    * then a SECOND coverage diff immediately after the pointer write
+    * heals any epoch that committed inside that instant. The residual
+    * exposure — an append that starts on the old prefix before the swap
+    * and commits after the post-swap diff — can only leak DUPLICATES
+    * (those docs are in the sink but absent from the promoted index, so
+    * a later near-dup of them is kept), never lose sink data: the
+    * trigger's own replay is guarded by the sink's kept-empty/partition-
+    * exists check (StreamOps.intakeUpdateTrigger).
     */
   def promoteCorpusDedupIndexChecked(spark: org.apache.spark.sql.SparkSession,
                                      store: graft.io.BatchStore, pointerKey: String,
@@ -1196,8 +1215,12 @@ object DedupOps {
                                      path: Option[String] = None,
                                      healMissing: Boolean = true): Map[String, Any] = {
     val healed = healPromoteCoverageGap(spark, tablePrefix, healMissing)
-    promoteCorpusDedupIndex(store, pointerKey, tablePrefix, path) +
-      ("healed_epochs" -> healed)
+    val pointer = promoteCorpusDedupIndex(store, pointerKey, tablePrefix, path)
+    // post-swap re-diff: heals appends that committed on the old prefix
+    // between the diff above and the pointer write (idempotent — epochs
+    // already healed are recorded as healed_from_epoch and skipped)
+    val healedAfterSwap = healPromoteCoverageGap(spark, tablePrefix, healMissing)
+    pointer + ("healed_epochs" -> (healed ++ healedAfterSwap))
   }
 
   /** The coverage diff + heal behind [[promoteCorpusDedupIndexChecked]]:
@@ -1508,7 +1531,7 @@ object DedupOps {
     * the swap is a pointer update (the BatchStore promote pattern), not
     * a data move. Returns the dropped-buckets report for the run's
     * logs ("no silent caps"). Ingest continues against `fromPrefix`
-    * until the caller swaps — [[promoteCorpusDedupIndex]] is that swap,
+    * until the caller swaps — [[promoteCorpusDedupIndexChecked]] is that swap,
     * and pointer-resolving readers (StreamOps.nearDupIntakeSinkWithIndexPointer)
     * roll onto `toPrefix` at their next trigger without a restart.
     */

@@ -227,6 +227,64 @@ object SimilarityOps {
         cellCol.map(_ => col("_qcell").as("cell")): _*)
   }
 
+  /** Lloyd-TRAINED PQ codebooks: start from the [[pqCodebooks]] seeds and
+    * refine every subspace's codebook jointly — ONE Spark job per
+    * iteration trains all m codebooks (per-subspace nearest-centroid
+    * assignment, then a (mi, cell, dim) sufficient-statistics
+    * aggregation), not m separate Lloyd loops. The shuffle is
+    * O(partitions · m · k · sub) = O(partitions · k · dim) rows per
+    * iteration — independent of corpus size, the same scaling argument
+    * as [[kmeansStepSums]]. Update rule mirrors [[kmeansTrain]] exactly:
+    * truncating integer mean per dimension (Long division truncates
+    * toward zero, matching the oracle's CASE-guarded `//`), an emptied
+    * centroid keeps its previous value, and training stops early once
+    * every codebook stabilizes (an oracle unrolling maxIter iterations
+    * unconditionally converges to the identical model).
+    */
+  def pqTrainCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, m: Int, k: Int,
+                       maxIter: Int): Seq[Seq[Array[Long]]] = {
+    val sub = dim / m
+    var books = pqCodebooks(emb, idCol, vecCol, dim, m, k)
+    val qemb = emb.select(quantize(col(vecCol)).as("qv"))
+    var it = 0
+    var changed = true
+    while (it < maxIter && changed) {
+      // per-subspace code of every vector under the CURRENT codebooks,
+      // then one aggregation over (subspace, code, dim-within-subspace)
+      val codes = array((0 until m).map { mi =>
+        val d = subspaceDists(col("qv"), books(mi), mi, sub)
+        (array_position(d, array_min(d)) - 1).cast("int")
+      }: _*)
+      val stats = qemb
+        .withColumn("codes", codes)
+        .select(posexplode(col("qv")).as(Seq("dim", "x")), col("codes"))
+        .withColumn("mi", (col("dim") / sub).cast("int"))
+        .withColumn("cell", element_at(col("codes"), col("mi") + 1))
+        .groupBy("mi", "cell", "dim")
+        .agg(sum("x").as("sum_q"), count(lit(1)).as("n_vecs"))
+        .collect()
+      val sums = Array.fill(m, k)(new Array[Long](sub))
+      val counts = Array.fill(m)(new Array[Long](k))
+      stats.foreach { r =>
+        val (mi, cell, d) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        sums(mi)(cell)(d - mi * sub) = r.getLong(3)
+        counts(mi)(cell) = r.getLong(4)
+      }
+      val next = books.zipWithIndex.map { case (cb, mi) =>
+        cb.zipWithIndex.map { case (old, ci) =>
+          if (counts(mi)(ci) == 0) old
+          else Array.tabulate(sub)(d => sums(mi)(ci)(d) / counts(mi)(ci))
+        }
+      }
+      changed = next.zip(books).exists { case (nb, ob) =>
+        nb.zip(ob).exists { case (a, b) => !java.util.Arrays.equals(a, b) } }
+      books = next
+      it += 1
+    }
+    books
+  }
+
   /** One Lloyd step's sufficient statistics: per-(cell, dim) component
     * sums and member counts. The dim-explode is narrow and hash
     * aggregation partially combines per partition, so the shuffle is

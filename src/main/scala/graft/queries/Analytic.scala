@@ -52,6 +52,31 @@ object Analytic {
         .orderBy("l_returnflag")
     }),
 
+    // approx_count_distinct at the oracle tier (SURVEY §2.6 — the HLL
+    // sketch a 100 TB engine uses where exact distinct would shuffle
+    // every key): per return flag, the EXACT distinct counts plus a
+    // boolean error contract — each engine's own HLL estimate must land
+    // within 15% (3x the requested rsd 0.05) of exact. Estimates are
+    // engine-specific (different HLL variants/hashes) so the VALUES
+    // can't cross-check; the CONTRACT can, and the spec tier pins
+    // Spark's estimator to its rsd bound independently
+    // (SpeechBuilderSpec "approx_count_distinct stays within rsd").
+    "q106_approx_distinct_contract" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_partkey"), 0.05).as("apx_p"),
+          approx_count_distinct(col("l_orderkey"), 0.05).as("apx_o"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          (abs(col("apx_p") - col("exact_parts")) <=
+            col("exact_parts") * 0.15).as("parts_within_bounds"),
+          (abs(col("apx_o") - col("exact_orders")) <=
+            col("exact_orders") * 0.15).as("orders_within_bounds"))
+        .orderBy("l_returnflag")
+    }),
+
     // Deterministic ~20% stratified corpus sample: keep a document when
     // the first hex byte of sha256("graft-sample:" + doc_id) < 0x33
     // (51/256 ≈ 19.9%). Hash-gating instead of rand() matters at
@@ -94,6 +119,19 @@ object Analytic {
   )
 
   val oracles: Map[String, String] = Map(
+
+    // DuckDB's own HLL asserts the same 15% contract against the same
+    // exact counts — both estimators must honor the written error bound
+    // for the row to hash-match
+    "q106_approx_distinct_contract" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+        |    <= COUNT(DISTINCT l_partkey) * 0.15 AS parts_within_bounds,
+        |  abs(approx_count_distinct(l_orderkey) - COUNT(DISTINCT l_orderkey))
+        |    <= COUNT(DISTINCT l_orderkey) * 0.15 AS orders_within_bounds
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q60_status_rollup" ->
       """WITH o AS (SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,

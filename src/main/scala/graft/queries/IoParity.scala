@@ -189,6 +189,87 @@ object IoParity {
         .withColumn("dq_json", lit(dqJson))
         .orderBy(col("key"))
     }),
+
+    // S1 offset pagination + S2 date-bisection through the REAL client
+    // (graft.sources.RestSource) over a deterministic stub transport
+    // whose pages are slices of the nation table: one row per scenario
+    // capturing merge results (first/last/sum of fetched keys), stop
+    // reason, page accounting, retry attempts, and the bisection's
+    // partition fan-out — all reconstructible from `nation` plus the
+    // client's documented arithmetic in plain SQL.
+    "q105_rest_pagination_parity" -> ((s, dir) => {
+      import graft.sources.RestSource
+      import s.implicits._
+      val data = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"))
+        .orderBy("n_nationkey")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+      def body(slice: Seq[(Long, String)], total: Option[Long]): String =
+        StableJson.write(Map("results" ->
+          slice.map { case (k, n) => Map("k" -> k, "name" -> n) }) ++
+          total.map(t => "head" -> Map("counts" -> Map("totalCount" -> t))))
+      def sliceOf(rows: IndexedSeq[(Long, String)], params: Map[String, String]) =
+        rows.slice(params("skip").toInt, params("skip").toInt + params("limit").toInt)
+      trait CountingTransport extends RestSource.HttpTransport { var calls = 0L }
+      // paged stub: optional reported total, N leading 500s, or a stuck
+      // pager that always serves page one
+      class Stub(rows: IndexedSeq[(Long, String)], total: Option[Long] = None,
+                 fail500First: Int = 0, stuck: Boolean = false)
+          extends CountingTransport {
+        def get(url: String, params: Map[String, String]): RestSource.HttpResult = {
+          calls += 1
+          if (calls <= fail500First) RestSource.HttpResult(500, "transient")
+          else RestSource.HttpResult(200, body(
+            if (stuck) rows.take(params("limit").toInt) else sliceOf(rows, params),
+            total))
+        }
+      }
+      // bisection stub: 422 on any window wider than one day; each day
+      // serves the keys ≡ (day-1) mod 4, via the same offset pager
+      class BisectStub extends CountingTransport {
+        def get(url: String, params: Map[String, String]): RestSource.HttpResult = {
+          calls += 1
+          val start = java.time.LocalDate.parse(params("date_start"))
+          val end = java.time.LocalDate.parse(params("date_end"))
+          if (java.time.temporal.ChronoUnit.DAYS.between(start, end) > 0)
+            RestSource.HttpResult(422, "offset ceiling")
+          else RestSource.HttpResult(200, body(sliceOf(
+            data.filter(_._1 % 4 == start.getDayOfMonth - 1), params), None))
+        }
+      }
+      def client(tr: RestSource.HttpTransport) =
+        new RestSource.Client(tr, "http://stub", sleeper = _ => ())
+      val page10 = Map("limit" -> "10")
+      def run(name: String, tr: CountingTransport)
+             (f: RestSource.Client => RestSource.ApiSummary) = {
+        val sm = f(client(tr))
+        val keys = sm.results.map(_.get("k").asLong)
+        (name, sm.ok, sm.pagination.stopReason, sm.pagination.complete,
+          sm.pagination.intentionallyLimited,
+          sm.pagination.pageCount.toLong, sm.pagination.fetchedCount.toLong,
+          sm.pagination.reportedTotal,
+          if (keys.isEmpty) None else Some(keys.head),
+          if (keys.isEmpty) None else Some(keys.last),
+          if (keys.isEmpty) None else Some(keys.sum),
+          sm.pagination.partitionCount.toLong, tr.calls, sm.error)
+      }
+      val rows = Seq(
+        run("a_full", new Stub(data))(_.getPaginated("e", page10)),
+        run("b_retry", new Stub(data, fail500First = 1))(_.getPaginated("e", page10)),
+        run("c_skip", new Stub(data))(_.getPaginated("e", page10 ++ Map("skip" -> "20"))),
+        run("d_max_rows", new Stub(data))(_.getPaginated("e", page10, maxRows = Some(12))),
+        run("e_reported_total", new Stub(data, total = Some(data.size.toLong)))(
+          _.getPaginated("e", page10)),
+        run("f_empty", new Stub(Vector.empty))(_.getPaginated("e", page10)),
+        run("g_repeated", new Stub(data, stuck = true))(_.getPaginated("e", page10)),
+        run("h_max_pages", new Stub(data))(_.getPaginated("e", page10, maxPages = 2)),
+        run("i_bisect", new BisectStub)(c => RestSource.getDatePartitioned(c, "e",
+          page10 ++ Map("date_start" -> "2024-01-01", "date_end" -> "2024-01-04"))))
+      rows.toDF("scenario", "ok", "stop_reason", "complete", "limited",
+          "page_count", "fetched_count", "reported_total", "first_key",
+          "last_key", "sum_keys", "partition_count", "transport_calls", "error")
+        .orderBy("scenario")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -248,5 +329,51 @@ object IoParity {
         |FROM nation
         |ORDER BY key
         |LIMIT 10""".stripMargin,
+
+    // q105: every scenario's merge results and page accounting rebuilt
+    // from `nation` (pageSize 10 arithmetic; stop reasons, error strings
+    // and the bisection fan-out are the client's documented contract)
+    "q105_rest_pagination_parity" ->
+      """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+        |tot AS (SELECT COUNT(*) AS c, CAST(SUM(k) AS BIGINT) AS sk, MIN(k) AS mn, MAX(k) AS mx FROM n),
+        |sk20 AS (SELECT COUNT(*) AS c, CAST(SUM(k) AS BIGINT) AS sk, MIN(k) AS mn, MAX(k) AS mx FROM n WHERE k >= 20),
+        |t12 AS (SELECT COUNT(*) AS c, CAST(SUM(k) AS BIGINT) AS sk, MIN(k) AS mn, MAX(k) AS mx
+        |  FROM (SELECT k FROM n ORDER BY k LIMIT 12)),
+        |d1 AS (SELECT MIN(k) AS mn FROM n WHERE k % 4 = 0),
+        |d4 AS (SELECT MAX(k) AS mx FROM n WHERE k % 4 = 3)
+        |SELECT * FROM (
+        |  SELECT 'a_full' AS scenario, true AS ok, 'short_page' AS stop_reason,
+        |    true AS complete, false AS limited, c // 10 + 1 AS page_count,
+        |    c AS fetched_count, CAST(NULL AS BIGINT) AS reported_total,
+        |    mn AS first_key, mx AS last_key, sk AS sum_keys,
+        |    CAST(0 AS BIGINT) AS partition_count, c // 10 + 1 AS transport_calls,
+        |    CAST(NULL AS VARCHAR) AS error FROM tot
+        |  UNION ALL
+        |  SELECT 'b_retry', true, 'short_page', true, false, c // 10 + 1, c,
+        |    NULL, mn, mx, sk, 0, c // 10 + 2, NULL FROM tot
+        |  UNION ALL
+        |  SELECT 'c_skip', true, 'short_page', true, false, 1, c,
+        |    NULL, mn, mx, sk, 0, 1, NULL FROM sk20
+        |  UNION ALL
+        |  SELECT 'd_max_rows', true, 'max_rows', false, true, 2, c,
+        |    NULL, mn, mx, sk, 0, 2, NULL FROM t12
+        |  UNION ALL
+        |  SELECT 'e_reported_total', true, 'reported_total_reached', true, false,
+        |    c // 10 + 1, c, c, mn, mx, sk, 0, c // 10 + 1, NULL FROM tot
+        |  UNION ALL
+        |  SELECT 'f_empty', true, 'empty_page', true, false, 1, 0,
+        |    NULL, NULL, NULL, NULL, 0, 1, NULL
+        |  UNION ALL
+        |  SELECT 'g_repeated', false, 'repeated_page', false, false, 2, LEAST(c, 10),
+        |    NULL, NULL, NULL, NULL, 0, 2,
+        |    'Pagination made no progress: page 2 repeated a prior result page' FROM tot
+        |  UNION ALL
+        |  SELECT 'h_max_pages', false, 'max_pages', false, false, 2, LEAST(c, 20),
+        |    NULL, NULL, NULL, NULL, 0, 2,
+        |    'Pagination did not complete: max_pages' FROM tot
+        |  UNION ALL
+        |  SELECT 'i_bisect', true, 'date_partitions_complete', true, false, 4,
+        |    tot.c, NULL, d1.mn, d4.mx, tot.sk, 4, 7, NULL FROM tot, d1, d4)
+        |ORDER BY scenario""".stripMargin,
   )
 }

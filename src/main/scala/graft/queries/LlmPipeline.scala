@@ -92,6 +92,22 @@ object LlmPipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // q102 with TRAINED codebooks: two Lloyd iterations refine every
+    // subspace codebook (one Spark job per iteration trains all four —
+    // the (subspace, code, dim) sufficient-statistics shuffle is
+    // O(k·dim) rows regardless of corpus size), then the same
+    // encode + cell-restricted ADC scan runs on the trained model.
+    // Integer-exact end to end; the oracle unrolls
+    // seed → assign → update → assign → update → encode → rank in SQL.
+    "q103_ann_topk_pq_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 4, k = 16, maxIter = 2)
+      SimilarityOps.pqAdcTopK(emb, "vec_id", "embedding", cb, k = 3,
+          cellCol = Some("label"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ANN without a precomputed label: hyperplane-LSH quantizer with
     // multi-probe (flip the lowest-|margin| plane bits). Plane signs are
     // sha-derived and projections integer-quantized, so the oracle
@@ -459,6 +475,88 @@ object LlmPipeline {
           maxBucket = skewCap)
         .orderBy("new_id")
     }),
+
+    // Streaming-state oracle: the ACTUAL index-updating intake sink
+    // (StreamOps.nearDupIntakeSinkWithIndexUpdate) driven through three
+    // real micro-batch triggers of one unrestarted query — batch 2
+    // carries near-dups of batch-1-ACCEPTED docs (the cross-trigger
+    // case the per-trigger index append exists for) and batch 3 exact
+    // copies of batch-2-accepted docs. Rows 1-3 are the kept docs read
+    // back from the sink's partitioned parquet; src=4 rows re-judge
+    // every streamed doc against the FINAL index (all copies must judge
+    // dup — proving the three appends landed). The oracle replays the
+    // sequential judgment (corpus, then corpus ∪ kept₁, then
+    // corpus ∪ kept₁ ∪ kept₂, then the probe against everything)
+    // brute-force in SQL.
+    "q104_stream_intake_multi_trigger" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 7 =!= 3)
+      val b1 = docs.filter(col("doc_id") % 21 === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(corpus.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val b2 = docs.filter(col("doc_id") % 21 === 10)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 21 === 3 && col("doc_id") % 2 === 1)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(col("text"), lit(" zz")).as("text")))
+      val b3 = docs.filter(col("doc_id") % 21 === 17)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 21 === 10)
+          .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
+      val work = "graft_q104_idx_" + Integer.toHexString(dir.hashCode)
+      Seq("_fingerprints", "_shingles", "_bands")
+        .foreach(sfx => s.sql(s"DROP TABLE IF EXISTS $work$sfx"))
+      def fresh(name: String): java.io.File = {
+        val f = new java.io.File(sys.props("java.io.tmpdir"),
+          s"${name}_${Integer.toHexString(dir.hashCode)}")
+        org.apache.commons.io.FileUtils.deleteQuietly(f); f
+      }
+      val idxRoot = fresh("graft_q104_idx")
+      val target = fresh("graft_q104_sink").getPath
+      val ckpt = fresh("graft_q104_ckpt").getPath
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id",
+          n = 3, numHashes = 64, bands = 32, maxBucket = DedupOps.NoBucketCap),
+        work, buckets = 8, path = Some(idxRoot.getPath))
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamOps.nearDupIntakeSinkWithIndexUpdate(
+          input.toDF().toDF("doc_id", "text"), work, "text", "doc_id", target,
+          n = 3, numHashes = 64, bands = 32, threshold = 0.5,
+          maxBucket = DedupOps.NoBucketCap)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+        .option("checkpointLocation", ckpt)
+        .start()
+      def feed(df: DataFrame): Unit = {
+        input.addData(df.select(col("doc_id"), col("text"))
+          .as[(Long, String)].collect().toSeq: _*)
+        q.processAllAvailable()
+      }
+      try { feed(b1); feed(b2); feed(b3) } finally q.stop()
+      // src from the id band, not the batch tag (tags carry the run's
+      // random streaming query id): +2e6 → b1, +3e6 → b2, +4e6 → b3,
+      // +1e6 by %21 residue; probes sit at +10e6 over their batch id
+      def srcOf(c: org.apache.spark.sql.Column) =
+        when(c >= 10000000L, lit(4L))
+          .when(c >= 4000000L, lit(3L)).when(c >= 3000000L, lit(2L))
+          .when(c >= 2000000L, lit(1L))
+          .otherwise(floor(((c % 1000000L) % 21L + 4L) / 7L).cast("long"))
+      val sink = s.read.parquet(target)
+        .select(srcOf(col("doc_id")).as("src"),
+          col("doc_id").cast("long").as("doc_id"), lit("kept").as("status"))
+      val probe = b1.unionByName(b2).unionByName(b3)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      val probed = DedupOps.incrementalDedupPrepared(probe,
+          DedupOps.readCorpusDedupIndex(s, work), "text", "doc_id",
+          n = 3, numHashes = 64, bands = 32, threshold = 0.5,
+          maxBucket = DedupOps.NoBucketCap)
+        .select(lit(4L).as("src"), col("new_id").as("doc_id"), col("status"))
+      sink.unionByName(probed).orderBy("src", "doc_id")
+    }),
   )
 
   /** Persisted-index dir stamp: the sf dir's identity PLUS the source
@@ -718,6 +816,63 @@ object LlmPipeline {
         |pair AS (SELECT dq.vid AS query_id, c.vid AS neighbor_id, dq.cell,
         |    SUM(dq.dist) AS adc_dist
         |  FROM codes c JOIN dists dq ON dq.mi = c.mi AND dq.ci = c.code
+        |    AND dq.cell = c.cell AND dq.vid <> c.vid
+        |  GROUP BY 1, 2, 3),
+        |r AS (SELECT query_id, neighbor_id, cell, adc_dist,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk FROM pair)
+        |SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+        |  CAST(rnk AS BIGINT) AS rank, cell
+        |FROM r WHERE rnk <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Trained-PQ: per-subspace Lloyd unrolled exactly — cb0 seeds, two
+    // (assign → truncating-integer-mean update) rounds per subspace,
+    // encode on the trained books, then the same cell-restricted ADC
+    // ranking as q102. d is the WITHIN-subspace index (0..15) so each
+    // (mi, d) pair addresses one codebook component.
+    "q103_ann_topk_pq_trained" ->
+      """WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vid, CAST(label AS BIGINT) AS cell,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |ve AS (SELECT v.vid, v.cell, m.range AS mi, d.range AS d,
+        |    v.q[CAST(m.range * 16 + d.range AS INT) + 1] AS x
+        |  FROM v CROSS JOIN range(4) m CROSS JOIN range(16) d),
+        |seeds AS (SELECT q, ROW_NUMBER() OVER (ORDER BY vid) - 1 AS ci
+        |  FROM (SELECT vid, q FROM v ORDER BY vid LIMIT 16)),
+        |cb0 AS (SELECT s.ci, m.range AS mi, d.range AS d,
+        |    s.q[CAST(m.range * 16 + d.range AS INT) + 1] AS c
+        |  FROM seeds s CROSS JOIN range(4) m CROSS JOIN range(16) d),
+        |d1 AS (SELECT ve.vid, ve.mi, cb.ci, SUM((ve.x - cb.c) * (ve.x - cb.c)) AS dist
+        |  FROM ve JOIN cb0 cb ON ve.mi = cb.mi AND ve.d = cb.d GROUP BY 1, 2, 3),
+        |a1 AS (SELECT vid, mi, ci FROM (SELECT vid, mi, ci,
+        |    ROW_NUMBER() OVER (PARTITION BY vid, mi ORDER BY dist ASC, ci ASC) AS rn
+        |  FROM d1) WHERE rn = 1),
+        |s1 AS (SELECT a.mi, a.ci, e.d, CAST(SUM(e.x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM a1 a JOIN ve e ON a.vid = e.vid AND a.mi = e.mi GROUP BY 1, 2, 3),
+        |cb1 AS (SELECT c.ci, c.mi, c.d,
+        |    COALESCE(CASE WHEN s1.s >= 0 THEN s1.s // s1.n ELSE -((-s1.s) // s1.n) END, c.c) AS c
+        |  FROM cb0 c LEFT JOIN s1 ON c.mi = s1.mi AND c.ci = s1.ci AND c.d = s1.d),
+        |d2 AS (SELECT ve.vid, ve.mi, cb.ci, SUM((ve.x - cb.c) * (ve.x - cb.c)) AS dist
+        |  FROM ve JOIN cb1 cb ON ve.mi = cb.mi AND ve.d = cb.d GROUP BY 1, 2, 3),
+        |a2 AS (SELECT vid, mi, ci FROM (SELECT vid, mi, ci,
+        |    ROW_NUMBER() OVER (PARTITION BY vid, mi ORDER BY dist ASC, ci ASC) AS rn
+        |  FROM d2) WHERE rn = 1),
+        |s2 AS (SELECT a.mi, a.ci, e.d, CAST(SUM(e.x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM a2 a JOIN ve e ON a.vid = e.vid AND a.mi = e.mi GROUP BY 1, 2, 3),
+        |cb2 AS (SELECT c.ci, c.mi, c.d,
+        |    COALESCE(CASE WHEN s2.s >= 0 THEN s2.s // s2.n ELSE -((-s2.s) // s2.n) END, c.c) AS c
+        |  FROM cb1 c LEFT JOIN s2 ON c.mi = s2.mi AND c.ci = s2.ci AND c.d = s2.d),
+        |d3 AS (SELECT ve.vid, ve.cell, ve.mi, cb.ci, SUM((ve.x - cb.c) * (ve.x - cb.c)) AS dist
+        |  FROM ve JOIN cb2 cb ON ve.mi = cb.mi AND ve.d = cb.d GROUP BY 1, 2, 3, 4),
+        |codes AS (SELECT vid, cell, mi, ci AS code FROM (
+        |    SELECT vid, cell, mi, ci,
+        |      ROW_NUMBER() OVER (PARTITION BY vid, mi ORDER BY dist ASC, ci ASC) AS rn
+        |    FROM d3) WHERE rn = 1),
+        |pair AS (SELECT dq.vid AS query_id, c.vid AS neighbor_id, dq.cell,
+        |    SUM(dq.dist) AS adc_dist
+        |  FROM codes c JOIN d3 dq ON dq.mi = c.mi AND dq.ci = c.code
         |    AND dq.cell = c.cell AND dq.vid <> c.vid
         |  GROUP BY 1, 2, 3),
         |r AS (SELECT query_id, neighbor_id, cell, adc_dist,
@@ -1054,6 +1209,7 @@ object LlmPipeline {
     "q82_skew_neardup_capped" -> shingleCte,
     "q83_skew_ingest_capped" -> skewIngestSql,
     "q84_skew_lifecycle_compacted" -> skewLifecycleSql,
+    "q104_stream_intake_multi_trigger" -> streamIntakeSql,
   ) ++ oraclesTail
 
   /** Shared q73/q78 oracle: exact stage on normalized-text equality, near
@@ -1200,6 +1356,65 @@ object LlmPipeline {
       |  COALESCE(e.match_id, nr.m) AS match_id
       |FROM newb n LEFT JOIN exact e ON n.nid = e.nid LEFT JOIN near nr ON n.nid = nr.nid
       |ORDER BY new_id""".stripMargin.replace("@TPL", skewTemplate)
+
+  /** q104 oracle: the three-trigger intake replayed SEQUENTIALLY brute-
+    * force — stage k judges batch k (exact stage on normalized text,
+    * in-batch keep-first, then Jaccard ≥ 0.5 near stage) against
+    * corpus ∪ every earlier stage's kept docs, exactly the state the
+    * per-trigger index append accumulates; the probe stage re-judges all
+    * streamed docs (+1e7) against the final index state.
+    */
+  private def streamIntakeSql: String = {
+    // one judgment stage: batch `b` vs index `i` → exact set x$k, kept
+    // k$k. Every CTE is MATERIALIZED: each stage references earlier
+    // stages several times, and DuckDB's default CTE inlining would
+    // re-expand the whole upstream pipeline per reference —
+    // exponentially across four chained stages.
+    def stage(k: String, b: String, i: String): String =
+      s"""x${k}c AS MATERIALIZED (SELECT n.nid, MIN(c.doc_id) AS m FROM $b n JOIN $i c ON n.nt = c.nt GROUP BY n.nid),
+         |x${k}n AS MATERIALIZED (SELECT a.nid, MIN(b.nid) AS m FROM $b a JOIN $b b ON a.nt = b.nt AND b.nid < a.nid GROUP BY a.nid),
+         |x$k AS MATERIALIZED (SELECT COALESCE(ec.nid, en.nid) AS nid FROM x${k}c ec FULL OUTER JOIN x${k}n en ON ec.nid = en.nid),
+         |v$k AS MATERIALIZED (SELECT * FROM $b WHERE nid NOT IN (SELECT nid FROM x$k)),
+         |gn$k AS MATERIALIZED (SELECT nid, list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sg
+         |  FROM (SELECT nid, string_split(nt, ' ') AS ws FROM v$k) WHERE len(ws) >= 3),
+         |gc$k AS MATERIALIZED (SELECT doc_id, list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sg
+         |  FROM (SELECT doc_id, string_split(nt, ' ') AS ws FROM $i) WHERE len(ws) >= 3),
+         |n$k AS MATERIALIZED (SELECT s.nid FROM gn$k s JOIN gc$k c
+         |    ON len(list_intersect(s.sg, c.sg)) * 2.0 >= len(list_distinct(list_concat(s.sg, c.sg))) GROUP BY s.nid
+         |  UNION SELECT b.nid FROM gn$k a JOIN gn$k b ON a.nid < b.nid
+         |    AND len(list_intersect(a.sg, b.sg)) * 2.0 >= len(list_distinct(list_concat(a.sg, b.sg))) GROUP BY b.nid),
+         |k$k AS MATERIALIZED (SELECT nid, nt FROM v$k WHERE nid NOT IN (SELECT nid FROM n$k)),""".stripMargin
+    s"""WITH a0 AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+       |  FROM documents),
+       |i1 AS MATERIALIZED (SELECT doc_id, nt FROM a0 WHERE doc_id % 7 <> 3),
+       |b1 AS MATERIALIZED (SELECT doc_id + 1000000 AS nid, nt FROM a0 WHERE doc_id % 21 = 3
+       |  UNION ALL SELECT doc_id + 2000000, nt FROM a0 WHERE doc_id % 7 <> 3 AND doc_id % 50 = 0),
+       |b2 AS MATERIALIZED (SELECT doc_id + 1000000 AS nid, nt FROM a0 WHERE doc_id % 21 = 10
+       |  UNION ALL SELECT doc_id + 3000000, trim(nt || ' zz') FROM a0 WHERE doc_id % 21 = 3 AND doc_id % 2 = 1),
+       |b3 AS MATERIALIZED (SELECT doc_id + 1000000 AS nid, nt FROM a0 WHERE doc_id % 21 = 17
+       |  UNION ALL SELECT doc_id + 4000000, nt FROM a0 WHERE doc_id % 21 = 10),
+       |${stage("1", "b1", "i1")}
+       |i2 AS MATERIALIZED (SELECT doc_id, nt FROM i1 UNION ALL SELECT nid, nt FROM k1),
+       |${stage("2", "b2", "i2")}
+       |i3 AS MATERIALIZED (SELECT doc_id, nt FROM i2 UNION ALL SELECT nid, nt FROM k2),
+       |${stage("3", "b3", "i3")}
+       |i4 AS MATERIALIZED (SELECT doc_id, nt FROM i3 UNION ALL SELECT nid, nt FROM k3),
+       |bp AS MATERIALIZED (SELECT nid + 10000000 AS nid, nt FROM b1
+       |  UNION ALL SELECT nid + 10000000, nt FROM b2
+       |  UNION ALL SELECT nid + 10000000, nt FROM b3),
+       |${stage("4", "bp", "i4")}
+       |probe AS (SELECT p.nid,
+       |    CASE WHEN e.nid IS NOT NULL THEN 'exact_dup'
+       |         WHEN nr.nid IS NOT NULL THEN 'near_dup' ELSE 'kept' END AS status
+       |  FROM bp p LEFT JOIN x4 e ON p.nid = e.nid LEFT JOIN n4 nr ON p.nid = nr.nid)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS src, nid AS doc_id, 'kept' AS status FROM k1
+       |  UNION ALL SELECT 2, nid, 'kept' FROM k2
+       |  UNION ALL SELECT 3, nid, 'kept' FROM k3
+       |  UNION ALL SELECT 4, nid, status FROM probe)
+       |ORDER BY src, doc_id""".stripMargin
+  }
 
   private def oraclesTail: Map[String, String] = Map(
     // re-runs span dedup on the span STRINGS (the Spark side hashes

@@ -277,11 +277,16 @@ object StreamOps {
     * DedupOps.compactCorpusDedupIndex (fresh re-capped prefix) and
     * DedupOps.promoteCorpusDedupIndexChecked (pointer overwrite), and
     * this sink's next trigger judges and appends against the compacted
-    * index with no stream restart. The CHECKED promote closes the
-    * append window: a trigger whose tagged append commits on the OLD
-    * prefix after compaction read it is healed into (or loudly blocks)
-    * the promoted index, so no quiesce is required around the swap.
-    * A trigger that committed
+    * index with no stream restart. The CHECKED promote narrows the
+    * append window to the diff-to-swap instant: a trigger whose tagged
+    * append commits on the OLD prefix after compaction read it is
+    * healed into (or loudly blocks) the promoted index, and a second
+    * post-swap coverage diff heals epochs that slip into that instant.
+    * The residual exposure (an append committing after the post-swap
+    * diff) can leak duplicates into later judgments but never lose sink
+    * data — the replay guard in the trigger body (kept-empty against an
+    * existing non-empty partition → no-op) keeps a replayed trigger
+    * from empty-overwriting its own output. A trigger that committed
     * its append BEFORE the compact and replays AFTER the promote is
     * safe: compaction carries the source ledger's committed tags into
     * the new index's ledger, so the replay reads "committed" and no-ops
@@ -360,6 +365,20 @@ object StreamOps {
                                  tag: String): Unit =
     kept.write.mode("overwrite").parquet(s"$targetPath/batch=$tag")
 
+  /** Whether a trigger's `batch=<tag>` partition directory already
+    * exists — the replay-guard probe in [[intakeUpdateTrigger]]. Dir
+    * existence (not row count) is the right test: ANY prior write of
+    * this deterministic tag means an earlier attempt reached the
+    * write-partition step, and a kept-empty re-judgment against it can
+    * only be the already-applied case (or an idempotent all-dup replay,
+    * where the no-op leaves the identical empty partition in place).
+    */
+  private def targetPartitionExists(spark: org.apache.spark.sql.SparkSession,
+                                    targetPath: String, tag: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$targetPath/batch=$tag")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Shared per-trigger body of the index-updating sinks: exactly-once
     * under foreachBatch replay. A committed epoch tagged with this
     * trigger means both the target write and the index append already
@@ -372,7 +391,7 @@ object StreamOps {
     */
   private[graft] var intakeDebug = false
 
-  private def intakeUpdateTrigger(batch: DataFrame, batchId: Long,
+  private[graft] def intakeUpdateTrigger(batch: DataFrame, batchId: Long,
                         tablePrefix: String, textCol: String, idCol: String,
                         targetPath: String, n: Int, numHashes: Int, bands: Int,
                         threshold: Double, maxBucket: Int): Unit = {
@@ -402,14 +421,28 @@ object StreamOps {
           .incrementalDedupPreparedWithCaches(batch, idx, textCol, idCol,
             n, numHashes, bands, threshold, maxBucket))
         val kept = t("kept")(judgeKept(batch, judged, idCol))
-        t("write-partition")(writeKeptPartition(kept, targetPath, tag))
-        // an all-duplicates batch keeps nothing: write the (empty)
-        // partition for replay determinism, but don't add an empty epoch
-        // to the index — the tag staying "absent" just means a replay
-        // re-derives the same empty result
-        if (!kept.isEmpty)
-          t("append-index")(graft.operators.DedupOps.appendToCorpusDedupIndex(
-            kept, textCol, idCol, tablePrefix, epochTag = Some(tag)))
+        // Replay-outside-the-carried-window guard: if this judgment
+        // keeps NOTHING but the trigger's partition already exists, a
+        // prior attempt fully applied (its kept docs are in the index —
+        // that's exactly why the re-judge calls them all dups) and its
+        // idempotence tag has since been pruned from the carried window
+        // by a compaction. Overwriting the partition with the empty
+        // re-judgment would be silent data loss; the correct replay
+        // action is a no-op. A genuinely all-duplicates FIRST attempt
+        // has no partition yet and still writes its empty partition for
+        // replay determinism.
+        if (kept.isEmpty && targetPartitionExists(spark, targetPath, tag)) {
+          if (intakeDebug) println(s"  intake[$batchId]:replay-noop (kept empty, partition exists)")
+        } else {
+          t("write-partition")(writeKeptPartition(kept, targetPath, tag))
+          // an all-duplicates batch keeps nothing: write the (empty)
+          // partition for replay determinism, but don't add an empty epoch
+          // to the index — the tag staying "absent" just means a replay
+          // re-derives the same empty result
+          if (!kept.isEmpty)
+            t("append-index")(graft.operators.DedupOps.appendToCorpusDedupIndex(
+              kept, textCol, idCol, tablePrefix, epochTag = Some(tag)))
+        }
         kept.unpersist()
     }
   }

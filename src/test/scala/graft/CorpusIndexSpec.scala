@@ -1044,4 +1044,103 @@ class CorpusIndexSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(srcRoot)
     }
   }
+
+  test("chained compaction prunes carried tags by RECENCY, not lexicographic order") {
+    // Real intake tags are "$qid-$batchId" with no zero-padding, so
+    // lexicographically "q-10" < "q-9" while append order is 9 < 10. The
+    // carried list must persist in APPEND order: a chained (second)
+    // compaction prunes the base-carried list with takeRight, and a
+    // sorted list would keep the lexicographically-last tag (the OLDEST
+    // in-flight-relevant one, q-9) while dropping the most recent — the
+    // replayed in-flight trigger would then re-judge against an index
+    // already holding its docs and empty-overwrite its partition.
+    dropIndex()
+    val gen1 = prefix + "_chain1"
+    val gen2 = prefix + "_chain2"
+    def dropGen(p: String): Unit = Seq("_fingerprints", "_shingles", "_bands")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $p$s"))
+    dropGen(gen1); dropGen(gen2)
+    val srcRoot = new java.io.File(sys.props("java.io.tmpdir"), "graft_test_cidx_chainsrc")
+    val mid = new java.io.File(sys.props("java.io.tmpdir"), "graft_test_cidx_chainmid")
+    val dst = new java.io.File(sys.props("java.io.tmpdir"), "graft_test_cidx_chaindst")
+    Seq(srcRoot, mid, dst).foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    try {
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"),
+        prefix, buckets = 4, path = Some(srcRoot.getPath))
+      // batch ids 9, 10, 11: append order differs from lexicographic
+      for (i <- 9 to 11)
+        DedupOps.appendToCorpusDedupIndex(
+          Seq((7000L + i, s"chained unpadded tag document $i with distinct content"))
+            .toDF("doc_id", "text"),
+          "text", "doc_id", prefix, epochTag = Some(s"q-$i"))
+      DedupOps.compactCorpusDedupIndex(spark, prefix, gen1,
+        buckets = 4, path = Some(mid.getPath))
+      // second compaction: the three tags now live in gen1's BASE record
+      // (carried), and the prune must keep the most RECENT one
+      DedupOps.compactCorpusDedupIndex(spark, gen1, gen2,
+        buckets = 4, path = Some(dst.getPath), carryRecentTags = 1)
+      assert(DedupOps.epochTagState(spark, gen2, "q-11") == "committed",
+        "most recent tag q-11 dropped by the chained prune — lexicographic " +
+          "order leaked into the recency window")
+      for (t <- Seq("q-9", "q-10"))
+        assert(DedupOps.epochTagState(spark, gen2, t) == "absent",
+          s"stale tag $t survived a carryRecentTags=1 prune")
+      // the in-flight trigger (q-11) replays as a no-op on gen2
+      val fpBefore = spark.table(s"${gen2}_fingerprints").count()
+      DedupOps.appendToCorpusDedupIndex(
+        Seq((7011L, "chained unpadded tag document 11 with distinct content"))
+          .toDF("doc_id", "text"),
+        "text", "doc_id", gen2, epochTag = Some("q-11"))
+      assert(spark.table(s"${gen2}_fingerprints").count() == fpBefore)
+    } finally {
+      dropIndex(); dropGen(gen1); dropGen(gen2)
+      Seq(srcRoot, mid, dst).foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    }
+  }
+
+  test("a replay whose tag fell outside the carried window no-ops instead of empty-overwriting") {
+    // The carried-tags window is bounded (carryRecentTags); only the
+    // single in-flight trigger should ever replay, but if a replay DOES
+    // arrive with a pruned tag — operator error, a checkpoint restored
+    // from backup — the trigger body must not overwrite its partition
+    // with the empty re-judgment. Contract: kept-empty + partition
+    // already exists → no-op, the prior attempt's output stands.
+    dropIndex()
+    val gen1 = prefix + "_window1"
+    def dropGen(p: String): Unit = Seq("_fingerprints", "_shingles", "_bands")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $p$s"))
+    dropGen(gen1)
+    val srcRoot = new java.io.File(sys.props("java.io.tmpdir"), "graft_test_cidx_winsrc")
+    val dstRoot = new java.io.File(sys.props("java.io.tmpdir"), "graft_test_cidx_windst")
+    val target = new java.io.File(sys.props("java.io.tmpdir"), "graft_test_cidx_wintgt")
+    Seq(srcRoot, dstRoot, target).foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    try {
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"),
+        prefix, buckets = 4, path = Some(srcRoot.getPath))
+      val batch = Seq(
+        (8000L, "window boundary document alpha with entirely novel words"),
+        (8001L, "window boundary document beta with different novel words"))
+        .toDF("doc_id", "text")
+      // first attempt: judges (both kept), writes batch=q-5, appends tag q-5
+      graft.streaming.StreamOps.intakeUpdateTrigger(batch, 5L, prefix,
+        "text", "doc_id", target.getPath, 3, 64, 32, 0.5, DedupOps.DefaultMaxBucket)
+      val part = new java.io.File(target, "batch=q-5")
+      assert(spark.read.parquet(part.getPath).count() == 2)
+      // maintenance compacts with the tag PRUNED from the carried window
+      DedupOps.compactCorpusDedupIndex(spark, prefix, gen1,
+        buckets = 4, path = Some(dstRoot.getPath), carryRecentTags = 0)
+      assert(DedupOps.epochTagState(spark, gen1, "q-5") == "absent")
+      // the replay re-judges against gen1 (which holds both docs via the
+      // compacted fingerprints) → kept empty → must NOT clobber batch=q-5
+      graft.streaming.StreamOps.intakeUpdateTrigger(batch, 5L, gen1,
+        "text", "doc_id", target.getPath, 3, 64, 32, 0.5, DedupOps.DefaultMaxBucket)
+      assert(spark.read.parquet(part.getPath).count() == 2,
+        "pruned-tag replay empty-overwrote its target partition — data loss")
+    } finally {
+      dropIndex(); dropGen(gen1)
+      Seq(srcRoot, dstRoot, target).foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    }
+  }
 }

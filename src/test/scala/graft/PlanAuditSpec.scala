@@ -142,6 +142,42 @@ class PlanAuditSpec extends SparkSpec {
       "decontamination drop)")
   }
 
+  test("top-10 bench plans are pinned: scan/exchange/broadcast counts unchanged") {
+    // The drift gate's median pins tolerate noise-band regressions on
+    // the heavyweights (round-9 verdict "what's wrong #3"); these
+    // structural pins are the compensating control — a lost broadcast,
+    // an extra shuffle, or a duplicated scan fails CI on plan SHAPE
+    // even when its cost hides inside the timing noise band. Counts
+    // follow the q67 pin's convention (pre-AQE formatted plan at
+    // sf0.001; node ids deduped). q67 itself is pinned separately.
+    val pins = Map(
+      // name -> (parquet scans, shuffle exchanges, broadcasts, left-antis)
+      "q77_corpus_pipeline_full" -> (4, 15, 9, 2),
+      "q48_bill_stages_flatten" -> (1, 3, 0, 0),
+      "q73_incremental_dedup" -> (6, 17, 8, 1),
+      "q78_incremental_dedup_prepared" -> (3, 16, 8, 1),
+      "q83_skew_ingest_capped" -> (2, 17, 8, 1),
+      "q84_skew_lifecycle_compacted" -> (2, 17, 8, 1),
+      "q102_ann_topk_pq" -> (3, 2, 2, 0),
+      "q103_ann_topk_pq_trained" -> (3, 2, 2, 0),
+      "q79_member_activity_monthly" -> (2, 5, 0, 0))
+    for ((q, (scans, shuffles, broadcasts, antis)) <- pins) {
+      val p = plan(q)
+      def uniq(pat: String): Int =
+        pat.r.findAllMatchIn(p).map(_.group(1)).toSet.size
+      assert(uniq("""Scan parquet\s+\((\d+)\)""") == scans,
+        s"$q parquet scans changed (was $scans): a lost cache/index reuse " +
+          "re-reads the corpus")
+      assert(uniq("""[^t]Exchange\s+\((\d+)\)""") == shuffles,
+        s"$q shuffle exchanges changed (was $shuffles)")
+      assert(uniq("""BroadcastExchange\s+\((\d+)\)""") == broadcasts,
+        s"$q broadcasts changed (was $broadcasts): fewer means a broadcast " +
+          "fell back to a shuffle join")
+      assert(uniq("""SortMergeJoin LeftAnti\s+\((\d+)\)""") == antis,
+        s"$q left-anti joins changed (was $antis)")
+    }
+  }
+
   test("scrub/quality operators are pure projections: no exchange at all") {
     // PII redaction and the quality gate must stay scan-side — a shuffle
     // appearing here means a window/groupBy snuck into a per-row op

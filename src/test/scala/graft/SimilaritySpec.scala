@@ -124,4 +124,58 @@ class SimilaritySpec extends SparkSpec {
     assert(cellPairs.filter(col("cell") =!= col("ncell")).count() == 0,
       "cell-restricted ADC paired across cells")
   }
+
+  test("trained PQ codebooks cut quantization error and hold recall vs seeds") {
+    // Lloyd's guarantee is on the objective, not on recall: each
+    // iteration can only lower the total squared quantization error
+    // (assignment step picks the nearest centroid, update step is the
+    // mean of its cell). Assert that DIRECTLY — it is deterministic —
+    // and pin recall-vs-brute for both models so the trained path's
+    // retrieval quality is recorded next to the seed baseline (q53
+    // recall-sweep precedent).
+    val seeds = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 4, k = 16)
+    val trained = SimilarityOps.pqTrainCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 4, k = 16, maxIter = 2)
+    assert(trained.length == 4 && trained.forall(_.length == 16) &&
+      trained.forall(_.forall(_.length == 16)))
+    assert(trained != seeds, "two Lloyd iterations moved no centroid")
+    def sqError(books: Seq[Seq[Array[Long]]]): Long = {
+      val sub = 16
+      emb.select(SimilarityOps.quantize(col("embedding")).as("qv"))
+        .select((0 until 4).map { mi =>
+          val piece = slice(col("qv"), mi * sub + 1, sub)
+          array_min(array(books(mi).map { c =>
+            val cl = array(c.map(lit).toSeq: _*)
+            aggregate(zip_with(piece, cl, (x, y) => (x - y) * (x - y)),
+              lit(0L), (a, x) => a + x)
+          }: _*)).as(s"e$mi")
+        }: _*)
+        .agg(sum(expr("e0 + e1 + e2 + e3"))).collect()(0).getLong(0)
+    }
+    val seedErr = sqError(seeds)
+    val trainedErr = sqError(trained)
+    assert(trainedErr < seedErr,
+      s"training did not reduce quantization error: $trainedErr vs $seedErr")
+    def recallOf(books: Seq[Seq[Array[Long]]]): Double = {
+      val ann = SimilarityOps.pqAdcTopK(emb, "vec_id", "embedding", books, k = 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val brute = SimilarityOps.bruteTopK(emb, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      ann.intersect(brute).size.toDouble / brute.size
+    }
+    val seedRecall = recallOf(seeds)
+    val trainedRecall = recallOf(trained)
+    info(f"PQ recall@5 vs brute: seed $seedRecall%.3f, trained $trainedRecall%.3f, " +
+      f"sq-error ${seedErr}%d -> ${trainedErr}%d")
+    // ADC distance is an L2 proxy for a cosine ground truth over
+    // unstructured synthetic vectors, so ABSOLUTE recall is low on this
+    // set by construction (the multi-probe test above notes the same) —
+    // the operative pins are the relative ones. Measured on sf0.001:
+    // seed 0.077, trained 0.136 (training nearly doubles recall while
+    // cutting squared error ~29%: 5.23e14 → 3.71e14).
+    assert(trainedRecall >= seedRecall,
+      f"training degraded recall: $trainedRecall%.3f vs seed $seedRecall%.3f")
+    assert(trainedRecall >= 0.12, f"trained-PQ recall floor broken: $trainedRecall%.3f")
+  }
 }

@@ -285,6 +285,164 @@ object SimilarityOps {
     books
   }
 
+  // ---- residual IVF-PQ (IVFADC): PQ over cell-centroid residuals ----
+
+  /** Per-cell centroids of the quantized vectors: truncating integer
+    * mean per dimension (the exact [[kmeansTrain]] update rule, so a SQL
+    * oracle reproduces it with the same CASE-guarded `//`). One
+    * combinable aggregation whose shuffle is O(cells · dim) rows
+    * regardless of corpus size; the returned model is cells·dim longs —
+    * plan-literal sized, not data.
+    */
+  def cellCentroids(emb: DataFrame, vecCol: String,
+                    cellCol: String): Map[Long, Array[Long]] = {
+    val rows = emb.select(col(cellCol).cast("long").as("cell"),
+        quantize(col(vecCol)).as("qv"))
+      .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+      .agg(sum("x").as("s"), count(lit(1)).as("n"))
+      .collect()
+    val dim = rows.map(_.getInt(1)).max + 1
+    rows.groupBy(_.getLong(0)).map { case (cell, rs) =>
+      val arr = new Array[Long](dim)
+      // Long division truncates toward zero — matches the oracle's
+      // CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END
+      rs.foreach(r => arr(r.getInt(1)) = r.getLong(2) / r.getLong(3))
+      cell -> arr
+    }
+  }
+
+  /** (vid, cell, rq) where rq = quantized vector MINUS its cell's
+    * centroid — the residual an IVF-PQ index encodes instead of the raw
+    * vector. Residuals cluster around zero with far smaller spread than
+    * the raw corpus, so the same m·k code budget quantizes them finer
+    * (SimilaritySpec pins the error drop). The centroid table rides the
+    * plan as a map literal (cells·dim longs), never a join.
+    */
+  def residuals(emb: DataFrame, idCol: String, vecCol: String,
+                cellCol: String,
+                cents: Map[Long, Array[Long]]): DataFrame = {
+    val centMap = map(cents.toSeq.sortBy(_._1).flatMap { case (c, arr) =>
+      Seq(lit(c), array(arr.map(lit).toIndexedSeq: _*)) }: _*)
+    emb.select(col(idCol).cast("long").as("vid"),
+        col(cellCol).cast("long").as("cell"), quantize(col(vecCol)).as("qv"))
+      .withColumn("rq",
+        zip_with(col("qv"), element_at(centMap, col("cell")), (x, c) => x - c))
+      .select("vid", "cell", "rq")
+  }
+
+  /** PQ codebooks seeded from an already-quantized long-array column
+    * (the residual path's seeding; [[pqCodebooks]] is the raw-vector
+    * specialization). Deterministic: the k smallest-id rows, sliced per
+    * subspace — the collect is the k·dim model seed, not data.
+    */
+  def pqCodebooksFrom(prep: DataFrame, qCol: String,
+                      dim: Int, m: Int, k: Int): Seq[Seq[Array[Long]]] = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    val seeds = prep.select(col("vid"), col(qCol)).orderBy("vid").limit(k)
+      .collect().map(_.getSeq[Long](1).toArray).toSeq
+    (0 until m).map(mi => seeds.map(_.slice(mi * sub, (mi + 1) * sub)))
+  }
+
+  /** Residual IVF-PQ top-k — the IVFADC composition a 100 TB vector
+    * store actually runs: the coarse cell prunes the scan set, and PQ
+    * codes over cell-centroid RESIDUALS (not raw vectors) compress what
+    * remains. Both the query's lookup table and the neighbors' codes
+    * live in the same residual space (query and neighbor share a cell,
+    * hence a centroid), so ADC distances are directly comparable and —
+    * with the [[quantize]] convention — exact longs end to end: an
+    * oracle rebuilds centroid → residual → codebooks → codes → rank
+    * bit-identically. Output matches [[pqAdcTopK]]'s cell-restricted
+    * shape (query_id, neighbor_id, adc_dist, rank, cell).
+    */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                cellCol: String, dim: Int, m: Int, k: Int,
+                topK: Int = 5): DataFrame = {
+    val sub = dim / m
+    val cents = cellCentroids(emb, vecCol, cellCol)
+    val prep = residuals(emb, idCol, vecCol, cellCol, cents)
+    val books = pqCodebooksFrom(prep, "rq", dim, m, k)
+    val codes = prep.withColumn("codes", array((0 until m).map { mi =>
+        val d = subspaceDists(col("rq"), books(mi), mi, sub)
+        (array_position(d, array_min(d)) - 1).cast("int")
+      }: _*))
+      .select(col("vid").as("neighbor_id"), col("cell").as("_ncell"), col("codes"))
+    val luts = prep.select(col("vid").as("query_id"), col("cell").as("_qcell"),
+      array((0 until m).map(mi =>
+        subspaceDists(col("rq"), books(mi), mi, sub)): _*).as("lut"))
+    val pairs = luts.join(codes,
+        col("_qcell") === col("_ncell") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", aggregate(
+        zip_with(col("codes"), col("lut"), (c, row) => element_at(row, c + 1)),
+        lit(0L), (a, x) => a + x))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
+        col("rank").cast("long").as("rank"), col("_qcell").as("cell"))
+  }
+
+  /** Multi-probe residual IVF-PQ top-k: each query probes its `nprobe`
+    * NEAREST cells by centroid distance (not only its own label) — the
+    * standard recall lever of a production IVF-PQ index, since a query
+    * near a cell boundary has true neighbors filed in the adjacent
+    * list. Per probed cell the query re-residualizes against THAT
+    * cell's centroid and builds a fresh m×k lookup table, so ADC
+    * distances approximate ||x − (c_list + r_code)||² per list exactly
+    * the way a disk-resident IVFADC scan does; neighbors' codes are the
+    * same own-cell residual codes [[ivfPqTopK]] stores — encoded once,
+    * probed from every direction. Cost scales linearly in nprobe and
+    * stays join-pruned (probe-cell equi-join, never all-pairs); exact
+    * longs end to end, oracle-reconstructible.
+    */
+  def ivfPqTopKProbed(emb: DataFrame, idCol: String, vecCol: String,
+                      cellCol: String, dim: Int, m: Int, k: Int,
+                      nprobe: Int, topK: Int = 5): DataFrame = {
+    val sub = dim / m
+    val cents = cellCentroids(emb, vecCol, cellCol)
+    val prep = residuals(emb, idCol, vecCol, cellCol, cents)
+    val books = pqCodebooksFrom(prep, "rq", dim, m, k)
+    val codes = prep.withColumn("codes", array((0 until m).map { mi =>
+        val d = subspaceDists(col("rq"), books(mi), mi, sub)
+        (array_position(d, array_min(d)) - 1).cast("int")
+      }: _*))
+      .select(col("vid").as("neighbor_id"), col("cell").as("_ncell"), col("codes"))
+    // nearest-nprobe cells per query: centroid distances are plan
+    // literals (cells·dim longs); array_sort on (dist, cell) structs
+    // breaks ties to the lower cell id, matching the oracle's ORDER BY
+    val sortedCells = cents.toSeq.sortBy(_._1)
+    val q = emb.select(col(idCol).cast("long").as("query_id"),
+      quantize(col(vecCol)).as("qv"))
+    val probeStructs = array(sortedCells.map { case (c, arr) =>
+      val cl = array(arr.map(lit).toIndexedSeq: _*)
+      struct(
+        aggregate(zip_with(col("qv"), cl, (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, x) => a + x).as("cdist"),
+        lit(c).as("pcell"))
+    }: _*)
+    val centMap = map(sortedCells.flatMap { case (c, arr) =>
+      Seq(lit(c), array(arr.map(lit).toIndexedSeq: _*)) }: _*)
+    val luts = q.withColumn("probe",
+        explode(slice(array_sort(probeStructs), 1, nprobe)))
+      .withColumn("_qcell", col("probe.pcell"))
+      .withColumn("rq",
+        zip_with(col("qv"), element_at(centMap, col("_qcell")), (x, c) => x - c))
+      .withColumn("lut", array((0 until m).map(mi =>
+        subspaceDists(col("rq"), books(mi), mi, sub)): _*))
+      .select("query_id", "_qcell", "lut")
+    val pairs = luts.join(codes,
+        col("_qcell") === col("_ncell") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", aggregate(
+        zip_with(col("codes"), col("lut"), (c, row) => element_at(row, c + 1)),
+        lit(0L), (a, x) => a + x))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
+        col("rank").cast("long").as("rank"), col("_ncell").as("cell"))
+  }
+
   /** One Lloyd step's sufficient statistics: per-(cell, dim) component
     * sums and member counts. The dim-explode is narrow and hash
     * aggregation partially combines per partition, so the shuffle is

@@ -108,6 +108,33 @@ object LlmPipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // Residual IVF-PQ (the IVFADC composition): same cell restriction
+    // as q102, but codes quantize cell-centroid RESIDUALS instead of
+    // raw vectors — residuals cluster around zero with far smaller
+    // spread, so the same 4×16 code budget quantizes finer (the design
+    // every production IVF-PQ store uses). Centroids are truncating
+    // integer means per cell (the kmeansTrain update rule), residuals
+    // and ADC distances exact longs, so the oracle rebuilds
+    // centroid → residual → codebooks → codes → rank bit-identically.
+    "q107_ann_topk_ivfpq_residual" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.ivfPqTopK(emb, "vec_id", "embedding", "label",
+          dim = 64, m = 4, k = 16, topK = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    // q107 with multi-probe: each query searches its TWO nearest cells
+    // by centroid distance (re-residualizing against each probed cell's
+    // centroid, the per-list ADC a disk-resident IVFADC runs) — the
+    // recall lever for queries filed near a cell boundary. Neighbor
+    // codes are q107's own-cell residual codes, encoded once.
+    "q108_ann_topk_ivfpq_probed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.ivfPqTopKProbed(emb, "vec_id", "embedding", "label",
+          dim = 64, m = 4, k = 16, nprobe = 2, topK = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // ANN without a precomputed label: hyperplane-LSH quantizer with
     // multi-probe (flip the lowest-|margin| plane bits). Plane signs are
     // sha-derived and projections integer-quantized, so the oracle
@@ -874,6 +901,109 @@ object LlmPipeline {
         |    SUM(dq.dist) AS adc_dist
         |  FROM codes c JOIN d3 dq ON dq.mi = c.mi AND dq.ci = c.code
         |    AND dq.cell = c.cell AND dq.vid <> c.vid
+        |  GROUP BY 1, 2, 3),
+        |r AS (SELECT query_id, neighbor_id, cell, adc_dist,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk FROM pair)
+        |SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+        |  CAST(rnk AS BIGINT) AS rank, cell
+        |FROM r WHERE rnk <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Residual IVF-PQ: cent = truncating-integer-mean centroid per
+    // (cell, subspace, within-subspace dim); vr = residuals; codebooks
+    // seed from the 16 smallest-id vectors' RESIDUALS; then the same
+    // encode + cell-restricted ADC ranking as q102 runs in residual
+    // space. The CASE-guarded // emulates Long division's truncation
+    // toward zero (DuckDB // floors).
+    "q107_ann_topk_ivfpq_residual" ->
+      """WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vid, CAST(label AS BIGINT) AS cell,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |ve AS (SELECT v.vid, v.cell, m.range AS mi, d.range AS d,
+        |    v.q[CAST(m.range * 16 + d.range AS INT) + 1] AS x
+        |  FROM v CROSS JOIN range(4) m CROSS JOIN range(16) d),
+        |cent AS (SELECT cell, mi, d,
+        |    CASE WHEN SUM(x) >= 0 THEN SUM(x) // COUNT(*)
+        |         ELSE -((-SUM(x)) // COUNT(*)) END AS c
+        |  FROM ve GROUP BY 1, 2, 3),
+        |vr AS (SELECT ve.vid, ve.cell, ve.mi, ve.d, ve.x - cent.c AS x
+        |  FROM ve JOIN cent ON ve.cell = cent.cell AND ve.mi = cent.mi AND ve.d = cent.d),
+        |sv AS (SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) - 1 AS ci
+        |  FROM (SELECT vid FROM v ORDER BY vid LIMIT 16)),
+        |cb AS (SELECT sv.ci, vr.mi, vr.d, vr.x AS c
+        |  FROM vr JOIN sv ON vr.vid = sv.vid),
+        |dists AS (SELECT vr.vid, vr.cell, vr.mi, cb.ci,
+        |    SUM((vr.x - cb.c) * (vr.x - cb.c)) AS dist
+        |  FROM vr JOIN cb ON vr.mi = cb.mi AND vr.d = cb.d
+        |  GROUP BY 1, 2, 3, 4),
+        |codes AS (SELECT vid, cell, mi, ci AS code FROM (
+        |    SELECT vid, cell, mi, ci,
+        |      ROW_NUMBER() OVER (PARTITION BY vid, mi ORDER BY dist ASC, ci ASC) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |pair AS (SELECT dq.vid AS query_id, c.vid AS neighbor_id, dq.cell,
+        |    SUM(dq.dist) AS adc_dist
+        |  FROM codes c JOIN dists dq ON dq.mi = c.mi AND dq.ci = c.code
+        |    AND dq.cell = c.cell AND dq.vid <> c.vid
+        |  GROUP BY 1, 2, 3),
+        |r AS (SELECT query_id, neighbor_id, cell, adc_dist,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk FROM pair)
+        |SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+        |  CAST(rnk AS BIGINT) AS rank, cell
+        |FROM r WHERE rnk <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Multi-probe residual IVF-PQ: q107's cent/vr/cb/codes, plus
+    // qcd = per-(query, cell) centroid distances, probes = each query's
+    // 2 nearest cells, qres/qlut = the query re-residualized against
+    // each probed cell's centroid, then ADC pairs joined on the PROBED
+    // cell and ranked globally per query.
+    "q108_ann_topk_ivfpq_probed" ->
+      """WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vid, CAST(label AS BIGINT) AS cell,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |ve AS (SELECT v.vid, v.cell, m.range AS mi, d.range AS d,
+        |    v.q[CAST(m.range * 16 + d.range AS INT) + 1] AS x
+        |  FROM v CROSS JOIN range(4) m CROSS JOIN range(16) d),
+        |cent AS (SELECT cell, mi, d,
+        |    CASE WHEN SUM(x) >= 0 THEN SUM(x) // COUNT(*)
+        |         ELSE -((-SUM(x)) // COUNT(*)) END AS c
+        |  FROM ve GROUP BY 1, 2, 3),
+        |vr AS (SELECT ve.vid, ve.cell, ve.mi, ve.d, ve.x - cent.c AS x
+        |  FROM ve JOIN cent ON ve.cell = cent.cell AND ve.mi = cent.mi AND ve.d = cent.d),
+        |sv AS (SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) - 1 AS ci
+        |  FROM (SELECT vid FROM v ORDER BY vid LIMIT 16)),
+        |cb AS (SELECT sv.ci, vr.mi, vr.d, vr.x AS c
+        |  FROM vr JOIN sv ON vr.vid = sv.vid),
+        |dists AS (SELECT vr.vid, vr.cell, vr.mi, cb.ci,
+        |    SUM((vr.x - cb.c) * (vr.x - cb.c)) AS dist
+        |  FROM vr JOIN cb ON vr.mi = cb.mi AND vr.d = cb.d
+        |  GROUP BY 1, 2, 3, 4),
+        |codes AS (SELECT vid, cell, mi, ci AS code FROM (
+        |    SELECT vid, cell, mi, ci,
+        |      ROW_NUMBER() OVER (PARTITION BY vid, mi ORDER BY dist ASC, ci ASC) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |qcd AS (SELECT ve.vid, cent.cell, SUM((ve.x - cent.c) * (ve.x - cent.c)) AS cdist
+        |  FROM ve JOIN cent ON ve.mi = cent.mi AND ve.d = cent.d
+        |  GROUP BY 1, 2),
+        |probes AS (SELECT vid, cell FROM (
+        |    SELECT vid, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cdist ASC, cell ASC) AS rn
+        |    FROM qcd) WHERE rn <= 2),
+        |qres AS (SELECT ve.vid, p.cell, ve.mi, ve.d, ve.x - cent.c AS x
+        |  FROM ve JOIN probes p ON ve.vid = p.vid
+        |  JOIN cent ON cent.cell = p.cell AND cent.mi = ve.mi AND cent.d = ve.d),
+        |qlut AS (SELECT qr.vid, qr.cell, qr.mi, cb.ci,
+        |    SUM((qr.x - cb.c) * (qr.x - cb.c)) AS dist
+        |  FROM qres qr JOIN cb ON qr.mi = cb.mi AND qr.d = cb.d
+        |  GROUP BY 1, 2, 3, 4),
+        |pair AS (SELECT l.vid AS query_id, c.vid AS neighbor_id, c.cell,
+        |    SUM(l.dist) AS adc_dist
+        |  FROM codes c JOIN qlut l ON l.mi = c.mi AND l.ci = c.code
+        |    AND l.cell = c.cell AND l.vid <> c.vid
         |  GROUP BY 1, 2, 3),
         |r AS (SELECT query_id, neighbor_id, cell, adc_dist,
         |    ROW_NUMBER() OVER (PARTITION BY query_id

@@ -178,4 +178,58 @@ class SimilaritySpec extends SparkSpec {
       f"training degraded recall: $trainedRecall%.3f vs seed $seedRecall%.3f")
     assert(trainedRecall >= 0.12, f"trained-PQ recall floor broken: $trainedRecall%.3f")
   }
+
+  test("residual IVF-PQ: residuals quantize finer than raw vectors; twins collide in-cell") {
+    // The reason IVFADC encodes residuals: subtracting the cell centroid
+    // collapses the corpus spread, so the SAME m·k seed budget leaves
+    // less squared quantization error than flat PQ. Both errors are
+    // ||x - reconstruction||² in the same integer units (flat: codebook
+    // centroid; residual: cell centroid + residual-codebook centroid),
+    // so the comparison is direct and deterministic.
+    val dim = 64; val m = 4; val sub = dim / m; val k = 16
+    val cents = SimilarityOps.cellCentroids(emb, "embedding", "label")
+    assert(cents.keySet == (0L until 10L).toSet && cents.values.forall(_.length == dim))
+    val prep = SimilarityOps.residuals(emb, "vec_id", "embedding", "label", cents)
+    val resBooks = SimilarityOps.pqCodebooksFrom(prep, "rq", dim, m, k)
+    val flatBooks = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding", dim, m, k)
+    def sqError(df: org.apache.spark.sql.DataFrame, qCol: String,
+                books: Seq[Seq[Array[Long]]]): Long =
+      df.select((0 until m).map { mi =>
+          val piece = slice(col(qCol), mi * sub + 1, sub)
+          array_min(array(books(mi).map { c =>
+            val cl = array(c.map(lit).toSeq: _*)
+            aggregate(zip_with(piece, cl, (x, y) => (x - y) * (x - y)),
+              lit(0L), (a, x) => a + x)
+          }: _*)).as(s"e$mi")
+        }: _*)
+        .agg(sum(expr("e0 + e1 + e2 + e3"))).collect()(0).getLong(0)
+    val flatErr = sqError(
+      emb.select(SimilarityOps.quantize(col("embedding")).as("qv")), "qv", flatBooks)
+    val resErr = sqError(prep, "rq", resBooks)
+    info(f"PQ sq-error: flat seeds $flatErr%d, residual seeds $resErr%d " +
+      f"(${100.0 * (flatErr - resErr) / flatErr}%.1f%% lower)")
+    assert(resErr < flatErr,
+      s"residual encoding did not cut quantization error: $resErr vs $flatErr")
+    // a same-cell twin has an identical residual → identical codes → the
+    // minimum ADC distance for its query: it must rank first
+    val v0 = emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id").cast("long"), col("embedding"), col("label").cast("int"))
+      .collect()(0)
+    val twinId = 999999L
+    val withTwin = emb.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"), col("label").cast("int").as("label"))
+      .unionByName(Seq((twinId, v0.getSeq[Float](1), v0.getInt(2)))
+        .toDF("vec_id", "embedding", "label"))
+    val res = SimilarityOps.ivfPqTopK(withTwin, "vec_id", "embedding", "label",
+      dim, m, k, topK = 3)
+    val top1 = res.filter(col("query_id") === twinId && col("rank") === 1L).collect()
+    assert(top1.length == 1 && top1(0).getLong(1) == v0.getLong(0),
+      s"residual ADC top-1 for the twin was ${top1.toSeq}")
+    // every returned neighbor shares the query's cell
+    val crossCell = res
+      .join(withTwin.select(col("vec_id").as("neighbor_id"),
+        col("label").cast("long").as("ncell")), Seq("neighbor_id"))
+      .filter(col("cell") =!= col("ncell"))
+    assert(crossCell.count() == 0, "residual IVF-PQ paired across cells")
+  }
 }

@@ -392,13 +392,16 @@ object DedupOps {
   /** Integer-quantized vector: floor(x·10⁶) per component, as longs.
     * All downstream arithmetic (dots, norms²) is integer-exact and fits a
     * double (≤ ~1.6e15 for 64-dim inputs ≤ 5), so Spark and a SQL oracle
-    * produce bit-identical values regardless of summation order.
+    * produce bit-identical values regardless of summation order. Native
+    * codegen kernel (graft.functions.QuantizeVec); input must be a
+    * float or double array.
     */
-  def quantizeVec(v: Column): Column = transform(v, x => floor(x * 1e6).cast("long"))
+  def quantizeVec(v: Column): Column = graft.functions.VecExprs.quantize(v)
 
-  /** Exact integer dot product of two quantized vectors. */
-  def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Exact integer dot product of two quantized vectors — one codegen
+    * kernel node instead of an interpreted `aggregate`/`zip_with` fold.
+    */
+  def intDot(a: Column, b: Column): Column = graft.functions.VecExprs.dotLong(a, b)
 
   /** cos(a,b) ≥ t without any float fold: d > 0 ∧ d² ≥ t²·‖a‖²·‖b‖², all
     * operands exact integers in doubles. t2 is passed pre-squared so both
@@ -410,7 +413,7 @@ object DedupOps {
 
   private def quantized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).cast("long").as("vid"),
-        quantizeVec(transform(col(vecCol), x => x.cast("double"))).as("qv"))
+        quantizeVec(col(vecCol)).as("qv"))
       .withColumn("n2", intDot(col("qv"), col("qv")).cast("double"))
 
   /** Brute-force embedding-cosine near-dup pairs: every (a,b) a<b with

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.VecExprs
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (Array[Float]). Brute-force cosine top-k is the correctness baseline;
   * the partitioned variant is the scale path (IVF-style: restrict the
@@ -107,20 +109,20 @@ object SimilarityOps {
   /** Integer-quantized components (floor(x·10⁶) longs) — same convention
     * as the embedding near-dup path: distances and sums stay exact
     * integers, bit-identical across engines and partition orders.
+    * Native codegen kernel ([[graft.functions.QuantizeVec]]) — one tight
+    * loop instead of an interpreted per-element `transform` closure.
     */
-  def quantize(v: Column): Column =
-    transform(v, x => floor(x.cast("double") * 1e6).cast("long"))
+  def quantize(v: Column): Column = VecExprs.quantize(v)
 
   /** Nearest-centroid cell for a quantized vector column: squared
     * euclidean distance (exact long arithmetic), ties break to the
-    * lowest cell index. Centroids are plan literals — the "broadcast"
-    * of a k-means model is k·dim longs.
+    * lowest cell index (array_position returns the FIRST minimum).
+    * Centroids are plan literals — the "broadcast" of a k-means model is
+    * k·dim longs, baked into the [[graft.functions.SqDistToConst]]
+    * kernel nodes and evaluated zero times per row.
     */
   def assignCells(qv: Column, centroids: Seq[Array[Long]]): Column = {
-    val dists = array(centroids.map { c =>
-      val cl = array(c.map(lit).toSeq: _*)
-      aggregate(zip_with(qv, cl, (x, y) => (x - y) * (x - y)), lit(0L), (a, x) => a + x)
-    }: _*)
+    val dists = array(centroids.map(c => VecExprs.sqDistConst(qv, c.toSeq)): _*)
     (array_position(dists, array_min(dists)) - 1).cast("long")
   }
 
@@ -152,17 +154,24 @@ object SimilarityOps {
   /** Per-subspace squared-L2 distances of a quantized vector to all k
     * centroids of one codebook: `array<long>` of length k, exact
     * integer arithmetic (same [[quantize]] convention as every
-    * embedding operator here — bit-identical across engines).
+    * embedding operator here — bit-identical across engines). One
+    * [[graft.functions.PqSubspaceDists]] kernel node per subspace: the
+    * codebook rides the node as a model constant and the k·sub distance
+    * loop runs native inside whole-stage codegen — the interpreted
+    * `aggregate`/`zip_with` formulation re-evaluated its input chain
+    * once per centroid per row (profiled 6× slower at bench scale).
     */
   private def subspaceDists(qv: Column, cb: Seq[Array[Long]],
-                            mi: Int, sub: Int): Column = {
-    val piece = slice(qv, mi * sub + 1, sub)
-    array(cb.map { c =>
-      val cl = array(c.map(lit).toSeq: _*)
-      aggregate(zip_with(piece, cl, (x, y) => (x - y) * (x - y)),
-        lit(0L), (a, x) => a + x)
-    }: _*)
-  }
+                            mi: Int, sub: Int): Column =
+    VecExprs.pqDists(qv, mi * sub, cb)
+
+  /** Argmin codebook centroid for one subspace (first minimum on ties —
+    * identical to `array_position(d, array_min(d)) - 1` over the
+    * [[subspaceDists]] row), as one native kernel node.
+    */
+  private def subspaceCode(qv: Column, cb: Seq[Array[Long]],
+                           mi: Int, sub: Int): Column =
+    VecExprs.pqCode(qv, mi * sub, cb)
 
   /** PQ-encode: dim floats → m small codes (argmin centroid per
     * subspace, ties to the lowest index — array_position returns the
@@ -175,10 +184,8 @@ object SimilarityOps {
     val m = codebooks.length
     val sub = codebooks.head.head.length
     emb.select(col(idCol).cast("long").as("vid"), quantize(col(vecCol)).as("qv"))
-      .withColumn("codes", array((0 until m).map { mi =>
-        val d = subspaceDists(col("qv"), codebooks(mi), mi, sub)
-        (array_position(d, array_min(d)) - 1).cast("int")
-      }: _*))
+      .withColumn("codes", array((0 until m).map(mi =>
+        subspaceCode(col("qv"), codebooks(mi), mi, sub)): _*))
       .select(col("vid"), col("codes"))
   }
 
@@ -216,9 +223,7 @@ object SimilarityOps {
         col("_qcell") === col("_ncell") && col("query_id") =!= col("neighbor_id"))
       case None => luts.crossJoin(encodedWithCell)
         .filter(col("query_id") =!= col("neighbor_id"))
-    }).withColumn("adc_dist", aggregate(
-        zip_with(col("codes"), col("lut"), (c, row) => element_at(row, c + 1)),
-        lit(0L), (a, x) => a + x))
+    }).withColumn("adc_dist", VecExprs.adcSum(col("codes"), col("lut")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("adc_dist").asc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -252,10 +257,8 @@ object SimilarityOps {
     while (it < maxIter && changed) {
       // per-subspace code of every vector under the CURRENT codebooks,
       // then one aggregation over (subspace, code, dim-within-subspace)
-      val codes = array((0 until m).map { mi =>
-        val d = subspaceDists(col("qv"), books(mi), mi, sub)
-        (array_position(d, array_min(d)) - 1).cast("int")
-      }: _*)
+      val codes = array((0 until m).map(mi =>
+        subspaceCode(col("qv"), books(mi), mi, sub)): _*)
       val stats = qemb
         .withColumn("codes", codes)
         .select(posexplode(col("qv")).as(Seq("dim", "x")), col("codes"))
@@ -327,7 +330,7 @@ object SimilarityOps {
     emb.select(col(idCol).cast("long").as("vid"),
         col(cellCol).cast("long").as("cell"), quantize(col(vecCol)).as("qv"))
       .withColumn("rq",
-        zip_with(col("qv"), element_at(centMap, col("cell")), (x, c) => x - c))
+        VecExprs.subArrays(col("qv"), element_at(centMap, col("cell"))))
       .select("vid", "cell", "rq")
   }
 
@@ -363,19 +366,15 @@ object SimilarityOps {
     val cents = cellCentroids(emb, vecCol, cellCol)
     val prep = residuals(emb, idCol, vecCol, cellCol, cents)
     val books = pqCodebooksFrom(prep, "rq", dim, m, k)
-    val codes = prep.withColumn("codes", array((0 until m).map { mi =>
-        val d = subspaceDists(col("rq"), books(mi), mi, sub)
-        (array_position(d, array_min(d)) - 1).cast("int")
-      }: _*))
+    val codes = prep.withColumn("codes", array((0 until m).map(mi =>
+        subspaceCode(col("rq"), books(mi), mi, sub)): _*))
       .select(col("vid").as("neighbor_id"), col("cell").as("_ncell"), col("codes"))
     val luts = prep.select(col("vid").as("query_id"), col("cell").as("_qcell"),
       array((0 until m).map(mi =>
         subspaceDists(col("rq"), books(mi), mi, sub)): _*).as("lut"))
     val pairs = luts.join(codes,
         col("_qcell") === col("_ncell") && col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc_dist", aggregate(
-        zip_with(col("codes"), col("lut"), (c, row) => element_at(row, c + 1)),
-        lit(0L), (a, x) => a + x))
+      .withColumn("adc_dist", VecExprs.adcSum(col("codes"), col("lut")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("adc_dist").asc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
@@ -403,10 +402,8 @@ object SimilarityOps {
     val cents = cellCentroids(emb, vecCol, cellCol)
     val prep = residuals(emb, idCol, vecCol, cellCol, cents)
     val books = pqCodebooksFrom(prep, "rq", dim, m, k)
-    val codes = prep.withColumn("codes", array((0 until m).map { mi =>
-        val d = subspaceDists(col("rq"), books(mi), mi, sub)
-        (array_position(d, array_min(d)) - 1).cast("int")
-      }: _*))
+    val codes = prep.withColumn("codes", array((0 until m).map(mi =>
+        subspaceCode(col("rq"), books(mi), mi, sub)): _*))
       .select(col("vid").as("neighbor_id"), col("cell").as("_ncell"), col("codes"))
     // nearest-nprobe cells per query: centroid distances are plan
     // literals (cells·dim longs); array_sort on (dist, cell) structs
@@ -415,10 +412,7 @@ object SimilarityOps {
     val q = emb.select(col(idCol).cast("long").as("query_id"),
       quantize(col(vecCol)).as("qv"))
     val probeStructs = array(sortedCells.map { case (c, arr) =>
-      val cl = array(arr.map(lit).toIndexedSeq: _*)
-      struct(
-        aggregate(zip_with(col("qv"), cl, (x, y) => (x - y) * (x - y)),
-          lit(0L), (a, x) => a + x).as("cdist"),
+      struct(VecExprs.sqDistConst(col("qv"), arr.toSeq).as("cdist"),
         lit(c).as("pcell"))
     }: _*)
     val centMap = map(sortedCells.flatMap { case (c, arr) =>
@@ -427,20 +421,50 @@ object SimilarityOps {
         explode(slice(array_sort(probeStructs), 1, nprobe)))
       .withColumn("_qcell", col("probe.pcell"))
       .withColumn("rq",
-        zip_with(col("qv"), element_at(centMap, col("_qcell")), (x, c) => x - c))
+        VecExprs.subArrays(col("qv"), element_at(centMap, col("_qcell"))))
       .withColumn("lut", array((0 until m).map(mi =>
         subspaceDists(col("rq"), books(mi), mi, sub)): _*))
       .select("query_id", "_qcell", "lut")
     val pairs = luts.join(codes,
         col("_qcell") === col("_ncell") && col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc_dist", aggregate(
-        zip_with(col("codes"), col("lut"), (c, row) => element_at(row, c + 1)),
-        lit(0L), (a, x) => a + x))
+      .withColumn("adc_dist", VecExprs.adcSum(col("codes"), col("lut")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("adc_dist").asc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
       .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
         col("rank").cast("long").as("rank"), col("_ncell").as("cell"))
+  }
+
+  /** Two-stage retrieval: ADC shortlist, then EXACT re-rank — the
+    * refinement step every production IVF-PQ deployment runs, because
+    * ADC distances are lossy (codebook-quantized) while the final
+    * ordering should not be. Stage 1 is [[ivfPqTopKProbed]] kept to a
+    * `shortlist`-sized candidate set per query (compressed codes only,
+    * no raw-vector touch); stage 2 joins the |Q|·shortlist surviving
+    * pairs — and ONLY those — back to the quantized vectors and ranks
+    * by exact squared L2. At 100 TB the expensive exact arithmetic
+    * runs on a vanishing fraction of the corpus, and the stage-2 join
+    * is an equi-join on vector ids, never all-pairs. Exact longs end
+    * to end: the oracle replays shortlist → exact-distance → re-rank.
+    */
+  def ivfPqTopKRefined(emb: DataFrame, idCol: String, vecCol: String,
+                       cellCol: String, dim: Int, m: Int, k: Int,
+                       nprobe: Int, shortlist: Int,
+                       topK: Int = 5): DataFrame = {
+    val cand = ivfPqTopKProbed(emb, idCol, vecCol, cellCol, dim, m, k,
+        nprobe, topK = shortlist)
+      .select("query_id", "neighbor_id")
+    val qv = emb.select(col(idCol).cast("long").as("_vid"),
+      quantize(col(vecCol)).as("_qv"))
+    val exact = cand
+      .join(qv.select(col("_vid").as("query_id"), col("_qv").as("_q")), "query_id")
+      .join(qv.select(col("_vid").as("neighbor_id"), col("_qv").as("_n")), "neighbor_id")
+      .withColumn("exact_dist", VecExprs.sqDist(col("_q"), col("_n")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("exact_dist").asc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("exact_dist"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** One Lloyd step's sufficient statistics: per-(cell, dim) component

@@ -23,6 +23,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.NormalizeNameExpr].getName,
         "normalize_name"),
       (exprs: Seq[Expression]) => graft.functions.NormalizeNameExpr(exprs.head)))
+    // the vector/ANN codegen kernels (functions/VecExprs) — model
+    // parameters arrive as foldable literals and are unpacked ONCE here
+    // at plan-build time, so generated code never touches them per row
+    import graft.functions._
+    def fn(name: String, builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new ExpressionInfo(classOf[VecKernels.type].getName, name), builder))
+    fn("graft_quantize", exprs => QuantizeVec(exprs.head))
+    fn("graft_sub_arrays", exprs => SubLongArrays(exprs(0), exprs(1)))
+    fn("graft_sq_dist", exprs => SqDistLongArrays(exprs(0), exprs(1)))
+    fn("graft_dot_long", exprs => DotLongArrays(exprs(0), exprs(1)))
+    fn("graft_sq_dist_const", exprs =>
+      SqDistToConst(exprs(0), VecExprs.constLongs(exprs(1))))
+    fn("graft_pq_dists", exprs => PqSubspaceDists(exprs(0),
+      VecExprs.constInt(exprs(1)), VecExprs.constLongMatrix(exprs(2))))
+    fn("graft_pq_code", exprs => PqCodeExpr(exprs(0),
+      VecExprs.constInt(exprs(1)), VecExprs.constLongMatrix(exprs(2))))
+    fn("graft_adc_sum", exprs => AdcSumExpr(exprs(0), exprs(1)))
   }
 }
 

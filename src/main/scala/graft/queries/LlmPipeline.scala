@@ -135,6 +135,19 @@ object LlmPipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // Two-stage retrieval: q108's multi-probe ADC scan kept to a
+    // 10-candidate shortlist per query, then EXACT squared-L2 re-rank
+    // on the quantized vectors — only the |Q|·10 surviving pairs touch
+    // raw vectors, so at 100 TB the exact arithmetic runs on a
+    // vanishing fraction of the corpus (the standard IVF-PQ refinement
+    // stage). Exact longs end to end.
+    "q109_ann_topk_ivfpq_refined" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.ivfPqTopKRefined(emb, "vec_id", "embedding", "label",
+          dim = 64, m = 4, k = 16, nprobe = 2, shortlist = 10, topK = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // ANN without a precomputed label: hyperplane-LSH quantizer with
     // multi-probe (flip the lowest-|margin| plane bits). Plane signs are
     // sha-derived and projections integer-quantized, so the oracle
@@ -1011,6 +1024,73 @@ object LlmPipeline {
         |SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
         |  CAST(rnk AS BIGINT) AS rank, cell
         |FROM r WHERE rnk <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Two-stage refine: q108's chain cut to a 10-candidate shortlist,
+    // then exact squared L2 over the per-dim quantized components (ve
+    // joined on both sides) and a fresh per-query re-rank.
+    "q109_ann_topk_ivfpq_refined" ->
+      """WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vid, CAST(label AS BIGINT) AS cell,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |ve AS (SELECT v.vid, v.cell, m.range AS mi, d.range AS d,
+        |    v.q[CAST(m.range * 16 + d.range AS INT) + 1] AS x
+        |  FROM v CROSS JOIN range(4) m CROSS JOIN range(16) d),
+        |cent AS (SELECT cell, mi, d,
+        |    CASE WHEN SUM(x) >= 0 THEN SUM(x) // COUNT(*)
+        |         ELSE -((-SUM(x)) // COUNT(*)) END AS c
+        |  FROM ve GROUP BY 1, 2, 3),
+        |vr AS (SELECT ve.vid, ve.cell, ve.mi, ve.d, ve.x - cent.c AS x
+        |  FROM ve JOIN cent ON ve.cell = cent.cell AND ve.mi = cent.mi AND ve.d = cent.d),
+        |sv AS (SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) - 1 AS ci
+        |  FROM (SELECT vid FROM v ORDER BY vid LIMIT 16)),
+        |cb AS (SELECT sv.ci, vr.mi, vr.d, vr.x AS c
+        |  FROM vr JOIN sv ON vr.vid = sv.vid),
+        |dists AS (SELECT vr.vid, vr.cell, vr.mi, cb.ci,
+        |    SUM((vr.x - cb.c) * (vr.x - cb.c)) AS dist
+        |  FROM vr JOIN cb ON vr.mi = cb.mi AND vr.d = cb.d
+        |  GROUP BY 1, 2, 3, 4),
+        |codes AS (SELECT vid, cell, mi, ci AS code FROM (
+        |    SELECT vid, cell, mi, ci,
+        |      ROW_NUMBER() OVER (PARTITION BY vid, mi ORDER BY dist ASC, ci ASC) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |qcd AS (SELECT ve.vid, cent.cell, SUM((ve.x - cent.c) * (ve.x - cent.c)) AS cdist
+        |  FROM ve JOIN cent ON ve.mi = cent.mi AND ve.d = cent.d
+        |  GROUP BY 1, 2),
+        |probes AS (SELECT vid, cell FROM (
+        |    SELECT vid, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cdist ASC, cell ASC) AS rn
+        |    FROM qcd) WHERE rn <= 2),
+        |qres AS (SELECT ve.vid, p.cell, ve.mi, ve.d, ve.x - cent.c AS x
+        |  FROM ve JOIN probes p ON ve.vid = p.vid
+        |  JOIN cent ON cent.cell = p.cell AND cent.mi = ve.mi AND cent.d = ve.d),
+        |qlut AS (SELECT qr.vid, qr.cell, qr.mi, cb.ci,
+        |    SUM((qr.x - cb.c) * (qr.x - cb.c)) AS dist
+        |  FROM qres qr JOIN cb ON qr.mi = cb.mi AND qr.d = cb.d
+        |  GROUP BY 1, 2, 3, 4),
+        |pair AS (SELECT l.vid AS query_id, c.vid AS neighbor_id, c.cell,
+        |    SUM(l.dist) AS adc_dist
+        |  FROM codes c JOIN qlut l ON l.mi = c.mi AND l.ci = c.code
+        |    AND l.cell = c.cell AND l.vid <> c.vid
+        |  GROUP BY 1, 2, 3),
+        |shortlist AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk FROM pair)
+        |  WHERE rnk <= 10),
+        |exact AS (SELECT s.query_id, s.neighbor_id,
+        |    SUM((a.x - b.x) * (a.x - b.x)) AS exact_dist
+        |  FROM shortlist s
+        |  JOIN ve a ON a.vid = s.query_id
+        |  JOIN ve b ON b.vid = s.neighbor_id AND b.mi = a.mi AND b.d = a.d
+        |  GROUP BY 1, 2),
+        |rr AS (SELECT query_id, neighbor_id, exact_dist,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY exact_dist ASC, neighbor_id ASC) AS rnk FROM exact)
+        |SELECT query_id, neighbor_id, CAST(exact_dist AS BIGINT) AS exact_dist,
+        |  CAST(rnk AS BIGINT) AS rank
+        |FROM rr WHERE rnk <= 3
         |ORDER BY query_id, rank""".stripMargin,
 
     "q53_ann_topk_hyperplane" ->

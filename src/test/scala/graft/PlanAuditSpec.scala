@@ -160,6 +160,9 @@ class PlanAuditSpec extends SparkSpec {
       "q84_skew_lifecycle_compacted" -> (2, 17, 8, 1),
       "q102_ann_topk_pq" -> (3, 2, 2, 0),
       "q103_ann_topk_pq_trained" -> (3, 2, 2, 0),
+      "q107_ann_topk_ivfpq_residual" -> (2, 2, 1, 0),
+      "q108_ann_topk_ivfpq_probed" -> (2, 2, 1, 0),
+      "q109_ann_topk_ivfpq_refined" -> (4, 2, 3, 0),
       "q79_member_activity_monthly" -> (2, 5, 0, 0))
     for ((q, (scans, shuffles, broadcasts, antis)) <- pins) {
       val p = plan(q)

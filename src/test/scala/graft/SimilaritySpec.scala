@@ -232,4 +232,78 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("cell") =!= col("ncell"))
     assert(crossCell.count() == 0, "residual IVF-PQ paired across cells")
   }
+
+  test("multi-probe IVF-PQ: more probes never worsen the best ADC match; probing is real") {
+    // The deterministic guarantee behind the nprobe recall lever: the
+    // nprobe=1 candidate set (nearest cell by centroid distance) is a
+    // subset of the nprobe=2 set, so each query's rank-1 ADC distance is
+    // monotonically non-increasing in nprobe. (Recall-vs-brute is NOT
+    // asserted — a superset of approximate candidates can reorder an
+    // ADC top-k either way on this unstructured synthetic set.)
+    val dim = 64; val m = 4; val k = 16
+    def top1(nprobe: Int) = SimilarityOps.ivfPqTopKProbed(
+        emb, "vec_id", "embedding", "label", dim, m, k, nprobe, topK = 1)
+      .select(col("query_id"), col("adc_dist").as(s"d$nprobe"), col("cell").as(s"c$nprobe"))
+    val one = top1(1); val two = top1(2)
+    val joined = one.join(two, Seq("query_id")).cache()
+    try {
+      val n = joined.count()
+      assert(n == emb.count(), s"per-query top-1 rows: $n")
+      val worse = joined.filter(col("d2") > col("d1")).count()
+      assert(worse == 0, s"$worse queries got a WORSE best match with more probes")
+      // labels are not centroid-assigned in this synthetic set, so the
+      // centroid-nearest probe genuinely redirects a large share of
+      // queries away from their own label cell — multi-probe must change
+      // real results, not just re-rank the own-cell scan
+      val redirected = joined.filter(col("c2") =!= col("c1")).count()
+      info(f"top-1 neighbor from the second-nearest probed cell: $redirected/$n")
+      assert(redirected > 0, "second probe never produced the best match")
+      // every returned pair's cell is one of the query's two probed cells:
+      // recompute the probe sets driver-side from the same centroid model
+      val cents = SimilarityOps.cellCentroids(emb, "embedding", "label")
+      val qv = emb.select(col("vec_id").cast("long"),
+          SimilarityOps.quantize(col("embedding"))).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      val probeSets = qv.map { case (vid, v) =>
+        vid -> cents.toSeq.map { case (c, ctr) =>
+          val d = v.indices.map(i => { val x = v(i) - ctr(i); x * x }).sum
+          (d, c)
+        }.sorted.take(2).map(_._2).toSet
+      }
+      val res2 = SimilarityOps.ivfPqTopKProbed(
+          emb, "vec_id", "embedding", "label", dim, m, k, nprobe = 2, topK = 3)
+        .select("query_id", "cell").collect()
+      val escaped = res2.filterNot(r => probeSets(r.getLong(0)).contains(r.getLong(1)))
+      assert(escaped.isEmpty, s"results outside the probe set: ${escaped.take(3).toSeq}")
+    } finally joined.unpersist()
+  }
+
+  test("exact re-rank: refined top-1 is never exactly-farther than the ADC top-1") {
+    // The refinement guarantee: the ADC rank-1 neighbor is IN the
+    // shortlist, so re-ranking the shortlist by exact distance can only
+    // keep or improve the top pick's TRUE distance — never worsen it.
+    val dim = 64; val m = 4; val k = 16
+    val refined = SimilarityOps.ivfPqTopKRefined(
+        emb, "vec_id", "embedding", "label", dim, m, k,
+        nprobe = 2, shortlist = 10, topK = 1)
+      .select(col("query_id"), col("exact_dist").as("refined_d"))
+    val adcTop1 = SimilarityOps.ivfPqTopKProbed(
+        emb, "vec_id", "embedding", "label", dim, m, k, nprobe = 2, topK = 1)
+      .select("query_id", "neighbor_id")
+    val qv = emb.select(col("vec_id").cast("long").as("_vid"),
+      SimilarityOps.quantize(col("embedding")).as("_qv"))
+    val adcExact = adcTop1
+      .join(qv.select(col("_vid").as("query_id"), col("_qv").as("_q")), "query_id")
+      .join(qv.select(col("_vid").as("neighbor_id"), col("_qv").as("_n")), "neighbor_id")
+      .select(col("query_id"), aggregate(
+        zip_with(col("_q"), col("_n"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (a, x) => a + x).as("adc_pick_d"))
+    val j = refined.join(adcExact, Seq("query_id"))
+    val worse = j.filter(col("refined_d") > col("adc_pick_d")).count()
+    assert(worse == 0, s"$worse queries: refinement picked an exactly-farther top-1")
+    val improved = j.filter(col("refined_d") < col("adc_pick_d")).count()
+    info(s"exact re-rank strictly improved the top-1 for $improved/${j.count()} queries")
+    assert(improved > 0, "re-ranking a 10-deep shortlist never changed any top-1 " +
+      "(ADC would have to be exact — not credible on quantized codes)")
+  }
 }

@@ -59,7 +59,10 @@ object Bench {
     "q84_skew_lifecycle_compacted", // index lifecycle: append → re-cap compact → re-ingest
     "q102_ann_topk_pq",         // product-quantization ANN: encode + cell-restricted ADC scan
     "q103_ann_topk_pq_trained", // trained-PQ ANN: per-subspace Lloyd + encode + ADC scan
-    "q107_ann_topk_ivfpq_residual") // residual IVF-PQ (IVFADC): PQ over cell-centroid residuals
+    "q107_ann_topk_ivfpq_residual", // residual IVF-PQ (IVFADC): PQ over cell-centroid residuals
+    "q108_ann_topk_ivfpq_probed",   // multi-probe IVFADC: nprobe nearest cells per query
+    "q109_ann_topk_ivfpq_refined",  // two-stage: ADC shortlist + exact re-rank
+    "q110_ann_topk_indexed")        // persisted-index ANN (build once per SF, then query-only)
     // q104 (3-trigger streaming intake) is an oracle/lifecycle query, not
     // a headline: its batches feed through driver-side MemoryStream
     // plumbing, and the lifecycle's bench-scale cost story is carried by

@@ -1,0 +1,316 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecExprs
+
+/** Persisted residual IVF-PQ index: the build-once / query-many ANN
+  * lifecycle a production vector store runs, as the prepared-path
+  * counterpart of [[SimilarityOps.ivfPqTopKRefined]] (which re-derives
+  * the model inside every query — the right shape for an oracle, the
+  * wrong one for a serving index).
+  *
+  * Layout under `path/`:
+  *   - `codes/` — (vid, cell, codes) parquet, PARTITIONED BY cell: a
+  *     probe-set join prunes whole cell directories at the scan
+  *     (dynamic partition pruning), so per-query scan cost tracks
+  *     nprobe/cells of the corpus, not the corpus.
+  *   - `centroids/` — (cell, centroid) parquet: the coarse model.
+  *   - `codebooks/` — (mi, ci, centroid) parquet: the m per-subspace
+  *     PQ codebooks over cell-centroid residuals.
+  * Models are cells·dim + m·k·sub longs — read back to the driver and
+  * baked into kernel expression nodes as plan constants, never joined.
+  *
+  * Arithmetic is the exact [[SimilarityOps]] convention (floor(x·10⁶)
+  * long quantization, truncating-integer-mean centroids, first-minimum
+  * code ties), so a query through the PERSISTED index returns
+  * row-identical results to the derive-in-query chain — VectorIndexSpec
+  * pins that equality, and q110 reuses q109's DuckDB oracle verbatim.
+  *
+  * Reference behavior mirrored: the reference's process inventory has no
+  * vector index (its similarity features are pandas in-memory); this is
+  * part of the training-data-pipeline surface beyond SURVEY §2 where
+  * the 100 TB design is the requirement itself.
+  */
+object VectorIndex {
+
+  /** The full PQ model: coarse centroids + per-subspace codebooks. */
+  case class Model(dim: Int, m: Int, k: Int,
+                   cents: Map[Long, Array[Long]],
+                   books: Seq[Seq[Array[Long]]]) {
+    def sub: Int = dim / m
+  }
+
+  /** Derive the model and the encoded codes table from an embedding
+    * corpus — same construction as [[SimilarityOps.ivfPqTopKProbed]]'s
+    * prologue: per-cell truncating-mean centroids, smallest-vid residual
+    * seed codebooks, per-subspace first-minimum codes.
+    */
+  def build(emb: DataFrame, idCol: String, vecCol: String, cellCol: String,
+            dim: Int, m: Int, k: Int): (Model, DataFrame) = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    val cents = SimilarityOps.cellCentroids(emb, vecCol, cellCol)
+    val prep = SimilarityOps.residuals(emb, idCol, vecCol, cellCol, cents)
+    val books = SimilarityOps.pqCodebooksFrom(prep, "rq", dim, m, k)
+    val codes = prep.withColumn("codes", array((0 until m).map(mi =>
+        VecExprs.pqCode(col("rq"), mi * sub, books(mi))): _*))
+      .select(col("vid"), col("cell"), col("codes"))
+    (Model(dim, m, k, cents, books), codes)
+  }
+
+  /** Persist codes (partitioned by cell) + both model tables. */
+  def write(model: Model, codes: DataFrame, path: String): Unit = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    codes.write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(s"$path/codes")
+    model.cents.toSeq.sortBy(_._1).map { case (c, arr) => (c, arr.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    model.books.zipWithIndex.flatMap { case (cb, mi) =>
+      cb.zipWithIndex.map { case (cent, ci) => (mi, ci, cent.toSeq) } }
+      .toDF("mi", "ci", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
+  }
+
+  /** Load the model tables back to the driver (model-sized collects:
+    * cells·dim + m·k·sub longs).
+    */
+  def readModel(spark: SparkSession, path: String,
+                dim: Int, m: Int, k: Int): Model = {
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val books = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
+    Model(dim, m, k, cents, books)
+  }
+
+  def readCodes(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/codes")
+      .select(col("vid"), col("cell").cast("long").as("cell"), col("codes"))
+
+  /** True when a previously written index is present and complete. */
+  def exists(path: String): Boolean =
+    Seq("codes", "centroids", "codebooks").forall(d =>
+      new java.io.File(s"$path/$d/_SUCCESS").exists())
+
+  /** Coarse-assign vectors with the STORED quantizer: nearest centroid
+    * by exact squared L2, ties to the LOWER cell id — the cell an
+    * ingest-time vector files under when it arrives with no label.
+    * Returns the cell LABEL (not the centroid's position index).
+    */
+  def assignCell(qv: org.apache.spark.sql.Column,
+                 model: Model): org.apache.spark.sql.Column = {
+    val sortedCells = model.cents.toSeq.sortBy(_._1)
+    val idx = SimilarityOps.assignCells(qv, sortedCells.map(_._2))
+    element_at(array(sortedCells.map(c => lit(c._1)): _*), idx.cast("int") + 1)
+  }
+
+  /** Append new vectors to a persisted index WITHOUT retraining: each
+    * vector is coarse-assigned by the stored quantizer ([[assignCell]]),
+    * residualized against its assigned cell's stored centroid, and
+    * PQ-encoded with the stored codebooks — the standard serving-ingest
+    * path, where the model is deliberately stale until the next rebuild
+    * (exactly how an IVF index absorbs writes between retrains; recall
+    * on appended mass degrades gracefully as the corpus drifts, which
+    * is the documented trade, not a bug). The write is an append of
+    * new cell-partition files — existing code files are never touched,
+    * so a crashed append leaves the index readable (parquet files land
+    * complete-or-absent) and re-running it is the recovery.
+    */
+  def append(newEmb: DataFrame, idCol: String, vecCol: String,
+             model: Model, path: String): Unit = {
+    val sortedCells = model.cents.toSeq.sortBy(_._1)
+    val centMap = map(sortedCells.flatMap { case (c, arr) =>
+      Seq(lit(c), array(arr.map(lit).toIndexedSeq: _*)) }: _*)
+    val m = model.m
+    val sub = model.sub
+    newEmb.select(col(idCol).cast("long").as("vid"),
+        VecExprs.quantize(col(vecCol)).as("qv"))
+      .withColumn("cell", assignCell(col("qv"), model))
+      .withColumn("rq",
+        VecExprs.subArrays(col("qv"), element_at(centMap, col("cell"))))
+      .withColumn("codes", array((0 until m).map(mi =>
+        VecExprs.pqCode(col("rq"), mi * sub, model.books(mi))): _*))
+      .select(col("vid"), col("cell"), col("codes"))
+      .write.mode(SaveMode.Append).partitionBy("cell")
+      .parquet(s"$path/codes")
+  }
+
+  /** Multi-probe ADC scan + exact re-rank THROUGH the persisted index —
+    * row-identical to [[SimilarityOps.ivfPqTopKRefined]] on the same
+    * corpus/params. `queries` supplies raw query vectors (encoded
+    * per-probe against the stored model); `rawVectors` supplies the
+    * shortlist's exact-rerank vectors by id (at scale: the source table,
+    * id-equi-joined — only |Q|·shortlist rows are fetched). The codes
+    * join is an equi-join on the probed cell over a cell-partitioned
+    * table, so the scan dynamically prunes to the probed partitions.
+    *
+    * Serving-side narrowing, both applied BEFORE the ADC scan so the
+    * shortlist is computed over the narrowed candidate set (the
+    * pre-filter convention of production vector stores — a post-filter
+    * would silently shrink result sets below topK):
+    *   - `neighborFilter`: a predicate over the codes columns
+    *     (vid/cell/codes), placed directly on the codes relation so it
+    *     runs inside the scan stage before the probe join (comparison /
+    *     IN predicates additionally push into parquet row-group stats).
+    *   - `tombstones`: a (vid) set of deleted vectors, removed by
+    *     anti-join (AQE broadcasts it when small — the usual case; a
+    *     compaction folds large tombstone sets back into the files).
+    */
+  def query(queries: DataFrame, idCol: String, vecCol: String,
+            model: Model, codes: DataFrame, rawVectors: DataFrame,
+            nprobe: Int, shortlist: Int, topK: Int,
+            neighborFilter: Option[org.apache.spark.sql.Column] = None,
+            tombstones: Option[DataFrame] = None): DataFrame = {
+    val m = model.m
+    val sub = model.sub
+    val sortedCells = model.cents.toSeq.sortBy(_._1)
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      VecExprs.quantize(col(vecCol)).as("qv"))
+    // nprobe nearest cells by centroid distance, ties to the lower cell
+    val probeStructs = array(sortedCells.map { case (c, arr) =>
+      struct(VecExprs.sqDistConst(col("qv"), arr.toSeq).as("cdist"),
+        lit(c).as("pcell"))
+    }: _*)
+    val centMap = map(sortedCells.flatMap { case (c, arr) =>
+      Seq(lit(c), array(arr.map(lit).toIndexedSeq: _*)) }: _*)
+    val luts = q.withColumn("probe",
+        explode(slice(array_sort(probeStructs), 1, nprobe)))
+      .withColumn("cell", col("probe.pcell"))
+      .withColumn("rq",
+        VecExprs.subArrays(col("qv"), element_at(centMap, col("cell"))))
+      .withColumn("lut", array((0 until m).map(mi =>
+        VecExprs.pqDists(col("rq"), mi * sub, model.books(mi))): _*))
+      .select("query_id", "cell", "lut")
+    val filtered = neighborFilter.map(codes.filter).getOrElse(codes)
+    val live = tombstones.map(t =>
+      filtered.join(t.select(col("vid")), Seq("vid"), "left_anti"))
+      .getOrElse(filtered)
+    val cand = luts.join(
+        live.select(col("vid").as("neighbor_id"), col("cell"), col("codes")),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", VecExprs.adcSum(col("codes"), col("lut")))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    val short = cand.withColumn("_r", row_number().over(wAdc))
+      .filter(col("_r") <= shortlist)
+      .select("query_id", "neighbor_id")
+    // exact re-rank: fetch raw vectors for ONLY the surviving pairs
+    val rv = rawVectors.select(col(idCol).cast("long").as("_vid"),
+      VecExprs.quantize(col(vecCol)).as("_rqv"))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("exact_dist").asc, col("neighbor_id").asc)
+    short
+      .join(rv.select(col("_vid").as("query_id"), col("_rqv").as("_q")), "query_id")
+      .join(rv.select(col("_vid").as("neighbor_id"), col("_rqv").as("_n")), "neighbor_id")
+      .withColumn("exact_dist", VecExprs.sqDist(col("_q"), col("_n")))
+      .withColumn("rank", row_number().over(wExact)).filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("exact_dist"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  // ---- Versioned lifecycle: retrain + atomic pointer swap ------------
+  //
+  // Appends through a stale model degrade recall as the corpus drifts;
+  // the answer is a periodic RETRAIN — rebuild model + codes from the
+  // full corpus into a NEW version directory, then swap one pointer.
+  // Layout:
+  //   root/versions/vNNNN/{codes,centroids,codebooks}   (immutable once
+  //     swapped-to; appends between retrains land inside the current
+  //     version's codes/)
+  //   root/POINTER                                       (the version
+  //     name; one-line file, replaced by atomic rename)
+  // Readers resolve POINTER once per query plan, so a swap mid-stream
+  // changes which files the NEXT query reads, never a running scan
+  // (Spark pins concrete files at planning). A crash after writeVersion
+  // but before swapPointer leaves the old version serving and the new
+  // directory inert — re-running the retrain is the recovery, the same
+  // contract as [[append]]. On an object store the rename maps to a
+  // pointer-object put (the BatchStore promote convention,
+  // io/BatchStore.scala).
+
+  def versionDir(root: String, v: Int): String = f"$root/versions/v$v%04d"
+
+  /** The currently-served version number, if a pointer has ever been
+    * swapped in.
+    */
+  def currentVersion(root: String): Option[Int] = {
+    val ptr = new java.io.File(root, "POINTER")
+    if (!ptr.exists()) None
+    else Some(new String(java.nio.file.Files.readAllBytes(ptr.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim.stripPrefix("v").toInt)
+  }
+
+  /** Write a complete index under `versions/vNNNN` WITHOUT serving it. */
+  def writeVersion(model: Model, codes: DataFrame, root: String, v: Int): Unit =
+    write(model, codes, versionDir(root, v))
+
+  /** Atomically point readers at version `v`. Refuses a torn target. */
+  def swapPointer(root: String, v: Int): Unit = {
+    require(exists(versionDir(root, v)),
+      s"refusing to swap pointer to incomplete index version v$v at $root")
+    val tmp = new java.io.File(root, s"POINTER.tmp.$v")
+    java.nio.file.Files.write(tmp.toPath,
+      f"v$v%04d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, new java.io.File(root, "POINTER").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Full retrain: rebuild model + codes from `emb` into the next
+    * version directory and swap the pointer. Returns the new version.
+    */
+  def retrainAndSwap(emb: DataFrame, idCol: String, vecCol: String,
+                     cellCol: String, dim: Int, m: Int, k: Int,
+                     root: String): Int = {
+    val v = currentVersion(root).getOrElse(0) + 1
+    val (model, codes) = build(emb, idCol, vecCol, cellCol, dim, m, k)
+    writeVersion(model, codes, root, v)
+    swapPointer(root, v)
+    v
+  }
+
+  def readCurrentModel(spark: SparkSession, root: String,
+                       dim: Int, m: Int, k: Int): Model = {
+    val v = currentVersion(root).getOrElse(
+      sys.error(s"no served index version at $root"))
+    readModel(spark, versionDir(root, v), dim, m, k)
+  }
+
+  def readCurrentCodes(spark: SparkSession, root: String): DataFrame = {
+    val v = currentVersion(root).getOrElse(
+      sys.error(s"no served index version at $root"))
+    readCodes(spark, versionDir(root, v))
+  }
+
+  // ---- Deletes: tombstones ------------------------------------------
+  //
+  // A delete never rewrites code files (they are bulk-immutable); it
+  // appends the ids to a tombstone table that [[query]] anti-joins out
+  // of the candidate set BEFORE the ADC scan. Deletes fold away for
+  // real at the next retrain (the new version starts tombstone-free
+  // over the surviving corpus) — the standard LSM-style delete of a
+  // serving index.
+
+  /** Record deleted vector ids under `path/tombstones`. Idempotent in
+    * effect: duplicate ids only add anti-join rows, never change
+    * results.
+    */
+  def delete(ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol).cast("long").as("vid")).distinct()
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+
+  /** The tombstone set; empty when no delete has ever been issued. */
+  def readTombstones(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    if (new java.io.File(s"$path/tombstones/_SUCCESS").exists())
+      spark.read.parquet(s"$path/tombstones").select(col("vid"))
+    else Seq.empty[Long].toDF("vid")
+  }
+}

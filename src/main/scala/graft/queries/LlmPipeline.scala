@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{CurationPipeline, DedupOps, GraphOps, MultimodalOps, ScrubOps, SimilarityOps, TextOps}
+import graft.operators.{CurationPipeline, DedupOps, GraphOps, MultimodalOps, ScrubOps, SimilarityOps, TextOps, VectorIndex}
 
 /** Training-data-pipeline operator surface (north star beyond the
   * reference): dedupe, similarity search, text analysis, multimodal
@@ -145,6 +145,128 @@ object LlmPipeline {
       val emb = t(s, dir, "embeddings")
       SimilarityOps.ivfPqTopKRefined(emb, "vec_id", "embedding", "label",
           dim = 64, m = 4, k = 16, nprobe = 2, shortlist = 10, topK = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    // The PERSISTED-index lifecycle (the q78 pattern applied to ANN):
+    // build the residual IVF-PQ index ONCE per corpus (cell-partitioned
+    // codes parquet + model tables under a data-stamped tmp dir), then
+    // answer q109's exact query THROUGH the stored files — the
+    // build-once / query-many path a serving vector store runs, where
+    // per-query cost is the probed partitions' codes + a |Q|·shortlist
+    // raw-vector fetch, never a corpus re-encode. Results (and the
+    // DuckDB oracle) are q109's verbatim — VectorIndexSpec pins the
+    // persisted-vs-derived equality.
+    "q110_ann_topk_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = ensureQ110Index(s, dir, emb)
+      val model = VectorIndex.readModel(s, root, dim = 64, m = 4, k = 16)
+      val codes = VectorIndex.readCodes(s, root)
+      VectorIndex.query(emb, "vec_id", "embedding", model, codes,
+          rawVectors = emb, nprobe = 2, shortlist = 10, topK = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    // The index-lifecycle oracle: build the persisted index on the
+    // FIRST HALF of the corpus (vec_id <= max/2), APPEND the second
+    // half through the stored quantizer (coarse-assign to the nearest
+    // stored centroid, encode with the stale codebooks — the standard
+    // between-retrains ingest, where model staleness is the documented
+    // trade), then answer q109's query over the combined index. The
+    // DuckDB oracle unrolls base-model → base-codes → assign → append-
+    // codes → probe → ADC → exact re-rank end to end. A fresh work dir
+    // per run: append is cumulative, so reuse would double rows.
+    "q111_ann_topk_index_appended" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cutoff = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0) / 2
+      val base = emb.filter(col("vec_id") <= cutoff)
+      val rest = emb.filter(col("vec_id") > cutoff)
+      val root = java.nio.file.Files.createTempDirectory("graft_q111_vindex_").toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(root)
+      val (model, codes) = VectorIndex.build(base, "vec_id", "embedding", "label",
+        dim = 64, m = 4, k = 16)
+      VectorIndex.write(model, codes, root.getPath)
+      VectorIndex.append(rest, "vec_id", "embedding", model, root.getPath)
+      VectorIndex.query(emb, "vec_id", "embedding", model,
+          VectorIndex.readCodes(s, root.getPath), rawVectors = emb,
+          nprobe = 2, shortlist = 10, topK = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    // The FULL lifecycle loop, closing q111's documented staleness trade:
+    // build v1 on the base half → swap the pointer → append the second
+    // half through the (now stale) v1 model and serve it (phase 'stale'
+    // ≡ q111's answer) → RETRAIN from the full corpus into v2 → atomic
+    // pointer swap → serve again (phase 'retrained' ≡ q109's answer,
+    // because a full retrain is definitionally the derive-in-query model
+    // on the full corpus). The oracle is the two phases' SQL composed
+    // verbatim — no third derivation to drift.
+    "q112_ann_index_retrain_swap" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cutoff = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0) / 2
+      val base = emb.filter(col("vec_id") <= cutoff)
+      val rest = emb.filter(col("vec_id") > cutoff)
+      val root = java.nio.file.Files.createTempDirectory("graft_q112_vindex_").toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(root)
+      val (m1, c1) = VectorIndex.build(base, "vec_id", "embedding", "label",
+        dim = 64, m = 4, k = 16)
+      VectorIndex.writeVersion(m1, c1, root.getPath, 1)
+      VectorIndex.swapPointer(root.getPath, 1)
+      VectorIndex.append(rest, "vec_id", "embedding", m1,
+        VectorIndex.versionDir(root.getPath, 1))
+      val stale = VectorIndex.query(emb, "vec_id", "embedding",
+          VectorIndex.readCurrentModel(s, root.getPath, dim = 64, m = 4, k = 16),
+          VectorIndex.readCurrentCodes(s, root.getPath), rawVectors = emb,
+          nprobe = 2, shortlist = 10, topK = 3)
+        .withColumn("phase", lit("stale"))
+      VectorIndex.retrainAndSwap(emb, "vec_id", "embedding", "label",
+        dim = 64, m = 4, k = 16, root.getPath)
+      val fresh = VectorIndex.query(emb, "vec_id", "embedding",
+          VectorIndex.readCurrentModel(s, root.getPath, dim = 64, m = 4, k = 16),
+          VectorIndex.readCurrentCodes(s, root.getPath), rawVectors = emb,
+          nprobe = 2, shortlist = 10, topK = 3)
+        .withColumn("phase", lit("retrained"))
+      stale.unionByName(fresh)
+        .select("phase", "query_id", "neighbor_id", "exact_dist", "rank")
+        .orderBy("phase", "query_id", "rank")
+    }),
+
+    // Filtered ANN (the serving store's metadata pre-filter): the
+    // predicate narrows the candidate set BEFORE the ADC scan — a
+    // post-filter would return fewer than topK — and sits directly on
+    // the codes relation, so it runs inside the scan stage before the
+    // probe join (a comparison/IN predicate would additionally push
+    // into parquet row-group stats). Served through q110's cached
+    // persisted index.
+    "q113_ann_topk_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = ensureQ110Index(s, dir, emb)
+      VectorIndex.query(emb, "vec_id", "embedding",
+          VectorIndex.readModel(s, root, dim = 64, m = 4, k = 16),
+          VectorIndex.readCodes(s, root), rawVectors = emb,
+          nprobe = 2, shortlist = 10, topK = 3,
+          neighborFilter = Some(col("vid") % 2 === 0))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Tombstoned deletes: ids % 7 == 0 are deleted from a fresh copy of
+    // the index (tombstones are an append-only side table anti-joined
+    // out before the ADC scan; code files never rewritten — the
+    // LSM-style delete, folded away at the next retrain). A fresh work
+    // dir per run keeps the tombstone table deterministic.
+    "q114_ann_topk_deleted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = java.nio.file.Files.createTempDirectory("graft_q114_vindex_").toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(root)
+      val (model, codes) = VectorIndex.build(emb, "vec_id", "embedding", "label",
+        dim = 64, m = 4, k = 16)
+      VectorIndex.write(model, codes, root.getPath)
+      VectorIndex.delete(emb.filter(col("vec_id") % 7 === 0).select("vec_id"),
+        "vec_id", root.getPath)
+      VectorIndex.query(emb, "vec_id", "embedding", model,
+          VectorIndex.readCodes(s, root.getPath), rawVectors = emb,
+          nprobe = 2, shortlist = 10, topK = 3,
+          tombstones = Some(VectorIndex.readTombstones(s, root.getPath)))
         .orderBy("query_id", "rank")
     }),
 
@@ -623,6 +745,26 @@ object LlmPipeline {
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
   }
 
+  /** Build-once cache of the q110 persisted ANN index for this sf dir
+    * (data-stamped like [[corpusStamp]], but keyed on the embeddings
+    * table). Shared by every query that serves through the stored index
+    * (q110, q113) — the build cost is paid once per corpus generation.
+    */
+  private def ensureQ110Index(s: SparkSession, dir: String,
+                              emb: DataFrame): String = {
+    val stamp = Integer.toHexString(dir.hashCode) + "_" +
+      graft.io.Fingerprint.ofTree(new java.io.File(dir, "embeddings.parquet").getPath)
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_q110_vindex_" + stamp)
+    if (!VectorIndex.exists(root.getPath)) {
+      cleanStaleIndexDirs("graft_q110_vindex_" +
+        Integer.toHexString(dir.hashCode) + "_", "graft_q110_vindex_" + stamp)
+      val (model, codes) = VectorIndex.build(emb, "vec_id", "embedding", "label",
+        dim = 64, m = 4, k = 16)
+      VectorIndex.write(model, codes, root.getPath)
+    }
+    root.getPath
+  }
+
   /** Bucket cap for the planted-skew fixture: far below the family's
     * per-band bucket width (~0.9 × 4 × corpus size) and far above any
     * genuine bucket in the base corpus.
@@ -765,7 +907,42 @@ object LlmPipeline {
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = oraclesMain +
+    // the persisted-index query (q110) is exactly q109's math answered
+    // through the stored files — one oracle, two engines-side paths
+    ("q110_ann_topk_indexed" -> oraclesMain("q109_ann_topk_ivfpq_refined")) +
+    // the retrain lifecycle's two phases ARE the two existing oracles:
+    // stale = q111 (appends through the base-half model), retrained =
+    // q109 (full-corpus model) — composed verbatim, no third derivation
+    ("q112_ann_index_retrain_swap" ->
+      s"""SELECT 'stale' AS phase, * FROM (
+         |${oraclesMain("q111_ann_topk_index_appended")})
+         |UNION ALL
+         |SELECT 'retrained' AS phase, * FROM (
+         |${oraclesMain("q109_ann_topk_ivfpq_refined")})
+         |ORDER BY phase, query_id, rank""".stripMargin) +
+    // pre-filter / tombstone serving paths: q109's oracle with the
+    // candidate set narrowed at the pair join — the single point where
+    // a neighbor enters the ADC ranking, so patching there is exactly
+    // the engine's filter-before-shortlist semantics
+    ("q113_ann_topk_filtered" -> patchedOracle(
+      oraclesMain("q109_ann_topk_ivfpq_refined"),
+      "AND l.vid <> c.vid", "AND l.vid <> c.vid AND c.vid % 2 = 0")) +
+    ("q114_ann_topk_deleted" -> patchedOracle(
+      oraclesMain("q109_ann_topk_ivfpq_refined"),
+      "AND l.vid <> c.vid", "AND l.vid <> c.vid AND c.vid % 7 <> 0"))
+
+  /** Splice a predicate into a base oracle at a unique anchor; refuses
+    * a missing or ambiguous anchor so a reworded base oracle can never
+    * silently produce an unpatched derived one.
+    */
+  private def patchedOracle(base: String, anchor: String, repl: String): String = {
+    val hits = base.sliding(anchor.length).count(_ == anchor)
+    require(hits == 1, s"oracle patch anchor must occur exactly once, found $hits: $anchor")
+    base.replace(anchor, repl)
+  }
+
+  private def oraclesMain: Map[String, String] = Map(
     // Recomputes the whole simhash pipeline independently: sha256-prefix
     // 60-bit token hashes, per-bit weighted sums, signature assembly, and
     // an O(n²) pair scan (fine at oracle scale; the Spark side stays
@@ -1055,6 +1232,99 @@ object LlmPipeline {
         |    SELECT vid, cell, mi, ci,
         |      ROW_NUMBER() OVER (PARTITION BY vid, mi ORDER BY dist ASC, ci ASC) AS rn
         |    FROM dists) WHERE rn = 1),
+        |qcd AS (SELECT ve.vid, cent.cell, SUM((ve.x - cent.c) * (ve.x - cent.c)) AS cdist
+        |  FROM ve JOIN cent ON ve.mi = cent.mi AND ve.d = cent.d
+        |  GROUP BY 1, 2),
+        |probes AS (SELECT vid, cell FROM (
+        |    SELECT vid, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cdist ASC, cell ASC) AS rn
+        |    FROM qcd) WHERE rn <= 2),
+        |qres AS (SELECT ve.vid, p.cell, ve.mi, ve.d, ve.x - cent.c AS x
+        |  FROM ve JOIN probes p ON ve.vid = p.vid
+        |  JOIN cent ON cent.cell = p.cell AND cent.mi = ve.mi AND cent.d = ve.d),
+        |qlut AS (SELECT qr.vid, qr.cell, qr.mi, cb.ci,
+        |    SUM((qr.x - cb.c) * (qr.x - cb.c)) AS dist
+        |  FROM qres qr JOIN cb ON qr.mi = cb.mi AND qr.d = cb.d
+        |  GROUP BY 1, 2, 3, 4),
+        |pair AS (SELECT l.vid AS query_id, c.vid AS neighbor_id, c.cell,
+        |    SUM(l.dist) AS adc_dist
+        |  FROM codes c JOIN qlut l ON l.mi = c.mi AND l.ci = c.code
+        |    AND l.cell = c.cell AND l.vid <> c.vid
+        |  GROUP BY 1, 2, 3),
+        |shortlist AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk FROM pair)
+        |  WHERE rnk <= 10),
+        |exact AS (SELECT s.query_id, s.neighbor_id,
+        |    SUM((a.x - b.x) * (a.x - b.x)) AS exact_dist
+        |  FROM shortlist s
+        |  JOIN ve a ON a.vid = s.query_id
+        |  JOIN ve b ON b.vid = s.neighbor_id AND b.mi = a.mi AND b.d = a.d
+        |  GROUP BY 1, 2),
+        |rr AS (SELECT query_id, neighbor_id, exact_dist,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY exact_dist ASC, neighbor_id ASC) AS rnk FROM exact)
+        |SELECT query_id, neighbor_id, CAST(exact_dist AS BIGINT) AS exact_dist,
+        |  CAST(rnk AS BIGINT) AS rank
+        |FROM rr WHERE rnk <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Index lifecycle: stored model from the base half (vec_id <= max/2),
+    // appended half coarse-assigned + encoded against that stale model,
+    // then the full q109 probe/ADC/exact-re-rank over the combined codes.
+    "q111_ann_topk_index_appended" ->
+      """WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vid, CAST(label AS BIGINT) AS lbl,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |cut AS (SELECT CAST(MAX(vid) // 2 AS BIGINT) AS cutoff FROM v),
+        |ve AS (SELECT v.vid, v.lbl, m.range AS mi, d.range AS d,
+        |    v.q[CAST(m.range * 16 + d.range AS INT) + 1] AS x
+        |  FROM v CROSS JOIN range(4) m CROSS JOIN range(16) d),
+        |-- stored model: centroids + codebooks from the BASE half only
+        |cent AS (SELECT lbl AS cell, mi, d,
+        |    CASE WHEN SUM(x) >= 0 THEN SUM(x) // COUNT(*)
+        |         ELSE -((-SUM(x)) // COUNT(*)) END AS c
+        |  FROM ve, cut WHERE ve.vid <= cut.cutoff GROUP BY 1, 2, 3),
+        |vrb AS (SELECT ve.vid, ve.lbl AS cell, ve.mi, ve.d, ve.x - cent.c AS x
+        |  FROM ve JOIN cent ON ve.lbl = cent.cell AND ve.mi = cent.mi AND ve.d = cent.d
+        |  CROSS JOIN cut WHERE ve.vid <= cut.cutoff),
+        |sv AS (SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) - 1 AS ci
+        |  FROM (SELECT vid FROM v, cut WHERE vid <= cut.cutoff ORDER BY vid LIMIT 16)),
+        |cb AS (SELECT sv.ci, vrb.mi, vrb.d, vrb.x AS c
+        |  FROM vrb JOIN sv ON vrb.vid = sv.vid),
+        |-- base codes: own-label cell
+        |bdists AS (SELECT vrb.vid, vrb.cell, vrb.mi, cb.ci,
+        |    SUM((vrb.x - cb.c) * (vrb.x - cb.c)) AS dist
+        |  FROM vrb JOIN cb ON vrb.mi = cb.mi AND vrb.d = cb.d
+        |  GROUP BY 1, 2, 3, 4),
+        |bcodes AS (SELECT vid, cell, mi, ci AS code FROM (
+        |    SELECT vid, cell, mi, ci,
+        |      ROW_NUMBER() OVER (PARTITION BY vid, mi ORDER BY dist ASC, ci ASC) AS rn
+        |    FROM bdists) WHERE rn = 1),
+        |-- appended vectors: coarse-assign with the stored quantizer
+        |acd AS (SELECT ve.vid, cent.cell, SUM((ve.x - cent.c) * (ve.x - cent.c)) AS cdist
+        |  FROM ve JOIN cent ON ve.mi = cent.mi AND ve.d = cent.d
+        |  CROSS JOIN cut WHERE ve.vid > cut.cutoff
+        |  GROUP BY 1, 2),
+        |aassign AS (SELECT vid, cell FROM (
+        |    SELECT vid, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cdist ASC, cell ASC) AS rn
+        |    FROM acd) WHERE rn = 1),
+        |vra AS (SELECT ve.vid, a.cell, ve.mi, ve.d, ve.x - cent.c AS x
+        |  FROM ve JOIN aassign a ON ve.vid = a.vid
+        |  JOIN cent ON cent.cell = a.cell AND cent.mi = ve.mi AND cent.d = ve.d),
+        |adists AS (SELECT vra.vid, vra.cell, vra.mi, cb.ci,
+        |    SUM((vra.x - cb.c) * (vra.x - cb.c)) AS dist
+        |  FROM vra JOIN cb ON vra.mi = cb.mi AND vra.d = cb.d
+        |  GROUP BY 1, 2, 3, 4),
+        |acodes AS (SELECT vid, cell, mi, ci AS code FROM (
+        |    SELECT vid, cell, mi, ci,
+        |      ROW_NUMBER() OVER (PARTITION BY vid, mi ORDER BY dist ASC, ci ASC) AS rn
+        |    FROM adists) WHERE rn = 1),
+        |codes AS (SELECT * FROM bcodes UNION ALL SELECT * FROM acodes),
+        |-- every vector queries: probe 2 nearest stored centroids
         |qcd AS (SELECT ve.vid, cent.cell, SUM((ve.x - cent.c) * (ve.x - cent.c)) AS cdist
         |  FROM ve JOIN cent ON ve.mi = cent.mi AND ve.d = cent.d
         |  GROUP BY 1, 2),

@@ -163,6 +163,7 @@ class PlanAuditSpec extends SparkSpec {
       "q107_ann_topk_ivfpq_residual" -> (2, 2, 1, 0),
       "q108_ann_topk_ivfpq_probed" -> (2, 2, 1, 0),
       "q109_ann_topk_ivfpq_refined" -> (4, 2, 3, 0),
+      "q110_ann_topk_indexed" -> (4, 2, 3, 0),
       "q79_member_activity_monthly" -> (2, 5, 0, 0))
     for ((q, (scans, shuffles, broadcasts, antis)) <- pins) {
       val p = plan(q)

@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SimilarityOps, VectorIndex}
+
+/** The persisted ANN index (operators/VectorIndex) must answer queries
+  * ROW-IDENTICALLY to the derive-in-query chain it serializes
+  * ([[SimilarityOps.ivfPqTopKRefined]]) — q110 reuses q109's DuckDB
+  * oracle on exactly that equality. Also pins the layout contract
+  * (cell-partitioned codes directories) and the model round-trip.
+  */
+class VectorIndexSpec extends SparkSpec {
+
+  private lazy val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+  private val (dim, m, k) = (64, 4, 16)
+
+  private def tmpDir(name: String): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    d
+  }
+
+  test("persisted-index query == derive-in-query refined chain, row for row") {
+    val root = tmpDir("vindex_eq")
+    val (model, codes) = VectorIndex.build(emb, "vec_id", "embedding", "label", dim, m, k)
+    VectorIndex.write(model, codes, root.getPath)
+    assert(VectorIndex.exists(root.getPath))
+
+    val loaded = VectorIndex.readModel(spark, root.getPath, dim, m, k)
+    val viaIndex = VectorIndex.query(emb, "vec_id", "embedding",
+        loaded, VectorIndex.readCodes(spark, root.getPath), rawVectors = emb,
+        nprobe = 2, shortlist = 10, topK = 3)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val derived = SimilarityOps.ivfPqTopKRefined(emb, "vec_id", "embedding",
+        "label", dim, m, k, nprobe = 2, shortlist = 10, topK = 3)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(viaIndex.nonEmpty)
+    assert(viaIndex.toSeq == derived.toSeq,
+      "persisted index diverged from the derive-in-query chain")
+  }
+
+  test("model round-trips exactly; codes are laid out one directory per cell") {
+    val root = tmpDir("vindex_rt")
+    val (model, codes) = VectorIndex.build(emb, "vec_id", "embedding", "label", dim, m, k)
+    VectorIndex.write(model, codes, root.getPath)
+    val loaded = VectorIndex.readModel(spark, root.getPath, dim, m, k)
+    assert(loaded.cents.keySet == model.cents.keySet)
+    model.cents.foreach { case (c, arr) =>
+      assert(java.util.Arrays.equals(loaded.cents(c), arr), s"centroid $c drifted") }
+    assert(loaded.books.length == m)
+    model.books.zip(loaded.books).zipWithIndex.foreach { case ((mb, lb), mi) =>
+      assert(mb.length == lb.length, s"codebook $mi size")
+      mb.zip(lb).foreach { case (a, b) => assert(java.util.Arrays.equals(a, b)) }
+    }
+    // cell-partitioned layout: the probe join can prune whole directories
+    val cellDirs = new java.io.File(root, "codes").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+    assert(cellDirs.size == model.cents.size,
+      s"expected one codes directory per cell, got $cellDirs")
+    // no row lost in the round trip
+    assert(VectorIndex.readCodes(spark, root.getPath).count() == emb.count())
+  }
+
+  test("append through the stored model: twins of indexed vectors come back rank-1 exact") {
+    // the serving-ingest guarantee: a vector appended between retrains
+    // is coarse-assigned by the STORED quantizer, so for its original it
+    // lands in the original's nearest-centroid cell (probe #1), attains
+    // the minimal ADC in that cell, survives any shortlist, and the
+    // exact re-rank pins it at distance 0 / rank 1
+    val root = tmpDir("vindex_app")
+    val (model, codes) = VectorIndex.build(emb, "vec_id", "embedding", "label", dim, m, k)
+    VectorIndex.write(model, codes, root.getPath)
+    val nBase = emb.count()
+    // exact twins of every 25th vector, under shifted ids
+    val twins = emb.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id").cast("long") + 100000L).as("vec_id"),
+        col("embedding"), col("label"))
+    VectorIndex.append(twins, "vec_id", "embedding", model, root.getPath)
+    val combined = VectorIndex.readCodes(spark, root.getPath)
+    assert(combined.count() == nBase + twins.count(), "append lost rows")
+    // existing base files untouched: base vids all still present exactly once
+    assert(combined.filter(col("vid") < 100000L).count() == nBase)
+
+    val res = VectorIndex.query(
+        emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+        model, combined,
+        rawVectors = emb.select(col("vec_id"), col("embedding"))
+          .unionByName(twins.select(col("vec_id"), col("embedding"))),
+        nprobe = 1, shortlist = 10, topK = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(res.nonEmpty)
+    res.foreach { case (qid, nid, d, rank) =>
+      assert(rank == 1L)
+      assert(nid == qid + 100000L,
+        s"query $qid: rank-1 is $nid, expected its appended twin ${qid + 100000L}")
+      assert(d == 0L, s"twin exact distance must be 0, got $d")
+    }
+  }
+
+  test("incomplete index is not 'exists': a torn write forces a rebuild") {
+    val root = tmpDir("vindex_torn")
+    val (model, codes) = VectorIndex.build(emb, "vec_id", "embedding", "label", dim, m, k)
+    VectorIndex.write(model, codes, root.getPath)
+    assert(VectorIndex.exists(root.getPath))
+    // tear one component's success marker — exists() must flip false
+    assert(new java.io.File(root, "codebooks/_SUCCESS").delete())
+    assert(!VectorIndex.exists(root.getPath),
+      "a torn index (missing _SUCCESS) must not be treated as servable")
+  }
+
+  test("retrain lifecycle: unswapped versions are invisible, the swap is all-or-nothing") {
+    val root = tmpDir("vindex_ver")
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val (m1, c1) = VectorIndex.build(half, "vec_id", "embedding", "label", dim, m, k)
+    VectorIndex.writeVersion(m1, c1, root.getPath, 1)
+    assert(VectorIndex.currentVersion(root.getPath).isEmpty,
+      "a written-but-unswapped version must not be served")
+    VectorIndex.swapPointer(root.getPath, 1)
+    assert(VectorIndex.currentVersion(root.getPath).contains(1))
+    assert(VectorIndex.readCurrentCodes(spark, root.getPath).count() == half.count())
+
+    // a retrain crash BEFORE the swap leaves v1 serving untouched
+    val (m2, c2) = VectorIndex.build(emb, "vec_id", "embedding", "label", dim, m, k)
+    VectorIndex.writeVersion(m2, c2, root.getPath, 2)
+    assert(VectorIndex.currentVersion(root.getPath).contains(1))
+    assert(VectorIndex.readCurrentCodes(spark, root.getPath).count() == half.count())
+
+    // the swap flips readers to the full-corpus index in one move
+    VectorIndex.swapPointer(root.getPath, 2)
+    assert(VectorIndex.currentVersion(root.getPath).contains(2))
+    assert(VectorIndex.readCurrentCodes(spark, root.getPath).count() == emb.count())
+
+    // a torn target refuses the swap and the pointer stays on v2
+    intercept[IllegalArgumentException] {
+      VectorIndex.swapPointer(root.getPath, 3)
+    }
+    assert(VectorIndex.currentVersion(root.getPath).contains(2))
+
+    // retrainAndSwap composes build→write→swap and bumps the version
+    val v = VectorIndex.retrainAndSwap(emb, "vec_id", "embedding", "label",
+      dim, m, k, root.getPath)
+    assert(v == 3 && VectorIndex.currentVersion(root.getPath).contains(3))
+    // a full retrain's answers are IDENTICAL to the derive-in-query chain
+    val viaRetrained = VectorIndex.query(emb, "vec_id", "embedding",
+        VectorIndex.readCurrentModel(spark, root.getPath, dim, m, k),
+        VectorIndex.readCurrentCodes(spark, root.getPath), rawVectors = emb,
+        nprobe = 2, shortlist = 10, topK = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val derived = SimilarityOps.ivfPqTopKRefined(emb, "vec_id", "embedding",
+        "label", dim, m, k, nprobe = 2, shortlist = 10, topK = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(viaRetrained == derived)
+  }
+
+  test("tombstoned ids never surface; the pre-filter narrows before the shortlist") {
+    val root = tmpDir("vindex_del")
+    val (model, codes) = VectorIndex.build(emb, "vec_id", "embedding", "label", dim, m, k)
+    VectorIndex.write(model, codes, root.getPath)
+    assert(VectorIndex.readTombstones(spark, root.getPath).count() == 0,
+      "no deletes issued yet")
+    VectorIndex.delete(emb.filter(col("vec_id") % 7 === 0).select("vec_id"),
+      "vec_id", root.getPath)
+    // double-delete is harmless (idempotent in effect)
+    VectorIndex.delete(emb.filter(col("vec_id") % 14 === 0).select("vec_id"),
+      "vec_id", root.getPath)
+
+    val stored = VectorIndex.readCodes(spark, root.getPath)
+    val res = VectorIndex.query(emb, "vec_id", "embedding", model, stored,
+        rawVectors = emb, nprobe = 2, shortlist = 10, topK = 3,
+        tombstones = Some(VectorIndex.readTombstones(spark, root.getPath)))
+      .orderBy("query_id", "rank")
+    assert(res.filter(col("neighbor_id") % 7 === 0).count() == 0,
+      "a deleted vector must never be returned as a neighbor")
+    // pre-filter semantics: identical to querying an index that never
+    // held the deleted vectors' codes (so the shortlist refills from
+    // survivors instead of coming back short)
+    val reference = VectorIndex.query(emb, "vec_id", "embedding", model,
+        stored.filter(col("vid") % 7 =!= 0), rawVectors = emb,
+        nprobe = 2, shortlist = 10, topK = 3)
+      .orderBy("query_id", "rank")
+    assert(res.collect().toSeq == reference.collect().toSeq)
+
+    // neighborFilter narrows the same way (metadata pre-filter)
+    val filtered = VectorIndex.query(emb, "vec_id", "embedding", model, stored,
+        rawVectors = emb, nprobe = 2, shortlist = 10, topK = 3,
+        neighborFilter = Some(col("vid") % 2 === 0))
+      .orderBy("query_id", "rank")
+    assert(filtered.filter(col("neighbor_id") % 2 =!= 0).count() == 0)
+    val filteredRef = VectorIndex.query(emb, "vec_id", "embedding", model,
+        stored.filter(col("vid") % 2 === 0), rawVectors = emb,
+        nprobe = 2, shortlist = 10, topK = 3)
+      .orderBy("query_id", "rank")
+    assert(filtered.collect().toSeq == filteredRef.collect().toSeq)
+  }
+}

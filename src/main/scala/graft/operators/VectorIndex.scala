@@ -123,7 +123,19 @@ object VectorIndex {
     * complete-or-absent) and re-running it is the recovery.
     */
   def append(newEmb: DataFrame, idCol: String, vecCol: String,
-             model: Model, path: String): Unit = {
+             model: Model, path: String): Unit =
+    encode(newEmb, idCol, vecCol, model)
+      .write.mode(SaveMode.Append).partitionBy("cell")
+      .parquet(s"$path/codes")
+
+  /** Encode vectors against the STORED model: coarse-assign, residualize
+    * against the assigned centroid, PQ-encode with the stored codebooks.
+    * The per-row kernel of [[append]]/[[appendBatch]] — each row encodes
+    * independently, so any split of an ingest stream into batches yields
+    * byte-identical codes to one bulk append.
+    */
+  def encode(newEmb: DataFrame, idCol: String, vecCol: String,
+             model: Model): DataFrame = {
     val sortedCells = model.cents.toSeq.sortBy(_._1)
     val centMap = map(sortedCells.flatMap { case (c, arr) =>
       Seq(lit(c), array(arr.map(lit).toIndexedSeq: _*)) }: _*)
@@ -137,8 +149,49 @@ object VectorIndex {
       .withColumn("codes", array((0 until m).map(mi =>
         VecExprs.pqCode(col("rq"), mi * sub, model.books(mi))): _*))
       .select(col("vid"), col("cell"), col("codes"))
-      .write.mode(SaveMode.Append).partitionBy("cell")
-      .parquet(s"$path/codes")
+  }
+
+  /** EXACTLY-ONCE batch append for streaming ingest: batch `batchId`'s
+    * codes land in their own `ingest/b<batchId>` directory (still
+    * cell-partitioned inside, so probe pruning holds per ingest
+    * segment), written complete-or-absent. A replayed micro-batch —
+    * foreachBatch re-runs a trigger whose checkpoint never committed —
+    * either finds its directory complete (`_SUCCESS` present) and
+    * no-ops, or OVERWRITES the torn remnant of its own crash; it can
+    * never double-append, and it can never touch another batch's files.
+    * Returns true when this call wrote the batch, false on a replay
+    * no-op. The base `codes/` tree stays bulk-immutable; a retrain
+    * folds ingest segments back into the next version's base.
+    */
+  def appendBatch(newEmb: DataFrame, idCol: String, vecCol: String,
+                  model: Model, path: String, batchId: Long): Boolean = {
+    val dir = new java.io.File(s"$path/ingest/b$batchId")
+    if (new java.io.File(dir, "_SUCCESS").exists()) false
+    else {
+      encode(newEmb, idCol, vecCol, model)
+        .write.mode(SaveMode.Overwrite).partitionBy("cell")
+        .parquet(dir.getPath)
+      true
+    }
+  }
+
+  /** Base codes plus every COMMITTED streaming-ingest segment (torn
+    * segments — no `_SUCCESS` — are invisible, matching [[appendBatch]]'s
+    * replay contract). Each root is loaded separately and unioned —
+    * Spark's partition discovery refuses mixed roots in one read — and
+    * the probed-cell equi-join still prunes cell directories per branch.
+    */
+  def readCodesWithIngest(spark: SparkSession, path: String): DataFrame = {
+    val ingestRoot = new java.io.File(s"$path/ingest")
+    val committed =
+      if (!ingestRoot.isDirectory) Array.empty[String]
+      else ingestRoot.listFiles()
+        .filter(d => new java.io.File(d, "_SUCCESS").exists())
+        .map(_.getPath).sorted
+    committed.foldLeft(readCodes(spark, path)) { (acc, seg) =>
+      acc.unionByName(spark.read.parquet(seg)
+        .select(col("vid"), col("cell").cast("long").as("cell"), col("codes")))
+    }
   }
 
   /** Multi-probe ADC scan + exact re-rank THROUGH the persisted index —

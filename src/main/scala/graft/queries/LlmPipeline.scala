@@ -270,6 +270,54 @@ object LlmPipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // Streaming ingest into the persisted vector index: build the base
+    // index on the first half of the corpus, then stream the second
+    // half through StreamOps.vectorIngestSink in three REAL micro-batch
+    // triggers (split by vec_id % 3) of one unrestarted query — each
+    // trigger encodes against the STORED model and commits its own
+    // exactly-once ingest segment. Encoding is per-row against the
+    // stored model, so any batch split yields byte-identical codes to
+    // q111's one bulk append — the final query over base + committed
+    // segments answers exactly q111's oracle (which unrolls the
+    // stale-model append end to end in SQL). VectorIndexSpec pins the
+    // replay/torn-segment exactly-once semantics; this entry pins the
+    // multi-trigger end state under the driver's hash gate.
+    "q115_ann_stream_ingest" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val emb = t(s, dir, "embeddings")
+      val cutoff = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0) / 2
+      val base = emb.filter(col("vec_id") <= cutoff)
+      val rest = emb.filter(col("vec_id") > cutoff)
+      val root = java.nio.file.Files.createTempDirectory("graft_q115_vindex_").toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(root)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q115_ckpt_").toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(ckpt)
+      val (model, codes) = VectorIndex.build(base, "vec_id", "embedding", "label",
+        dim = 64, m = 4, k = 16)
+      VectorIndex.write(model, codes, root.getPath)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Double])]
+      val q = graft.streaming.StreamOps.vectorIngestSink(
+          input.toDF().toDF("vec_id", "embedding"),
+          "vec_id", "embedding", model, root.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+        .option("checkpointLocation", ckpt.getPath)
+        .start()
+      def feed(df: DataFrame): Unit = {
+        input.addData(df.select(col("vec_id").cast("long"),
+            col("embedding").cast("array<double>"))
+          .as[(Long, Seq[Double])].collect().toSeq: _*)
+        q.processAllAvailable()
+      }
+      try (0 until 3).foreach(r => feed(rest.filter(col("vec_id") % 3 === r)))
+      finally q.stop()
+      VectorIndex.query(emb, "vec_id", "embedding", model,
+          VectorIndex.readCodesWithIngest(s, root.getPath), rawVectors = emb,
+          nprobe = 2, shortlist = 10, topK = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // ANN without a precomputed label: hyperplane-LSH quantizer with
     // multi-probe (flip the lowest-|margin| plane bits). Plane signs are
     // sha-derived and projections integer-quantized, so the oracle
@@ -911,6 +959,10 @@ object LlmPipeline {
     // the persisted-index query (q110) is exactly q109's math answered
     // through the stored files — one oracle, two engines-side paths
     ("q110_ann_topk_indexed" -> oraclesMain("q109_ann_topk_ivfpq_refined")) +
+    // streaming ingest commits the SAME per-row encodes as q111's bulk
+    // append (any batch split of a per-row encode is identity-preserving),
+    // so the multi-trigger end state answers q111's oracle verbatim
+    ("q115_ann_stream_ingest" -> oraclesMain("q111_ann_topk_index_appended")) +
     // the retrain lifecycle's two phases ARE the two existing oracles:
     // stale = q111 (appends through the base-half model), retrained =
     // q109 (full-corpus model) — composed verbatim, no third derivation

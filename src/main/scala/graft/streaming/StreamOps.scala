@@ -311,6 +311,37 @@ object StreamOps {
         ()
       }
 
+  /** Streaming ingest into a persisted vector index
+    * ([[graft.operators.VectorIndex]]): each micro-batch of
+    * (id, embedding) rows is encoded against the STORED model —
+    * coarse-assign to the nearest stored centroid, residualize,
+    * PQ-encode with the stored codebooks, the standard between-retrains
+    * write path — and lands as its own committed ingest segment via
+    * [[graft.operators.VectorIndex.appendBatch]]. Exactly-once under
+    * replay: a re-run trigger finds its `ingest/b<batchId>` segment
+    * complete and no-ops, or overwrites its own torn remnant; it never
+    * double-appends and never touches another batch's files. Per-trigger
+    * cost is batch-proportional (batch-sized encode + one segment
+    * write); the corpus participates only through the driver-baked model
+    * constants, so the same sink holds against a 100 TB index. Readers
+    * serve base + committed segments via
+    * [[graft.operators.VectorIndex.readCodesWithIngest]]; a periodic
+    * retrain ([[graft.operators.VectorIndex.retrainAndSwap]]) folds
+    * segments into the next version and resets model staleness.
+    */
+  def vectorIngestSink(stream: DataFrame, idCol: String, vecCol: String,
+                       model: graft.operators.VectorIndex.Model,
+                       indexPath: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.VectorIndex.appendBatch(
+            batch, idCol, vecCol, model, indexPath, batchId)
+        ()
+      }
+
   /** Idempotence tag for one micro-batch: streaming query id (stable
     * across restarts from the same checkpoint — the replay case) +
     * batch id. Distinct queries (fresh checkpoints) get distinct tags,

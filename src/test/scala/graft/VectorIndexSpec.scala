@@ -100,6 +100,78 @@ class VectorIndexSpec extends SparkSpec {
     }
   }
 
+  test("batch appends are exactly-once: a replay no-ops, a torn segment rewrites") {
+    val root = tmpDir("vindex_batch")
+    val (model, codes) = VectorIndex.build(emb, "vec_id", "embedding", "label", dim, m, k)
+    VectorIndex.write(model, codes, root.getPath)
+    val nBase = emb.count()
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id").cast("long") + 200000L).as("vec_id"), col("embedding"))
+    assert(VectorIndex.appendBatch(batch, "vec_id", "embedding", model,
+      root.getPath, batchId = 0L), "first append must write")
+    val nOnce = VectorIndex.readCodesWithIngest(spark, root.getPath).count()
+    assert(nOnce == nBase + batch.count())
+    // a replayed trigger (same batchId, committed segment) is a no-op
+    assert(!VectorIndex.appendBatch(batch, "vec_id", "embedding", model,
+      root.getPath, batchId = 0L), "replay of a committed batch must no-op")
+    assert(VectorIndex.readCodesWithIngest(spark, root.getPath).count() == nOnce,
+      "a replayed batch must never double-append")
+    // a torn segment (crash before _SUCCESS) is invisible to readers...
+    val marker = new java.io.File(root, "ingest/b0/_SUCCESS")
+    assert(marker.delete())
+    assert(VectorIndex.readCodesWithIngest(spark, root.getPath).count() == nBase,
+      "a torn ingest segment must not be served")
+    // ...and the replay OVERWRITES it, restoring exactly-once
+    assert(VectorIndex.appendBatch(batch, "vec_id", "embedding", model,
+      root.getPath, batchId = 0L), "replay over a torn segment must rewrite")
+    assert(VectorIndex.readCodesWithIngest(spark, root.getPath).count() == nOnce)
+    // distinct batches land in distinct segments
+    assert(VectorIndex.appendBatch(batch.select(
+        (col("vec_id") + 100000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", model, root.getPath, batchId = 1L))
+    assert(VectorIndex.readCodesWithIngest(spark, root.getPath).count() ==
+      nOnce + batch.count())
+  }
+
+  test("multi-trigger streaming ingest == one bulk append, code for code") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cutoff = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0) / 2
+    val base = emb.filter(col("vec_id") <= cutoff)
+    val rest = emb.filter(col("vec_id") > cutoff)
+    val streamed = tmpDir("vindex_stream")
+    val bulk = tmpDir("vindex_bulk")
+    val ckpt = tmpDir("vindex_stream_ckpt")
+    val (model, codes) = VectorIndex.build(base, "vec_id", "embedding", "label", dim, m, k)
+    VectorIndex.write(model, codes, streamed.getPath)
+    VectorIndex.write(model, codes, bulk.getPath)
+    VectorIndex.append(rest, "vec_id", "embedding", model, bulk.getPath)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamOps.vectorIngestSink(
+        input.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", model, streamed.getPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+      .option("checkpointLocation", ckpt.getPath)
+      .start()
+    try (0 until 3).foreach { r =>
+      input.addData(rest.filter(col("vec_id") % 3 === r)
+        .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+        .as[(Long, Seq[Double])].collect().toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vid"), col("cell"), col("codes").cast("array<long>"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList))
+      .sortBy(_._1).toSeq
+    val viaStream = canon(VectorIndex.readCodesWithIngest(spark, streamed.getPath))
+    assert(viaStream.nonEmpty)
+    assert(viaStream == canon(VectorIndex.readCodes(spark, bulk.getPath)),
+      "streaming the ingest in triggers must yield the bulk append's codes")
+  }
+
   test("incomplete index is not 'exists': a torn write forces a rebuild") {
     val root = tmpDir("vindex_torn")
     val (model, codes) = VectorIndex.build(emb, "vec_id", "embedding", "label", dim, m, k)

@@ -329,6 +329,32 @@ object VectorIndex {
     v
   }
 
+  /** Fold the current version's committed ingest segments into the NEXT
+    * version: same model, one consolidated cell-partitioned codes tree —
+    * the small-files compaction a micro-batched ingest needs at scale
+    * (one segment per trigger otherwise accumulates listing overhead
+    * and sub-row-group files without bound). Copy-on-write: the current
+    * version serves untouched until the atomic pointer swap, and
+    * because the model is unchanged no re-encode happens, so answers
+    * are IDENTICAL before and after (q116 pins that under the driver's
+    * hash gate). A crash mid-fold leaves the old version serving and
+    * the half-written next version inert — re-running the fold is the
+    * recovery, the same contract as [[append]]/[[retrainAndSwap]]. A
+    * trigger that replays against the OLD version dir after the swap
+    * re-commits its segment there harmlessly: the serving version never
+    * reads it, and the next fold-from-old or retrain supersedes it.
+    */
+  def foldIngestAndSwap(spark: SparkSession, root: String,
+                        dim: Int, m: Int, k: Int): Int = {
+    val v = currentVersion(root).getOrElse(
+      sys.error(s"no served index version at $root"))
+    val model = readModel(spark, versionDir(root, v), dim, m, k)
+    writeVersion(model, readCodesWithIngest(spark, versionDir(root, v)),
+      root, v + 1)
+    swapPointer(root, v + 1)
+    v + 1
+  }
+
   def readCurrentModel(spark: SparkSession, root: String,
                        dim: Int, m: Int, k: Int): Model = {
     val v = currentVersion(root).getOrElse(

@@ -318,6 +318,51 @@ object LlmPipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // Segment-fold compaction: q115's streamed ingest segments are
+    // folded into the next index version (same model, one consolidated
+    // cell-partitioned codes tree — the small-files compaction a
+    // per-trigger segment layout needs at scale) and the query is
+    // served through the SWAPPED version. Fold never re-encodes, so
+    // the answer is q111's oracle verbatim — byte-identical to the
+    // pre-fold q115 state, proven under the driver's hash gate.
+    "q116_ann_stream_ingest_folded" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val emb = t(s, dir, "embeddings")
+      val cutoff = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0) / 2
+      val base = emb.filter(col("vec_id") <= cutoff)
+      val rest = emb.filter(col("vec_id") > cutoff)
+      val root = java.nio.file.Files.createTempDirectory("graft_q116_vindex_").toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(root)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q116_ckpt_").toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(ckpt)
+      val (model, codes) = VectorIndex.build(base, "vec_id", "embedding", "label",
+        dim = 64, m = 4, k = 16)
+      VectorIndex.writeVersion(model, codes, root.getPath, 1)
+      VectorIndex.swapPointer(root.getPath, 1)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Double])]
+      val q = graft.streaming.StreamOps.vectorIngestSink(
+          input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+          model, VectorIndex.versionDir(root.getPath, 1))
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+        .option("checkpointLocation", ckpt.getPath)
+        .start()
+      try (0 until 3).foreach { r =>
+        input.addData(rest.filter(col("vec_id") % 3 === r)
+          .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+          .as[(Long, Seq[Double])].collect().toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val v = VectorIndex.foldIngestAndSwap(s, root.getPath, dim = 64, m = 4, k = 16)
+      require(v == 2, s"fold must swap to version 2, got $v")
+      VectorIndex.query(emb, "vec_id", "embedding",
+          VectorIndex.readCurrentModel(s, root.getPath, dim = 64, m = 4, k = 16),
+          VectorIndex.readCurrentCodes(s, root.getPath), rawVectors = emb,
+          nprobe = 2, shortlist = 10, topK = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // ANN without a precomputed label: hyperplane-LSH quantizer with
     // multi-probe (flip the lowest-|margin| plane bits). Plane signs are
     // sha-derived and projections integer-quantized, so the oracle
@@ -963,6 +1008,9 @@ object LlmPipeline {
     // append (any batch split of a per-row encode is identity-preserving),
     // so the multi-trigger end state answers q111's oracle verbatim
     ("q115_ann_stream_ingest" -> oraclesMain("q111_ann_topk_index_appended")) +
+    // segment-fold compaction consolidates files without re-encoding a
+    // single row, so the post-fold answer is still q111's oracle
+    ("q116_ann_stream_ingest_folded" -> oraclesMain("q111_ann_topk_index_appended")) +
     // the retrain lifecycle's two phases ARE the two existing oracles:
     // stale = q111 (appends through the base-half model), retrained =
     // q109 (full-corpus model) — composed verbatim, no third derivation

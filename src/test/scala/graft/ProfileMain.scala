@@ -405,6 +405,80 @@ object ProfileMain {
         require(!kept.exists(id => id >= 5000000L && id < 6000000L),
           "lifecycle failed: copies of batch1's accepted docs were kept pre-swap")
       } finally cleanup()
+    } else if (args.headOption.contains("vindexstream")) {
+      // Bench-scale VECTOR-INDEX lifecycle: build v1 on half the corpus,
+      // stream the other half through vectorIngestSink in three real
+      // triggers (per-trigger latency printed), serve a query over base +
+      // segments, FOLD the segments into v2 (small-files compaction,
+      // atomic swap), re-serve (must be row-identical), then RETRAIN v3
+      // from the full corpus and serve once more. One pass, timed stages,
+      // correctness asserts inline — the q84stream treatment applied to
+      // the ANN serving lifecycle.
+      implicit val sqlCtx = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.VectorIndex
+      import spark.implicits._
+      val (dim, m, k) = (64, 4, 16)
+      val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_prof_vindex")
+      val ckpt = new java.io.File(sys.props("java.io.tmpdir"), "graft_prof_vindex_ckpt")
+      def cleanup(): Unit = Seq(root, ckpt)
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+      def timed[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"PROFILE vindexstream:$label%-26s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        r
+      }
+      cleanup()
+      try {
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val cutoff = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0) / 2
+        val base = emb.filter(col("vec_id") <= cutoff)
+        val rest = emb.filter(col("vec_id") > cutoff)
+        println(s"PROFILE vindexstream:corpus = ${emb.count()} vectors, base ${base.count()}")
+        val model = timed("build-v1+swap") {
+          val (mdl, codes) = VectorIndex.build(base, "vec_id", "embedding", "label", dim, m, k)
+          VectorIndex.writeVersion(mdl, codes, root.getPath, 1)
+          VectorIndex.swapPointer(root.getPath, 1)
+          mdl
+        }
+        val input = MemoryStream[(Long, Seq[Double])]
+        val q = graft.streaming.StreamOps.vectorIngestSink(
+            input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+            model, VectorIndex.versionDir(root.getPath, 1))
+          .trigger(Trigger.ProcessingTime("0 seconds"))
+          .option("checkpointLocation", ckpt.getPath)
+          .start()
+        try (0 until 3).foreach { r =>
+          val rows = rest.filter(col("vec_id") % 3 === r)
+            .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+            .as[(Long, Seq[Double])].collect().toSeq
+          input.addData(rows: _*)
+          timed(s"trigger${r + 1}(${rows.size} vecs)")(q.processAllAvailable())
+        } finally q.stop()
+        def serve(label: String): Seq[org.apache.spark.sql.Row] = timed(s"query-$label")(
+          VectorIndex.query(emb, "vec_id", "embedding",
+              VectorIndex.readCurrentModel(spark, root.getPath, dim, m, k),
+              VectorIndex.readCodesWithIngest(spark, VectorIndex.versionDir(
+                root.getPath, VectorIndex.currentVersion(root.getPath).get)),
+              rawVectors = emb, nprobe = 2, shortlist = 10, topK = 3)
+            .orderBy("query_id", "rank").collect().toSeq)
+        val segCount = new java.io.File(VectorIndex.versionDir(root.getPath, 1), "ingest")
+          .listFiles().count(_.getName.startsWith("b"))
+        println(s"PROFILE vindexstream:ingest-segments = $segCount")
+        val preFold = serve("segments")
+        require(preFold.nonEmpty)
+        timed("fold+swap")(
+          VectorIndex.foldIngestAndSwap(spark, root.getPath, dim, m, k))
+        val postFold = serve("folded")
+        require(postFold == preFold, "fold changed answers")
+        timed("retrain+swap")(VectorIndex.retrainAndSwap(
+          emb, "vec_id", "embedding", "label", dim, m, k, root.getPath))
+        val postRetrain = serve("retrained")
+        require(postRetrain.nonEmpty)
+        println(s"PROFILE vindexstream:versions = ${VectorIndex.currentVersion(root.getPath)}")
+      } finally cleanup()
     } else if (args.headOption.contains("q55stages")) {
       import org.apache.spark.sql.functions._
       import graft.operators.DedupOps

@@ -172,6 +172,43 @@ class VectorIndexSpec extends SparkSpec {
       "streaming the ingest in triggers must yield the bulk append's codes")
   }
 
+  test("segment fold consolidates files, preserves every code, and answers identically") {
+    val root = tmpDir("vindex_fold")
+    val cutoff = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0) / 2
+    val base = emb.filter(col("vec_id") <= cutoff)
+    val rest = emb.filter(col("vec_id") > cutoff)
+    val (model, codes) = VectorIndex.build(base, "vec_id", "embedding", "label", dim, m, k)
+    VectorIndex.writeVersion(model, codes, root.getPath, 1)
+    VectorIndex.swapPointer(root.getPath, 1)
+    val v1 = VectorIndex.versionDir(root.getPath, 1)
+    // two ingest segments land inside the served version
+    VectorIndex.appendBatch(rest.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", model, v1, batchId = 0L)
+    VectorIndex.appendBatch(rest.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", model, v1, batchId = 1L)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vid"), col("cell"), col("codes").cast("array<long>"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList))
+      .sortBy(_._1).toSeq
+    val preFold = canon(VectorIndex.readCodesWithIngest(spark, v1))
+    assert(preFold.size == emb.count())
+
+    val v = VectorIndex.foldIngestAndSwap(spark, root.getPath, dim, m, k)
+    assert(v == 2 && VectorIndex.currentVersion(root.getPath).contains(2))
+    // every code row survives, byte for byte, with no ingest tail left
+    assert(canon(VectorIndex.readCurrentCodes(spark, root.getPath)) == preFold,
+      "fold must preserve codes exactly (no re-encode)")
+    assert(!new java.io.File(VectorIndex.versionDir(root.getPath, 2), "ingest").exists(),
+      "the folded version must start with no ingest segments")
+    // the folded model is the same model
+    val m2 = VectorIndex.readCurrentModel(spark, root.getPath, dim, m, k)
+    assert(m2.cents.keySet == model.cents.keySet)
+    model.cents.foreach { case (c, arr) =>
+      assert(java.util.Arrays.equals(m2.cents(c), arr)) }
+    // v1 is untouched (copy-on-write): a reader pinned on it still works
+    assert(canon(VectorIndex.readCodesWithIngest(spark, v1)) == preFold)
+  }
+
   test("incomplete index is not 'exists': a torn write forces a rebuild") {
     val root = tmpDir("vindex_torn")
     val (model, codes) = VectorIndex.build(emb, "vec_id", "embedding", "label", dim, m, k)

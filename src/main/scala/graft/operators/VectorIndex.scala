@@ -318,13 +318,26 @@ object VectorIndex {
 
   /** Full retrain: rebuild model + codes from `emb` into the next
     * version directory and swap the pointer. Returns the new version.
+    * The current version's tombstone ledger is applied to `emb` first —
+    * a retrain from the raw corpus cannot resurrect deleted vectors —
+    * and carried into the new version, so EVERY future version keeps
+    * excluding them until the deletes are applied to the corpus
+    * upstream (same ledger contract as [[foldIngestAndSwap]]).
     */
   def retrainAndSwap(emb: DataFrame, idCol: String, vecCol: String,
                      cellCol: String, dim: Int, m: Int, k: Int,
                      root: String): Int = {
     val v = currentVersion(root).getOrElse(0) + 1
-    val (model, codes) = build(emb, idCol, vecCol, cellCol, dim, m, k)
+    val spark = emb.sparkSession
+    val tombs = currentVersion(root)
+      .map(cv => readTombstones(spark, versionDir(root, cv)))
+    val survivors = tombs.map(t =>
+      emb.join(t.select(col("vid").as("__tomb_vid")),
+        col(idCol).cast("long") === col("__tomb_vid"), "left_anti"))
+      .getOrElse(emb)
+    val (model, codes) = build(survivors, idCol, vecCol, cellCol, dim, m, k)
     writeVersion(model, codes, root, v)
+    tombs.filter(!_.isEmpty).foreach(t => delete(t, "vid", versionDir(root, v)))
     swapPointer(root, v)
     v
   }
@@ -343,14 +356,29 @@ object VectorIndex {
     * trigger that replays against the OLD version dir after the swap
     * re-commits its segment there harmlessly: the serving version never
     * reads it, and the next fold-from-old or retrain supersedes it.
+    *
+    * Tombstoned rows are dropped from the consolidated codes (the
+    * anti-join [[query]] applies at read time, applied once at write
+    * time instead — without this a fold would silently RESURRECT
+    * deleted vectors, since the new version holds no tombstone table
+    * for readers to apply), and the LEDGER is carried forward to the
+    * new version: the rows are already absent so readers pay nothing,
+    * but a later [[retrainAndSwap]] from the raw corpus still knows
+    * what was deleted. The ledger persists across versions until the
+    * deletes are applied to the corpus upstream — the ids-only table
+    * stays proportional to total deletes, not corpus size.
     */
   def foldIngestAndSwap(spark: SparkSession, root: String,
                         dim: Int, m: Int, k: Int): Int = {
     val v = currentVersion(root).getOrElse(
       sys.error(s"no served index version at $root"))
-    val model = readModel(spark, versionDir(root, v), dim, m, k)
-    writeVersion(model, readCodesWithIngest(spark, versionDir(root, v)),
+    val vDir = versionDir(root, v)
+    val model = readModel(spark, vDir, dim, m, k)
+    val tombs = readTombstones(spark, vDir)
+    writeVersion(model, readCodesWithIngest(spark, vDir)
+        .join(tombs, Seq("vid"), "left_anti"),
       root, v + 1)
+    if (!tombs.isEmpty) delete(tombs, "vid", versionDir(root, v + 1))
     swapPointer(root, v + 1)
     v + 1
   }
@@ -372,10 +400,12 @@ object VectorIndex {
   //
   // A delete never rewrites code files (they are bulk-immutable); it
   // appends the ids to a tombstone table that [[query]] anti-joins out
-  // of the candidate set BEFORE the ADC scan. Deletes fold away for
-  // real at the next retrain (the new version starts tombstone-free
-  // over the surviving corpus) — the standard LSM-style delete of a
-  // serving index.
+  // of the candidate set BEFORE the ADC scan — the standard LSM-style
+  // delete of a serving index. The next [[foldIngestAndSwap]] /
+  // [[retrainAndSwap]] drops the rows from the new version's codes for
+  // real AND carries the ids-only ledger forward, so no later version
+  // built from the raw corpus can resurrect them; the ledger rides
+  // until the deletes are applied to the corpus upstream.
 
   /** Record deleted vector ids under `path/tombstones`. Idempotent in
     * effect: duplicate ids only add anti-join rows, never change

@@ -207,6 +207,41 @@ class VectorIndexSpec extends SparkSpec {
       assert(java.util.Arrays.equals(m2.cents(c), arr)) }
     // v1 is untouched (copy-on-write): a reader pinned on it still works
     assert(canon(VectorIndex.readCodesWithIngest(spark, v1)) == preFold)
+
+    // tombstones fold away FOR REAL: deleted rows are dropped from the
+    // consolidated codes, so the new version needs no tombstone table —
+    // without this the fold would silently resurrect deleted vectors
+    val v2 = VectorIndex.versionDir(root.getPath, 2)
+    VectorIndex.delete(emb.filter(col("vec_id") % 5 === 0).select("vec_id"),
+      "vec_id", v2)
+    val v3 = VectorIndex.foldIngestAndSwap(spark, root.getPath, dim, m, k)
+    assert(v3 == 3)
+    val folded = canon(VectorIndex.readCurrentCodes(spark, root.getPath))
+    assert(folded == preFold.filterNot(_._1 % 5 == 0),
+      "fold must drop tombstoned rows and preserve the rest byte-identically")
+    // ...but the LEDGER is carried forward, so later versions built from
+    // the raw corpus still know what was deleted
+    assert(VectorIndex.readTombstones(spark,
+        VectorIndex.versionDir(root.getPath, 3)).count() > 0,
+      "the folded version must carry the delete ledger forward")
+
+    // a RETRAIN from the raw corpus must not resurrect deletes either:
+    // the carried ledger plus the new deletes are applied to training
+    VectorIndex.delete(emb.filter(col("vec_id") % 3 === 0).select("vec_id"),
+      "vec_id", VectorIndex.versionDir(root.getPath, 3))
+    val v4 = VectorIndex.retrainAndSwap(emb, "vec_id", "embedding", "label",
+      dim, m, k, root.getPath)
+    assert(v4 == 4)
+    val survivorCount =
+      emb.filter(col("vec_id") % 3 =!= 0 && col("vec_id") % 5 =!= 0).count()
+    assert(VectorIndex.readCurrentCodes(spark, root.getPath).count() == survivorCount,
+      "retrain must keep exactly the survivors (both delete generations)")
+    // and the contract holds across ANOTHER raw-corpus retrain: the
+    // ledger rides every version until the corpus is cleaned upstream
+    VectorIndex.retrainAndSwap(emb, "vec_id", "embedding", "label",
+      dim, m, k, root.getPath)
+    assert(VectorIndex.readCurrentCodes(spark, root.getPath).count() == survivorCount,
+      "a second retrain resurrected previously deleted vectors")
   }
 
   test("incomplete index is not 'exists': a torn write forces a rebuild") {

@@ -237,6 +237,29 @@ object IoParity {
             data.filter(_._1 % 4 == start.getDayOfMonth - 1), params), None))
         }
       }
+      // deeper bisection stub over a 7-day calendar (day d serves keys
+      // ≡ d-1 mod 7): 422 above `maxSpan` days models an uneven split
+      // tree ([1-2][3-4][5-7] for maxSpan=2 over 7 days); always422
+      // exhausts maxDepth; fail500Day plants a NON-ceiling failure that
+      // must abort the bisection instead of splitting further
+      class BisectStub7(maxSpan: Long, always422: Boolean = false,
+                        fail500Day: Option[Int] = None) extends CountingTransport {
+        def get(url: String, params: Map[String, String]): RestSource.HttpResult = {
+          calls += 1
+          val start = java.time.LocalDate.parse(params("date_start"))
+          val end = java.time.LocalDate.parse(params("date_end"))
+          if (always422 ||
+              java.time.temporal.ChronoUnit.DAYS.between(start, end) > maxSpan)
+            RestSource.HttpResult(422, "offset ceiling")
+          else if (fail500Day.contains(start.getDayOfMonth))
+            RestSource.HttpResult(500, "blown shard")
+          else {
+            val days = (start.getDayOfMonth to end.getDayOfMonth).map(d => (d - 1).toLong).toSet
+            RestSource.HttpResult(200,
+              body(sliceOf(data.filter(r => days(r._1 % 7)), params), None))
+          }
+        }
+      }
       def client(tr: RestSource.HttpTransport) =
         new RestSource.Client(tr, "http://stub", sleeper = _ => ())
       val page10 = Map("limit" -> "10")
@@ -264,7 +287,23 @@ object IoParity {
         run("g_repeated", new Stub(data, stuck = true))(_.getPaginated("e", page10)),
         run("h_max_pages", new Stub(data))(_.getPaginated("e", page10, maxPages = 2)),
         run("i_bisect", new BisectStub)(c => RestSource.getDatePartitioned(c, "e",
-          page10 ++ Map("date_start" -> "2024-01-01", "date_end" -> "2024-01-04"))))
+          page10 ++ Map("date_start" -> "2024-01-01", "date_end" -> "2024-01-04"))),
+        // uneven tree: [1-4] still 422s, its halves and [5-7] succeed →
+        // three partitions of different widths, 5 transport calls
+        run("j_bisect_uneven", new BisectStub7(maxSpan = 2))(c =>
+          RestSource.getDatePartitioned(c, "e",
+            page10 ++ Map("date_start" -> "2024-01-01", "date_end" -> "2024-01-07"))),
+        // every window 422s → the depth cap stops the recursion and the
+        // deepest left leg's ceiling failure surfaces as-is (3 calls)
+        run("k_bisect_depth", new BisectStub7(maxSpan = 0, always422 = true))(c =>
+          RestSource.getDatePartitioned(c, "e",
+            page10 ++ Map("date_start" -> "2024-01-01", "date_end" -> "2024-01-07"),
+            maxDepth = 2)),
+        // a NON-ceiling failure (persistent 500, 4 retry attempts) inside
+        // a bisected leg aborts the whole fetch instead of splitting
+        run("l_bisect_abort", new BisectStub7(maxSpan = 0, fail500Day = Some(1)))(c =>
+          RestSource.getDatePartitioned(c, "e",
+            page10 ++ Map("date_start" -> "2024-01-01", "date_end" -> "2024-01-02"))))
       rows.toDF("scenario", "ok", "stop_reason", "complete", "limited",
           "page_count", "fetched_count", "reported_total", "first_key",
           "last_key", "sum_keys", "partition_count", "transport_calls", "error")
@@ -340,7 +379,11 @@ object IoParity {
         |t12 AS (SELECT COUNT(*) AS c, CAST(SUM(k) AS BIGINT) AS sk, MIN(k) AS mn, MAX(k) AS mx
         |  FROM (SELECT k FROM n ORDER BY k LIMIT 12)),
         |d1 AS (SELECT MIN(k) AS mn FROM n WHERE k % 4 = 0),
-        |d4 AS (SELECT MAX(k) AS mx FROM n WHERE k % 4 = 3)
+        |d4 AS (SELECT MAX(k) AS mx FROM n WHERE k % 4 = 3),
+        |-- uneven bisection partitions: first key of [day1-2] (k%7 in 0,1),
+        |-- last key of [day5-7] (k%7 in 4,5,6)
+        |j1 AS (SELECT MIN(k) AS mn FROM n WHERE k % 7 <= 1),
+        |j2 AS (SELECT MAX(k) AS mx FROM n WHERE k % 7 >= 4)
         |SELECT * FROM (
         |  SELECT 'a_full' AS scenario, true AS ok, 'short_page' AS stop_reason,
         |    true AS complete, false AS limited, c // 10 + 1 AS page_count,
@@ -373,7 +416,17 @@ object IoParity {
         |    'Pagination did not complete: max_pages' FROM tot
         |  UNION ALL
         |  SELECT 'i_bisect', true, 'date_partitions_complete', true, false, 4,
-        |    tot.c, NULL, d1.mn, d4.mx, tot.sk, 4, 7, NULL FROM tot, d1, d4)
+        |    tot.c, NULL, d1.mn, d4.mx, tot.sk, 4, 7, NULL FROM tot, d1, d4
+        |  UNION ALL
+        |  SELECT 'j_bisect_uneven', true, 'date_partitions_complete', true, false, 3,
+        |    tot.c, NULL, j1.mn, j2.mx, tot.sk, 3, 5, NULL FROM tot, j1, j2
+        |  UNION ALL
+        |  SELECT 'k_bisect_depth', false, 'page_error', false, false, 1, 0,
+        |    NULL, NULL, NULL, NULL, 0, 3, 'Pagination failed on page 1: HTTP 422'
+        |  UNION ALL
+        |  SELECT 'l_bisect_abort', false, 'page_error', false, false, 1, 0,
+        |    NULL, NULL, NULL, NULL, 0, 5,
+        |    'Pagination failed on page 1: HTTP 500: retryable response')
         |ORDER BY scenario""".stripMargin,
   )
 }

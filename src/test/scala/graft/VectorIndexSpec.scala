@@ -299,6 +299,65 @@ class VectorIndexSpec extends SparkSpec {
     assert(viaRetrained == derived)
   }
 
+  test("recall contract: full probe equals exact brute search; narrow probe degrades gracefully under staleness") {
+    import graft.functions.VecExprs
+    val root = tmpDir("vindex_recall")
+    val cutoff = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0) / 2
+    val base = emb.filter(col("vec_id") <= cutoff)
+    val rest = emb.filter(col("vec_id") > cutoff)
+    // exact L2 brute top-3 with the serving path's tie-break
+    val v = emb.select(col("vec_id").cast("long").as("vid"),
+      VecExprs.quantize(col("embedding")).as("qv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("d").asc, col("neighbor_id").asc)
+    val brute = v.select(col("vid").as("query_id"), col("qv").as("a"))
+      .join(v.select(col("vid").as("neighbor_id"), col("qv").as("b")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("d", VecExprs.sqDist(col("a"), col("b")))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val nCells = emb.select("label").distinct().count().toInt
+    val nVecs = emb.count().toInt
+    def recallOf(nprobe: Int, shortlist: Int): Double = {
+      val got = VectorIndex.query(emb, "vec_id", "embedding",
+          VectorIndex.readCurrentModel(spark, root.getPath, dim, m, k),
+          VectorIndex.readCodesWithIngest(spark, VectorIndex.versionDir(
+            root.getPath, VectorIndex.currentVersion(root.getPath).get)),
+          rawVectors = emb, nprobe = nprobe, shortlist = shortlist, topK = 3)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    // v1: model trained on HALF the corpus, other half appended stale
+    val (m1, c1) = VectorIndex.build(base, "vec_id", "embedding", "label", dim, m, k)
+    VectorIndex.writeVersion(m1, c1, root.getPath, 1)
+    VectorIndex.swapPointer(root.getPath, 1)
+    VectorIndex.append(rest, "vec_id", "embedding", m1,
+      VectorIndex.versionDir(root.getPath, 1))
+    val stale = recallOf(2, 10)
+    // STRONG contract, model-independent: at full probe + full shortlist
+    // every candidate reaches the exact re-rank, so the serving path
+    // returns the brute answer EXACTLY — even through a stale model
+    assert(recallOf(nCells, nVecs) == 1.0,
+      "full-probe serving must equal exact brute search")
+    // v2: full retrain
+    VectorIndex.retrainAndSwap(emb, "vec_id", "embedding", "label", dim, m, k, root.getPath)
+    val retrained = recallOf(2, 10)
+    assert(recallOf(nCells, nVecs) == 1.0,
+      "full-probe serving must equal exact brute search after retrain")
+    info(f"recall@3 vs exact L2 brute at nprobe=2/$nCells%d: " +
+      f"stale-append $stale%.3f, retrained $retrained%.3f")
+    // These embeddings are synthetic noise (no cluster structure), so
+    // narrow-probe recall tracks probe coverage (~2/7), not code
+    // quality; measured 0.15 stale / 0.11 retrained. The floors pin
+    // "degrades gracefully, never collapses" — the recall/latency dial
+    // itself is the nprobe/shortlist contract proven exact above.
+    assert(stale >= 0.08, s"stale-append recall collapsed: $stale")
+    assert(retrained >= 0.08, s"retrained recall collapsed: $retrained")
+  }
+
   test("tombstoned ids never surface; the pre-filter narrows before the shortlist") {
     val root = tmpDir("vindex_del")
     val (model, codes) = VectorIndex.build(emb, "vec_id", "embedding", "label", dim, m, k)

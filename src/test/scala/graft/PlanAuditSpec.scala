@@ -194,6 +194,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("vector-index streaming encode is exchange-free: per-trigger cost never shuffles") {
+    // the intake sink's per-batch work is VectorIndex.encode — coarse
+    // assign + residual + PQ codes, all against driver-baked model
+    // constants. A shuffle appearing here would make every micro-batch
+    // pay an exchange, breaking the batch-proportional trigger cost the
+    // 100 TB streaming story rests on
+    import graft.operators.VectorIndex
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (model, _) = VectorIndex.build(emb, "vec_id", "embedding", "label",
+      dim = 64, m = 4, k = 16)
+    val p = VectorIndex.encode(emb, "vec_id", "embedding", model)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"streaming encode must stay scan-side:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("exact dedup is a combinable min-agg, not a per-group window") {
     // a row_number window puts every member of one text-hash group in a
     // single task's sort — a mass-duplicate corpus (millions of copies

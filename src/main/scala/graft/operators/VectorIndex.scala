@@ -166,13 +166,43 @@ object VectorIndex {
   def appendBatch(newEmb: DataFrame, idCol: String, vecCol: String,
                   model: Model, path: String, batchId: Long): Boolean = {
     val dir = new java.io.File(s"$path/ingest/b$batchId")
-    if (new java.io.File(dir, "_SUCCESS").exists()) false
+    if (new java.io.File(dir, "_SUCCESS").exists() ||
+        foldedBatchIds(path).contains(batchId)) false
     else {
       encode(newEmb, idCol, vecCol, model)
         .write.mode(SaveMode.Overwrite).partitionBy("cell")
         .parquet(dir.getPath)
       true
     }
+  }
+
+  /** Batch ids whose segments a [[foldIngestAndSwap]]/[[retrainAndSwap]]
+    * already absorbed into this version (or an ancestor) — the carried
+    * ledger that keeps [[appendBatch]] exactly-once ACROSS maintenance:
+    * a trigger that committed its segment to the old version, crashed
+    * before its checkpoint, and replays against the new version must
+    * no-op, not re-append rows the fold already consolidated.
+    */
+  def foldedBatchIds(path: String): Set[Long] = {
+    val f = new java.io.File(path, "folded_batches.txt")
+    if (!f.exists()) Set.empty
+    else scala.io.Source.fromFile(f, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet
+  }
+
+  private def writeFoldedBatchIds(path: String, ids: Set[Long]): Unit =
+    java.nio.file.Files.write(
+      new java.io.File(path, "folded_batches.txt").toPath,
+      ids.toSeq.sorted.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Committed segment batch ids currently present under `path/ingest`. */
+  private def committedSegmentIds(path: String): Set[Long] = {
+    val ingestRoot = new java.io.File(s"$path/ingest")
+    if (!ingestRoot.isDirectory) Set.empty
+    else ingestRoot.listFiles()
+      .filter(d => new java.io.File(d, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix("b").toLong).toSet
   }
 
   /** Base codes plus every COMMITTED streaming-ingest segment (torn
@@ -338,6 +368,14 @@ object VectorIndex {
     val (model, codes) = build(survivors, idCol, vecCol, cellCol, dim, m, k)
     writeVersion(model, codes, root, v)
     tombs.filter(!_.isEmpty).foreach(t => delete(t, "vid", versionDir(root, v)))
+    // carry the folded-batch ledger (a retrain absorbs the streamed docs
+    // through the corpus, which is authoritative — a replayed old batch
+    // must no-op against the new version, not re-append)
+    currentVersion(root).foreach { cv =>
+      writeFoldedBatchIds(versionDir(root, v),
+        foldedBatchIds(versionDir(root, cv)) ++
+          committedSegmentIds(versionDir(root, cv)))
+    }
     swapPointer(root, v)
     v
   }
@@ -379,6 +417,10 @@ object VectorIndex {
         .join(tombs, Seq("vid"), "left_anti"),
       root, v + 1)
     if (!tombs.isEmpty) delete(tombs, "vid", versionDir(root, v + 1))
+    // carry the folded-batch ledger: absorbed segments + everything an
+    // ancestor already absorbed, so a cross-swap replay stays a no-op
+    writeFoldedBatchIds(versionDir(root, v + 1),
+      foldedBatchIds(vDir) ++ committedSegmentIds(vDir))
     swapPointer(root, v + 1)
     v + 1
   }

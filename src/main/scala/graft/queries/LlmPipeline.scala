@@ -363,6 +363,60 @@ object LlmPipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // The versioned ingest lifecycle under the hash gate: POINTER-
+    // resolved streaming sink (each trigger re-reads root/POINTER, so
+    // maintenance swaps roll the running ingest with no restart) driven
+    // across a segment fold AND a full retrain — triggers 1-2 land in
+    // v1, the fold absorbs them into v2 (carrying the folded-batch
+    // ledger that keeps cross-swap replays exactly-once), trigger 3
+    // lands in v2, and the closing full-corpus retrain produces v3 =
+    // the derive-in-query model over the full corpus, so the final
+    // answer is q109's oracle verbatim. VectorIndexSpec pins the
+    // cross-swap replay no-ops this entry's determinism rests on.
+    "q117_ann_stream_ingest_versioned" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val emb = t(s, dir, "embeddings")
+      val cutoff = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0) / 2
+      val base = emb.filter(col("vec_id") <= cutoff)
+      val rest = emb.filter(col("vec_id") > cutoff)
+      val root = java.nio.file.Files.createTempDirectory("graft_q117_vindex_").toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(root)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q117_ckpt_").toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(ckpt)
+      val (m1, c1) = VectorIndex.build(base, "vec_id", "embedding", "label",
+        dim = 64, m = 4, k = 16)
+      VectorIndex.writeVersion(m1, c1, root.getPath, 1)
+      VectorIndex.swapPointer(root.getPath, 1)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Double])]
+      val q = graft.streaming.StreamOps.vectorIngestSinkVersioned(
+          input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+          root.getPath, dim = 64, m = 4, k = 16)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+        .option("checkpointLocation", ckpt.getPath)
+        .start()
+      def feed(r: Int): Unit = {
+        input.addData(rest.filter(col("vec_id") % 3 === r)
+          .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+          .as[(Long, Seq[Double])].collect().toSeq: _*)
+        q.processAllAvailable()
+      }
+      try {
+        feed(0); feed(1)
+        VectorIndex.foldIngestAndSwap(s, root.getPath, dim = 64, m = 4, k = 16)
+        feed(2)
+      } finally q.stop()
+      val v = VectorIndex.retrainAndSwap(emb, "vec_id", "embedding", "label",
+        dim = 64, m = 4, k = 16, root.getPath)
+      require(v == 3, s"lifecycle must close on version 3, got $v")
+      VectorIndex.query(emb, "vec_id", "embedding",
+          VectorIndex.readCurrentModel(s, root.getPath, dim = 64, m = 4, k = 16),
+          VectorIndex.readCurrentCodes(s, root.getPath), rawVectors = emb,
+          nprobe = 2, shortlist = 10, topK = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // ANN without a precomputed label: hyperplane-LSH quantizer with
     // multi-probe (flip the lowest-|margin| plane bits). Plane signs are
     // sha-derived and projections integer-quantized, so the oracle
@@ -1011,6 +1065,9 @@ object LlmPipeline {
     // segment-fold compaction consolidates files without re-encoding a
     // single row, so the post-fold answer is still q111's oracle
     ("q116_ann_stream_ingest_folded" -> oraclesMain("q111_ann_topk_index_appended")) +
+    // the versioned lifecycle closes on a FULL-corpus retrain, which is
+    // definitionally the derive-in-query model — q109's oracle verbatim
+    ("q117_ann_stream_ingest_versioned" -> oraclesMain("q109_ann_topk_ivfpq_refined")) +
     // the retrain lifecycle's two phases ARE the two existing oracles:
     // stale = q111 (appends through the base-half model), retrained =
     // q109 (full-corpus model) — composed verbatim, no third derivation

@@ -342,6 +342,39 @@ object StreamOps {
         ()
       }
 
+  /** [[vectorIngestSink]] resolving the SERVED index version per trigger
+    * (the [[nearDupIntakeSinkWithIndexPointer]] treatment applied to the
+    * vector index): each micro-batch reads `root/POINTER`, loads that
+    * version's model (a model-sized collect: cells·dim + m·k·sub longs),
+    * and commits its segment inside that version's directory — so a
+    * maintenance job's [[graft.operators.VectorIndex.foldIngestAndSwap]]
+    * or [[graft.operators.VectorIndex.retrainAndSwap]] rolls the
+    * running ingest onto the new version with NO stream restart.
+    * Exactly-once holds ACROSS the swap: fold/retrain carry the
+    * folded-batch ledger into the new version, so a trigger that
+    * committed its segment to the old version and replays after the
+    * swap no-ops instead of re-appending rows the fold already
+    * consolidated (VectorIndexSpec pins the cross-swap replay).
+    */
+  def vectorIngestSinkVersioned(stream: DataFrame, idCol: String,
+                                vecCol: String, root: String,
+                                dim: Int, m: Int, k: Int): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val v = graft.operators.VectorIndex.currentVersion(root).getOrElse(
+            sys.error(s"no served index version at $root"))
+          val dir = graft.operators.VectorIndex.versionDir(root, v)
+          graft.operators.VectorIndex.appendBatch(batch, idCol, vecCol,
+            graft.operators.VectorIndex.readModel(spark, dir, dim, m, k),
+            dir, batchId)
+        }
+        ()
+      }
+
   /** Idempotence tag for one micro-batch: streaming query id (stable
     * across restarts from the same checkpoint — the replay case) +
     * batch id. Distinct queries (fresh checkpoints) get distinct tags,

@@ -244,6 +244,75 @@ class VectorIndexSpec extends SparkSpec {
       "a second retrain resurrected previously deleted vectors")
   }
 
+  test("versioned ingest rolls across fold and retrain swaps; cross-swap replays no-op") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmpDir("vindex_vsink")
+    val ckpt = tmpDir("vindex_vsink_ckpt")
+    val cutoff = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0) / 2
+    val base = emb.filter(col("vec_id") <= cutoff)
+    val rest = emb.filter(col("vec_id") > cutoff)
+    val (m1, c1) = VectorIndex.build(base, "vec_id", "embedding", "label", dim, m, k)
+    VectorIndex.writeVersion(m1, c1, root.getPath, 1)
+    VectorIndex.swapPointer(root.getPath, 1)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamOps.vectorIngestSinkVersioned(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        root.getPath, dim, m, k)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+      .option("checkpointLocation", ckpt.getPath)
+      .start()
+    def feed(r: Int): Unit = {
+      input.addData(rest.filter(col("vec_id") % 3 === r)
+        .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+        .as[(Long, Seq[Double])].collect().toSeq: _*)
+      q.processAllAvailable()
+    }
+    try {
+      // trigger 1 lands its segment inside v1
+      feed(0)
+      assert(VectorIndex.foldedBatchIds(VectorIndex.versionDir(root.getPath, 1)).isEmpty)
+      // maintenance mid-stream: fold absorbs the segment into v2 and
+      // carries the ledger
+      VectorIndex.foldIngestAndSwap(spark, root.getPath, dim, m, k)
+      val v2 = VectorIndex.versionDir(root.getPath, 2)
+      assert(VectorIndex.foldedBatchIds(v2) == Set(0L))
+      val n2 = VectorIndex.readCodesWithIngest(spark, v2).count()
+      // cross-swap replay of trigger 1 must NO-OP against v2 — its rows
+      // are already in the folded base; re-appending would double them
+      assert(!VectorIndex.appendBatch(
+        rest.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+        VectorIndex.readModel(spark, v2, dim, m, k), v2, batchId = 0L),
+        "a replay of a folded batch must no-op after the swap")
+      assert(VectorIndex.readCodesWithIngest(spark, v2).count() == n2)
+      // trigger 2 lands inside v2 (the sink re-resolved the pointer)
+      feed(1)
+      assert(new java.io.File(v2, "ingest/b1/_SUCCESS").exists(),
+        "the versioned sink must commit into the CURRENT version")
+      // retrain mid-stream from the authoritative corpus so far
+      VectorIndex.retrainAndSwap(
+        base.unionByName(rest.filter(col("vec_id") % 3 < 2)),
+        "vec_id", "embedding", "label", dim, m, k, root.getPath)
+      val v3 = VectorIndex.versionDir(root.getPath, 3)
+      assert(VectorIndex.foldedBatchIds(v3) == Set(0L, 1L),
+        "retrain must carry the folded-batch ledger")
+      // trigger 3 lands inside v3; the final state holds every vector once
+      feed(2)
+      assert(VectorIndex.readCodesWithIngest(spark, v3).count() == emb.count(),
+        "the rolled ingest must end with every vector exactly once")
+      // replays of both absorbed batches still no-op against v3
+      val m3 = VectorIndex.readModel(spark, v3, dim, m, k)
+      Seq(0, 1).foreach { b =>
+        assert(!VectorIndex.appendBatch(
+          rest.filter(col("vec_id") % 3 === b), "vec_id", "embedding",
+          m3, v3, batchId = b.toLong))
+      }
+      assert(VectorIndex.readCodesWithIngest(spark, v3).count() == emb.count())
+    } finally q.stop()
+  }
+
   test("incomplete index is not 'exists': a torn write forces a rebuild") {
     val root = tmpDir("vindex_torn")
     val (model, codes) = VectorIndex.build(emb, "vec_id", "embedding", "label", dim, m, k)

@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.Analytic.queries ++
       graft.queries.GoldActivity.queries ++
       graft.queries.Parity.queries ++
-      graft.queries.IoParity.queries
+      graft.queries.IoParity.queries ++
+      graft.queries.Retrieval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -42,5 +43,6 @@ object SparkEntry {
       graft.queries.Analytic.oracles ++
       graft.queries.GoldActivity.oracles ++
       graft.queries.Parity.oracles ++
-      graft.queries.IoParity.oracles
+      graft.queries.IoParity.oracles ++
+      graft.queries.Retrieval.oracles
 }

@@ -13,8 +13,18 @@ class PlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def plan(q: String): String =
+  private def plan(q: String): String = {
+    // Plans must be measured against an EMPTY cache: operators persist()
+    // intermediate frames during construction (q73's shingles/bands, the
+    // curation chains' stage outputs), CacheManager matches by logical
+    // plan across the session, and sbt runs every suite in one JVM — so
+    // without this, a fragment cached by an earlier suite (or an earlier
+    // test here) substitutes an InMemoryRelation into a pinned plan and
+    // shifts its exchange counts with suite ORDER (seen once: q73 at 18
+    // exchanges in a full run, 17 in isolation).
+    spark.sharedState.cacheManager.clearCache()
     SparkEntry.queries(q)(spark, dir).queryExecution.explainString(FormattedMode)
+  }
 
   test("parquet scans prune columns: q01 reads only the aggregated fields") {
     val p = plan("q01_pricing_summary")
@@ -164,7 +174,16 @@ class PlanAuditSpec extends SparkSpec {
       "q108_ann_topk_ivfpq_probed" -> (2, 2, 1, 0),
       "q109_ann_topk_ivfpq_refined" -> (4, 2, 3, 0),
       "q110_ann_topk_indexed" -> (4, 2, 3, 0),
-      "q79_member_activity_monthly" -> (2, 5, 0, 0))
+      "q79_member_activity_monthly" -> (2, 5, 0, 0),
+      // 6 logical doc scans, but the postings-groupBy exchange subtree is
+      // identical in the df and contrib branches → ReusedExchange computes
+      // it once; stats and the pruned query-derivation scans are cheap
+      "q118_bm25_topk" -> (6, 10, 5, 0),
+      // prepared serving: postings + termstats read once each + the
+      // query-derivation doc scan; every exchange is batch-sized
+      // (SearchOpsSpec additionally walks the plan and asserts no shuffle
+      // has an index scan beneath it)
+      "q120_bm25_topk_prepared" -> (3, 6, 4, 0))
     for ((q, (scans, shuffles, broadcasts, antis)) <- pins) {
       val p = plan(q)
       def uniq(pat: String): Int =

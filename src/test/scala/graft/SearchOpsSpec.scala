@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.SearchOps
+
+class SearchOpsSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the cat sat on the mat"),
+    (1L, "the dog sat on the log"),
+    (2L, "cat cat cat"),                      // tf saturation target
+    (3L, "  The   CAT\tsat  "),               // normText: case/whitespace
+    (4L, ""),                                 // empty → dropped
+    (5L, "unique pangolin")                   // rare term → high idf
+  ).toDF("doc_id", "text")
+
+  private def q(terms: (Long, String)*) = terms.toDF("query_id", "term")
+
+  test("tokenized applies the corpus normText convention and drops empty docs") {
+    val t = SearchOps.tokenized(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    t.keySet shouldBe Set(0L, 1L, 2L, 3L, 5L)
+    t(3L) shouldBe Seq("the", "cat", "sat")
+    t(2L) shouldBe Seq("cat", "cat", "cat")
+  }
+
+  test("derivedQueries takes distinct terms of the first-N tokens of every nth doc") {
+    val dq = SearchOps.derivedQueries(docs, "text", "doc_id", everyNth = 2, prefixTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // docs 0,2,4 qualify; 4 is empty → dropped; 0 → {the, cat}; 2 → {cat}
+    dq.toSet shouldBe Set((0L, "the"), (0L, "cat"), (2L, "cat"))
+  }
+
+  test("bm25: rare terms outrank common ones, tf saturates, self can be excluded") {
+    val top = SearchOps.bm25TopK(docs, "text", "doc_id",
+      q((100L, "cat"), (100L, "pangolin")), topK = 6)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byDoc = top.map { case (d, s, _) => d -> s }.toMap
+    // pangolin appears in 1 of 5 docs; cat in 3 of 5 — idf(pangolin) > idf(cat),
+    // and doc 5 is shorter than any cat doc, so doc 5 must rank first
+    top.head._1 shouldBe 5L
+    // tf saturation: doc 2 (cat x3, dl=3) beats doc 3 (cat x1, dl=3) but by
+    // far less than 3x — BM25's k1 clamp
+    byDoc(2L) should be > byDoc(3L)
+    byDoc(2L).toDouble should be < byDoc(3L) * 2.0
+    // all matched docs present: 0,1? (1 has no query term) — exactly docs with cat or pangolin
+    top.map(_._1).toSet shouldBe Set(0L, 2L, 3L, 5L)
+
+    val noSelf = SearchOps.bm25TopK(docs, "text", "doc_id",
+      q((2L, "cat")), topK = 6, excludeSelf = true)
+      .collect().map(_.getLong(1))
+    noSelf should not contain 2L
+  }
+
+  test("bm25 scores are order-independent exact longs: repartitioned input is bit-identical") {
+    val qs = q((0L, "cat"), (0L, "sat"), (1L, "dog"))
+    val a = SearchOps.bm25TopK(docs, "text", "doc_id", qs, topK = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    val b = SearchOps.bm25TopK(docs.repartition(7), "text", "doc_id", qs, topK = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    a shouldBe b
+  }
+
+  test("boundedTopK matches a full sort under (score desc, doc_id asc) with ties") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 400).map { i =>
+      (rnd.nextInt(5).toLong, i.toLong, rnd.nextInt(7).toLong) // many score ties
+    }
+    val df = rows.toDF("query_id", "doc_id", "score")
+    val got = SearchOps.boundedTopK(df, topK = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val exp = rows.groupBy(_._1).flatMap { case (qid, g) =>
+      g.sortBy { case (_, d, s) => (-s, d) }.take(6).zipWithIndex.map {
+        case ((_, d, s), i) => (qid, d, s, (i + 1).toLong)
+      }
+    }.toSet
+    got shouldBe exp
+  }
+
+  test("rrf fuses with integer division and absence contributes zero") {
+    val l1 = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
+    val l2 = Seq((1L, 11L, 1L), (1L, 12L, 2L)).toDF("query_id", "doc_id", "rank")
+    val fused = SearchOps.rrfFuse(Seq(l1, l2), topK = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    val c1 = 1000000L / 61L // rank 1
+    val c2 = 1000000L / 62L // rank 2
+    // doc 11: both lists (r2 + r1); doc 10: one list r1; doc 12: one list r2
+    fused shouldBe List((11L, c1 + c2, 1L), (10L, c1, 2L), (12L, c2, 3L))
+  }
+
+  test("prepared postings index serves bit-identical BM25 to the in-memory path") {
+    val qs = q((0L, "cat"), (0L, "sat"), (1L, "dog"), (2L, "pangolin"))
+    val mem = SearchOps.bm25TopK(docs, "text", "doc_id", qs, topK = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    val prefix = "graft_test_bm25_" + System.nanoTime()
+    SearchOps.writePostingsIndex(docs, "text", "doc_id", prefix, buckets = 4)
+    try {
+      assert(SearchOps.postingsIndexExists(spark, prefix))
+      val served = SearchOps.bm25TopKPrepared(spark, prefix, qs, topK = 10)
+        .orderBy("query_id", "rank").collect().toSeq
+      served shouldBe mem
+      // the serve-time plan never shuffles the index: every shuffle
+      // exchange must sit strictly on the query/candidate side — none may
+      // have an index-table scan anywhere beneath it (the whole point of
+      // the bucketed layout), and each index table is read exactly once
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val plan = SearchOps.bm25TopKPrepared(spark, prefix, qs, topK = 10)
+        .queryExecution.sparkPlan
+      def indexScans(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collectLeaves().collect {
+          case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table.startsWith(prefix)) => f
+        }
+      assert(indexScans(plan).size == 2,
+        s"index tables must be read exactly once each:\n$plan")
+      val shuffledIndex = plan.collect {
+        case e: ShuffleExchangeLike if indexScans(e.asInstanceOf[
+          org.apache.spark.sql.execution.SparkPlan]).nonEmpty => e
+      }
+      assert(shuffledIndex.isEmpty,
+        s"an exchange shuffles the index side:\n$plan")
+    } finally Seq("postings", "termstats").foreach(n =>
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$n"))
+  }
+
+  test("cosineTopKFor ranks an explicit query subset and excludes self") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val res = SearchOps.cosineTopKFor(emb.filter(col("vec_id") === 0), emb,
+      "vec_id", "embedding", topK = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    res.map(_._1).toSet shouldBe Set(0L)
+    res.map(_._2).toList shouldBe List(1L, 2L, 3L) // by cosine to (1,0)
+  }
+}

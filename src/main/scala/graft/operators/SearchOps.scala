@@ -113,22 +113,66 @@ object SearchOps {
     boundedTopK(base, topK)
   }
 
-  /** Persist the postings as one BUCKETED table `<prefix>_postings`
-    * (term, doc_id, tf, dl — bucketed+sorted by term; tf/dl stored as
-    * exact longs) with the two corpus scalars as table properties. The
-    * serving analog of the corpus dedup index (DedupOps §prepared):
-    * tokenize + postings-groupBy are paid ONCE at build time; a bucketed
-    * scan reports its hash partitioning on term, so every serve-time
-    * operation that keys on term — the broadcast query-term prune AND
-    * the df aggregation — plans with ZERO corpus-side exchange. At
-    * 100 TB that corpus shuffle is exactly what the prepared index
-    * exists to avoid. An explicit `path` makes the table EXTERNAL so
-    * the files outlive an in-memory catalog.
-    */
-  def writePostingsIndex(docs: DataFrame, textCol: String, idCol: String,
-                         tablePrefix: String, buckets: Int = 64,
-                         path: Option[String] = None): Unit = {
-    val spark = docs.sparkSession
+  // ---- Persisted postings index: versioned, pointer-swapped ----------
+  //
+  // The serving analog of the corpus dedup index and the vector index
+  // (same POINTER convention as operators/VectorIndex.scala): tokenize +
+  // postings-groupBy are paid once at build/append time, never at serve.
+  // Layout:
+  //   root/POINTER                          (version name; atomic rename)
+  //   root/versions/vNNNN/manifest.json     {n_docs, total_len (exact
+  //     longs), segments (paths relative to root — later versions
+  //     REFERENCE earlier versions' segments instead of copying, so an
+  //     append writes only its delta), applied_tags (idempotency ledger,
+  //     carried forward)}
+  //   root/versions/vNNNN/postings/segNNNN/ (term, doc_id, tf, dl longs)
+  //   root/versions/vNNNN/termstats/        (term, df long — the GLOBAL
+  //     per-term doc frequency, re-merged per version: df and the corpus
+  //     scalars change on every append, postings rows never do)
+  // A crash before the pointer swap leaves an unreferenced version dir —
+  // inert, the old version keeps serving; re-running the append is the
+  // recovery, and the applied_tags ledger makes a REPLAYED append (same
+  // tag) a no-op instead of a double-count.
+  def postingsVersionDir(root: String, v: Int): String =
+    f"$root/versions/v$v%04d"
+
+  def postingsCurrentVersion(root: String): Option[Int] = {
+    val ptr = new java.io.File(root, "POINTER")
+    if (!ptr.exists()) None
+    else Some(new String(java.nio.file.Files.readAllBytes(ptr.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim.stripPrefix("v").toInt)
+  }
+
+  def postingsIndexExists(root: String): Boolean =
+    postingsCurrentVersion(root).isDefined
+
+  private def nextPostingsVersion(root: String): Int = {
+    // max existing dir + 1, not pointer + 1: a torn (unswapped) version
+    // dir must never be silently adopted OR overwritten mid-recovery
+    val vs = Option(new java.io.File(root, "versions").listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(_.getName.matches("v\\d{4}")).map(_.getName.drop(1).toInt)
+    (vs :+ 0).max + 1
+  }
+
+  private def postingsSwapPointer(root: String, v: Int): Unit = {
+    val tmp = new java.io.File(root, s"POINTER.tmp.$v")
+    java.nio.file.Files.write(tmp.toPath,
+      f"v$v%04d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(root, "POINTER").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readPostingsManifest(root: String, v: Int): Map[String, Any] =
+    graft.io.StableJson.parse(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(postingsVersionDir(root, v), "manifest.json").toPath),
+      java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[Map[String, Any]]
+
+  /** Tokenize one doc batch into (postings delta, n_docs, total_len). */
+  private def postingsDelta(docs: DataFrame, textCol: String,
+                            idCol: String): (DataFrame, Long, Long) = {
     val toks = tokenized(docs, textCol, idCol)
     val statsRow = toks.select(size(col("ws")).cast("long").as("dl"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("l")).head()
@@ -136,52 +180,99 @@ object SearchOps {
         explode(col("ws")).as("term"))
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    // one file per bucket (same murmur3 repartition-then-bucketBy trick
-    // as the dedup index writer — see DedupOps.writeBucketedIndexTable)
-    def writeBucketed(df: DataFrame, name: String): Unit = {
-      val w0 = df.repartition(buckets, col("term"))
-        .write.bucketBy(buckets, "term").sortBy("term").mode("overwrite")
-      path.fold(w0)(p => w0.option("path", s"$p/$name"))
-        .saveAsTable(s"${tablePrefix}_$name")
-    }
-    writeBucketed(post, "postings")
-    // per-term document frequency precomputed at BUILD time: without it
-    // every serve re-aggregates (and therefore re-scans) the postings a
-    // second time just to count df over the matched terms
-    writeBucketed(post.groupBy("term").agg(count(lit(1)).as("df")), "termstats")
-    spark.sql(s"ALTER TABLE ${tablePrefix}_postings SET TBLPROPERTIES (" +
-      s"'graft.bm25.n_docs'='${statsRow.getLong(0)}'," +
-      s"'graft.bm25.total_len'='${statsRow.getLong(1)}')")
+    (post, statsRow.getLong(0),
+      if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1))
   }
 
-  def postingsIndexExists(spark: org.apache.spark.sql.SparkSession,
-                          tablePrefix: String): Boolean =
-    spark.catalog.tableExists(s"${tablePrefix}_postings") &&
-      spark.catalog.tableExists(s"${tablePrefix}_termstats")
-
-  /** [[bm25TopK]] served from a persisted postings index: same scores
-    * by construction (stored tf/dl are exact longs cast back to double;
-    * the corpus scalars ride the table properties; the contribution
-    * expression is the shared [[bm25Contrib]] with the scalars baked in
-    * as plan literals). Per-query work is proportional to the MATCHED
-    * postings — the corpus is never re-tokenized and never shuffled.
+  /** Write version v: the delta segment + merged termstats + manifest.
+    * `priorSegments` are carried by reference (paths relative to root).
     */
-  def bm25TopKPrepared(spark: org.apache.spark.sql.SparkSession,
-                       tablePrefix: String, queries: DataFrame, topK: Int,
-                       k1: Double = 1.2, b: Double = 0.75,
-                       excludeSelf: Boolean = false): DataFrame = {
-    val post = spark.table(s"${tablePrefix}_postings")
-    val props = spark.sql(s"SHOW TBLPROPERTIES ${tablePrefix}_postings")
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    val nDocs = props("graft.bm25.n_docs").toLong.toDouble
-    val totalLen = props("graft.bm25.total_len").toLong.toDouble
+  private def writePostingsVersion(spark: org.apache.spark.sql.SparkSession,
+                                   root: String, v: Int, delta: DataFrame,
+                                   priorSegments: Seq[String],
+                                   mergedTermstats: DataFrame,
+                                   nDocs: Long, totalLen: Long,
+                                   appliedTags: Seq[String]): Unit = {
+    val vDir = postingsVersionDir(root, v)
+    val segRel = f"versions/v$v%04d/postings/seg$v%04d"
+    delta.write.mode("overwrite").parquet(s"$root/$segRel")
+    mergedTermstats.write.mode("overwrite").parquet(s"$vDir/termstats")
+    val manifest: Map[String, Any] = Map(
+      "n_docs" -> nDocs, "total_len" -> totalLen,
+      "segments" -> (priorSegments :+ segRel),
+      "applied_tags" -> appliedTags)
+    java.nio.file.Files.write(
+      new java.io.File(vDir, "manifest.json").toPath,
+      graft.io.StableJson.write(manifest)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Build version 1 of the postings index and swap the pointer. */
+  def buildPostingsIndex(docs: DataFrame, textCol: String, idCol: String,
+                         root: String): Int = {
+    val spark = docs.sparkSession
+    val (post, n, l) = postingsDelta(docs, textCol, idCol)
+    val ts = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val v = nextPostingsVersion(root)
+    writePostingsVersion(spark, root, v, post, Nil, ts, n, l, Nil)
+    postingsSwapPointer(root, v)
+    v
+  }
+
+  /** Append a doc batch as a NEW version: writes only the delta segment
+    * plus the re-merged termstats (vocabulary-sized — df and the corpus
+    * scalars change on every append even for untouched docs; postings
+    * rows never do, so prior segments carry by reference). Returns the
+    * new version, or None when `batchTag` is already applied (a replayed
+    * append must not double-count its docs).
+    */
+  def appendPostingsIndex(newDocs: DataFrame, textCol: String, idCol: String,
+                          root: String, batchTag: String): Option[Int] = {
+    val spark = newDocs.sparkSession
+    val cur = postingsCurrentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no postings index at $root — build first"))
+    val m = readPostingsManifest(root, cur)
+    val tags = m("applied_tags").asInstanceOf[Seq[_]].map(String.valueOf)
+    if (tags.contains(batchTag)) return None
+    val (post, n, l) = postingsDelta(newDocs, textCol, idCol)
+    val deltaTs = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val curTs = spark.read.parquet(s"${postingsVersionDir(root, cur)}/termstats")
+    val merged = curTs.union(deltaTs)
+      .groupBy("term").agg(sum(col("df")).as("df"))
+    val v = nextPostingsVersion(root)
+    val priorSegs = m("segments").asInstanceOf[Seq[_]].map(String.valueOf)
+    writePostingsVersion(spark, root, v, post, priorSegs, merged,
+      m("n_docs").toString.toLong + n, m("total_len").toString.toLong + l,
+      tags :+ batchTag)
+    postingsSwapPointer(root, v)
+    Some(v)
+  }
+
+  /** [[bm25TopK]] served from the persisted index: same scores by
+    * construction (stored tf/dl/df are exact longs cast back to double;
+    * the corpus scalars ride the manifest and enter the plan as
+    * literals; the contribution expression is the shared
+    * [[bm25Contrib]]). Per-query work is proportional to the MATCHED
+    * postings — the corpus is never re-tokenized, the index side is
+    * never shuffled (SearchOpsSpec walks the plan), and the POINTER is
+    * resolved once at planning, so a concurrent append swaps what the
+    * NEXT query reads, never a running scan.
+    */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                      root: String, queries: DataFrame, topK: Int,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      excludeSelf: Boolean = false): DataFrame = {
+    val cur = postingsCurrentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no postings index at $root"))
+    val m = readPostingsManifest(root, cur)
+    val nDocs = m("n_docs").toString.toLong.toDouble
+    val totalLen = m("total_len").toString.toLong.toDouble
+    val segs = m("segments").asInstanceOf[Seq[_]].map(s => s"$root/${String.valueOf(s)}")
+    val post = spark.read.parquet(segs: _*)
     val qterms = queries.select(col("query_id").cast("long").as("query_id"),
       col("term")).distinct()
     val cand = post.join(broadcast(qterms.select("term").distinct()), "term")
-    // df comes from the build-time termstats table (same value as an
-    // on-the-fly count: term pruning filters whole terms, never docs),
-    // pruned to query terms and broadcast — the postings are read ONCE
-    val dft = spark.table(s"${tablePrefix}_termstats")
+    val dft = spark.read.parquet(s"${postingsVersionDir(root, cur)}/termstats")
       .join(broadcast(qterms.select("term").distinct()), "term")
       .select(col("term"), col("df").cast("double").as("df"))
     val contrib = cand.join(broadcast(dft), "term")

@@ -58,35 +58,56 @@ object Retrieval {
     }),
 
     // The PREPARED serving path: postings built ONCE per sf dir as a
-    // bucketed-by-term table (the q78/q110 treatment applied to lexical
-    // retrieval), then q118's exact query answered from the index —
-    // q118's oracle verbatim proves build→serve loses nothing. Serve
-    // plans with zero corpus-side exchange (PlanAuditSpec pins it).
+    // versioned pointer-swapped index (the q110 treatment applied to
+    // lexical retrieval), then q118's exact query answered from the
+    // index — q118's oracle verbatim proves build→serve loses nothing.
+    // Serving never shuffles the index side (PlanAuditSpec pins it;
+    // SearchOpsSpec walks the physical plan).
     "q120_bm25_topk_prepared" -> ((s, dir) => {
-      val prefix = ensurePostingsIndex(s, dir)
-      SearchOps.bm25TopKPrepared(s, prefix, qs(s, dir), topK = 5)
+      val root = ensurePostingsIndex(s, dir)
+      SearchOps.bm25TopKIndexed(s, root, qs(s, dir), topK = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // The append lifecycle (the q111 pattern applied to BM25): build the
+    // index on the FIRST HALF of the corpus, append the second half as a
+    // tagged batch — only the delta segment and the re-merged
+    // vocabulary-sized termstats are written; prior postings carry by
+    // reference — then serve. A REPLAYED append (same tag) must no-op,
+    // so the query appends twice and still answers q118's oracle
+    // verbatim: a double-count would inflate df/n_docs and shift every
+    // idf. Fresh work dir per run (append is cumulative across roots).
+    "q121_bm25_index_appended" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cutoff = docs.agg(max(col("doc_id").cast("long"))).head().getLong(0) / 2
+      val root = java.nio.file.Files.createTempDirectory("graft_q121_bm25_").toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(root)
+      SearchOps.buildPostingsIndex(docs.filter(col("doc_id") <= cutoff),
+        "text", "doc_id", root.getPath)
+      val rest = docs.filter(col("doc_id") > cutoff)
+      val v2 = SearchOps.appendPostingsIndex(rest, "text", "doc_id",
+        root.getPath, batchTag = "q121-b1")
+      require(v2.nonEmpty, "first append must apply")
+      val replay = SearchOps.appendPostingsIndex(rest, "text", "doc_id",
+        root.getPath, batchTag = "q121-b1")
+      require(replay.isEmpty, "replayed append must no-op")
+      SearchOps.bm25TopKIndexed(s, root.getPath, qs(s, dir), topK = 5)
         .orderBy("query_id", "rank")
     }))
 
-  /** Build the postings index once per (session, sf dir + data
-    * fingerprint); later calls only read it (the ensureQ110Index
-    * pattern — the first bench rep pays the build, steady-state reps
-    * measure serving).
+  /** Build the postings index once per (sf dir + data fingerprint);
+    * later calls — even from a fresh JVM — only resolve the pointer and
+    * read (the ensureQ110Index pattern: the first bench rep pays the
+    * build, steady-state reps measure serving).
     */
   private def ensurePostingsIndex(s: SparkSession, dir: String): String = {
     val stamp = Integer.toHexString(dir.hashCode) + "_" + graft.io.Fingerprint
       .ofTree(new java.io.File(dir, "documents.parquet").getPath)
-    val prefix = "graft_q120_bm25_" + stamp
-    if (!SearchOps.postingsIndexExists(s, prefix)) {
-      // EXTERNAL table under tmpdir: a fresh JVM re-attaches by rebuilding
-      // onto the same path (a MANAGED table here would crash a later
-      // session with LOCATION_ALREADY_EXISTS — the warehouse dir outlives
-      // the in-memory catalog)
-      val root = new java.io.File(sys.props("java.io.tmpdir"), prefix)
-      SearchOps.writePostingsIndex(Tables.load(s, dir, "documents"),
-        "text", "doc_id", prefix, buckets = 16, path = Some(root.getPath))
-    }
-    prefix
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_q120_bm25_" + stamp)
+    if (!SearchOps.postingsIndexExists(root.getPath))
+      SearchOps.buildPostingsIndex(Tables.load(s, dir, "documents"),
+        "text", "doc_id", root.getPath)
+    root.getPath
   }
 
   // Shared SQL fragments: tokenized docs + postings + derived queries +
@@ -150,6 +171,17 @@ object Retrieval {
 
     // the prepared path serves q118's exact semantics from the index
     "q120_bm25_topk_prepared" ->
+      s"""WITH $bm25Cte,
+         |r AS (SELECT query_id, doc_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+         |  FROM sc)
+         |SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rank
+         |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // build-half + append-half + replayed-append converges on the same
+    // index a full build produces, so the answer is q118's oracle
+    // verbatim (a replay double-count would shift every idf and fail)
+    "q121_bm25_index_appended" ->
       s"""WITH $bm25Cte,
          |r AS (SELECT query_id, doc_id, score,
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk

@@ -180,10 +180,10 @@ class PlanAuditSpec extends SparkSpec {
       // it once; stats and the pruned query-derivation scans are cheap
       "q118_bm25_topk" -> (6, 10, 5, 0),
       // prepared serving: postings + termstats read once each + the
-      // query-derivation doc scan; every exchange is batch-sized
+      // pruned query-derivation doc scans; every exchange is batch-sized
       // (SearchOpsSpec additionally walks the plan and asserts no shuffle
       // has an index scan beneath it)
-      "q120_bm25_topk_prepared" -> (3, 6, 4, 0))
+      "q120_bm25_topk_prepared" -> (5, 6, 4, 0))
     for ((q, (scans, shuffles, broadcasts, antis)) <- pins) {
       val p = plan(q)
       def uniq(pat: String): Int =

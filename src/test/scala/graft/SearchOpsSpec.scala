@@ -91,40 +91,82 @@ class SearchOpsSpec extends SparkSpec with Matchers {
     fused shouldBe List((11L, c1 + c2, 1L), (10L, c1, 2L), (12L, c2, 3L))
   }
 
-  test("prepared postings index serves bit-identical BM25 to the in-memory path") {
+  private def tmpRoot(): java.io.File = {
+    val f = java.nio.file.Files.createTempDirectory("graft_test_bm25_").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(f)
+    f
+  }
+
+  test("persisted postings index serves bit-identical BM25 to the in-memory path") {
     val qs = q((0L, "cat"), (0L, "sat"), (1L, "dog"), (2L, "pangolin"))
     val mem = SearchOps.bm25TopK(docs, "text", "doc_id", qs, topK = 10)
       .orderBy("query_id", "rank").collect().toSeq
-    val prefix = "graft_test_bm25_" + System.nanoTime()
-    SearchOps.writePostingsIndex(docs, "text", "doc_id", prefix, buckets = 4)
-    try {
-      assert(SearchOps.postingsIndexExists(spark, prefix))
-      val served = SearchOps.bm25TopKPrepared(spark, prefix, qs, topK = 10)
-        .orderBy("query_id", "rank").collect().toSeq
-      served shouldBe mem
-      // the serve-time plan never shuffles the index: every shuffle
-      // exchange must sit strictly on the query/candidate side — none may
-      // have an index-table scan anywhere beneath it (the whole point of
-      // the bucketed layout), and each index table is read exactly once
-      import org.apache.spark.sql.execution.FileSourceScanExec
-      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-      val plan = SearchOps.bm25TopKPrepared(spark, prefix, qs, topK = 10)
-        .queryExecution.sparkPlan
-      def indexScans(p: org.apache.spark.sql.execution.SparkPlan) =
-        p.collectLeaves().collect {
-          case f: FileSourceScanExec
-            if f.tableIdentifier.exists(_.table.startsWith(prefix)) => f
-        }
-      assert(indexScans(plan).size == 2,
-        s"index tables must be read exactly once each:\n$plan")
-      val shuffledIndex = plan.collect {
-        case e: ShuffleExchangeLike if indexScans(e.asInstanceOf[
-          org.apache.spark.sql.execution.SparkPlan]).nonEmpty => e
+    val root = tmpRoot().getPath
+    SearchOps.buildPostingsIndex(docs, "text", "doc_id", root)
+    assert(SearchOps.postingsIndexExists(root))
+    val served = SearchOps.bm25TopKIndexed(spark, root, qs, topK = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    served shouldBe mem
+    // the serve-time plan never shuffles the index: every shuffle
+    // exchange must sit strictly on the query/candidate side — no index
+    // scan may appear anywhere beneath one
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val plan = SearchOps.bm25TopKIndexed(spark, root, qs, topK = 10)
+      .queryExecution.sparkPlan
+    def indexScans(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.collectLeaves().collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(_.toString.contains("graft_test_bm25_")) => f
       }
-      assert(shuffledIndex.isEmpty,
-        s"an exchange shuffles the index side:\n$plan")
-    } finally Seq("postings", "termstats").foreach(n =>
-      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$n"))
+    assert(indexScans(plan).size == 2,
+      s"postings + termstats must be read exactly once each:\n$plan")
+    val shuffledIndex = plan.collect {
+      case e: ShuffleExchangeLike if indexScans(e.asInstanceOf[
+        org.apache.spark.sql.execution.SparkPlan]).nonEmpty => e
+    }
+    assert(shuffledIndex.isEmpty, s"an exchange shuffles the index side:\n$plan")
+  }
+
+  test("index append converges on the full build; a replayed tag no-ops") {
+    val qs = q((0L, "cat"), (0L, "the"), (1L, "pangolin"), (1L, "dog"))
+    val full = tmpRoot().getPath
+    SearchOps.buildPostingsIndex(docs, "text", "doc_id", full)
+    val expect = SearchOps.bm25TopKIndexed(spark, full, qs, topK = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+
+    val root = tmpRoot().getPath
+    SearchOps.buildPostingsIndex(docs.filter($"doc_id" <= 2), "text", "doc_id", root)
+    val v2 = SearchOps.appendPostingsIndex(docs.filter($"doc_id" > 2),
+      "text", "doc_id", root, batchTag = "b1")
+    v2 shouldBe Some(2)
+    // replay of the SAME batch must not double-count df / n_docs
+    SearchOps.appendPostingsIndex(docs.filter($"doc_id" > 2),
+      "text", "doc_id", root, batchTag = "b1") shouldBe None
+    SearchOps.bm25TopKIndexed(spark, root, qs, topK = 10)
+      .orderBy("query_id", "rank").collect().toSeq shouldBe expect
+    SearchOps.postingsCurrentVersion(root) shouldBe Some(2)
+  }
+
+  test("a crash-torn version is never adopted: old version serves, recovery lands past it") {
+    val qs = q((0L, "cat"))
+    val root = tmpRoot().getPath
+    SearchOps.buildPostingsIndex(docs.filter($"doc_id" <= 2), "text", "doc_id", root)
+    val before = SearchOps.bm25TopKIndexed(spark, root, qs, topK = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    // simulate an append that died after writing files but BEFORE the
+    // pointer swap: a partial version dir with no manifest
+    val torn = new java.io.File(SearchOps.postingsVersionDir(root, 2))
+    assert(torn.mkdirs())
+    java.nio.file.Files.write(new java.io.File(torn, "junk").toPath, Array[Byte](1))
+    // readers still serve v1
+    SearchOps.postingsCurrentVersion(root) shouldBe Some(1)
+    SearchOps.bm25TopKIndexed(spark, root, qs, topK = 10)
+      .orderBy("query_id", "rank").collect().toSeq shouldBe before
+    // the retried append must land PAST the torn dir, never inside it
+    SearchOps.appendPostingsIndex(docs.filter($"doc_id" > 2),
+      "text", "doc_id", root, batchTag = "b1") shouldBe Some(3)
+    SearchOps.postingsCurrentVersion(root) shouldBe Some(3)
   }
 
   test("cosineTopKFor ranks an explicit query subset and excludes self") {

@@ -184,22 +184,27 @@ object SearchOps {
       if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1))
   }
 
-  /** Write version v: the delta segment + merged termstats + manifest.
-    * `priorSegments` are carried by reference (paths relative to root).
+  /** Write version v: segments + merged termstats + manifest (+ the
+    * tombstone ledger when present). `priorSegments` are carried by
+    * reference (paths relative to root); `delta = None` (fold/delete)
+    * writes no new segment.
     */
-  private def writePostingsVersion(spark: org.apache.spark.sql.SparkSession,
-                                   root: String, v: Int, delta: DataFrame,
+  private def writePostingsVersion(root: String, v: Int,
+                                   delta: Option[DataFrame],
                                    priorSegments: Seq[String],
                                    mergedTermstats: DataFrame,
                                    nDocs: Long, totalLen: Long,
-                                   appliedTags: Seq[String]): Unit = {
+                                   appliedTags: Seq[String],
+                                   tombstones: Option[DataFrame] = None): Unit = {
     val vDir = postingsVersionDir(root, v)
     val segRel = f"versions/v$v%04d/postings/seg$v%04d"
-    delta.write.mode("overwrite").parquet(s"$root/$segRel")
+    delta.foreach(_.write.mode("overwrite").parquet(s"$root/$segRel"))
     mergedTermstats.write.mode("overwrite").parquet(s"$vDir/termstats")
+    tombstones.foreach(_.write.mode("overwrite").parquet(s"$vDir/tombstones"))
     val manifest: Map[String, Any] = Map(
       "n_docs" -> nDocs, "total_len" -> totalLen,
-      "segments" -> (priorSegments :+ segRel),
+      "segments" -> (if (delta.isDefined) priorSegments :+ segRel else priorSegments),
+      "has_tombstones" -> tombstones.isDefined,
       "applied_tags" -> appliedTags)
     java.nio.file.Files.write(
       new java.io.File(vDir, "manifest.json").toPath,
@@ -207,14 +212,20 @@ object SearchOps {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  private def readTombstones(spark: org.apache.spark.sql.SparkSession,
+                             root: String, v: Int,
+                             m: Map[String, Any]): Option[DataFrame] =
+    if (m.get("has_tombstones").exists(_ == true))
+      Some(spark.read.parquet(s"${postingsVersionDir(root, v)}/tombstones"))
+    else None
+
   /** Build version 1 of the postings index and swap the pointer. */
   def buildPostingsIndex(docs: DataFrame, textCol: String, idCol: String,
                          root: String): Int = {
-    val spark = docs.sparkSession
     val (post, n, l) = postingsDelta(docs, textCol, idCol)
     val ts = post.groupBy("term").agg(count(lit(1)).as("df"))
     val v = nextPostingsVersion(root)
-    writePostingsVersion(spark, root, v, post, Nil, ts, n, l, Nil)
+    writePostingsVersion(root, v, Some(post), Nil, ts, n, l, Nil)
     postingsSwapPointer(root, v)
     v
   }
@@ -241,11 +252,84 @@ object SearchOps {
       .groupBy("term").agg(sum(col("df")).as("df"))
     val v = nextPostingsVersion(root)
     val priorSegs = m("segments").asInstanceOf[Seq[_]].map(String.valueOf)
-    writePostingsVersion(spark, root, v, post, priorSegs, merged,
+    writePostingsVersion(root, v, Some(post), priorSegs, merged,
       m("n_docs").toString.toLong + n, m("total_len").toString.toLong + l,
-      tags :+ batchTag)
+      tags :+ batchTag, readTombstones(spark, root, cur, m))
     postingsSwapPointer(root, v)
     Some(v)
+  }
+
+  /** Fold every referenced segment into ONE segment in the next version
+    * — the small-files compaction the per-append (and per-trigger)
+    * segment layout needs: each append adds a directory, so an unfolded
+    * index pays per-segment listing on every serve. Postings rows are
+    * copied verbatim (no re-tokenize); tombstoned rows are dropped FOR
+    * REAL and the ledger is CARRIED (same contract as the vector
+    * index's fold: nothing downstream can resurrect a deleted doc —
+    * re-adding one requires clearing the ledger upstream). Stats are
+    * untouched: deletes already adjusted them at delete time.
+    */
+  def foldPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+                        root: String): Int = {
+    val cur = postingsCurrentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no postings index at $root"))
+    val m = readPostingsManifest(root, cur)
+    val segs = m("segments").asInstanceOf[Seq[_]].map(s => s"$root/${String.valueOf(s)}")
+    val tombs = readTombstones(spark, root, cur, m)
+    val all = spark.read.parquet(segs: _*)
+    val folded = tombs.fold(all)(t => all.join(
+      broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti"))
+    val ts = spark.read.parquet(s"${postingsVersionDir(root, cur)}/termstats")
+    val v = nextPostingsVersion(root)
+    writePostingsVersion(root, v, Some(folded), Nil, ts,
+      m("n_docs").toString.toLong, m("total_len").toString.toLong,
+      m("applied_tags").asInstanceOf[Seq[_]].map(String.valueOf), tombs)
+    postingsSwapPointer(root, v)
+    v
+  }
+
+  /** Tombstone `deletedIds` (a (doc_id) frame) in a new version:
+    * segments carry by reference — postings files are never rewritten
+    * (the next [[foldPostingsIndex]] drops the rows for real) — while
+    * the SCORING state is adjusted now: n_docs / total_len / per-term
+    * df all subtract the deleted docs' contributions, so every
+    * surviving doc's idf and length normalization behave as if the
+    * deletes never existed. Ids already tombstoned (or absent) are
+    * ignored — a replayed delete cannot double-subtract. Serving
+    * anti-joins the ledger, so deleted docs stop surfacing immediately.
+    */
+  def deleteFromPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+                              root: String, deletedIds: DataFrame): Int = {
+    val cur = postingsCurrentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no postings index at $root"))
+    val m = readPostingsManifest(root, cur)
+    val segs = m("segments").asInstanceOf[Seq[_]].map(s => s"$root/${String.valueOf(s)}")
+    val prior = readTombstones(spark, root, cur, m)
+    val ids0 = deletedIds.select(col(deletedIds.columns.head).cast("long").as("doc_id"))
+      .distinct()
+    // only ids not already tombstoned may adjust stats (replay safety)
+    val fresh = prior.fold(ids0)(t =>
+      ids0.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti"))
+    val all = spark.read.parquet(segs: _*)
+    val del = all.join(broadcast(fresh), Seq("doc_id"))
+    val delStats = del.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("l")).head()
+    val (dn, dl2) = (delStats.getLong(0),
+      if (delStats.isNullAt(1)) 0L else delStats.getLong(1))
+    val dec = del.groupBy("term").agg(count(lit(1)).as("dec"))
+    val curTs = spark.read.parquet(s"${postingsVersionDir(root, cur)}/termstats")
+    val merged = curTs.join(broadcast(dec), Seq("term"), "left")
+      .select(col("term"),
+        (col("df") - coalesce(col("dec"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    val tombs = prior.fold(fresh)(t => t.select(col("doc_id")).union(fresh).distinct())
+    val v = nextPostingsVersion(root)
+    writePostingsVersion(root, v, None,
+      m("segments").asInstanceOf[Seq[_]].map(String.valueOf), merged,
+      m("n_docs").toString.toLong - dn, m("total_len").toString.toLong - dl2,
+      m("applied_tags").asInstanceOf[Seq[_]].map(String.valueOf), Some(tombs))
+    postingsSwapPointer(root, v)
+    v
   }
 
   /** [[bm25TopK]] served from the persisted index: same scores by
@@ -268,7 +352,11 @@ object SearchOps {
     val nDocs = m("n_docs").toString.toLong.toDouble
     val totalLen = m("total_len").toString.toLong.toDouble
     val segs = m("segments").asInstanceOf[Seq[_]].map(s => s"$root/${String.valueOf(s)}")
-    val post = spark.read.parquet(segs: _*)
+    val post0 = spark.read.parquet(segs: _*)
+    // tombstoned docs are suppressed at serve until a fold drops their
+    // rows; their stats were already subtracted at delete time
+    val post = readTombstones(spark, root, cur, m).fold(post0)(t =>
+      post0.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti"))
     val qterms = queries.select(col("query_id").cast("long").as("query_id"),
       col("term")).distinct()
     val cand = post.join(broadcast(qterms.select("term").distinct()), "term")

@@ -93,6 +93,87 @@ object Retrieval {
       require(replay.isEmpty, "replayed append must no-op")
       SearchOps.bm25TopKIndexed(s, root.getPath, qs(s, dir), topK = 5)
         .orderBy("query_id", "rank")
+    }),
+
+    // Streaming ingest (the q115 pattern applied to BM25): build on the
+    // first half, stream the second half through the index sink in
+    // three real triggers — each lands as one pointer-swapped version —
+    // then serve. Appends commute (segment union + integer stat sums),
+    // so the multi-trigger end state answers q118's oracle verbatim.
+    "q122_bm25_stream_ingest" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = t(s, dir, "documents")
+      val cutoff = docs.agg(max(col("doc_id").cast("long"))).head().getLong(0) / 2
+      val root = java.nio.file.Files.createTempDirectory("graft_q122_bm25_").toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(root)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q122_ckpt_").toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(ckpt)
+      SearchOps.buildPostingsIndex(docs.filter(col("doc_id") <= cutoff),
+        "text", "doc_id", root.getPath)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamOps.postingsIngestSink(
+          input.toDF().toDF("doc_id", "text"), "text", "doc_id", root.getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+        .option("checkpointLocation", ckpt.getPath)
+        .start()
+      val rest = docs.filter(col("doc_id") > cutoff)
+      try (0 until 3).foreach { r =>
+        input.addData(rest.filter(col("doc_id") % 3 === r)
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)].collect().toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      SearchOps.bm25TopKIndexed(s, root.getPath, qs(s, dir), topK = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Fold compaction: q122's per-trigger segments consolidate into ONE
+    // segment in the next version (verbatim row copy, no re-tokenize,
+    // stats untouched) and the query serves through the swapped
+    // version — still q118's oracle verbatim.
+    "q123_bm25_stream_ingest_folded" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cutoff = docs.agg(max(col("doc_id").cast("long"))).head().getLong(0) / 2
+      val root = java.nio.file.Files.createTempDirectory("graft_q123_bm25_").toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(root)
+      SearchOps.buildPostingsIndex(docs.filter(col("doc_id") <= cutoff),
+        "text", "doc_id", root.getPath)
+      (0 until 3).foreach { r =>
+        SearchOps.appendPostingsIndex(
+          docs.filter(col("doc_id") > cutoff && col("doc_id") % 3 === r),
+          "text", "doc_id", root.getPath, batchTag = s"q123-b$r")
+      }
+      val folded = SearchOps.foldPostingsIndex(s, root.getPath)
+      require(SearchOps.postingsCurrentVersion(root.getPath).contains(folded))
+      SearchOps.bm25TopKIndexed(s, root.getPath, qs(s, dir), topK = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Tombstoned deletes (the q114 convention: ids % 7 == 0 go): the
+    // delete adjusts n_docs / total_len / per-term df NOW and serving
+    // anti-joins the ledger, so the oracle is BM25 over the surviving
+    // corpus exactly — deleted docs neither surface nor distort any
+    // surviving doc's idf. A REPLAYED delete must not double-subtract,
+    // so the query deletes twice; a fold then drops the rows for real
+    // and the answer must not move.
+    "q124_bm25_index_deleted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_q124_bm25_").toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(root)
+      SearchOps.buildPostingsIndex(docs, "text", "doc_id", root.getPath)
+      val dead = docs.filter(col("doc_id") % 7 === 0).select(col("doc_id"))
+      SearchOps.deleteFromPostingsIndex(s, root.getPath, dead)
+      SearchOps.deleteFromPostingsIndex(s, root.getPath, dead) // replay: no-op
+      val preFold = SearchOps.bm25TopKIndexed(s, root.getPath, qs(s, dir), topK = 5)
+        .orderBy("query_id", "rank").collect().toSeq
+      SearchOps.foldPostingsIndex(s, root.getPath)
+      val out = SearchOps.bm25TopKIndexed(s, root.getPath, qs(s, dir), topK = 5)
+        .orderBy("query_id", "rank")
+      require(out.collect().toSeq == preFold,
+        "fold moved the post-delete answer")
+      out
     }))
 
   /** Build the postings index once per (sf dir + data fingerprint);
@@ -113,16 +194,20 @@ object Retrieval {
   // Shared SQL fragments: tokenized docs + postings + derived queries +
   // BM25 contributions — the contribution FLOOR tree mirrors
   // SearchOps.bm25TopK's Column tree exactly (see scaladoc there).
-  private val bm25Cte =
-    """w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
-      |    list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), x -> x <> '') AS ws
+  // Queries always derive from the FULL corpus (dq); the scored corpus
+  // (d) takes a filter so the delete lifecycle can model its survivors.
+  private def bm25CteWhere(corpusFilter: String) =
+    s"""w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), x -> x <> '') AS ws
       |  FROM documents),
-      |d AS (SELECT doc_id, ws, CAST(len(ws) AS DOUBLE) AS dl FROM w WHERE len(ws) >= 1),
+      |dq AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 1),
+      |d AS (SELECT doc_id, ws, CAST(len(ws) AS DOUBLE) AS dl FROM w
+      |  WHERE len(ws) >= 1 AND ($corpusFilter)),
       |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS total_len FROM d),
       |post AS (SELECT term, doc_id, CAST(COUNT(*) AS DOUBLE) AS tf
       |  FROM (SELECT doc_id, unnest(ws) AS term FROM d) GROUP BY term, doc_id),
       |qt AS (SELECT doc_id AS query_id, unnest(list_distinct(ws[1:8])) AS term
-      |  FROM d WHERE doc_id % 50 = 0),
+      |  FROM dq WHERE doc_id % 50 = 0),
       |dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post
       |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
       |contrib AS (SELECT q.query_id, p.doc_id,
@@ -137,15 +222,19 @@ object Retrieval {
       |sc AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score
       |  FROM contrib GROUP BY query_id, doc_id)""".stripMargin
 
+  private val bm25Cte = bm25CteWhere("TRUE")
+
+  private val bm25TopSql =
+    s"""WITH $bm25Cte,
+       |r AS (SELECT query_id, doc_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM sc)
+       |SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rank
+       |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+
   def oracles: Map[String, String] = Map(
 
-    "q118_bm25_topk" ->
-      s"""WITH $bm25Cte,
-         |r AS (SELECT query_id, doc_id, score,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
-         |  FROM sc)
-         |SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rank
-         |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q118_bm25_topk" -> bm25TopSql,
 
     "q119_hybrid_rrf" ->
       s"""WITH $bm25Cte,
@@ -170,19 +259,27 @@ object Retrieval {
          |FROM fr WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // the prepared path serves q118's exact semantics from the index
-    "q120_bm25_topk_prepared" ->
-      s"""WITH $bm25Cte,
-         |r AS (SELECT query_id, doc_id, score,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
-         |  FROM sc)
-         |SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rank
-         |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q120_bm25_topk_prepared" -> bm25TopSql,
 
     // build-half + append-half + replayed-append converges on the same
     // index a full build produces, so the answer is q118's oracle
     // verbatim (a replay double-count would shift every idf and fail)
-    "q121_bm25_index_appended" ->
-      s"""WITH $bm25Cte,
+    "q121_bm25_index_appended" -> bm25TopSql,
+
+    // appends commute (segment union + integer stat sums), so the
+    // 3-trigger streamed end state is q118's oracle verbatim
+    "q122_bm25_stream_ingest" -> bm25TopSql,
+
+    // fold copies rows verbatim and never touches stats — q118's
+    // oracle verbatim through the swapped version
+    "q123_bm25_stream_ingest_folded" -> bm25TopSql,
+
+    // post-delete serving is BM25 over the SURVIVORS exactly: deleted
+    // docs neither surface nor distort any surviving doc's idf/avgdl
+    // (queries still derive from the full corpus — the workload is
+    // external to the index)
+    "q124_bm25_index_deleted" ->
+      s"""WITH ${bm25CteWhere("doc_id % 7 <> 0")},
          |r AS (SELECT query_id, doc_id, score,
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
          |  FROM sc)

@@ -375,6 +375,33 @@ object StreamOps {
         ()
       }
 
+  /** Streaming ingest into the persisted BM25 postings index
+    * ([[graft.operators.SearchOps.appendPostingsIndex]]): each
+    * micro-batch tokenizes ONLY its own docs and lands as one new index
+    * version behind the atomic pointer — delta postings segment plus
+    * the re-merged vocabulary-sized termstats; concurrent readers
+    * resolve the pointer at planning and are never torn. Exactly-once
+    * under replay: the batch tag rides the version manifest's
+    * applied_tags ledger (carried across versions AND folds), so a
+    * trigger retried from the same checkpoint no-ops instead of
+    * double-counting df/n_docs — which would silently shift every idf
+    * the index ever serves. Tags here are a membership SET (no ordering
+    * semantics), so the un-padded batchId is safe — unlike the dedup
+    * intake's carried-tag RECENCY window, which needed append-order
+    * preserved (DedupOps round-10 fix).
+    */
+  def postingsIngestSink(stream: DataFrame, textCol: String, idCol: String,
+                         root: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.SearchOps.appendPostingsIndex(batch, textCol,
+            idCol, root, intakeBatchTag(batch.sparkSession, batchId))
+        ()
+      }
+
   /** Idempotence tag for one micro-batch: streaming query id (stable
     * across restarts from the same checkpoint — the replay case) +
     * batch id. Distinct queries (fresh checkpoints) get distinct tags,

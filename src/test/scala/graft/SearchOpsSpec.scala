@@ -148,6 +148,72 @@ class SearchOpsSpec extends SparkSpec with Matchers {
     SearchOps.postingsCurrentVersion(root) shouldBe Some(2)
   }
 
+  test("fold consolidates segments to one, drops tombstoned rows for real, and moves nothing") {
+    val qs = q((0L, "cat"), (0L, "the"))
+    val root = tmpRoot().getPath
+    SearchOps.buildPostingsIndex(docs.filter($"doc_id" <= 1), "text", "doc_id", root)
+    SearchOps.appendPostingsIndex(docs.filter($"doc_id" === 2), "text", "doc_id", root, "b1")
+    SearchOps.appendPostingsIndex(docs.filter($"doc_id" > 2), "text", "doc_id", root, "b2")
+    SearchOps.deleteFromPostingsIndex(spark, root, Seq(1L).toDF("doc_id"))
+    val before = SearchOps.bm25TopKIndexed(spark, root, qs, topK = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    val v = SearchOps.foldPostingsIndex(spark, root)
+    SearchOps.postingsCurrentVersion(root) shouldBe Some(v)
+    SearchOps.bm25TopKIndexed(spark, root, qs, topK = 10)
+      .orderBy("query_id", "rank").collect().toSeq shouldBe before
+    // one segment, physically free of the tombstoned doc
+    val segDir = new java.io.File(SearchOps.postingsVersionDir(root, v), "postings")
+    segDir.listFiles().count(_.isDirectory) shouldBe 1
+    val rows = spark.read.parquet(s"${segDir.getPath}/seg%04d".format(v))
+    rows.filter($"doc_id" === 1L).count() shouldBe 0L
+  }
+
+  test("delete adjusts the scoring state to exactly a fresh build on the survivors") {
+    val qs = q((0L, "cat"), (0L, "sat"), (1L, "dog"), (1L, "pangolin"))
+    val root = tmpRoot().getPath
+    SearchOps.buildPostingsIndex(docs, "text", "doc_id", root)
+    val dead = Seq(2L, 5L).toDF("doc_id")
+    SearchOps.deleteFromPostingsIndex(spark, root, dead)
+    // replayed delete (and a delete of an absent id) must not double-subtract
+    SearchOps.deleteFromPostingsIndex(spark, root, Seq(2L, 99L).toDF("doc_id"))
+    val served = SearchOps.bm25TopKIndexed(spark, root, qs, topK = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    val fresh = tmpRoot().getPath
+    SearchOps.buildPostingsIndex(docs.filter(!$"doc_id".isin(2L, 5L)),
+      "text", "doc_id", fresh)
+    val expect = SearchOps.bm25TopKIndexed(spark, fresh, qs, topK = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    served shouldBe expect
+    served.map(_.getLong(1)) should not contain 5L
+  }
+
+  test("streaming ingest sink lands triggers as pointer-swapped versions, exactly-once") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val qs = q((0L, "cat"), (1L, "dog"), (2L, "pangolin"))
+    val root = tmpRoot().getPath
+    SearchOps.buildPostingsIndex(docs.filter($"doc_id" <= 1), "text", "doc_id", root)
+    val ckpt = tmpRoot().getPath
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val sq = graft.streaming.StreamOps.postingsIngestSink(
+        input.toDF().toDF("doc_id", "text"), "text", "doc_id", root)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+      .option("checkpointLocation", ckpt)
+      .start()
+    val rest = docs.filter($"doc_id" > 1).select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq
+    try {
+      input.addData(rest.take(2): _*); sq.processAllAvailable()
+      input.addData(rest.drop(2): _*); sq.processAllAvailable()
+    } finally sq.stop()
+    val full = tmpRoot().getPath
+    SearchOps.buildPostingsIndex(docs, "text", "doc_id", full)
+    SearchOps.bm25TopKIndexed(spark, root, qs, topK = 10)
+      .orderBy("query_id", "rank").collect().toSeq shouldBe
+      SearchOps.bm25TopKIndexed(spark, full, qs, topK = 10)
+        .orderBy("query_id", "rank").collect().toSeq
+  }
+
   test("a crash-torn version is never adopted: old version serves, recovery lands past it") {
     val qs = q((0L, "cat"))
     val root = tmpRoot().getPath

@@ -64,16 +64,19 @@ object Bench {
     "q109_ann_topk_ivfpq_refined",  // two-stage: ADC shortlist + exact re-rank
     "q110_ann_topk_indexed",        // persisted-index ANN (build once per SF, then query-only)
     "q118_bm25_topk",           // BM25 keyword retrieval (broadcast-pruned postings)
-    "q120_bm25_topk_prepared")  // BM25 from the persisted postings index (build
+    "q120_bm25_topk_prepared",  // BM25 from the persisted postings index (build
                                 // once per SF, then serve-only — the q110 shape)
+    "q125_hybrid_indexed",      // hybrid RRF over BOTH persisted indexes (postings
+                                // BM25 + IVF-PQ ANN, each pointer-resolved)
+    "q127_bm25_topk_capped")    // BM25 with the stop-word df cap (skew guard)
     // q104 (3-trigger streaming intake) is an oracle/lifecycle query, not
     // a headline: its batches feed through driver-side MemoryStream
     // plumbing, and the lifecycle's bench-scale cost story is carried by
     // q84 + the committed ProfileMain q84stream transcript (PERF.md).
     // q119 (hybrid RRF) is oracle-tier: its vector leg is the O(|Q|·n)
     // brute scorer (the oracle convention), and the fusion itself is a
-    // trivial integer agg — production fuses q118 with the q110 indexed
-    // path, both already headlined.
+    // trivial integer agg — the production fusion of both persisted
+    // indexes is headlined as q125.
 
   /** Testdata fingerprint: first 8 bytes of sha256 over the sorted
     * (relative path, size, mtime) listing of every file under the SF

@@ -76,11 +76,24 @@ object SearchOps {
     *
     * `excludeSelf` drops doc_id == query_id rows (for derived-from-corpus
     * workloads where the query doc itself is a degenerate hit).
+    *
+    * `maxDfFrac` is the stop-word skew guard (the bucket-cap convention
+    * of the minhash family, [[DedupOps]]): a query term matching more
+    * than that fraction of the corpus is DROPPED from scoring, with the
+    * drop logged — its idf is already near zero, so the lost
+    * contribution is negligible, while its candidate mass is
+    * corpus-sized and would otherwise flood the score aggregation. Here
+    * the capped term's postings are still scanned once (df is a
+    * map-side-combinable count — cheap even for a stop word) but its
+    * rows are eliminated at the dft join, before scoring and top-k; the
+    * INDEXED path ([[bm25TopKIndexed]]) does better and never scans
+    * them at all (df is precomputed in termstats).
     */
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
                queries: DataFrame, topK: Int,
                k1: Double = 1.2, b: Double = 0.75,
-               excludeSelf: Boolean = false): DataFrame = {
+               excludeSelf: Boolean = false,
+               maxDfFrac: Option[Double] = None): DataFrame = {
     val toks = tokenized(docs, textCol, idCol)
     // two corpus scalars; exact in double (counts and integer sums < 2^53)
     val stats = toks.select(size(col("ws")).cast("double").as("dl"))
@@ -98,7 +111,14 @@ object SearchOps {
     // prune the corpus to query terms FIRST — everything downstream is
     // proportional to the matched postings, not the corpus
     val cand = post.join(broadcast(qterms.select("term").distinct()), "term")
-    val dft = cand.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val dft0 = cand.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val dft = maxDfFrac.fold(dft0) { frac =>
+      val kept = dft0.crossJoin(broadcast(stats.select(col("n_docs"))))
+        .filter(col("df") <= col("n_docs") * lit(frac))
+        .select(col("term"), col("df"))
+      logDfCapDrops("bm25TopK", dft0.join(kept, Seq("term"), "left_anti"), frac)
+      kept
+    }
 
     // per-(term, doc) contribution as an exact long; the double tree
     // must mirror the oracle SQL verbatim (see queries/Retrieval.scala)
@@ -113,13 +133,36 @@ object SearchOps {
     boundedTopK(base, topK)
   }
 
+  // NOT named `log`: that would shadow sql.functions.log in bm25Contrib
+  private lazy val slog = org.slf4j.LoggerFactory.getLogger("graft.SearchOps")
+
+  /** Log a df-cap drop report — WARN when query terms were actually
+    * dropped (recall on those terms is gone; their idf was near zero),
+    * INFO when the cap was a no-op. `dropped` is query-vocabulary-sized
+    * by construction (capping only ever touches query terms), so the
+    * collect is bounded by the broadcast-small query workload.
+    */
+  private def logDfCapDrops(op: String, dropped: DataFrame, frac: Double): Unit = {
+    val terms = dropped.select(col("term")).limit(21).collect().map(_.getString(0))
+    if (terms.nonEmpty)
+      slog.warn(s"$op: df cap ${frac} dropped ${terms.length}${if (terms.length > 20) "+" else ""} " +
+        s"query term(s) from scoring (near-zero idf, corpus-sized candidate mass): " +
+        terms.take(20).mkString(", "))
+    else
+      slog.info(s"$op: df cap $frac dropped nothing")
+  }
+
   // ---- Persisted postings index: versioned, pointer-swapped ----------
   //
   // The serving analog of the corpus dedup index and the vector index
   // (same POINTER convention as operators/VectorIndex.scala): tokenize +
   // postings-groupBy are paid once at build/append time, never at serve.
-  // Layout:
-  //   root/POINTER                          (version name; atomic rename)
+  // All metadata (pointer, manifests, version listing) resolves through
+  // the Hadoop FileSystem API ([[graft.io.IndexMeta]]), so the index
+  // root may live on file://, hdfs:// or s3a:// beside its segments —
+  // the BatchStore convention. Layout:
+  //   root/POINTER                          (version name; atomic put —
+  //     see IndexMeta.swapVersionPointer for the per-store semantics)
   //   root/versions/vNNNN/manifest.json     {n_docs, total_len (exact
   //     longs), segments (paths relative to root — later versions
   //     REFERENCE earlier versions' segments instead of copying, so an
@@ -132,43 +175,51 @@ object SearchOps {
   // A crash before the pointer swap leaves an unreferenced version dir —
   // inert, the old version keeps serving; re-running the append is the
   // recovery, and the applied_tags ledger makes a REPLAYED append (same
-  // tag) a no-op instead of a double-count.
+  // tag) a no-op instead of a double-count. Concurrent mutators are
+  // fenced by an atomic per-version-dir claim on HDFS/local; on object
+  // stores (no create-exclusive primitive) maintenance must be
+  // single-writer, the IndexMeta.claimDir contract.
   def postingsVersionDir(root: String, v: Int): String =
     f"$root/versions/v$v%04d"
 
-  def postingsCurrentVersion(root: String): Option[Int] = {
-    val ptr = new java.io.File(root, "POINTER")
-    if (!ptr.exists()) None
-    else Some(new String(java.nio.file.Files.readAllBytes(ptr.toPath),
-      java.nio.charset.StandardCharsets.UTF_8).trim.stripPrefix("v").toInt)
-  }
+  def postingsCurrentVersion(root: String): Option[Int] =
+    graft.io.IndexMeta.readVersionPointer(root)
 
   def postingsIndexExists(root: String): Boolean =
     postingsCurrentVersion(root).isDefined
 
-  private def nextPostingsVersion(root: String): Int = {
-    // max existing dir + 1, not pointer + 1: a torn (unswapped) version
-    // dir must never be silently adopted OR overwritten mid-recovery
-    val vs = Option(new java.io.File(root, "versions").listFiles())
-      .getOrElse(Array.empty).toSeq
-      .filter(_.getName.matches("v\\d{4}")).map(_.getName.drop(1).toInt)
-    (vs :+ 0).max + 1
+  /** Allocate-and-claim the next version number. Starts at max existing
+    * dir + 1, not pointer + 1 — a torn (unswapped) version dir must
+    * never be silently adopted OR overwritten mid-recovery — and claims
+    * the dir atomically, stepping past numbers a concurrent writer got
+    * to first (two appends racing, or a fold racing the streaming sink,
+    * must never interleave writes into one version dir). `v\d{4,}`:
+    * `%04d` pads but never truncates, so v10000 lists as "v10000" —
+    * a 4-digit-only match would orphan every version past v9999 and
+    * make this allocator overwrite the LIVE version forever after.
+    */
+  private def claimNextPostingsVersion(root: String): Int = {
+    val vs = graft.io.IndexMeta.listChildNames(s"$root/versions")
+      .filter(_.matches("v\\d{4,}")).map(_.stripPrefix("v").toInt)
+    var v = (vs :+ 0).max + 1
+    var attempts = 0
+    while (!graft.io.IndexMeta.claimDir(postingsVersionDir(root, v))) {
+      v += 1; attempts += 1
+      require(attempts < 1000,
+        s"could not claim a postings version dir under $root after 1000 tries")
+    }
+    v
   }
 
-  private def postingsSwapPointer(root: String, v: Int): Unit = {
-    val tmp = new java.io.File(root, s"POINTER.tmp.$v")
-    java.nio.file.Files.write(tmp.toPath,
-      f"v$v%04d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(root, "POINTER").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def postingsSwapPointer(root: String, v: Int): Unit =
+    graft.io.IndexMeta.swapVersionPointer(root, v)
 
   private def readPostingsManifest(root: String, v: Int): Map[String, Any] =
-    graft.io.StableJson.parse(new String(java.nio.file.Files.readAllBytes(
-      new java.io.File(postingsVersionDir(root, v), "manifest.json").toPath),
-      java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[Map[String, Any]]
+    graft.io.StableJson.parse(graft.io.IndexMeta.readString(
+      s"${postingsVersionDir(root, v)}/manifest.json").getOrElse(
+      throw new IllegalStateException(
+        s"missing manifest for postings version v$v at $root")))
+      .asInstanceOf[Map[String, Any]]
 
   /** Tokenize one doc batch into (postings delta, n_docs, total_len). */
   private def postingsDelta(docs: DataFrame, textCol: String,
@@ -206,10 +257,8 @@ object SearchOps {
       "segments" -> (if (delta.isDefined) priorSegments :+ segRel else priorSegments),
       "has_tombstones" -> tombstones.isDefined,
       "applied_tags" -> appliedTags)
-    java.nio.file.Files.write(
-      new java.io.File(vDir, "manifest.json").toPath,
-      graft.io.StableJson.write(manifest)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    graft.io.IndexMeta.writeString(s"$vDir/manifest.json",
+      graft.io.StableJson.write(manifest))
   }
 
   private def readTombstones(spark: org.apache.spark.sql.SparkSession,
@@ -224,7 +273,7 @@ object SearchOps {
                          root: String): Int = {
     val (post, n, l) = postingsDelta(docs, textCol, idCol)
     val ts = post.groupBy("term").agg(count(lit(1)).as("df"))
-    val v = nextPostingsVersion(root)
+    val v = claimNextPostingsVersion(root)
     writePostingsVersion(root, v, Some(post), Nil, ts, n, l, Nil)
     postingsSwapPointer(root, v)
     v
@@ -236,6 +285,13 @@ object SearchOps {
     * rows never do, so prior segments carry by reference). Returns the
     * new version, or None when `batchTag` is already applied (a replayed
     * append must not double-count its docs).
+    *
+    * A batch containing a TOMBSTONED doc_id is refused loudly: counting
+    * it would inflate n_docs/total_len/df while serving anti-joins the
+    * doc out — a phantom that skews every surviving doc's idf and length
+    * normalization. Re-adding a deleted doc is legal only after a
+    * [[foldPostingsIndex]], which drops its rows for real AND clears the
+    * ledger — then this append converges on exactly a fresh full build.
     */
   def appendPostingsIndex(newDocs: DataFrame, textCol: String, idCol: String,
                           root: String, batchTag: String): Option[Int] = {
@@ -245,12 +301,21 @@ object SearchOps {
     val m = readPostingsManifest(root, cur)
     val tags = m("applied_tags").asInstanceOf[Seq[_]].map(String.valueOf)
     if (tags.contains(batchTag)) return None
+    readTombstones(spark, root, cur, m).foreach { t =>
+      val clash = newDocs.select(col(idCol).cast("long").as("doc_id")).distinct()
+        .join(broadcast(t.select(col("doc_id"))), "doc_id")
+        .limit(5).collect().map(_.getLong(0))
+      require(clash.isEmpty,
+        s"append batch '$batchTag' contains tombstoned doc_id(s) " +
+          s"${clash.mkString(", ")} — fold the index first (fold drops " +
+          "the deleted rows for real and clears the ledger), then re-add")
+    }
     val (post, n, l) = postingsDelta(newDocs, textCol, idCol)
     val deltaTs = post.groupBy("term").agg(count(lit(1)).as("df"))
     val curTs = spark.read.parquet(s"${postingsVersionDir(root, cur)}/termstats")
     val merged = curTs.union(deltaTs)
       .groupBy("term").agg(sum(col("df")).as("df"))
-    val v = nextPostingsVersion(root)
+    val v = claimNextPostingsVersion(root)
     val priorSegs = m("segments").asInstanceOf[Seq[_]].map(String.valueOf)
     writePostingsVersion(root, v, Some(post), priorSegs, merged,
       m("n_docs").toString.toLong + n, m("total_len").toString.toLong + l,
@@ -264,10 +329,17 @@ object SearchOps {
     * segment layout needs: each append adds a directory, so an unfolded
     * index pays per-segment listing on every serve. Postings rows are
     * copied verbatim (no re-tokenize); tombstoned rows are dropped FOR
-    * REAL and the ledger is CARRIED (same contract as the vector
-    * index's fold: nothing downstream can resurrect a deleted doc —
-    * re-adding one requires clearing the ledger upstream). Stats are
-    * untouched: deletes already adjusted them at delete time.
+    * REAL and the ledger is CLEARED: the folded segment is physically
+    * free of the deleted docs, so a replayed delete of the same ids is
+    * a natural no-op (no matching rows — zero stat adjustment) and a
+    * later [[appendPostingsIndex]] may legally RE-ADD a deleted doc_id
+    * (the delete→fold→append chain converges on exactly a fresh full
+    * build; before the fold, re-add is refused — see append's scaladoc).
+    * Stats are untouched: deletes already adjusted them at delete time.
+    * (The vector index's fold CARRIES its ledger instead — it must,
+    * because a vector retrain rebuilds from the raw corpus and would
+    * otherwise resurrect deletes; a postings fold is the terminal
+    * physical drop, nothing downstream rebuilds from the corpus.)
     */
   def foldPostingsIndex(spark: org.apache.spark.sql.SparkSession,
                         root: String): Int = {
@@ -280,10 +352,10 @@ object SearchOps {
     val folded = tombs.fold(all)(t => all.join(
       broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti"))
     val ts = spark.read.parquet(s"${postingsVersionDir(root, cur)}/termstats")
-    val v = nextPostingsVersion(root)
+    val v = claimNextPostingsVersion(root)
     writePostingsVersion(root, v, Some(folded), Nil, ts,
       m("n_docs").toString.toLong, m("total_len").toString.toLong,
-      m("applied_tags").asInstanceOf[Seq[_]].map(String.valueOf), tombs)
+      m("applied_tags").asInstanceOf[Seq[_]].map(String.valueOf), None)
     postingsSwapPointer(root, v)
     v
   }
@@ -323,7 +395,7 @@ object SearchOps {
         (col("df") - coalesce(col("dec"), lit(0L))).as("df"))
       .filter(col("df") > 0)
     val tombs = prior.fold(fresh)(t => t.select(col("doc_id")).union(fresh).distinct())
-    val v = nextPostingsVersion(root)
+    val v = claimNextPostingsVersion(root)
     writePostingsVersion(root, v, None,
       m("segments").asInstanceOf[Seq[_]].map(String.valueOf), merged,
       m("n_docs").toString.toLong - dn, m("total_len").toString.toLong - dl2,
@@ -345,7 +417,8 @@ object SearchOps {
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
                       root: String, queries: DataFrame, topK: Int,
                       k1: Double = 1.2, b: Double = 0.75,
-                      excludeSelf: Boolean = false): DataFrame = {
+                      excludeSelf: Boolean = false,
+                      maxDfFrac: Option[Double] = None): DataFrame = {
     val cur = postingsCurrentVersion(root).getOrElse(
       throw new IllegalStateException(s"no postings index at $root"))
     val m = readPostingsManifest(root, cur)
@@ -359,10 +432,24 @@ object SearchOps {
       post0.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti"))
     val qterms = queries.select(col("query_id").cast("long").as("query_id"),
       col("term")).distinct()
-    val cand = post.join(broadcast(qterms.select("term").distinct()), "term")
-    val dft = spark.read.parquet(s"${postingsVersionDir(root, cur)}/termstats")
+    val dft0 = spark.read.parquet(s"${postingsVersionDir(root, cur)}/termstats")
       .join(broadcast(qterms.select("term").distinct()), "term")
       .select(col("term"), col("df").cast("double").as("df"))
+    // df is PRECOMPUTED here, so the stop-word cap prunes capped terms
+    // from candidate generation itself — their corpus-sized postings are
+    // never scanned (the in-memory path can only drop them post-count)
+    val dft = maxDfFrac.fold(dft0) { frac =>
+      logDfCapDrops("bm25TopKIndexed",
+        dft0.filter(col("df") > lit(nDocs * frac)), frac)
+      dft0.filter(col("df") <= lit(nDocs * frac))
+    }
+    // uncapped: prune postings on the query terms directly (one
+    // termstats scan, the plan SearchOpsSpec pins); capped: prune on the
+    // SURVIVING terms so a capped stop word's postings are never scanned
+    val candTerms =
+      if (maxDfFrac.isDefined) dft.select(col("term"))
+      else qterms.select("term").distinct()
+    val cand = post.join(broadcast(candTerms), "term")
     val contrib = cand.join(broadcast(dft), "term")
       .withColumn("c", bm25Contrib(col("tf").cast("double"), col("df"),
         col("dl").cast("double"), lit(nDocs), lit(totalLen), k1, b))
@@ -372,41 +459,86 @@ object SearchOps {
     boundedTopK(base, topK)
   }
 
-  /** Per-query bounded top-k by (score desc, doc_id asc): one shuffle on
-    * query_id, O(k) state per query — no full candidate sort.
+  /** Bounded insertion buffer under (score desc, doc_id asc) — the one
+    * top-k kernel both stages of [[boundedTopK]] share, so the
+    * per-partition pre-reduce is definitionally the same order as the
+    * final merge. O(k) memory, O(k) worst-case insert (k is small).
+    */
+  private final class TopKBuf(topK: Int) {
+    val ids = new Array[Long](topK)
+    val scs = new Array[Long](topK)
+    var filled = 0
+    def insert(did: Long, sc: Long): Unit = {
+      // insertion position under (score desc, doc_id asc)
+      var pos = filled
+      while (pos > 0 && (scs(pos - 1) < sc || (scs(pos - 1) == sc && ids(pos - 1) > did))) pos -= 1
+      if (pos < topK) {
+        var j = math.min(filled, topK - 1)
+        while (j > pos) { ids(j) = ids(j - 1); scs(j) = scs(j - 1); j -= 1 }
+        ids(pos) = did; scs(pos) = sc
+        if (filled < topK) filled += 1
+      }
+    }
+  }
+
+  /** Per-partition bounded top-k per query — stage one of
+    * [[boundedTopK]], exposed for its spec. Keeping only k candidates
+    * per (query, input partition) is lossless for a top-k selection:
+    * any row outside a partition's local top-k is beaten by k rows that
+    * ALSO reach the merge, so it can never enter the global top-k.
+    */
+  private[graft] def localTopK(
+      typed: org.apache.spark.sql.Dataset[(Long, Long, Long)],
+      topK: Int): org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import typed.sparkSession.implicits._
+    typed.mapPartitions { it =>
+      val bufs = scala.collection.mutable.HashMap.empty[Long, TopKBuf]
+      it.foreach { case (qid, did, sc) =>
+        bufs.getOrElseUpdate(qid, new TopKBuf(topK)).insert(did, sc)
+      }
+      bufs.iterator.flatMap { case (qid, b) =>
+        (0 until b.filled).map(i => (qid, b.ids(i), b.scs(i)))
+      }
+    }
+  }
+
+  /** Per-query bounded top-k by (score desc, doc_id asc), two-stage:
+    * a per-partition bounded insertion pass FIRST (so the query_id
+    * shuffle carries at most k rows per query per input partition —
+    * without it, a query hitting a corpus-frequent term funnels a
+    * corpus-sized group through one reducer task, the classic top-k
+    * straggler), then the same insertion kernel merges the survivors.
+    * O(k) state per query at every stage; no full candidate sort;
+    * output provably identical to the single-stage form (see
+    * [[localTopK]]).
     */
   private[graft] def boundedTopK(scored: DataFrame, topK: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
-    scored.select(col("query_id").cast("long"), col("doc_id").cast("long"),
-        col("score").cast("long"))
+    val typed = scored.select(col("query_id").cast("long"),
+        col("doc_id").cast("long"), col("score").cast("long"))
       .as[(Long, Long, Long)]
+    localTopK(typed, topK)
       .groupByKey(_._1)
       .flatMapGroups { (qid, it) =>
-        val ids = new Array[Long](topK)
-        val scs = new Array[Long](topK)
-        var filled = 0
-        it.foreach { case (_, did, sc) =>
-          // insertion position under (score desc, doc_id asc)
-          var pos = filled
-          while (pos > 0 && (scs(pos - 1) < sc || (scs(pos - 1) == sc && ids(pos - 1) > did))) pos -= 1
-          if (pos < topK) {
-            val last = math.min(filled, topK - 1)
-            var j = last
-            while (j > pos) { ids(j) = ids(j - 1); scs(j) = scs(j - 1); j -= 1 }
-            ids(pos) = did; scs(pos) = sc
-            if (filled < topK) filled += 1
-          }
-        }
-        (0 until filled).iterator.map(i => (qid, ids(i), scs(i), (i + 1).toLong))
+        val b = new TopKBuf(topK)
+        it.foreach { case (_, did, sc) => b.insert(did, sc) }
+        (0 until b.filled).iterator.map(i => (qid, b.ids(i), b.scs(i), (i + 1).toLong))
       }
       .toDF("query_id", "doc_id", "score", "rank")
   }
 
-  /** Brute-force cosine top-k for an explicit query subset (asymmetric
-    * [[SimilarityOps.bruteTopK]]): O(|Q|·n) dot products — the exact
-    * oracle for fusion; at scale feed [[rrfFuse]] from the IVF/PQ index
-    * paths instead. Returns (query_id, doc_id, rank).
+  /** ORACLE-ONLY brute-force cosine top-k for an explicit query subset
+    * (the asymmetric [[SimilarityOps.bruteTopK]]): a broadcast(q) ×
+    * corpus theta-join — O(|Q|·n) dot products by construction. That is
+    * the right shape for an exactness oracle and the WRONG one for any
+    * production call: at corpus scale it is a full scan per query
+    * batch. Quarantine convention as the brute-ANN verifiers in
+    * [[SimilarityOps]]: use it to verify, never to serve — the serving
+    * vector leg is the persisted IVF-PQ index ([[VectorIndex.query]],
+    * the q110 family), which plugs into [[rrfFuse]] unchanged because
+    * fusion only ever sees (query_id, doc_id, rank).
+    * Returns (query_id, doc_id, rank).
     */
   def cosineTopKFor(queries: DataFrame, corpus: DataFrame, idCol: String,
                     vecCol: String, topK: Int): DataFrame = {

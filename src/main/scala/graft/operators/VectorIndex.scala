@@ -93,10 +93,14 @@ object VectorIndex {
     spark.read.parquet(s"$path/codes")
       .select(col("vid"), col("cell").cast("long").as("cell"), col("codes"))
 
-  /** True when a previously written index is present and complete. */
+  /** True when a previously written index is present and complete.
+    * Resolved through the Hadoop FileSystem API ([[graft.io.IndexMeta]])
+    * like every other metadata probe in this lifecycle, so the index
+    * root may live on file://, hdfs:// or s3a:// beside its parquet.
+    */
   def exists(path: String): Boolean =
     Seq("codes", "centroids", "codebooks").forall(d =>
-      new java.io.File(s"$path/$d/_SUCCESS").exists())
+      graft.io.IndexMeta.exists(s"$path/$d/_SUCCESS"))
 
   /** Coarse-assign vectors with the STORED quantizer: nearest centroid
     * by exact squared L2, ties to the LOWER cell id — the cell an
@@ -165,13 +169,13 @@ object VectorIndex {
     */
   def appendBatch(newEmb: DataFrame, idCol: String, vecCol: String,
                   model: Model, path: String, batchId: Long): Boolean = {
-    val dir = new java.io.File(s"$path/ingest/b$batchId")
-    if (new java.io.File(dir, "_SUCCESS").exists() ||
+    val dir = s"$path/ingest/b$batchId"
+    if (graft.io.IndexMeta.exists(s"$dir/_SUCCESS") ||
         foldedBatchIds(path).contains(batchId)) false
     else {
       encode(newEmb, idCol, vecCol, model)
         .write.mode(SaveMode.Overwrite).partitionBy("cell")
-        .parquet(dir.getPath)
+        .parquet(dir)
       true
     }
   }
@@ -183,27 +187,20 @@ object VectorIndex {
     * before its checkpoint, and replays against the new version must
     * no-op, not re-append rows the fold already consolidated.
     */
-  def foldedBatchIds(path: String): Set[Long] = {
-    val f = new java.io.File(path, "folded_batches.txt")
-    if (!f.exists()) Set.empty
-    else scala.io.Source.fromFile(f, "UTF-8").getLines()
-      .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet
-  }
+  def foldedBatchIds(path: String): Set[Long] =
+    graft.io.IndexMeta.readString(s"$path/folded_batches.txt")
+      .map(_.linesIterator.map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet)
+      .getOrElse(Set.empty)
 
   private def writeFoldedBatchIds(path: String, ids: Set[Long]): Unit =
-    java.nio.file.Files.write(
-      new java.io.File(path, "folded_batches.txt").toPath,
-      ids.toSeq.sorted.mkString("", "\n", "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    graft.io.IndexMeta.writeString(s"$path/folded_batches.txt",
+      ids.toSeq.sorted.mkString("", "\n", "\n"))
 
   /** Committed segment batch ids currently present under `path/ingest`. */
-  private def committedSegmentIds(path: String): Set[Long] = {
-    val ingestRoot = new java.io.File(s"$path/ingest")
-    if (!ingestRoot.isDirectory) Set.empty
-    else ingestRoot.listFiles()
-      .filter(d => new java.io.File(d, "_SUCCESS").exists())
-      .map(_.getName.stripPrefix("b").toLong).toSet
-  }
+  private def committedSegmentIds(path: String): Set[Long] =
+    graft.io.IndexMeta.listChildNames(s"$path/ingest")
+      .filter(n => graft.io.IndexMeta.exists(s"$path/ingest/$n/_SUCCESS"))
+      .map(_.stripPrefix("b").toLong).toSet
 
   /** Base codes plus every COMMITTED streaming-ingest segment (torn
     * segments — no `_SUCCESS` — are invisible, matching [[appendBatch]]'s
@@ -212,12 +209,9 @@ object VectorIndex {
     * the probed-cell equi-join still prunes cell directories per branch.
     */
   def readCodesWithIngest(spark: SparkSession, path: String): DataFrame = {
-    val ingestRoot = new java.io.File(s"$path/ingest")
-    val committed =
-      if (!ingestRoot.isDirectory) Array.empty[String]
-      else ingestRoot.listFiles()
-        .filter(d => new java.io.File(d, "_SUCCESS").exists())
-        .map(_.getPath).sorted
+    val committed = graft.io.IndexMeta.listChildNames(s"$path/ingest")
+      .filter(n => graft.io.IndexMeta.exists(s"$path/ingest/$n/_SUCCESS"))
+      .map(n => s"$path/ingest/$n")
     committed.foldLeft(readCodes(spark, path)) { (acc, seg) =>
       acc.unionByName(spark.read.parquet(seg)
         .select(col("vid"), col("cell").cast("long").as("cell"), col("codes")))
@@ -314,36 +308,37 @@ object VectorIndex {
   // (Spark pins concrete files at planning). A crash after writeVersion
   // but before swapPointer leaves the old version serving and the new
   // directory inert — re-running the retrain is the recovery, the same
-  // contract as [[append]]. On an object store the rename maps to a
-  // pointer-object put (the BatchStore promote convention,
-  // io/BatchStore.scala).
+  // contract as [[append]]. The pointer swap is a single small-object
+  // overwrite-put through the Hadoop FileSystem API (the BatchStore
+  // promote convention — see [[graft.io.IndexMeta]] for the per-store
+  // atomicity semantics), so the whole lifecycle runs against file://,
+  // hdfs:// or s3a:// roots. Version numbering derives from the served
+  // pointer (a torn higher dir is overwritten by the recovery re-run by
+  // design), so MAINTENANCE here is single-writer: at most one
+  // [[retrainAndSwap]]/[[foldIngestAndSwap]] may run per root at a time
+  // (concurrent [[appendBatch]] calls are fine — they are fenced per
+  // batchId). The postings index (SearchOps) demonstrates the
+  // alternative claim-based multi-writer allocation.
 
   def versionDir(root: String, v: Int): String = f"$root/versions/v$v%04d"
 
   /** The currently-served version number, if a pointer has ever been
     * swapped in.
     */
-  def currentVersion(root: String): Option[Int] = {
-    val ptr = new java.io.File(root, "POINTER")
-    if (!ptr.exists()) None
-    else Some(new String(java.nio.file.Files.readAllBytes(ptr.toPath),
-      java.nio.charset.StandardCharsets.UTF_8).trim.stripPrefix("v").toInt)
-  }
+  def currentVersion(root: String): Option[Int] =
+    graft.io.IndexMeta.readVersionPointer(root)
 
   /** Write a complete index under `versions/vNNNN` WITHOUT serving it. */
   def writeVersion(model: Model, codes: DataFrame, root: String, v: Int): Unit =
     write(model, codes, versionDir(root, v))
 
-  /** Atomically point readers at version `v`. Refuses a torn target. */
+  /** Atomically (see [[graft.io.IndexMeta.swapVersionPointer]]) point
+    * readers at version `v`. Refuses a torn target.
+    */
   def swapPointer(root: String, v: Int): Unit = {
     require(exists(versionDir(root, v)),
       s"refusing to swap pointer to incomplete index version v$v at $root")
-    val tmp = new java.io.File(root, s"POINTER.tmp.$v")
-    java.nio.file.Files.write(tmp.toPath,
-      f"v$v%04d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath, new java.io.File(root, "POINTER").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.io.IndexMeta.swapVersionPointer(root, v)
   }
 
   /** Full retrain: rebuild model + codes from `emb` into the next
@@ -460,7 +455,7 @@ object VectorIndex {
   /** The tombstone set; empty when no delete has ever been issued. */
   def readTombstones(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    if (new java.io.File(s"$path/tombstones/_SUCCESS").exists())
+    if (graft.io.IndexMeta.exists(s"$path/tombstones/_SUCCESS"))
       spark.read.parquet(s"$path/tombstones").select(col("vid"))
     else Seq.empty[Long].toDF("vid")
   }

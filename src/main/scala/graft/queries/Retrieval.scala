@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.SearchOps
+import graft.operators.{SearchOps, VectorIndex}
 
 /** Keyword + hybrid retrieval over the documents/embeddings tables —
   * the lexical half of the corpus-serving surface (the vector half is
@@ -174,6 +174,73 @@ object Retrieval {
       require(out.collect().toSeq == preFold,
         "fold moved the post-delete answer")
       out
+    }),
+
+    // Hybrid retrieval over BOTH persisted indexes — the production
+    // shape of q119: the lexical leg serves from the pointer-resolved
+    // postings index (q120's path) and the vector leg from the
+    // pointer-resolved IVF-PQ index (the q110 family, versioned +
+    // swapped), fused by the unchanged rrfFuse — fusion only ever sees
+    // (query_id, doc_id, rank), which is what lets both legs swap from
+    // oracles to indexes with the oracle SQL composed from the SAME two
+    // per-leg derivations. The vector queries are filtered BEFORE the
+    // probe (per-query independence makes that exact), so the leg costs
+    // |Q|·probed-cells, not corpus².
+    "q125_hybrid_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val kwRoot = ensurePostingsIndex(s, dir)
+      val kw = SearchOps.bm25TopKIndexed(s, kwRoot, qs(s, dir),
+          topK = 10, excludeSelf = true)
+        .select("query_id", "doc_id", "rank")
+      val vRoot = ensureVectorIndexVersioned(s, dir)
+      val vr = VectorIndex.query(emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding",
+          VectorIndex.readCurrentModel(s, vRoot, dim = 64, m = 4, k = 16),
+          VectorIndex.readCurrentCodes(s, vRoot), rawVectors = emb,
+          nprobe = 2, shortlist = 10, topK = 3)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      SearchOps.rrfFuse(Seq(kw, vr), topK = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // The re-add lifecycle closing the delete story: a tombstoned doc
+    // may NOT be appended while its old rows still exist in referenced
+    // segments (the engine refuses loudly — counting it would inflate
+    // n_docs/df while serving anti-joins it out, a phantom skewing
+    // every surviving idf); after a fold physically drops the rows and
+    // clears the ledger, the re-add is legal and delete → fold → append
+    // converges on exactly a fresh full build — q118's oracle verbatim.
+    "q126_bm25_index_readded" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_q126_bm25_").toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(root)
+      SearchOps.buildPostingsIndex(docs, "text", "doc_id", root.getPath)
+      val dead = docs.filter(col("doc_id") % 7 === 0)
+      SearchOps.deleteFromPostingsIndex(s, root.getPath, dead.select(col("doc_id")))
+      val early = scala.util.Try(SearchOps.appendPostingsIndex(
+        dead, "text", "doc_id", root.getPath, batchTag = "readd-early"))
+      require(early.isFailure, "re-add before a fold must be refused loudly")
+      SearchOps.foldPostingsIndex(s, root.getPath)
+      require(SearchOps.appendPostingsIndex(dead, "text", "doc_id",
+        root.getPath, batchTag = "readd").nonEmpty, "post-fold re-add must apply")
+      SearchOps.bm25TopKIndexed(s, root.getPath, qs(s, dir), topK = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // The stop-word skew guard at the oracle tier: q118 with a df cap —
+    // query terms matching more than 78% of the corpus are dropped from
+    // scoring (their idf is near zero; their candidate mass is
+    // corpus-sized — the same planted-skew rationale as q82's bucket
+    // cap). 0.78 splits the synthetic corpus's deliberately narrow
+    // vocabulary (query-term df runs 0.74-0.83 across SFs), so the cap
+    // DROPS some terms and KEEPS some at every SF — a threshold no term
+    // crosses would test nothing. The oracle applies the identical
+    // df <= n_docs * 0.78 predicate, so the recall trade is
+    // hash-pinned, not hand-waved.
+    "q127_bm25_topk_capped" -> ((s, dir) => {
+      SearchOps.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+          qs(s, dir), topK = 5, maxDfFrac = Some(0.78))
+        .orderBy("query_id", "rank")
     }))
 
   /** Build the postings index once per (sf dir + data fingerprint);
@@ -191,12 +258,30 @@ object Retrieval {
     root.getPath
   }
 
+  /** Build-once cache of the VERSIONED (pointer-swapped) ANN index for
+    * q125's vector leg — same model params as the q110 family, but
+    * through the retrain-ready versions/POINTER layout so the hybrid
+    * query's BOTH legs resolve a pointer at plan time.
+    */
+  private def ensureVectorIndexVersioned(s: SparkSession, dir: String): String = {
+    val stamp = Integer.toHexString(dir.hashCode) + "_" + graft.io.Fingerprint
+      .ofTree(new java.io.File(dir, "embeddings.parquet").getPath)
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_q125_vindex_" + stamp)
+    if (VectorIndex.currentVersion(root.getPath).isEmpty) {
+      val (model, codes) = VectorIndex.build(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", dim = 64, m = 4, k = 16)
+      VectorIndex.writeVersion(model, codes, root.getPath, 1)
+      VectorIndex.swapPointer(root.getPath, 1)
+    }
+    root.getPath
+  }
+
   // Shared SQL fragments: tokenized docs + postings + derived queries +
   // BM25 contributions — the contribution FLOOR tree mirrors
   // SearchOps.bm25TopK's Column tree exactly (see scaladoc there).
   // Queries always derive from the FULL corpus (dq); the scored corpus
   // (d) takes a filter so the delete lifecycle can model its survivors.
-  private def bm25CteWhere(corpusFilter: String) =
+  private def bm25CteWhere(corpusFilter: String, dftCond: String = "TRUE") =
     s"""w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
       |    list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), x -> x <> '') AS ws
       |  FROM documents),
@@ -208,8 +293,9 @@ object Retrieval {
       |  FROM (SELECT doc_id, unnest(ws) AS term FROM d) GROUP BY term, doc_id),
       |qt AS (SELECT doc_id AS query_id, unnest(list_distinct(ws[1:8])) AS term
       |  FROM dq WHERE doc_id % 50 = 0),
-      |dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post
+      |dft0 AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post
       |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+      |dft AS (SELECT term, df FROM dft0 CROSS JOIN stats WHERE $dftCond),
       |contrib AS (SELECT q.query_id, p.doc_id,
       |    CAST(FLOOR((ln((((s.n_docs - f.df) + 0.5) / (f.df + 0.5)) + 1.0)
       |      * ((p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * ((dd.dl * s.n_docs) / s.total_len)))))
@@ -280,6 +366,45 @@ object Retrieval {
     // external to the index)
     "q124_bm25_index_deleted" ->
       s"""WITH ${bm25CteWhere("doc_id % 7 <> 0")},
+         |r AS (SELECT query_id, doc_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+         |  FROM sc)
+         |SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rank
+         |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // both-indexes hybrid: the kw leg is q118's derivation with self
+    // excluded (what the postings index serves, q120-verbatim); the
+    // vector leg is q109's derivation — the persisted IVF-PQ index
+    // serves IT verbatim (q110's pinned equality) — filtered to the
+    // %50 query subset (exact: per-query independence), then RRF with
+    // integer division, like q119.
+    "q125_hybrid_indexed" ->
+      s"""WITH $bm25Cte,
+         |ktop AS (SELECT query_id, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM sc WHERE doc_id <> query_id QUALIFY rank <= 10),
+         |vtop AS (SELECT query_id, neighbor_id AS doc_id, rank
+         |  FROM (${graft.queries.LlmPipeline.oracles("q109_ann_topk_ivfpq_refined")})
+         |  WHERE query_id % 50 = 0),
+         |allr AS (SELECT query_id, doc_id, 1000000 // (60 + rank) AS c FROM ktop
+         |  UNION ALL SELECT query_id, doc_id, 1000000 // (60 + rank) FROM vtop),
+         |f AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS fused
+         |  FROM allr GROUP BY query_id, doc_id),
+         |fr AS (SELECT query_id, doc_id, fused,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY fused DESC, doc_id ASC) AS rnk
+         |  FROM f)
+         |SELECT query_id, doc_id, fused, CAST(rnk AS BIGINT) AS rank
+         |FROM fr WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // delete → fold → re-add converges on exactly a fresh full build:
+    // q118's oracle verbatim (any stat drift — a double-subtract, a
+    // phantom count, a lost df row — shifts every idf and fails the hash)
+    "q126_bm25_index_readded" -> bm25TopSql,
+
+    // the df cap mirrored predicate-for-predicate: terms with
+    // df > n_docs * 0.78 leave scoring on both engines
+    "q127_bm25_topk_capped" ->
+      s"""WITH ${bm25CteWhere("TRUE", "df <= n_docs * 0.78")},
          |r AS (SELECT query_id, doc_id, score,
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
          |  FROM sc)

@@ -183,7 +183,12 @@ class PlanAuditSpec extends SparkSpec {
       // pruned query-derivation doc scans; every exchange is batch-sized
       // (SearchOpsSpec additionally walks the plan and asserts no shuffle
       // has an index scan beneath it)
-      "q120_bm25_topk_prepared" -> (5, 6, 4, 0))
+      "q120_bm25_topk_prepared" -> (5, 6, 4, 0),
+      // hybrid over BOTH persisted indexes: the kw leg is q120's shape,
+      // the vector leg q110's (codes/centroids/codebooks + raw-vector
+      // rerank fetches), fused by one batch-sized integer agg — neither
+      // index side ever sits beneath a shuffle
+      "q125_hybrid_indexed" -> (10, 9, 7, 0))
     for ((q, (scans, shuffles, broadcasts, antis)) <- pins) {
       val p = plan(q)
       def uniq(pat: String): Int =

@@ -479,6 +479,69 @@ object ProfileMain {
         require(postRetrain.nonEmpty)
         println(s"PROFILE vindexstream:versions = ${VectorIndex.currentVersion(root.getPath)}")
       } finally cleanup()
+    } else if (args.headOption.contains("pindexstream")) {
+      // Bench-scale POSTINGS-INDEX lifecycle (the vindexstream treatment
+      // applied to lexical retrieval): build v1 on half the corpus,
+      // stream the other half through postingsIngestSink in three real
+      // triggers — each lands as one pointer-swapped version, per-trigger
+      // latency printed — serve BM25 through the pointer, FOLD the
+      // per-trigger segments into one (small-files compaction, answers
+      // must not move), then DELETE the %7 slice and serve once more.
+      implicit val sqlCtx = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.SearchOps
+      import spark.implicits._
+      val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_prof_pindex")
+      val ckpt = new java.io.File(sys.props("java.io.tmpdir"), "graft_prof_pindex_ckpt")
+      def cleanup(): Unit = Seq(root, ckpt)
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+      def timed[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"PROFILE pindexstream:$label%-26s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        r
+      }
+      cleanup()
+      try {
+        val docs = Tables.load(spark, sfDir, "documents")
+        val qsW = SearchOps.derivedQueries(docs, "text", "doc_id",
+          everyNth = 50, prefixTokens = 8)
+        val cutoff = docs.agg(max(col("doc_id").cast("long"))).head().getLong(0) / 2
+        println(s"PROFILE pindexstream:corpus = ${docs.count()} docs")
+        timed("build-v1+swap")(SearchOps.buildPostingsIndex(
+          docs.filter(col("doc_id") <= cutoff), "text", "doc_id", root.getPath))
+        val input = MemoryStream[(Long, String)]
+        val q = graft.streaming.StreamOps.postingsIngestSink(
+            input.toDF().toDF("doc_id", "text"), "text", "doc_id", root.getPath)
+          .trigger(Trigger.ProcessingTime("0 seconds"))
+          .option("checkpointLocation", ckpt.getPath)
+          .start()
+        try (0 until 3).foreach { r =>
+          val rows = docs.filter(col("doc_id") > cutoff && col("doc_id") % 3 === r)
+            .select(col("doc_id").cast("long"), col("text"))
+            .as[(Long, String)].collect().toSeq
+          input.addData(rows: _*)
+          timed(s"trigger${r + 1}(${rows.size} docs)")(q.processAllAvailable())
+        } finally q.stop()
+        def serve(label: String): Seq[org.apache.spark.sql.Row] =
+          timed(s"query-$label")(
+            SearchOps.bm25TopKIndexed(spark, root.getPath, qsW, topK = 5)
+              .orderBy("query_id", "rank").collect().toSeq)
+        println(s"PROFILE pindexstream:post-ingest-version = " +
+          s"${SearchOps.postingsCurrentVersion(root.getPath)}")
+        val preFold = serve("segments")
+        require(preFold.nonEmpty)
+        timed("fold+swap")(SearchOps.foldPostingsIndex(spark, root.getPath))
+        val postFold = serve("folded")
+        require(postFold == preFold, "fold changed answers")
+        timed("delete+swap")(SearchOps.deleteFromPostingsIndex(spark,
+          root.getPath, docs.filter(col("doc_id") % 7 === 0).select(col("doc_id"))))
+        val postDelete = serve("deleted")
+        require(postDelete.nonEmpty)
+        println(s"PROFILE pindexstream:final-version = " +
+          s"${SearchOps.postingsCurrentVersion(root.getPath)}")
+      } finally cleanup()
     } else if (args.headOption.contains("q55stages")) {
       import org.apache.spark.sql.functions._
       import graft.operators.DedupOps

@@ -235,6 +235,96 @@ class SearchOpsSpec extends SparkSpec with Matchers {
     SearchOps.postingsCurrentVersion(root) shouldBe Some(3)
   }
 
+  test("version numbering survives v9999: 5-digit dirs are listed, never overwritten") {
+    val root = tmpRoot().getPath
+    SearchOps.buildPostingsIndex(docs, "text", "doc_id", root)
+    // simulate an index that has lived through ~10k versions: torn
+    // (unswapped) dirs at the 4→5 digit boundary. A 4-digit-only match
+    // would make max(visible)+1 stick at 10000 forever and silently
+    // overwrite v10000 on every subsequent append.
+    Seq(9999, 10000).foreach { v =>
+      assert(new java.io.File(SearchOps.postingsVersionDir(root, v)).mkdirs())
+    }
+    SearchOps.appendPostingsIndex(docs.limit(0), "text", "doc_id",
+      root, batchTag = "past-rollover") shouldBe Some(10001)
+    SearchOps.postingsCurrentVersion(root) shouldBe Some(10001)
+    // and the dir name round-trips (%04d pads, never truncates)
+    SearchOps.postingsVersionDir(root, 10001) should endWith("v10001")
+    assert(new java.io.File(SearchOps.postingsVersionDir(root, 10001), "manifest.json").exists())
+  }
+
+  test("re-adding a tombstoned doc is refused before a fold, converges after one") {
+    val qs = q((0L, "cat"), (0L, "sat"), (1L, "dog"), (1L, "pangolin"))
+    val root = tmpRoot().getPath
+    SearchOps.buildPostingsIndex(docs, "text", "doc_id", root)
+    SearchOps.deleteFromPostingsIndex(spark, root, Seq(2L, 5L).toDF("doc_id"))
+    // counting a tombstoned doc into n_docs/df while serving anti-joins
+    // it out would be a phantom skewing every idf — must fail loudly
+    val ex = intercept[IllegalArgumentException] {
+      SearchOps.appendPostingsIndex(docs.filter($"doc_id" === 5L),
+        "text", "doc_id", root, batchTag = "readd-early")
+    }
+    ex.getMessage should include("tombstoned")
+    // fold drops the rows for real AND clears the ledger → re-add legal
+    SearchOps.foldPostingsIndex(spark, root)
+    SearchOps.appendPostingsIndex(docs.filter($"doc_id".isin(2L, 5L)),
+      "text", "doc_id", root, batchTag = "readd") shouldBe defined
+    // delete → fold → re-add converges on exactly a fresh full build
+    val served = SearchOps.bm25TopKIndexed(spark, root, qs, topK = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    val fresh = tmpRoot().getPath
+    SearchOps.buildPostingsIndex(docs, "text", "doc_id", fresh)
+    served shouldBe SearchOps.bm25TopKIndexed(spark, fresh, qs, topK = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+  }
+
+  test("two-stage top-k: the query_id shuffle is bounded at k per (query, partition)") {
+    // a stop-wordy query: ONE query id matching 4000 candidates spread
+    // over 8 partitions. Single-stage grouping funnels all 4000 through
+    // one task; the local stage must cut that to ≤ k·partitions.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 4000).map(i => (1L, i.toLong, rnd.nextInt(1000).toLong))
+    val typed = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long)]).repartition(8)
+    val local = SearchOps.localTopK(typed, topK = 5).collect()
+    assert(local.length <= 5 * 8,
+      s"local stage must emit ≤ k per (query, partition), got ${local.length}")
+    // and the two-stage result equals a full sort
+    val got = SearchOps.boundedTopK(typed.toDF("query_id", "doc_id", "score"), topK = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val exp = rows.sortBy { case (_, d, s) => (-s, d) }.take(5).zipWithIndex
+      .map { case ((_, d, s), i) => (d, s, (i + 1).toLong) }.toSet
+    got shouldBe exp
+  }
+
+  test("df cap drops corpus-frequent query terms from scoring, in-memory and indexed alike") {
+    // 'cat' appears in 3 of 5 docs (60%); 'dog' in 1 of 5 (20%);
+    // 'pangolin' in 1 (20%). Cap at 0.5 → only 'cat' is dropped.
+    val qs = q((0L, "cat"), (0L, "pangolin"), (1L, "dog"))
+    val uncapped = SearchOps.bm25TopK(docs, "text", "doc_id", qs, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = SearchOps.bm25TopK(docs, "text", "doc_id", qs, topK = 10,
+        maxDfFrac = Some(0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // query 0 keeps only pangolin hits (doc 5); cat-only docs vanish —
+    // the documented recall trade on the capped term
+    capped should contain((0L, 5L))
+    capped should not contain ((0L, 2L))
+    uncapped should contain((0L, 2L))
+    // query 1 ('dog', df 0.2 ≤ cap) is untouched
+    capped.filter(_._1 == 1L) shouldBe uncapped.filter(_._1 == 1L)
+    // the indexed path agrees row for row (and never scans capped postings)
+    val root = tmpRoot().getPath
+    SearchOps.buildPostingsIndex(docs, "text", "doc_id", root)
+    SearchOps.bm25TopKIndexed(spark, root, qs, topK = 10, maxDfFrac = Some(0.5))
+      .orderBy("query_id", "rank").collect().toSeq shouldBe
+      SearchOps.bm25TopK(docs, "text", "doc_id", qs, topK = 10, maxDfFrac = Some(0.5))
+        .orderBy("query_id", "rank").collect().toSeq
+    // a no-op cap (1.0) changes nothing
+    SearchOps.bm25TopK(docs, "text", "doc_id", qs, topK = 10, maxDfFrac = Some(1.0))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe uncapped
+  }
+
   test("cosineTopKFor ranks an explicit query subset and excludes self") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),

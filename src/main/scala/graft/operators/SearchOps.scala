@@ -113,11 +113,15 @@ object SearchOps {
     val cand = post.join(broadcast(qterms.select("term").distinct()), "term")
     val dft0 = cand.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val dft = maxDfFrac.fold(dft0) { frac =>
-      val kept = dft0.crossJoin(broadcast(stats.select(col("n_docs"))))
-        .filter(col("df") <= col("n_docs") * lit(frac))
-        .select(col("term"), col("df"))
-      logDfCapDrops("bm25TopK", dft0.join(kept, Seq("term"), "left_anti"), frac)
-      kept
+      // decide keep/drop (and produce the drop report) from ONE
+      // query-vocab-sized collect — the df counts are already paid for;
+      // a DataFrame-side anti-join just for the log would recompute the
+      // whole postings aggregation as a second corpus pass
+      import docs.sparkSession.implicits._
+      val rows = dft0.crossJoin(broadcast(stats.select(col("n_docs")))).collect()
+      val (keep, drop) = rows.partition(r => r.getDouble(1) <= r.getDouble(2) * frac)
+      logDfCapDrops("bm25TopK", drop.map(_.getString(0)).toSeq, frac)
+      keep.map(r => (r.getString(0), r.getDouble(1))).toSeq.toDF("term", "df")
     }
 
     // per-(term, doc) contribution as an exact long; the double tree
@@ -139,18 +143,16 @@ object SearchOps {
   /** Log a df-cap drop report — WARN when query terms were actually
     * dropped (recall on those terms is gone; their idf was near zero),
     * INFO when the cap was a no-op. `dropped` is query-vocabulary-sized
-    * by construction (capping only ever touches query terms), so the
-    * collect is bounded by the broadcast-small query workload.
+    * by construction (capping only ever touches query terms), so it is
+    * bounded by the broadcast-small query workload.
     */
-  private def logDfCapDrops(op: String, dropped: DataFrame, frac: Double): Unit = {
-    val terms = dropped.select(col("term")).limit(21).collect().map(_.getString(0))
-    if (terms.nonEmpty)
-      slog.warn(s"$op: df cap ${frac} dropped ${terms.length}${if (terms.length > 20) "+" else ""} " +
+  private def logDfCapDrops(op: String, dropped: Seq[String], frac: Double): Unit =
+    if (dropped.nonEmpty)
+      slog.warn(s"$op: df cap $frac dropped ${dropped.length} " +
         s"query term(s) from scoring (near-zero idf, corpus-sized candidate mass): " +
-        terms.take(20).mkString(", "))
+        dropped.take(20).mkString(", ") + (if (dropped.length > 20) ", …" else ""))
     else
       slog.info(s"$op: df cap $frac dropped nothing")
-  }
 
   // ---- Persisted postings index: versioned, pointer-swapped ----------
   //
@@ -439,8 +441,11 @@ object SearchOps {
     // from candidate generation itself — their corpus-sized postings are
     // never scanned (the in-memory path can only drop them post-count)
     val dft = maxDfFrac.fold(dft0) { frac =>
+      // drop report from the vocabulary-sized termstats scan — cheap here
+      // (df is precomputed), unlike the in-memory path's collect-once
       logDfCapDrops("bm25TopKIndexed",
-        dft0.filter(col("df") > lit(nDocs * frac)), frac)
+        dft0.filter(col("df") > lit(nDocs * frac))
+          .select(col("term")).collect().map(_.getString(0)).toSeq, frac)
       dft0.filter(col("df") <= lit(nDocs * frac))
     }
     // uncapped: prune postings on the query terms directly (one

@@ -294,6 +294,16 @@ object SearchOps {
     * normalization. Re-adding a deleted doc is legal only after a
     * [[foldPostingsIndex]], which drops its rows for real AND clears the
     * ledger — then this append converges on exactly a fresh full build.
+    *
+    * Concurrency: racing appends can never corrupt (each claims its own
+    * version dir atomically) but are NOT serialized — both read the same
+    * base manifest, so the last pointer swap wins and the loser's
+    * complete-but-unreferenced version goes inert. The recovery is the
+    * tag ledger itself: the superseded tag is absent from the SERVED
+    * manifest, so re-running that append applies it on top of the winner
+    * while applied tags no-op — "re-run until your tag is served" is the
+    * whole protocol (SearchOpsSpec races two appends for real and pins
+    * convergence). Callers needing strict ordering run single-writer.
     */
   def appendPostingsIndex(newDocs: DataFrame, textCol: String, idCol: String,
                           root: String, batchTag: String): Option[Int] = {

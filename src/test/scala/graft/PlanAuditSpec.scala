@@ -128,6 +128,23 @@ class PlanAuditSpec extends SparkSpec {
       "cell-restricted ADC planned as an all-pairs join")
   }
 
+  test("rank-filtered ANN windows keep their WindowGroupLimit pre-reduce") {
+    // row_number().over(partitionBy(query_id)) + filter(rank <= k) is a
+    // top-k selection; Catalyst's InferWindowGroupLimit inserts a
+    // per-partition partial limit BEFORE the window shuffle, which is
+    // what keeps the ADC-shortlist and exact-rerank stages free of the
+    // single-reducer straggler (the same property SearchOps.boundedTopK
+    // implements by hand for its aggregated scores). A refactor to a
+    // pattern the rule can't infer — rank stored then filtered through
+    // an opaque transform, a non-rank ordering — would silently drop it.
+    Seq("q109_ann_topk_ivfpq_refined", "q110_ann_topk_indexed",
+        "q125_hybrid_indexed").foreach { q =>
+      val p = plan(q)
+      val wgl = "WindowGroupLimit".r.findAllIn(p).length
+      assert(wgl >= 2, s"$q lost its WindowGroupLimit pre-reduce ($wgl found)")
+    }
+  }
+
   test("q67 plan shape is pinned: scan/exchange/join counts unchanged") {
     // adjudication pin for the twice-flagged q67 bench drift (round 8
     // verdict): the committed quiet-window evidence (PERF.md round 9)

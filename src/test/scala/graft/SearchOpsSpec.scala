@@ -325,6 +325,44 @@ class SearchOpsSpec extends SparkSpec with Matchers {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe uncapped
   }
 
+  test("racing appends never corrupt: versions stay disjoint, the superseded tag re-applies") {
+    // Two appends racing on one root. The claim-based version allocation
+    // guarantees they never interleave writes into one version dir; what
+    // it deliberately does NOT guarantee is serialization — both read the
+    // same base manifest, so the last pointer swap wins and the loser's
+    // (complete, self-consistent) version goes unreferenced. The recovery
+    // is the ledger: the superseded tag is absent from the SERVED
+    // manifest, so re-running that append applies it on top of the winner
+    // (and re-running the winner's tag no-ops). Assertions below hold
+    // under EVERY interleaving, so the race is safe to run for real.
+    val qs = q((0L, "cat"), (0L, "the"), (1L, "pangolin"), (1L, "dog"))
+    val root = tmpRoot().getPath
+    SearchOps.buildPostingsIndex(docs.filter($"doc_id" <= 1), "text", "doc_id", root)
+    val partA = docs.filter($"doc_id".isin(2L, 3L))
+    val partB = docs.filter($"doc_id" > 3)
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def racer(part: org.apache.spark.sql.DataFrame, tag: String) = new Thread(() => {
+      latch.countDown(); latch.await()
+      try SearchOps.appendPostingsIndex(part, "text", "doc_id", root, tag)
+      catch { case t: Throwable => errs.add(t) }
+    })
+    val (ta, tb) = (racer(partA, "rA"), racer(partB, "rB"))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert(errs.isEmpty, s"racing append threw: ${errs.peek()}")
+    // the served version is complete and self-consistent (manifest +
+    // termstats + segments all resolve); drive the recovery: re-run both
+    // appends — applied tags no-op, a superseded tag applies
+    SearchOps.appendPostingsIndex(partA, "text", "doc_id", root, "rA")
+    SearchOps.appendPostingsIndex(partB, "text", "doc_id", root, "rB")
+    val served = SearchOps.bm25TopKIndexed(spark, root, qs, topK = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    val full = tmpRoot().getPath
+    SearchOps.buildPostingsIndex(docs, "text", "doc_id", full)
+    served shouldBe SearchOps.bm25TopKIndexed(spark, full, qs, topK = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+  }
+
   test("cosineTopKFor ranks an explicit query subset and excludes self") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),

@@ -3,6 +3,27 @@ package graft.io
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
+/** Pluggable mutual exclusion for [[IndexMeta.claimDir]]: claim
+  * exclusive write ownership of `dir` for the writer identified by
+  * `token` (unique per claim attempt). At most one CONCURRENT claimant
+  * per dir may see `true`; claimants may ALL see `false` (a tied race
+  * burns the candidate dir, never corrupts it — the version allocators
+  * step to the next number and retry).
+  *
+  * The default ([[IndexMeta.TokenListingLock]]) needs only two store
+  * primitives: create-a-uniquely-named-object and a listing that
+  * reflects completed creates (linearizable create-then-list). HDFS and
+  * local give that trivially; S3 has been strongly consistent for
+  * list-after-write since 2020, so s3a qualifies too. A store WITHOUT
+  * consistent listing needs a real conditional-put or lock-service
+  * adapter instead — implement this trait over it and install with
+  * [[IndexMeta.withWriterLock]] (WriterLockSpec demonstrates the seam
+  * with a CAS-backed fake).
+  */
+trait WriterLock {
+  def tryClaim(dir: String, token: String): Boolean
+}
+
 /** Driver-side metadata I/O for persisted-index roots — the POINTER
   * files, manifests, ingest-batch ledgers and version listings that live
   * BESIDE an index's parquet segments. Everything resolves through the
@@ -20,18 +41,24 @@ import org.apache.spark.sql.SparkSession
   * the index — data on the cluster store, pointer on the driver's disk.
   *
   * Atomicity notes, once for every caller:
-  *  - [[swapVersionPointer]] is a single small-object overwrite-put
-  *    (create-overwrite + close), the same mechanism BatchStore's
-  *    promote uses for its production pointer: atomic on object stores
-  *    (one PUT) and a one-`close()` window on HDFS/local. Readers
-  *    ([[readVersionPointer]]) absorb that window by retrying a blank
-  *    read a few times before giving up.
-  *  - [[claimDir]] uses create-if-absent (`FileSystem.createNewFile`),
-  *    atomic on HDFS/local. S3 offers no create-exclusive primitive, so
-  *    on object stores concurrent WRITERS must be excluded upstream
-  *    (single-writer maintenance is the documented contract on every
-  *    mutating index entry point); the claim then still guards against
-  *    accidental double-runs that race within one driver.
+  *  - [[swapVersionPointer]] writes the new pointer to a uniquely-named
+  *    temp file and renames it into place — an atomic whole-content
+  *    replace on local (`rename(2)`) and a plain move on any store whose
+  *    rename lands with the destination absent. Where the rename is
+  *    refused because the destination exists (HDFS honours the
+  *    no-overwrite FileSystem contract; s3a likewise), it falls back to
+  *    the small-object overwrite-put the BatchStore promote uses: atomic
+  *    on object stores (one PUT), a one-`close()` window on HDFS.
+  *    Readers ([[readVersionPointer]]) absorb that window by retrying
+  *    BLANK and MALFORMED reads alike — a partial prefix such as `v001`
+  *    of `v0012` is retried, never served.
+  *  - [[claimDir]] delegates to the installed [[WriterLock]] (default
+  *    [[TokenListingLock]] — see its scaladoc for the store
+  *    requirements and the adapter seam for stores that don't meet
+  *    them). It guards VERSION-DIR DISJOINTNESS: two maintenance jobs
+  *    racing on one root write complete, self-consistent versions into
+  *    different dirs and the last pointer swap wins — they can never
+  *    interleave writes inside one dir.
   */
 object IndexMeta {
 
@@ -65,39 +92,130 @@ object IndexMeta {
     else f.listStatus(p).toSeq.map(_.getPath.getName).sorted
   }
 
-  /** Atomically claim a fresh directory: parent mkdirs + create-if-absent
-    * of a `_CLAIM` marker inside it. Returns false when another writer
-    * claimed it first (marker already present). See the S3 caveat above.
+  /** The default [[WriterLock]]: unique-token claim files plus an
+    * alone-or-lose listing check.
+    *
+    * `FileSystem.createNewFile` looks atomic but is not — Hadoop
+    * implements it as exists-check-then-create, and RawLocalFileSystem
+    * opens a plain `FileOutputStream` (no `O_EXCL`), so two racing
+    * writers can both "create" the same marker on `file://` roots; nor
+    * is rename-into-place exclusive there (`rename(2)` silently
+    * REPLACES an existing destination). This protocol uses neither as
+    * an exclusivity primitive. Each claimant writes its token to a
+    * file whose NAME embeds the token (never contended), then lists:
+    * it owns the dir only if its claim file is the ONLY one visible.
+    * For two claimants to both win, each would have to complete its
+    * listing before the other's create became visible — impossible
+    * when listings reflect completed creates (the documented store
+    * requirement; see [[WriterLock]]). A tied race can make BOTH lose;
+    * losers delete their token (so an unowned dir can still be claimed
+    * later) and the allocators step to the next version number.
     */
-  def claimDir(dir: String): Boolean = {
-    val f = fs(dir)
-    f.mkdirs(new Path(dir))
-    try f.createNewFile(new Path(dir, "_CLAIM"))
-    catch { case _: java.io.IOException => false }
+  object TokenListingLock extends WriterLock {
+    def tryClaim(dir: String, token: String): Boolean = {
+      val f = fs(dir)
+      f.mkdirs(new Path(dir))
+      def claims(): Seq[String] =
+        listChildNames(dir).filter(_.startsWith("_CLAIM"))
+      if (claims().nonEmpty) return false // an established claim
+      val mine = s"_CLAIM.$token"
+      writeString(s"${dir.stripSuffix("/")}/$mine", token)
+      val alone = claims() == Seq(mine)
+      if (!alone) f.delete(new Path(dir, mine), false)
+      alone
+    }
+  }
+
+  @volatile private var writerLock: WriterLock = TokenListingLock
+
+  /** Run `body` with `l` installed as the claim lock (restored after) —
+    * the deployment seam for stores that don't meet
+    * [[TokenListingLock]]'s listing-consistency requirement, and the
+    * test seam for WriterLockSpec's fakes. Installation is process-wide
+    * (claims must be globally visible by definition); suites run
+    * sequentially in the forked test JVM.
+    */
+  def withWriterLock[T](l: WriterLock)(body: => T): T = {
+    val prev = writerLock
+    writerLock = l
+    try body finally writerLock = prev
+  }
+
+  /** Claim a fresh directory for exclusive writing (parent mkdirs +
+    * [[WriterLock.tryClaim]] with a per-attempt unique token). Returns
+    * false when another writer owns it — or when a tied race burned it,
+    * in which case neither racer owns it and both step on.
+    */
+  def claimDir(dir: String): Boolean =
+    writerLock.tryClaim(dir, java.util.UUID.randomUUID().toString)
+
+  /** The pointer is the ONE metadata object overwritten while
+    * concurrently read. On ChecksumFileSystem schemes (plain `file://`)
+    * the data file and its `.crc` sidecar move in two SEPARATE renames,
+    * so a reader racing a swap can pair new data with the old checksum
+    * and fail the read mid-swap; resolving the pointer through the raw
+    * filesystem keeps the swap one atomic `rename(2)` with no sidecar
+    * to tear. Every other metadata object is write-once-per-path and
+    * stays checksummed.
+    */
+  private def pointerFs(path: String): FileSystem = fs(path) match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
+
+  private def readPointerString(path: String): Option[String] = {
+    val f = pointerFs(path)
+    val p = new Path(path)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    }
   }
 
   /** Read a one-line `vNNNN` version pointer at `root/POINTER`. A blank
-    * read (a reader racing an in-flight overwrite-put on HDFS/local) is
-    * retried briefly; a pointer that stays blank is corrupt and throws
-    * rather than silently serving nothing.
+    * OR malformed read (a reader racing an in-flight overwrite-put on
+    * HDFS can see nothing or a partial prefix like `v001` of `v0012` —
+    * which would otherwise parse as a STALE version) is retried
+    * briefly; a pointer that stays unparseable is corrupt and throws
+    * rather than silently serving the wrong version.
     */
   def readVersionPointer(root: String): Option[Int] = {
     val path = s"${root.stripSuffix("/")}/POINTER"
     var attempt = 0
     while (true) {
-      readString(path) match {
+      readPointerString(path) match {
         case None => return None
-        case Some(s) if s.trim.nonEmpty =>
+        case Some(s) if s.trim.matches("v\\d{4,}") =>
           return Some(s.trim.stripPrefix("v").toInt)
         case Some(_) if attempt < 5 => attempt += 1; Thread.sleep(20)
-        case Some(_) =>
-          throw new IllegalStateException(s"corrupt (blank) pointer at $path")
+        case Some(s) =>
+          throw new IllegalStateException(
+            s"corrupt pointer at $path: ${if (s.trim.isEmpty) "(blank)" else s.trim}")
       }
     }
     None // unreachable
   }
 
-  /** Atomically (see object scaladoc) point readers at version `v`. */
-  def swapVersionPointer(root: String, v: Int): Unit =
-    writeString(s"${root.stripSuffix("/")}/POINTER", f"v$v%04d")
+  /** Atomically (see object scaladoc) point readers at version `v`:
+    * tmp write + rename-into-place where the store allows it, the
+    * BatchStore overwrite-put where it doesn't.
+    */
+  def swapVersionPointer(root: String, v: Int): Unit = {
+    val f = pointerFs(root)
+    val ptr = new Path(s"${root.stripSuffix("/")}/POINTER")
+    val content = f"v$v%04d".getBytes("UTF-8")
+    val tmp = new Path(s"${root.stripSuffix("/")}/.POINTER.tmp." +
+      java.util.UUID.randomUUID().toString.take(8))
+    val out = f.create(tmp, true)
+    try out.write(content) finally out.close()
+    val renamed =
+      try f.rename(tmp, ptr)
+      catch { case _: java.io.IOException => false }
+    if (!renamed) {
+      f.delete(tmp, false)
+      val put = f.create(ptr, true)
+      try put.write(content) finally put.close()
+    }
+  }
 }

@@ -312,13 +312,19 @@ object VectorIndex {
   // overwrite-put through the Hadoop FileSystem API (the BatchStore
   // promote convention — see [[graft.io.IndexMeta]] for the per-store
   // atomicity semantics), so the whole lifecycle runs against file://,
-  // hdfs:// or s3a:// roots. Version numbering derives from the served
-  // pointer (a torn higher dir is overwritten by the recovery re-run by
-  // design), so MAINTENANCE here is single-writer: at most one
-  // [[retrainAndSwap]]/[[foldIngestAndSwap]] may run per root at a time
-  // (concurrent [[appendBatch]] calls are fine — they are fenced per
-  // batchId). The postings index (SearchOps) demonstrates the
-  // alternative claim-based multi-writer allocation.
+  // hdfs:// or s3a:// roots. Version numbering is allocate-and-claim
+  // ([[claimNextVersion]]): max existing dir + 1 — a torn (unswapped)
+  // version dir is never silently adopted OR overwritten mid-recovery —
+  // with an atomic per-dir claim ([[graft.io.IndexMeta.claimDir]]) that
+  // steps past numbers a concurrent writer got to first. A fold racing
+  // a retrain (streaming ingest plus scheduled maintenance, the
+  // StreamOps.vectorIngestSink deployment) therefore writes two
+  // complete, self-consistent versions into DISJOINT dirs; both read
+  // the same base, so the last pointer swap wins and the loser's
+  // version goes unreferenced — re-running it on top of the winner is
+  // the recovery, the same contract as [[append]]. Same allocation as
+  // the postings index (SearchOps.claimNextPostingsVersion);
+  // VectorIndexSpec races two retrains for real and pins disjointness.
 
   def versionDir(root: String, v: Int): String = f"$root/versions/v$v%04d"
 
@@ -327,6 +333,27 @@ object VectorIndex {
     */
   def currentVersion(root: String): Option[Int] =
     graft.io.IndexMeta.readVersionPointer(root)
+
+  /** Allocate-and-claim the next version number: max existing dir + 1
+    * (never pointer + 1 — a torn dir must stay inert, not be adopted or
+    * overwritten), claimed atomically, stepping past numbers a racing
+    * writer claimed first. Mirrors SearchOps.claimNextPostingsVersion;
+    * the `v\d{4,}` match survives v10000 (`%04d` pads, never
+    * truncates — a 4-digit-only regex would orphan every version past
+    * v9999 and re-allocate live numbers forever after).
+    */
+  private def claimNextVersion(root: String): Int = {
+    val vs = graft.io.IndexMeta.listChildNames(s"$root/versions")
+      .filter(_.matches("v\\d{4,}")).map(_.stripPrefix("v").toInt)
+    var v = (vs :+ 0).max + 1
+    var attempts = 0
+    while (!graft.io.IndexMeta.claimDir(versionDir(root, v))) {
+      v += 1; attempts += 1
+      require(attempts < 1000,
+        s"could not claim a vector-index version dir under $root after 1000 tries")
+    }
+    v
+  }
 
   /** Write a complete index under `versions/vNNNN` WITHOUT serving it. */
   def writeVersion(model: Model, codes: DataFrame, root: String, v: Int): Unit =
@@ -352,10 +379,10 @@ object VectorIndex {
   def retrainAndSwap(emb: DataFrame, idCol: String, vecCol: String,
                      cellCol: String, dim: Int, m: Int, k: Int,
                      root: String): Int = {
-    val v = currentVersion(root).getOrElse(0) + 1
+    val cv = currentVersion(root)
+    val v = claimNextVersion(root)
     val spark = emb.sparkSession
-    val tombs = currentVersion(root)
-      .map(cv => readTombstones(spark, versionDir(root, cv)))
+    val tombs = cv.map(c => readTombstones(spark, versionDir(root, c)))
     val survivors = tombs.map(t =>
       emb.join(t.select(col("vid").as("__tomb_vid")),
         col(idCol).cast("long") === col("__tomb_vid"), "left_anti"))
@@ -366,10 +393,10 @@ object VectorIndex {
     // carry the folded-batch ledger (a retrain absorbs the streamed docs
     // through the corpus, which is authoritative — a replayed old batch
     // must no-op against the new version, not re-append)
-    currentVersion(root).foreach { cv =>
+    cv.foreach { c =>
       writeFoldedBatchIds(versionDir(root, v),
-        foldedBatchIds(versionDir(root, cv)) ++
-          committedSegmentIds(versionDir(root, cv)))
+        foldedBatchIds(versionDir(root, c)) ++
+          committedSegmentIds(versionDir(root, c)))
     }
     swapPointer(root, v)
     v
@@ -405,19 +432,20 @@ object VectorIndex {
                         dim: Int, m: Int, k: Int): Int = {
     val v = currentVersion(root).getOrElse(
       sys.error(s"no served index version at $root"))
+    val nv = claimNextVersion(root)
     val vDir = versionDir(root, v)
     val model = readModel(spark, vDir, dim, m, k)
     val tombs = readTombstones(spark, vDir)
     writeVersion(model, readCodesWithIngest(spark, vDir)
         .join(tombs, Seq("vid"), "left_anti"),
-      root, v + 1)
-    if (!tombs.isEmpty) delete(tombs, "vid", versionDir(root, v + 1))
+      root, nv)
+    if (!tombs.isEmpty) delete(tombs, "vid", versionDir(root, nv))
     // carry the folded-batch ledger: absorbed segments + everything an
     // ancestor already absorbed, so a cross-swap replay stays a no-op
-    writeFoldedBatchIds(versionDir(root, v + 1),
+    writeFoldedBatchIds(versionDir(root, nv),
       foldedBatchIds(vDir) ++ committedSegmentIds(vDir))
-    swapPointer(root, v + 1)
-    v + 1
+    swapPointer(root, nv)
+    nv
   }
 
   def readCurrentModel(spark: SparkSession, root: String,

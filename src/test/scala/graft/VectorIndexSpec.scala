@@ -467,4 +467,54 @@ class VectorIndexSpec extends SparkSpec {
       .orderBy("query_id", "rank")
     assert(filtered.collect().toSeq == filteredRef.collect().toSeq)
   }
+
+  test("racing retrains never interleave: claimed versions stay disjoint, the served index is whole") {
+    // Two maintenance jobs racing on one root (a fold racing a retrain
+    // under streaming ingest is the deployment shape; two retrains give
+    // the same race a deterministic oracle). The claim-based allocation
+    // (claimNextVersion, the SearchOps.claimNextPostingsVersion pattern)
+    // guarantees they never share a version dir; it deliberately does
+    // NOT serialize them — both read the same base, the last pointer
+    // swap wins, and the loser's complete version goes unreferenced.
+    // Both retrain from the SAME corpus, so whoever wins, the served
+    // answers equal a clean single retrain.
+    val root = tmpDir("vindex_race")
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val (m1, c1) = VectorIndex.build(half, "vec_id", "embedding", "label", dim, m, k)
+    VectorIndex.writeVersion(m1, c1, root.getPath, 1)
+    VectorIndex.swapPointer(root.getPath, 1)
+
+    val versions = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    def racer() = new Thread(() => {
+      latch.countDown(); latch.await()
+      try versions.add(VectorIndex.retrainAndSwap(
+        emb, "vec_id", "embedding", "label", dim, m, k, root.getPath))
+      catch { case t: Throwable => errs.add(t) }
+    })
+    val (ta, tb) = (racer(), racer())
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert(errs.isEmpty, s"racing retrain threw: ${errs.peek()}")
+    val got = versions.toArray(Array.empty[Integer]).map(_.toInt).toSet
+    assert(got.size == 2 && !got.contains(1),
+      s"racers must claim DISJOINT fresh versions, got $got")
+    val served = VectorIndex.currentVersion(root.getPath)
+    assert(served.exists(got.contains), s"pointer $served must name a racer's version")
+    // both racers' versions are complete — the loser is re-runnable/foldable
+    got.foreach(v => assert(VectorIndex.exists(VectorIndex.versionDir(root.getPath, v)),
+      s"racer version v$v is torn"))
+    // the served index answers exactly like a clean single retrain
+    val clean = tmpDir("vindex_race_ref")
+    val (mr, cr) = VectorIndex.build(emb, "vec_id", "embedding", "label", dim, m, k)
+    VectorIndex.write(mr, cr, clean.getPath)
+    def answers(model: VectorIndex.Model, codes: org.apache.spark.sql.DataFrame) =
+      VectorIndex.query(emb, "vec_id", "embedding", model, codes, rawVectors = emb,
+          nprobe = 2, shortlist = 10, topK = 3)
+        .orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(answers(VectorIndex.readCurrentModel(spark, root.getPath, dim, m, k),
+        VectorIndex.readCurrentCodes(spark, root.getPath)) ==
+      answers(mr, VectorIndex.readCodes(spark, clean.getPath)))
+  }
 }

@@ -1,0 +1,162 @@
+package graft
+
+import org.scalatest.matchers.should.Matchers
+
+import graft.io.{IndexMeta, WriterLock}
+
+/** The claim/lock layer under both persisted-index version allocators
+  * (SearchOps.claimNextPostingsVersion, VectorIndex.claimNextVersion):
+  *  - the default TokenListingLock is exclusive under a REAL race on
+  *    local disk (where neither `createNewFile` nor rename-into-place
+  *    is exclusive — the round-12 advice finding);
+  *  - a tied race may burn the dir (both lose) but never shares it,
+  *    and a burned-then-released dir stays claimable;
+  *  - the WriterLock seam accepts a conditional-put adapter — the
+  *    deployment story for stores without consistent listing — and two
+  *    writers through it cannot both claim;
+  *  - the pointer swap survives concurrent readers: no blank, partial
+  *    or malformed read ever surfaces as a version number.
+  */
+class WriterLockSpec extends SparkSpec with Matchers {
+
+  // IndexMeta resolves FileSystems against the active session
+  spark
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(d)
+    d.getPath
+  }
+
+  test("a claimed dir refuses every later claimant; old-style bare _CLAIM markers also block") {
+    val root = tmp("graft_lock_seq_")
+    assert(IndexMeta.claimDir(s"$root/v0001"))
+    assert(!IndexMeta.claimDir(s"$root/v0001"), "a second sequential claim must lose")
+    // dirs claimed by the round-12 createNewFile protocol carry a bare
+    // _CLAIM marker — they must still read as taken
+    IndexMeta.fs(root).mkdirs(new org.apache.hadoop.fs.Path(s"$root/v0002"))
+    IndexMeta.writeString(s"$root/v0002/_CLAIM", "")
+    assert(!IndexMeta.claimDir(s"$root/v0002"))
+  }
+
+  test("default lock under a real race: many rounds, never two winners") {
+    val root = tmp("graft_lock_race_")
+    var totalWinners = 0
+    (0 until 40).foreach { round =>
+      val dir = f"$root/v$round%04d"
+      val winners = new java.util.concurrent.atomic.AtomicInteger(0)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val latch = new java.util.concurrent.CountDownLatch(4)
+      val threads = (0 until 4).map { _ =>
+        new Thread(() => {
+          latch.countDown(); latch.await()
+          try { if (IndexMeta.claimDir(dir)) winners.incrementAndGet() }
+          catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"claim threw: ${errs.peek()}")
+      assert(winners.get() <= 1, s"round $round: ${winners.get()} writers claimed one dir")
+      totalWinners += winners.get()
+      // whatever happened, a FOLLOW-UP claimant is never a second owner
+      if (winners.get() == 1) assert(!IndexMeta.claimDir(dir))
+    }
+    // liveness: ties may burn individual dirs, but not every round
+    assert(totalWinners > 0, "no round produced a winner — the lock livelocked")
+  }
+
+  test("a tied race burns the dir for no one: losers release, the dir stays claimable") {
+    // losers delete their token, so a dir where ALL racers lost is not
+    // permanently wedged — the next (uncontended) claimant owns it
+    val dir = s"${tmp("graft_lock_burn_")}/v0001"
+    // simulate the tie by hand: write both tokens BEFORE either lists
+    IndexMeta.fs(dir).mkdirs(new org.apache.hadoop.fs.Path(dir))
+    IndexMeta.writeString(s"$dir/_CLAIM.aaa", "aaa")
+    IndexMeta.writeString(s"$dir/_CLAIM.bbb", "bbb")
+    // neither tokens' writer may claim ownership now
+    assert(IndexMeta.listChildNames(dir).count(_.startsWith("_CLAIM")) == 2)
+    assert(!IndexMeta.claimDir(dir), "a third claimant must lose against standing tokens")
+    // both losers withdraw (what tryClaim does on loss) → claimable again
+    IndexMeta.fs(dir).delete(new org.apache.hadoop.fs.Path(s"$dir/_CLAIM.aaa"), false)
+    IndexMeta.fs(dir).delete(new org.apache.hadoop.fs.Path(s"$dir/_CLAIM.bbb"), false)
+    assert(IndexMeta.claimDir(dir))
+  }
+
+  test("conditional-put adapter seam: two writers on a store without create-exclusive cannot both claim") {
+    // The deployment adapter for stores that meet NEITHER TokenListingLock
+    // requirement: back the claim with the store's own conditional put
+    // (S3 If-None-Match, DynamoDB lock table, ZK node). Faked here with
+    // a CAS map that has the real primitive's atomicity.
+    object CasLock extends WriterLock {
+      val claims = new java.util.concurrent.ConcurrentHashMap[String, String]()
+      def tryClaim(dir: String, token: String): Boolean =
+        claims.putIfAbsent(dir, token) == null
+    }
+    IndexMeta.withWriterLock(CasLock) {
+      val winners = new java.util.concurrent.atomic.AtomicInteger(0)
+      val latch = new java.util.concurrent.CountDownLatch(2)
+      val threads = (0 until 2).map { _ =>
+        new Thread(() => {
+          latch.countDown(); latch.await()
+          if (IndexMeta.claimDir("store://bucket/index/versions/v0007"))
+            winners.incrementAndGet()
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      winners.get() shouldBe 1
+      assert(CasLock.claims.containsKey("store://bucket/index/versions/v0007"))
+    }
+    // the default lock is restored after the scope
+    val dir = s"${tmp("graft_lock_restore_")}/v0001"
+    assert(IndexMeta.claimDir(dir))
+    assert(IndexMeta.listChildNames(dir).exists(_.startsWith("_CLAIM.")))
+  }
+
+  test("pointer swap: round-trips, replaces in place, leaves no tmp litter") {
+    val root = tmp("graft_lock_ptr_")
+    IndexMeta.readVersionPointer(root) shouldBe None
+    IndexMeta.swapVersionPointer(root, 3)
+    IndexMeta.readVersionPointer(root) shouldBe Some(3)
+    IndexMeta.swapVersionPointer(root, 12) // over an existing pointer
+    IndexMeta.readVersionPointer(root) shouldBe Some(12)
+    IndexMeta.swapVersionPointer(root, 10000) // 5 digits: %04d pads, never truncates
+    IndexMeta.readVersionPointer(root) shouldBe Some(10000)
+    assert(!IndexMeta.listChildNames(root).exists(_.contains("POINTER.tmp")),
+      "the rename path must consume its tmp file")
+  }
+
+  test("a malformed pointer is retried then refused — a partial read never serves a stale version") {
+    val root = tmp("graft_lock_ptrbad_")
+    // 'v001' is a plausible PARTIAL read of 'v0012' under a non-atomic
+    // put; parsing it would silently serve version 1
+    IndexMeta.writeString(s"$root/POINTER", "v001")
+    val e = intercept[IllegalStateException](IndexMeta.readVersionPointer(root))
+    e.getMessage should include("v001")
+    IndexMeta.writeString(s"$root/POINTER", "")
+    intercept[IllegalStateException](IndexMeta.readVersionPointer(root))
+      .getMessage should include("blank")
+    // recovery: a full swap heals the pointer
+    IndexMeta.swapVersionPointer(root, 12)
+    IndexMeta.readVersionPointer(root) shouldBe Some(12)
+  }
+
+  test("concurrent readers across 50 swaps only ever observe complete versions") {
+    val root = tmp("graft_lock_ptrrace_")
+    IndexMeta.swapVersionPointer(root, 1000) // all versions 4-digit: any prefix is malformed, not stale
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[Any]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val v = IndexMeta.readVersionPointer(root)
+          if (!v.exists(x => x >= 1000 && x <= 1050)) bad.add(v)
+        } catch { case t: Throwable => bad.add(t) }
+      }
+    })
+    reader.start()
+    (1001 to 1050).foreach(v => IndexMeta.swapVersionPointer(root, v))
+    stop.set(true); reader.join()
+    assert(bad.isEmpty, s"reader observed ${bad.peek()} during swaps")
+    IndexMeta.readVersionPointer(root) shouldBe Some(1050)
+  }
+}

@@ -879,7 +879,7 @@ object LlmPipeline {
     */
   private def corpusStamp(dir: String): String =
     Integer.toHexString(dir.hashCode) + "_" + graft.io.Fingerprint.ofTree(
-      new java.io.File(dir, "documents.parquet").getPath)
+      s"${dir.stripSuffix("/")}/documents.parquet")
 
   /** Drop persisted index dirs whose data stamp no longer matches —
     * regenerated testdata would otherwise accumulate one orphaned
@@ -900,7 +900,7 @@ object LlmPipeline {
   private def ensureQ110Index(s: SparkSession, dir: String,
                               emb: DataFrame): String = {
     val stamp = Integer.toHexString(dir.hashCode) + "_" +
-      graft.io.Fingerprint.ofTree(new java.io.File(dir, "embeddings.parquet").getPath)
+      graft.io.Fingerprint.ofTree(s"${dir.stripSuffix("/")}/embeddings.parquet")
     val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_q110_vindex_" + stamp)
     if (!VectorIndex.exists(root.getPath)) {
       cleanStaleIndexDirs("graft_q110_vindex_" +

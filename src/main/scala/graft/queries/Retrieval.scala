@@ -246,11 +246,14 @@ object Retrieval {
   /** Build the postings index once per (sf dir + data fingerprint);
     * later calls — even from a fresh JVM — only resolve the pointer and
     * read (the ensureQ110Index pattern: the first bench rep pays the
-    * build, steady-state reps measure serving).
+    * build, steady-state reps measure serving). The CACHE root lives
+    * under the driver's java.io.tmpdir by design (a per-host build-once
+    * cache); the SOURCE fingerprint resolves through the corpus dir's
+    * own scheme, so an s3a:// corpus stamps its real listing.
     */
   private def ensurePostingsIndex(s: SparkSession, dir: String): String = {
     val stamp = Integer.toHexString(dir.hashCode) + "_" + graft.io.Fingerprint
-      .ofTree(new java.io.File(dir, "documents.parquet").getPath)
+      .ofTree(s"${dir.stripSuffix("/")}/documents.parquet")
     val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_q120_bm25_" + stamp)
     if (!SearchOps.postingsIndexExists(root.getPath))
       SearchOps.buildPostingsIndex(Tables.load(s, dir, "documents"),
@@ -265,7 +268,7 @@ object Retrieval {
     */
   private def ensureVectorIndexVersioned(s: SparkSession, dir: String): String = {
     val stamp = Integer.toHexString(dir.hashCode) + "_" + graft.io.Fingerprint
-      .ofTree(new java.io.File(dir, "embeddings.parquet").getPath)
+      .ofTree(s"${dir.stripSuffix("/")}/embeddings.parquet")
     val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_q125_vindex_" + stamp)
     if (VectorIndex.currentVersion(root.getPath).isEmpty) {
       val (model, codes) = VectorIndex.build(Tables.load(s, dir, "embeddings"),

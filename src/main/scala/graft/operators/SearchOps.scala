@@ -93,7 +93,9 @@ object SearchOps {
                queries: DataFrame, topK: Int,
                k1: Double = 1.2, b: Double = 0.75,
                excludeSelf: Boolean = false,
-               maxDfFrac: Option[Double] = None): DataFrame = {
+               maxDfFrac: Option[Double] = None,
+               maxQueryTerms: Long = defaultMaxQueryTerms): DataFrame = {
+    guardQueryWorkload(queries, "bm25TopK", maxQueryTerms)
     val toks = tokenized(docs, textCol, idCol)
     // two corpus scalars; exact in double (counts and integer sums < 2^53)
     val stats = toks.select(size(col("ws")).cast("double").as("dl"))
@@ -113,10 +115,14 @@ object SearchOps {
     val cand = post.join(broadcast(qterms.select("term").distinct()), "term")
     val dft0 = cand.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val dft = maxDfFrac.fold(dft0) { frac =>
-      // decide keep/drop (and produce the drop report) from ONE
-      // query-vocab-sized collect — the df counts are already paid for;
-      // a DataFrame-side anti-join just for the log would recompute the
-      // whole postings aggregation as a second corpus pass
+      // the collect is an EAGER separate job, so the capped in-memory
+      // path tokenizes + aggregates the corpus twice — once here for
+      // df, once in the final scoring plan (separate jobs can never
+      // share the exchange a single uncapped plan can reuse). The
+      // collect trades that second pass for avoiding a THIRD (a
+      // DataFrame-side anti-join just for the drop report); the
+      // one-pass capped answer at scale is [[bm25TopKIndexed]], where
+      // df is precomputed in termstats
       import docs.sparkSession.implicits._
       val rows = dft0.crossJoin(broadcast(stats.select(col("n_docs")))).collect()
       val (keep, drop) = rows.partition(r => r.getDouble(1) <= r.getDouble(2) * frac)
@@ -135,6 +141,35 @@ object SearchOps {
     val scored = contrib.groupBy("query_id", "doc_id").agg(sum(col("c")).as("score"))
     val base = if (excludeSelf) scored.filter(col("query_id") =!= col("doc_id")) else scored
     boundedTopK(base, topK)
+  }
+
+  /** Default ceiling on distinct (query_id, term) rows — comfortably
+    * above any interactive workload, comfortably below a broadcast that
+    * would take down the driver.
+    */
+  val defaultMaxQueryTerms: Long = 1000000L
+
+  /** Both BM25 paths broadcast the distinct query terms — the prune
+    * that keeps everything downstream proportional to the MATCHED
+    * postings, not the corpus — so their documented contract is a
+    * broadcast-SMALL query workload. A caller passing a corpus-sized
+    * query set would otherwise hit a driver OOM with no actionable
+    * message; this fails loudly first, and cheaply (one limit-bounded
+    * count on the query side, never a full scan of an oversized set).
+    * Raise `maxQueryTerms` deliberately for a genuinely larger but
+    * still driver-sized workload; for corpus×corpus scoring, reshape
+    * the job (shuffle-join the postings on term) instead of raising it.
+    */
+  private def guardQueryWorkload(queries: DataFrame, op: String,
+                                 maxQueryTerms: Long): Unit = {
+    require(maxQueryTerms > 0, s"$op: maxQueryTerms must be positive")
+    val over = queries.select(col("query_id"), col("term")).distinct()
+      .limit((maxQueryTerms + 1).min(Int.MaxValue).toInt).count() > maxQueryTerms
+    require(!over,
+      s"$op: the query workload exceeds $maxQueryTerms distinct (query_id, term) " +
+        "rows; both BM25 paths broadcast the query terms, so this bound guards the " +
+        "driver. Raise maxQueryTerms deliberately if the workload is genuinely " +
+        "driver-sized; for corpus-scale query sets reshape the job instead.")
   }
 
   // NOT named `log`: that would shadow sql.functions.log in bm25Contrib
@@ -430,7 +465,9 @@ object SearchOps {
                       root: String, queries: DataFrame, topK: Int,
                       k1: Double = 1.2, b: Double = 0.75,
                       excludeSelf: Boolean = false,
-                      maxDfFrac: Option[Double] = None): DataFrame = {
+                      maxDfFrac: Option[Double] = None,
+                      maxQueryTerms: Long = defaultMaxQueryTerms): DataFrame = {
+    guardQueryWorkload(queries, "bm25TopKIndexed", maxQueryTerms)
     val cur = postingsCurrentVersion(root).getOrElse(
       throw new IllegalStateException(s"no postings index at $root"))
     val m = readPostingsManifest(root, cur)

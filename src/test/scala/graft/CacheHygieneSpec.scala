@@ -24,30 +24,34 @@ class CacheHygieneSpec extends SparkSpec {
   )).toDF("doc_id", "text", "lang")
 
   test("curateToParquet unpersists every chain cache") {
-    val before = spark.sparkContext.getPersistentRDDs.size
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = CurationPipeline.curateToParquet(docs, "text", "doc_id", "lang",
       col("doc_id") >= 900, tmp("curate"))
     assert(out.count() > 0)
-    val after = spark.sparkContext.getPersistentRDDs.size
-    // <= not ==: the ContextCleaner may concurrently unpersist OTHER
-    // suites' dead caches between the two measurements (seen once under
-    // heavy host load, after = before - 8) — only a POSITIVE delta is a
-    // leak by this runner
-    assert(after <= before, s"curateToParquet leaked ${after - before} cached frames")
+    // RDD-id SETS, not counts: the ContextCleaner may concurrently
+    // unpersist OTHER suites' dead caches between the two measurements
+    // (seen once under heavy host load), which under a count compare
+    // masks a real leak of the same size. The cleaner only ever REMOVES
+    // ids, and suites run sequentially in the forked JVM, so any id in
+    // after-minus-before was cached by the operation under test
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"curateToParquet leaked cached frames with RDD ids $leaked")
   }
 
   test("curateFullToParquet unpersists every chain cache") {
-    val before = spark.sparkContext.getPersistentRDDs.size
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = CurationPipeline.curateFullToParquet(docs, "text", "doc_id", "lang",
       col("doc_id") >= 900, tmp("curatefull"),
       minWords = 3, lineWords = 2, lineMinDocs = 50, spanWords = 3, spanMinCount = 50)
     assert(out.count() > 0)
-    val after = spark.sparkContext.getPersistentRDDs.size
-    // <= not ==: the ContextCleaner may concurrently unpersist OTHER
-    // suites' dead caches between the two measurements (seen once under
-    // heavy host load, after = before - 8) — only a POSITIVE delta is a
-    // leak by this runner
-    assert(after <= before, s"curateFullToParquet leaked ${after - before} cached frames")
+    // RDD-id SETS, not counts: the ContextCleaner may concurrently
+    // unpersist OTHER suites' dead caches between the two measurements
+    // (seen once under heavy host load), which under a count compare
+    // masks a real leak of the same size. The cleaner only ever REMOVES
+    // ids, and suites run sequentially in the forked JVM, so any id in
+    // after-minus-before was cached by the operation under test
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"curateFullToParquet leaked cached frames with RDD ids $leaked")
   }
 
   test("incrementalDedupToParquet unpersists the index and batch caches") {
@@ -56,15 +60,17 @@ class CacheHygieneSpec extends SparkSpec {
       (5000L, "document number 3 about topic 3 with several words of content to pass the gates easily"),
       (5001L, "a brand new document with entirely original content today")
     ).toDF("doc_id", "text")
-    val before = spark.sparkContext.getPersistentRDDs.size
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = DedupOps.incrementalDedupToParquet(batch, corpus, "text", "doc_id", tmp("inc"))
     val byId = out.collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(byId(5000L) == "exact_dup" && byId(5001L) == "kept")
-    val after = spark.sparkContext.getPersistentRDDs.size
-    // <= not ==: the ContextCleaner may concurrently unpersist OTHER
-    // suites' dead caches between the two measurements (seen once under
-    // heavy host load, after = before - 8) — only a POSITIVE delta is a
-    // leak by this runner
-    assert(after <= before, s"incrementalDedupToParquet leaked ${after - before} cached frames")
+    // RDD-id SETS, not counts: the ContextCleaner may concurrently
+    // unpersist OTHER suites' dead caches between the two measurements
+    // (seen once under heavy host load), which under a count compare
+    // masks a real leak of the same size. The cleaner only ever REMOVES
+    // ids, and suites run sequentially in the forked JVM, so any id in
+    // after-minus-before was cached by the operation under test
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"incrementalDedupToParquet leaked cached frames with RDD ids $leaked")
   }
 }

@@ -363,6 +363,24 @@ class SearchOpsSpec extends SparkSpec with Matchers {
       .orderBy("query_id", "rank").collect().toSeq
   }
 
+  test("a corpus-sized query workload is refused loudly before the broadcast, on both paths") {
+    val qs = q((0L, "cat"), (0L, "dog"), (1L, "mat")) // 3 distinct (query, term) rows
+    val e = intercept[IllegalArgumentException] {
+      SearchOps.bm25TopK(docs, "text", "doc_id", qs, topK = 5, maxQueryTerms = 2)
+    }
+    assert(e.getMessage.contains("maxQueryTerms"))
+    val root = tmpRoot().getPath
+    SearchOps.buildPostingsIndex(docs, "text", "doc_id", root)
+    intercept[IllegalArgumentException] {
+      SearchOps.bm25TopKIndexed(spark, root, qs, topK = 5, maxQueryTerms = 2)
+    }
+    // at the bound (not over it) both paths serve normally
+    assert(SearchOps.bm25TopK(docs, "text", "doc_id", qs, topK = 5,
+      maxQueryTerms = 3).count() > 0)
+    assert(SearchOps.bm25TopKIndexed(spark, root, qs, topK = 5,
+      maxQueryTerms = 3).count() > 0)
+  }
+
   test("cosineTopKFor ranks an explicit query subset and excludes self") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),

@@ -389,4 +389,153 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set(7L, 9L),
       s"unmatched right row lost its join key: $out")
   }
+
+  // ---- Restart realism for the persisted-index sinks ----------------
+  //
+  // q115/q122 drive triggers with processAllAvailable inside ONE query;
+  // these two run the recovery story the crash-injection dedup specs
+  // pin, against the postings/vector sinks: a REAL restart from the
+  // checkpoint after a kill, with the trigger replayed because its
+  // checkpoint commit never landed. A file source (not MemoryStream,
+  // which trims committed batches) makes the replay re-deliverable;
+  // deleting `commits/N` reproduces a process death after the sink's
+  // side effects but before the checkpoint recorded the trigger.
+
+  private def freshDir(name: String): java.io.File = {
+    val d = Files.createTempDirectory(name).toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(d)
+    d
+  }
+
+  /** Simulate the process dying AFTER trigger `n`'s sink side effects
+    * but BEFORE its checkpoint commit: drop `commits/n` (and its local
+    * checksum sidecar, which a live kill would also never have written
+    * — leaving it would make Spark's rename-based rewrite refuse).
+    */
+  private def dropCommit(ckpt: String, n: Int): Unit = {
+    assert(Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", s"$n")))
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", s".$n.crc"))
+  }
+
+  test("postings sink restart: a kill between version commit and pointer swap replays to convergence; a post-swap kill replays to a no-op") {
+    import graft.operators.SearchOps
+    val all = Seq(
+      (0L, "the cat sat on the mat"), (1L, "the dog sat on the log"),
+      (2L, "cat cat cat"), (3L, "unique pangolin"),
+      (4L, "dog and cat and pangolin"), (5L, "mat dog mat"),
+      (6L, "a pangolin on a log"), (7L, "the quiet cat")
+    )
+    val (base, b0, b1) = (all.take(4), all.slice(4, 6), all.drop(6))
+    val root = freshDir("graft_pindex_restart_").getPath
+    val ckpt = freshDir("graft_pindex_restart_ckpt_").getPath
+    val src = freshDir("graft_pindex_restart_src_").getPath
+    def addFile(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.write(java.nio.file.Paths.get(src, name),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    def runOnce(): Unit = {
+      val q = StreamOps.postingsIngestSink(
+          spark.readStream.schema("doc_id LONG, text STRING").json(src),
+          "text", "doc_id", root)
+        .option("checkpointLocation", ckpt).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    val qs = Seq((0L, "cat"), (0L, "pangolin"), (1L, "dog"), (1L, "mat"))
+      .toDF("query_id", "term")
+    def served() = SearchOps.bm25TopKIndexed(spark, root, qs, topK = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    def oracle(docs: Seq[(Long, String)]) = SearchOps.bm25TopK(
+        docs.toDF("doc_id", "text"), "text", "doc_id", qs, topK = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+
+    SearchOps.buildPostingsIndex(base.toDF("doc_id", "text"), "text", "doc_id", root)
+    addFile("f0.json", b0)
+    runOnce() // trigger 0: append + swap + checkpoint commit
+    assert(served() == oracle(base ++ b0))
+
+    // KILL between version commit and pointer swap, checkpoint commit
+    // lost too: rebuild that exact on-disk state — the appended version
+    // dir is complete but unreferenced (pointer back on v1), the batch
+    // tag absent from the SERVED manifest, commits/0 never written
+    val v2 = SearchOps.postingsCurrentVersion(root).get
+    graft.io.IndexMeta.swapVersionPointer(root, 1)
+    dropCommit(ckpt, 0)
+    runOnce() // restart replays trigger 0 from the checkpoint
+    val vAfter = SearchOps.postingsCurrentVersion(root).get
+    assert(vAfter > v2, s"recovery must land PAST the torn dir v$v2, got v$vAfter")
+    assert(served() == oracle(base ++ b0),
+      "replay after a mid-append kill must converge, not double-count")
+
+    // KILL after full commit+swap but before the checkpoint commit: the
+    // replayed tag IS in the served manifest → ledger-mediated no-op
+    addFile("f1.json", b1)
+    runOnce() // trigger 1 applies cleanly
+    val v3 = SearchOps.postingsCurrentVersion(root).get
+    val s3 = served()
+    assert(s3 == oracle(all))
+    dropCommit(ckpt, 1)
+    runOnce() // restart replays trigger 1
+    assert(SearchOps.postingsCurrentVersion(root).get == v3,
+      "a replayed committed trigger must not mint a new version")
+    assert(served() == s3)
+  }
+
+  test("vector sink restart: a torn ingest segment is overwritten by the replay; a committed one no-ops") {
+    import graft.operators.VectorIndex
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (dim, m, k) = (64, 4, 16)
+    val base = emb.filter($"vec_id" % 3 === 0)
+    val b0 = emb.filter($"vec_id" % 3 === 1).limit(40)
+      .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+    val root = freshDir("graft_vindex_restart_").getPath
+    val ckpt = freshDir("graft_vindex_restart_ckpt_").getPath
+    val src = freshDir("graft_vindex_restart_src_").getPath
+    val (model, codes) = VectorIndex.build(base, "vec_id", "embedding", "label", dim, m, k)
+    VectorIndex.writeVersion(model, codes, root, 1)
+    VectorIndex.swapPointer(root, 1)
+    val v1 = VectorIndex.versionDir(root, 1)
+
+    // stage the batch as replayable source files (move Spark's part
+    // files in, so the stream sees exactly one batch of them)
+    val stage = freshDir("graft_vindex_restart_stage_").getPath
+    b0.coalesce(1).write.mode("overwrite").json(stage)
+    new java.io.File(stage).listFiles().filter(_.getName.endsWith(".json"))
+      .foreach(f => Files.move(f.toPath, java.nio.file.Paths.get(src, f.getName)))
+
+    def runOnce(): Unit = {
+      val q = StreamOps.vectorIngestSinkVersioned(
+          spark.readStream.schema("vec_id LONG, embedding ARRAY<DOUBLE>").json(src),
+          "vec_id", "embedding", root, dim, m, k)
+        .option("checkpointLocation", ckpt).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    def canon() = VectorIndex.readCodesWithIngest(spark, v1)
+      .select($"vid", $"cell", $"codes".cast("array<long>"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toList))
+      .sortBy(_._1).toSeq
+
+    runOnce() // trigger 0 commits ingest/b0
+    val expect = canon()
+    assert(expect.exists(_._1 % 3 == 1), "the ingested batch must be serving")
+    assert(graft.io.IndexMeta.exists(s"$v1/ingest/b0/_SUCCESS"))
+
+    // KILL mid segment write (torn remnant, no _SUCCESS, no checkpoint
+    // commit): the replay must overwrite its own remnant, nothing else
+    assert(Files.deleteIfExists(java.nio.file.Paths.get(v1, "ingest", "b0", "_SUCCESS")))
+    dropCommit(ckpt, 0)
+    runOnce() // restart replays trigger 0
+    assert(canon() == expect,
+      "replaying a torn segment must restore byte-identical codes")
+
+    // KILL after the segment committed but before the checkpoint commit:
+    // the replay finds _SUCCESS and no-ops
+    val mtime = Files.getLastModifiedTime(
+      java.nio.file.Paths.get(v1, "ingest", "b0", "_SUCCESS"))
+    dropCommit(ckpt, 0)
+    runOnce()
+    assert(canon() == expect)
+    assert(Files.getLastModifiedTime(java.nio.file.Paths.get(
+        v1, "ingest", "b0", "_SUCCESS")) == mtime,
+      "a replay of a committed segment must not rewrite it")
+  }
 }

@@ -557,6 +557,42 @@ object ProfileMain {
         println(f"planes=$planes%2d -> result pairs=$n%6d  time=${(System.nanoTime()-t0)/1e9}%5.2f s")
         spark.catalog.clearCache()
       }
+    } else if (args.headOption.contains("termstatsappend")) {
+      // appendPostingsIndex rewrites the FULL vocabulary-sized termstats
+      // on every append (the delta segment itself is batch-sized): this
+      // measures how per-append cost scales with vocabulary size at a
+      // FIXED delta, the datapoint for when termstats delta-segments +
+      // merge-on-read would start to pay (round-12 verdict item 5).
+      import org.apache.spark.sql.functions._
+      import graft.operators.SearchOps
+      val deltaDocs = 200L
+      Seq(10000L, 50000L, 200000L, 500000L).foreach { v =>
+        // each doc carries 50 distinct stride-spread terms so the corpus
+        // covers the whole vocabulary; term ids stay inside [0, v)
+        def docsDf(n: Long, idOffset: Long) = spark.range(n)
+          .select((col("id") + idOffset).as("doc_id"),
+            concat_ws(" ", (0 until 50).map(j =>
+              concat(lit("t"), (col("id") * 53L + j) % v)): _*).as("text"))
+        val nCorpus = math.max(2000L, v / 10)
+        val root = java.nio.file.Files.createTempDirectory(s"graft_tsapp_$v").toFile
+        try {
+          val t0 = System.nanoTime()
+          SearchOps.buildPostingsIndex(docsDf(nCorpus, 0), "text", "doc_id", root.getPath)
+          val build = (System.nanoTime() - t0) / 1e9
+          val vocab = spark.read.parquet(
+            s"${SearchOps.postingsVersionDir(root.getPath,
+              SearchOps.postingsCurrentVersion(root.getPath).get)}/termstats").count()
+          val reps = (0 until 3).map { r =>
+            val t1 = System.nanoTime()
+            SearchOps.appendPostingsIndex(docsDf(deltaDocs, 10000000L + r * 1000),
+              "text", "doc_id", root.getPath, s"b$r")
+            (System.nanoTime() - t1) / 1e9
+          }
+          println(f"PROFILE termstats-append vocab=$vocab%7d corpus=$nCorpus%6d " +
+            f"delta=$deltaDocs%4d build=$build%6.2f s  append min=${reps.min}%5.2f  " +
+            reps.map(t => f"$t%5.2f").mkString(" "))
+        } finally org.apache.commons.io.FileUtils.deleteQuietly(root)
+      }
     } else {
       // 5 timed reps each after one warm rep — prints every rep so noise
       // is visible rather than hidden behind a min

@@ -213,9 +213,10 @@ object SearchOps {
   // inert, the old version keeps serving; re-running the append is the
   // recovery, and the applied_tags ledger makes a REPLAYED append (same
   // tag) a no-op instead of a double-count. Concurrent mutators are
-  // fenced by an atomic per-version-dir claim on HDFS/local; on object
-  // stores (no create-exclusive primitive) maintenance must be
-  // single-writer, the IndexMeta.claimDir contract.
+  // fenced by an exclusive per-version-dir claim (IndexMeta.claimDir:
+  // token files + alone-or-lose listing, exclusive wherever listings
+  // reflect completed creates — local/HDFS/consistent object stores;
+  // other stores install a WriterLock adapter).
   def postingsVersionDir(root: String, v: Int): String =
     f"$root/versions/v$v%04d"
 

@@ -308,11 +308,11 @@ object VectorIndex {
   // (Spark pins concrete files at planning). A crash after writeVersion
   // but before swapPointer leaves the old version serving and the new
   // directory inert — re-running the retrain is the recovery, the same
-  // contract as [[append]]. The pointer swap is a single small-object
-  // overwrite-put through the Hadoop FileSystem API (the BatchStore
-  // promote convention — see [[graft.io.IndexMeta]] for the per-store
-  // atomicity semantics), so the whole lifecycle runs against file://,
-  // hdfs:// or s3a:// roots. Version numbering is allocate-and-claim
+  // contract as [[append]]. The pointer swap is a tmp-write +
+  // rename-into-place with a small-object overwrite-put fallback,
+  // through the Hadoop FileSystem API (see [[graft.io.IndexMeta]] for
+  // the per-store atomicity semantics), so the whole lifecycle runs
+  // against file://, hdfs:// or s3a:// roots. Version numbering is allocate-and-claim
   // ([[claimNextVersion]]): max existing dir + 1 — a torn (unswapped)
   // version dir is never silently adopted OR overwritten mid-recovery —
   // with an atomic per-dir claim ([[graft.io.IndexMeta.claimDir]]) that

@@ -1015,6 +1015,48 @@ object DedupOps {
   private def epochFileName(epoch: Long, kind: String): String =
     f"epoch-$epoch%08d.$kind.json"
 
+  /** Allocate-and-claim the next epoch id: max existing record + 1,
+    * claimed atomically via a sibling `epoch-NNNNNNNN.claim` marker dir
+    * (invisible to the `EpochFileName` regex, so readers and repair
+    * never see it), stepping past ids a racing writer claimed first —
+    * the SearchOps/VectorIndex version-allocation pattern applied to
+    * the ledger. Without the claim, two writers racing one ledger (a
+    * promote healing into an index a streaming intake is appending to)
+    * mint the SAME epoch id and the loser's intent/commit records are
+    * silently overwritten — its inserted files then read as orphans
+    * and the next repair would quarantine a fully committed append.
+    * Scope note: the claim makes the LEDGER collision-proof; file
+    * ATTRIBUTION under truly concurrent appends can still overlap
+    * (insertTracked diffs directory listings), which repair treats
+    * safely (orphans = files minus the UNION of committed records) —
+    * precise per-epoch attribution keeps the documented single-writer
+    * append contract.
+    */
+  private def claimNextEpoch(dir: org.apache.hadoop.fs.Path,
+                             led: EpochLedger): Long = {
+    var e = led.nextEpoch
+    var attempts = 0
+    while (!graft.io.IndexMeta.claimDir(
+        new org.apache.hadoop.fs.Path(dir, f"epoch-$e%08d.claim").toString)) {
+      e += 1; attempts += 1
+      require(attempts < 1000,
+        s"could not claim an epoch id under $dir after 1000 tries")
+    }
+    e
+  }
+
+  /** [[claimNextEpoch]] from a fresh ledger read — the exact
+    * read-then-claim sequence both mutating entry points run, exposed
+    * for CorpusIndexSpec to race directly (the ledger types are
+    * private, so the end-to-end race can't reach the allocator).
+    */
+  private[graft] def claimNextEpochId(spark: org.apache.spark.sql.SparkSession,
+                                      tablePrefix: String): Long = {
+    val dir = epochLedgerDir(spark, tablePrefix)
+    claimNextEpoch(dir, readEpochLedger(spark, tablePrefix).getOrElse(
+      EpochLedger(Map.empty, Map.empty)))
+  }
+
   private def readEpochLedger(spark: org.apache.spark.sql.SparkSession,
                               tablePrefix: String): Option[EpochLedger] =
     readEpochLedgerAt(spark, epochLedgerDir(spark, tablePrefix))
@@ -1304,7 +1346,7 @@ object DedupOps {
                                   srcEpoch: Long, rec: Map[String, Any]): Unit = {
     val led = readEpochLedger(spark, toPrefix).get
     val dir = epochLedgerDir(spark, toPrefix)
-    val epoch = led.nextEpoch
+    val epoch = claimNextEpoch(dir, led)
     val tag = rec.get("tag").map(String.valueOf)
     writeTextFile(spark,
       new org.apache.hadoop.fs.Path(dir, epochFileName(epoch, "intent")).toString,
@@ -1467,7 +1509,7 @@ object DedupOps {
       // per insert in the commit; repair derives orphans as current
       // files minus every committed epoch's files)
       val dir = epochLedgerDir(spark, tablePrefix)
-      val epoch = led.nextEpoch
+      val epoch = claimNextEpoch(dir, led)
       writeTextFile(spark, new org.apache.hadoop.fs.Path(dir, epochFileName(epoch, "intent")).toString,
         graft.io.StableJson.write(
           Map("epoch" -> epoch, "docs" -> docs) ++ epochTag.map("tag" -> _)))

@@ -1143,4 +1143,85 @@ class CorpusIndexSpec extends SparkSpec {
       Seq(srcRoot, dstRoot, target).foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     }
   }
+
+  test("racing appends mint disjoint epochs: neither ledger record is overwritten, repair quarantines nothing") {
+    // Two writers racing one ledger (deployment shape: a promote healing
+    // into an index a streaming intake is appending to). Before the
+    // claimed allocation both could mint the SAME epoch id — the loser's
+    // intent/commit records were silently overwritten and its committed
+    // files read as orphans, so the NEXT repair deleted a fully
+    // committed append. The claim steps the loser to the next id; both
+    // appends survive under every interleaving.
+    dropIndex()
+    try {
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"), prefix, buckets = 4)
+      val accA = Seq((6000L, "racer a accepted a document about claims and ledgers today"))
+        .toDF("doc_id", "text")
+      val accB = Seq((6001L, "racer b accepted a different document about epochs and markers"))
+        .toDF("doc_id", "text")
+      // the allocator itself, raced directly (deterministic): every
+      // concurrent read-then-claim must yield a DISTINCT epoch id —
+      // `led.nextEpoch` alone hands both racers the same one
+      val ids = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val claimLatch = new java.util.concurrent.CountDownLatch(4)
+      val claimers = (0 until 4).map(_ => new Thread(() => {
+        claimLatch.countDown(); claimLatch.await()
+        ids.add(DedupOps.claimNextEpochId(spark, prefix))
+      }))
+      claimers.foreach(_.start()); claimers.foreach(_.join())
+      val claimed = ids.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+      assert(claimed.distinct.size == 4, s"epoch ids collided under race: $claimed")
+
+      // end-to-end: a REAL append racing the other writer's allocation
+      // step (the deployment pair is an insertInto appender vs a
+      // file-copy heal writer — they share the LEDGER, not Spark's
+      // insert committer, whose _temporary staging cannot host two
+      // concurrent jobs on one table). The append must land on an id
+      // disjoint from everything the rival claimed, under any timing.
+      val latch = new java.util.concurrent.CountDownLatch(2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val rivalIds = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val appender = new Thread(() => {
+        latch.countDown(); latch.await()
+        try {
+          DedupOps.appendToCorpusDedupIndex(accA, "text", "doc_id", prefix, Some("rA"))
+          DedupOps.appendToCorpusDedupIndex(accB, "text", "doc_id", prefix, Some("rB"))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+      val rival = new Thread(() => {
+        latch.countDown(); latch.await()
+        try (0 until 6).foreach { _ =>
+          rivalIds.add(DedupOps.claimNextEpochId(spark, prefix)); Thread.sleep(5)
+        } catch { case t: Throwable => errs.add(t) }
+      })
+      appender.start(); rival.start(); appender.join(); rival.join()
+      assert(errs.isEmpty, s"racing append threw: ${errs.peek()}")
+      // both commit records survived: repair finds nothing torn and —
+      // critically — deletes NO files (a lost commit record would turn
+      // that append's files into quarantined orphans right here)
+      val rep = DedupOps.repairCorpusDedupIndex(spark, prefix)
+      assert(rep("torn_epochs") == Nil, s"torn epochs after race: $rep")
+      assert(rep("deleted_files").asInstanceOf[Map[String, Any]].values
+          .forall(v => String.valueOf(v) == "0"),
+        s"repair quarantined a committed append's files: $rep")
+      // both appended docs are corpus-known to later judgments
+      val later = Seq(
+        (7000L, "racer a accepted a document about claims and ledgers today"),
+        (7001L, "racer b accepted a different document about epochs and markers"),
+        (7002L, "nothing resembling anything else in this corpus today at all")
+      ).toDF("doc_id", "text")
+      val judged = DedupOps.incrementalDedupPrepared(
+          later, DedupOps.readCorpusDedupIndex(spark, prefix), "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(judged(7000L) == "exact_dup" && judged(7001L) == "exact_dup" &&
+        judged(7002L) == "kept", s"post-race judgments: $judged")
+      // replay idempotence by tag holds for BOTH racers
+      val rows = spark.table(s"${prefix}_fingerprints").count()
+      DedupOps.appendToCorpusDedupIndex(accA, "text", "doc_id", prefix, Some("rA"))
+      DedupOps.appendToCorpusDedupIndex(accB, "text", "doc_id", prefix, Some("rB"))
+      assert(spark.table(s"${prefix}_fingerprints").count() == rows,
+        "a tagged replay re-applied after the race")
+    } finally dropIndex()
+  }
 }

@@ -417,6 +417,91 @@ class StreamingSpec extends SparkSpec {
     Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", s".$n.crc"))
   }
 
+  test("intake sink restart: a post-commit kill replays to a no-op; a kill between intent and epoch commit repairs and redoes") {
+    import graft.operators.DedupOps
+    val prefix = "graft_test_intake_restart"
+    def drop(): Unit = Seq("_fingerprints", "_shingles", "_bands")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $prefix$s"))
+    drop()
+    val extPath = freshDir("graft_intake_restart_idx_").getPath
+    val target = freshDir("graft_intake_restart_tgt_").getPath
+    val ckpt = freshDir("graft_intake_restart_ckpt_").getPath
+    val src = freshDir("graft_intake_restart_src_").getPath
+    def addFile(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.write(java.nio.file.Paths.get(src, name),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    def runOnce(): Unit = {
+      val q = StreamOps.nearDupIntakeSinkWithIndexUpdate(
+          spark.readStream.schema("doc_id LONG, text STRING").json(src),
+          prefix, "text", "doc_id", target)
+        .option("checkpointLocation", ckpt).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    def served() = spark.read.parquet(target).select("doc_id")
+      .as[Long].collect().toSet
+    def fpCount() = {
+      // the shared session caches the table's file listing; the judge
+      // path refreshes on read, this raw count must refresh itself
+      spark.catalog.refreshTable(s"${prefix}_fingerprints")
+      spark.table(s"${prefix}_fingerprints").count()
+    }
+    val ledgerDir = java.nio.file.Paths.get(extPath, "_epochs", prefix)
+    def commitFiles() = ledgerDir.toFile.listFiles()
+      .map(_.getName).filter(_.matches("epoch-\\d+\\.commit\\.json")).sorted.toSeq
+    try {
+      val corpus = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank")
+      ).toDF("doc_id", "text")
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"), prefix,
+        buckets = 2, path = Some(extPath))
+
+      // trigger 0: one novel doc kept + appended, one corpus near-dup dropped
+      addFile("f0.json", Seq(
+        (100L, "fresh material arriving in the first trigger about spark state stores"),
+        (101L, "the quick brown fox jumps over the lazy dog near the river banks")))
+      runOnce()
+      assert(served() == Set(100L), s"trigger 0 kept ${served()}")
+      val fp1 = fpCount()
+      val commits1 = commitFiles()
+
+      // KILL after the epoch commit but before the checkpoint commit:
+      // the replayed tag reads 'committed' → full no-op (no re-judge
+      // side effects, no new epoch, no partition rewrite)
+      dropCommit(ckpt, 0)
+      runOnce()
+      assert(served() == Set(100L))
+      assert(fpCount() == fp1, "a committed replay re-appended to the index")
+      assert(commitFiles() == commits1, "a committed replay minted a new epoch")
+
+      // trigger 1: a near-dup of trigger 0's ACCEPTED doc drops, a novel
+      // doc keeps — then KILL between the epoch intent and its commit
+      // (tables partially/fully inserted, commit record missing): the
+      // replay must read 'torn', repair-quarantine, and redo both writes
+      addFile("f1.json", Seq(
+        (200L, "fresh material arriving in the first trigger about spark state machines"),
+        (201L, "wholly unrelated second trigger content concerning broadcast variables")))
+      runOnce()
+      assert(served() == Set(100L, 201L), s"trigger 1 kept ${served()}")
+      assert(fpCount() == fp1 + 1)
+      val newCommit = (commitFiles().toSet -- commits1.toSet).head
+      assert(Files.deleteIfExists(ledgerDir.resolve(newCommit)))
+      Files.deleteIfExists(ledgerDir.resolve(s".$newCommit.crc"))
+      dropCommit(ckpt, 1)
+      runOnce()
+      assert(served() == Set(100L, 201L),
+        "the torn replay must redo to the identical kept set")
+      assert(fpCount() == fp1 + 1, "the torn replay double-appended after repair")
+      // and the redone append is live: a near-dup of 201 now drops
+      addFile("f2.json", Seq(
+        (300L, "wholly unrelated second trigger content concerning broadcast variable"),
+        (301L, "completely novel third trigger material about shuffle services")))
+      runOnce()
+      assert(served() == Set(100L, 201L, 301L), s"final kept ${served()}")
+    } finally drop()
+  }
+
   test("postings sink restart: a kill between version commit and pointer swap replays to convergence; a post-swap kill replays to a no-op") {
     import graft.operators.SearchOps
     val all = Seq(

@@ -92,6 +92,14 @@ object IndexMeta {
     else f.listStatus(p).toSeq.map(_.getPath.getName).sorted
   }
 
+  /** Recursively delete `path`; false when it was already absent. The
+    * retention-GC primitive ([[graft.operators.SearchOps
+    * .prunePostingsVersions]] / [[graft.operators.VectorIndex
+    * .pruneVersions]]) — callers own the which-dirs-are-dead decision.
+    */
+  def deleteTree(path: String): Boolean =
+    fs(path).delete(new Path(path), true)
+
   /** The default [[WriterLock]]: unique-token claim files plus an
     * alone-or-lose listing check.
     *

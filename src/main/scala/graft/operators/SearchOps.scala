@@ -408,6 +408,54 @@ object SearchOps {
     v
   }
 
+  /** Retention GC for superseded postings versions: delete version dirs
+    * that nothing can reach anymore. Every fold/append/delete mints a
+    * new version and leaves the old one on disk (that immutability IS
+    * the crash-recovery and pinned-reader story), so without retention
+    * a busy index accumulates one dir per mutation forever — at 100 TB
+    * that is real storage, listing overhead, and recovery confusion.
+    *
+    * Kept, in order of why:
+    *  - the SERVED version and everything at/above the pointer (a dir
+    *    past the pointer belongs to an in-flight or crashed writer —
+    *    its claim/recovery story, never GC's);
+    *  - the `keepLatest - 1` newest superseded versions (grace for
+    *    readers whose plans pinned files before the last swap);
+    *  - the REFERENCE CLOSURE of every kept version: appends and
+    *    deletes carry segments by reference, so a kept manifest —
+    *    including a grace version's, whose pinned readers hold concrete
+    *    file paths — may point into far older version dirs; those
+    *    survive any retention setting. Only a fold (which consolidates
+    *    to one owned segment) makes predecessors collectable, which is
+    *    the natural call order: fold, then prune.
+    *
+    * Single-writer maintenance, like fold/retrain (a concurrent append
+    * could read a manifest whose referenced segments this is deleting).
+    * Returns the pruned version numbers.
+    */
+  def prunePostingsVersions(spark: org.apache.spark.sql.SparkSession,
+                            root: String, keepLatest: Int = 1): Seq[Int] = {
+    require(keepLatest >= 1, "keepLatest must be >= 1")
+    val served = postingsCurrentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no postings index at $root"))
+    val all = graft.io.IndexMeta.listChildNames(s"$root/versions")
+      .filter(_.matches("v\\d{4,}")).map(_.stripPrefix("v").toInt)
+    val grace = all.filter(_ < served).sorted.takeRight(keepLatest - 1).toSet
+    val baseKeep = all.filter(_ >= served).toSet ++ grace
+    val SegVer = "versions/v(\\d{4,})/.*".r
+    val referenced = baseKeep.toSeq
+      .filter(v => graft.io.IndexMeta.exists(
+        s"${postingsVersionDir(root, v)}/manifest.json"))
+      .flatMap(v => readPostingsManifest(root, v)("segments")
+        .asInstanceOf[Seq[_]].map(String.valueOf)
+        .collect { case SegVer(n) => n.toInt })
+    val keep = baseKeep ++ referenced
+    val prunable = all.filterNot(keep).sorted
+    prunable.foreach(v =>
+      graft.io.IndexMeta.deleteTree(postingsVersionDir(root, v)))
+    prunable
+  }
+
   /** Tombstone `deletedIds` (a (doc_id) frame) in a new version:
     * segments carry by reference — postings files are never rewritten
     * (the next [[foldPostingsIndex]] drops the rows for real) — while

@@ -448,6 +448,32 @@ object VectorIndex {
     nv
   }
 
+  /** Retention GC for superseded index versions: every fold/retrain
+    * mints a new version dir and leaves the old one serving-ready on
+    * disk (immutability IS the crash-recovery and pinned-reader story),
+    * so a periodically-retrained index accumulates one full codes tree
+    * per retrain forever — at 100 TB that is a corpus-sized dir per
+    * maintenance cycle. Unlike the postings index, vector versions are
+    * SELF-CONTAINED (fold/retrain rewrite codes, carry the tombstone
+    * and folded-batch ledgers into the new dir, and appends land inside
+    * the current version), so no reference closure is needed: anything
+    * below the pointer outside the `keepLatest - 1` reader-grace window
+    * is unreachable. Dirs at/above the pointer are never touched (an
+    * in-flight or crashed writer owns them). Single-writer maintenance,
+    * like fold/retrain. Returns the pruned version numbers.
+    */
+  def pruneVersions(root: String, keepLatest: Int = 1): Seq[Int] = {
+    require(keepLatest >= 1, "keepLatest must be >= 1")
+    val served = currentVersion(root).getOrElse(
+      sys.error(s"no served index version at $root"))
+    val all = graft.io.IndexMeta.listChildNames(s"$root/versions")
+      .filter(_.matches("v\\d{4,}")).map(_.stripPrefix("v").toInt)
+    val grace = all.filter(_ < served).sorted.takeRight(keepLatest - 1).toSet
+    val prunable = all.filter(v => v < served && !grace(v)).sorted
+    prunable.foreach(v => graft.io.IndexMeta.deleteTree(versionDir(root, v)))
+    prunable
+  }
+
   def readCurrentModel(spark: SparkSession, root: String,
                        dim: Int, m: Int, k: Int): Model = {
     val v = currentVersion(root).getOrElse(

@@ -417,6 +417,41 @@ object LlmPipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // Retention GC under the hash gate: build → batch-append → fold
+    // (v2) → prune. Vector versions are self-contained (fold rewrites
+    // codes and carries both ledgers into the new dir), so the prune
+    // collects v1 whole, the served answer is STILL q111's oracle
+    // (fold re-encodes nothing), and a replay of the folded batch
+    // against the pruned index still no-ops through the CARRIED ledger.
+    "q129_ann_index_pruned" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cutoff = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0) / 2
+      val base = emb.filter(col("vec_id") <= cutoff)
+      val rest = emb.filter(col("vec_id") > cutoff)
+      val root = java.nio.file.Files.createTempDirectory("graft_q129_vindex_").toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(root)
+      val (m1, c1) = VectorIndex.build(base, "vec_id", "embedding", "label",
+        dim = 64, m = 4, k = 16)
+      VectorIndex.writeVersion(m1, c1, root.getPath, 1)
+      VectorIndex.swapPointer(root.getPath, 1)
+      val batch = rest.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      require(VectorIndex.appendBatch(batch, "vec_id", "embedding", m1,
+        VectorIndex.versionDir(root.getPath, 1), batchId = 0L))
+      VectorIndex.foldIngestAndSwap(s, root.getPath, dim = 64, m = 4, k = 16)
+      require(VectorIndex.pruneVersions(root.getPath) == Seq(1),
+        "prune must collect exactly the superseded version")
+      require(!graft.io.IndexMeta.exists(VectorIndex.versionDir(root.getPath, 1)))
+      require(!VectorIndex.appendBatch(batch, "vec_id", "embedding",
+        VectorIndex.readCurrentModel(s, root.getPath, dim = 64, m = 4, k = 16),
+        VectorIndex.versionDir(root.getPath, 2), batchId = 0L),
+        "the carried ledger must keep blocking the folded batch's replay")
+      VectorIndex.query(emb, "vec_id", "embedding",
+          VectorIndex.readCurrentModel(s, root.getPath, dim = 64, m = 4, k = 16),
+          VectorIndex.readCurrentCodes(s, root.getPath), rawVectors = emb,
+          nprobe = 2, shortlist = 10, topK = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // ANN without a precomputed label: hyperplane-LSH quantizer with
     // multi-probe (flip the lowest-|margin| plane bits). Plane signs are
     // sha-derived and projections integer-quantized, so the oracle
@@ -1065,6 +1100,9 @@ object LlmPipeline {
     // segment-fold compaction consolidates files without re-encoding a
     // single row, so the post-fold answer is still q111's oracle
     ("q116_ann_stream_ingest_folded" -> oraclesMain("q111_ann_topk_index_appended")) +
+    // retention GC moves no answer: the fold re-encoded nothing and the
+    // prune deleted only the unreachable predecessor — q111's oracle
+    ("q129_ann_index_pruned" -> oraclesMain("q111_ann_topk_index_appended")) +
     // the versioned lifecycle closes on a FULL-corpus retrain, which is
     // definitionally the derive-in-query model — q109's oracle verbatim
     ("q117_ann_stream_ingest_versioned" -> oraclesMain("q109_ann_topk_ivfpq_refined")) +

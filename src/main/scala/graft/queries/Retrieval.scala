@@ -241,6 +241,36 @@ object Retrieval {
       SearchOps.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
           qs(s, dir), topK = 5, maxDfFrac = Some(0.78))
         .orderBy("query_id", "rank")
+    }),
+
+    // Retention GC under the hash gate: the q123 lifecycle (build, 3
+    // tagged appends, fold) plus prunePostingsVersions — the fold's
+    // consolidated version makes every predecessor unreachable, the
+    // prune deletes them all, and serving through what remains is
+    // STILL q118's oracle verbatim. The pre-fold prune must be a no-op
+    // (the served manifest references segments in every older dir),
+    // so both halves of the reference-closure contract are pinned.
+    "q128_bm25_index_pruned" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cutoff = docs.agg(max(col("doc_id").cast("long"))).head().getLong(0) / 2
+      val root = java.nio.file.Files.createTempDirectory("graft_q128_bm25_").toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(root)
+      SearchOps.buildPostingsIndex(docs.filter(col("doc_id") <= cutoff),
+        "text", "doc_id", root.getPath)
+      (0 until 3).foreach { r =>
+        SearchOps.appendPostingsIndex(
+          docs.filter(col("doc_id") > cutoff && col("doc_id") % 3 === r),
+          "text", "doc_id", root.getPath, batchTag = s"q128-b$r")
+      }
+      require(SearchOps.prunePostingsVersions(s, root.getPath).isEmpty,
+        "pre-fold prune must keep every referenced segment dir")
+      SearchOps.foldPostingsIndex(s, root.getPath)
+      val pruned = SearchOps.prunePostingsVersions(s, root.getPath)
+      require(pruned == Seq(1, 2, 3, 4), s"prune collected $pruned")
+      require(!graft.io.IndexMeta.exists(
+        SearchOps.postingsVersionDir(root.getPath, 1)), "pruned dir survived")
+      SearchOps.bm25TopKIndexed(s, root.getPath, qs(s, dir), topK = 5)
+        .orderBy("query_id", "rank")
     }))
 
   /** Build the postings index once per (sf dir + data fingerprint);
@@ -412,5 +442,10 @@ object Retrieval {
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
          |  FROM sc)
          |SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rank
-         |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin)
+         |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // retention GC moves no answer: fold copies rows verbatim and the
+    // prune deletes only unreachable dirs — q118's oracle verbatim
+    // through the GC'd index
+    "q128_bm25_index_pruned" -> bm25TopSql)
 }

@@ -363,6 +363,48 @@ class SearchOpsSpec extends SparkSpec with Matchers {
       .orderBy("query_id", "rank").collect().toSeq
   }
 
+  test("prune deletes only unreachable versions: referenced segments and the pointer's future survive") {
+    val qs = q((0L, "cat"), (0L, "sat"), (1L, "dog"), (2L, "pangolin"))
+    val root = tmpRoot().getPath
+    SearchOps.buildPostingsIndex(docs.filter($"doc_id" <= 3), "text", "doc_id", root) // v1
+    SearchOps.appendPostingsIndex(docs.filter($"doc_id".isin(4L, 5L)),
+      "text", "doc_id", root, "b1") // v2: segments in v1 + v2
+    SearchOps.appendPostingsIndex(docs.filter($"doc_id" > 5),
+      "text", "doc_id", root, "b2") // v3: segments in v1 + v2 + v3
+    val expect = SearchOps.bm25TopKIndexed(spark, root, qs, topK = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+
+    // pre-fold, nothing is collectable: the served manifest references
+    // segments living in EVERY older version dir
+    assert(SearchOps.prunePostingsVersions(spark, root) == Nil,
+      "prune deleted a version whose segments the served manifest references")
+    SearchOps.bm25TopKIndexed(spark, root, qs, topK = 10)
+      .orderBy("query_id", "rank").collect().toSeq shouldBe expect
+
+    val folded = SearchOps.foldPostingsIndex(spark, root) // v4, self-contained
+    // keepLatest=2 keeps v3 as reader grace — and v3's manifest
+    // references segments living in v1/v2, so grace transitively pins
+    // THOSE dirs too (a reader pinned on v3 holds concrete file paths)
+    SearchOps.prunePostingsVersions(spark, root, keepLatest = 2) shouldBe Nil
+    assert(graft.io.IndexMeta.exists(SearchOps.postingsVersionDir(root, 1)))
+    // full retention collects the whole superseded chain; serving is unmoved
+    SearchOps.prunePostingsVersions(spark, root) shouldBe Seq(1, 2, 3)
+    assert(SearchOps.postingsCurrentVersion(root).contains(folded))
+    SearchOps.bm25TopKIndexed(spark, root, qs, topK = 10)
+      .orderBy("query_id", "rank").collect().toSeq shouldBe expect
+
+    // life continues after GC: a fresh append claims past everything,
+    // references only surviving segments, and serves exactly
+    import org.apache.spark.sql.functions.{col => c}
+    val extra = docs.filter($"doc_id" === 0L)
+      .select((c("doc_id") + 100L).as("doc_id"), c("text"))
+    SearchOps.appendPostingsIndex(extra, "text", "doc_id", root, "b3")
+    SearchOps.bm25TopKIndexed(spark, root, qs, topK = 10)
+      .orderBy("query_id", "rank").collect().toSeq shouldBe
+      SearchOps.bm25TopK(docs.unionByName(extra), "text", "doc_id", qs, topK = 10)
+        .orderBy("query_id", "rank").collect().toSeq
+  }
+
   test("a corpus-sized query workload is refused loudly before the broadcast, on both paths") {
     val qs = q((0L, "cat"), (0L, "dog"), (1L, "mat")) // 3 distinct (query, term) rows
     val e = intercept[IllegalArgumentException] {

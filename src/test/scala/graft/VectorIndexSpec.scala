@@ -468,6 +468,47 @@ class VectorIndexSpec extends SparkSpec {
     assert(filtered.collect().toSeq == filteredRef.collect().toSeq)
   }
 
+  test("prune deletes superseded versions only; served answers and carried ledgers survive") {
+    val root = tmpDir("vindex_prune")
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val (m1, c1) = VectorIndex.build(half, "vec_id", "embedding", "label", dim, m, k)
+    VectorIndex.writeVersion(m1, c1, root.getPath, 1)
+    VectorIndex.swapPointer(root.getPath, 1)
+    val batch = emb.filter(col("vec_id") % 2 === 1).limit(30)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    assert(VectorIndex.appendBatch(batch, "vec_id", "embedding", m1,
+      VectorIndex.versionDir(root.getPath, 1), batchId = 0L))
+    VectorIndex.foldIngestAndSwap(spark, root.getPath, dim, m, k) // v2, ledger {0}
+    VectorIndex.retrainAndSwap(emb, "vec_id", "embedding", "label",
+      dim, m, k, root.getPath) // v3, carries the ledger
+
+    val expect = VectorIndex.query(emb, "vec_id", "embedding",
+        VectorIndex.readCurrentModel(spark, root.getPath, dim, m, k),
+        VectorIndex.readCurrentCodes(spark, root.getPath), rawVectors = emb,
+        nprobe = 2, shortlist = 10, topK = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+
+    assert(VectorIndex.pruneVersions(root.getPath, keepLatest = 2) == Seq(1))
+    assert(graft.io.IndexMeta.exists(VectorIndex.versionDir(root.getPath, 2)))
+    assert(VectorIndex.pruneVersions(root.getPath) == Seq(2))
+    assert(!graft.io.IndexMeta.exists(VectorIndex.versionDir(root.getPath, 1)))
+    assert(VectorIndex.currentVersion(root.getPath).contains(3))
+    assert(VectorIndex.query(emb, "vec_id", "embedding",
+        VectorIndex.readCurrentModel(spark, root.getPath, dim, m, k),
+        VectorIndex.readCurrentCodes(spark, root.getPath), rawVectors = emb,
+        nprobe = 2, shortlist = 10, topK = 3)
+      .orderBy("query_id", "rank").collect().toSeq == expect,
+      "prune moved the served answers")
+    // the folded-batch ledger was CARRIED, not referenced: pruning the
+    // fold's version cannot resurrect a replay of its absorbed batch
+    assert(!VectorIndex.appendBatch(batch, "vec_id", "embedding",
+      VectorIndex.readCurrentModel(spark, root.getPath, dim, m, k),
+      VectorIndex.versionDir(root.getPath, 3), batchId = 0L),
+      "a folded batch replayed against the pruned index must still no-op")
+    // and the pointer's future is never touched
+    assert(VectorIndex.pruneVersions(root.getPath) == Nil)
+  }
+
   test("racing retrains never interleave: claimed versions stay disjoint, the served index is whole") {
     // Two maintenance jobs racing on one root (a fold racing a retrain
     // under streaming ingest is the deployment shape; two retrains give

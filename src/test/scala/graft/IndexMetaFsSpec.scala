@@ -64,6 +64,10 @@ class IndexMetaFsSpec extends SparkSpec with Matchers {
       root, batchTag = "b1") shouldBe None
     SearchOps.deleteFromPostingsIndex(spark, root, Seq(1L).toDF("doc_id"))
     SearchOps.foldPostingsIndex(spark, root)
+    // retention GC resolves listings and deletions through graftfs too
+    assert(SearchOps.prunePostingsVersions(spark, root).nonEmpty,
+      "post-fold prune must collect the superseded chain")
+    assert(!graft.io.IndexMeta.exists(SearchOps.postingsVersionDir(root, 1)))
 
     val served = SearchOps.bm25TopKIndexed(spark, root, qs, topK = 10)
       .orderBy("query_id", "rank").collect().toSeq
@@ -96,6 +100,9 @@ class IndexMetaFsSpec extends SparkSpec with Matchers {
 
     VectorIndex.foldIngestAndSwap(spark, root, dim, m, k) shouldBe 2
     VectorIndex.currentVersion(root) shouldBe Some(2)
+    // retention GC through graftfs: v1 collects, v2 keeps serving
+    VectorIndex.pruneVersions(root) shouldBe Seq(1)
+    assert(!graft.io.IndexMeta.exists(VectorIndex.versionDir(root, 1)))
     // the folded-batch ledger carried through graftfs: a cross-swap
     // replay of batch 0 against v2 must still no-op
     assert(!VectorIndex.appendBatch(batch, "vec_id", "embedding", model,

@@ -116,6 +116,27 @@ object Analytic {
         .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("bin_tokens"))
         .orderBy("lang", "shard", "bin")
     }),
+
+    // Token-budgeted weighted mixing (operators/MixOps): 10% of the
+    // corpus's tokens, split across sources by a weight derived from
+    // the source id (srcN → N % 4 + 1, normalized over the sources
+    // present) — the pretraining-recipe step. The oracle re-derives
+    // EVERYTHING: per-source token mass, weight shares, the float
+    // rate tree (mirrored operation for operation), the 16-bit cut,
+    // and the per-row hash gate — so a drifted rate, a re-ordered
+    // float op, or a salt collision all fail the hash, not just a
+    // wrong row count.
+    "q130_mix_token_budget" -> ((s, dir) => {
+      val kept = graft.operators.MixOps.mixByTokenBudget(
+        t(s, dir, "documents"), "source", "text", "doc_id",
+        weightExpr = substring(col("source"), 4, 10).cast("int") % 4 + 1,
+        budgetFrac = 0.1)
+      kept.groupBy("source", "mix_cut")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(size(split(col("text"), " ")).cast("long")).as("kept_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("source")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -178,5 +199,33 @@ object Analytic {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(tokens) AS BIGINT) AS bin_tokens
         |FROM o GROUP BY lang, shard, bin ORDER BY lang, shard, bin""".stripMargin,
+
+    // the float rate tree mirrors MixOps.mixByTokenBudget op for op:
+    // t1 = tot*frac; t2 = w/wsum; t3 = t1*t2; t4 = t3/stoks;
+    // rate = least(1, t4); cut = floor(rate*65536) as %05x — lexicographic
+    // hex compare of the 5-padded gate is numeric compare (q62 trick,
+    // widened one char so a saturated cut 0x10000 keeps everything)
+    "q130_mix_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |per AS (SELECT source, SUM(toks) AS stoks,
+        |    CAST(CAST(substring(source, 4) AS INTEGER) % 4 + 1 AS BIGINT) AS w
+        |  FROM d GROUP BY source),
+        |tot AS (SELECT CAST(SUM(stoks) AS DOUBLE) AS tot,
+        |    CAST(SUM(w) AS DOUBLE) AS wsum FROM per),
+        |cuts AS (SELECT source, printf('%05x', CAST(floor(LEAST(1.0,
+        |      (tot * 0.1) * (CAST(w AS DOUBLE) / wsum) / CAST(stoks AS DOUBLE))
+        |      * 65536.0) AS BIGINT)) AS mix_cut
+        |  FROM per, tot),
+        |g AS (SELECT d.doc_id, d.source, d.toks, cuts.mix_cut
+        |  FROM d JOIN cuts USING (source)
+        |  WHERE lpad(substring(sha256('graft-mix:' || CAST(doc_id AS VARCHAR)), 1, 4),
+        |    5, '0') < mix_cut)
+        |SELECT source, mix_cut,
+        |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(toks) AS BIGINT) AS kept_tokens,
+        |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        |FROM g GROUP BY source, mix_cut ORDER BY source""".stripMargin,
   )
 }

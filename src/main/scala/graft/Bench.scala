@@ -68,7 +68,12 @@ object Bench {
                                 // once per SF, then serve-only — the q110 shape)
     "q125_hybrid_indexed",      // hybrid RRF over BOTH persisted indexes (postings
                                 // BM25 + IVF-PQ ANN, each pointer-resolved)
-    "q127_bm25_topk_capped")    // BM25 with the stop-word df cap (skew guard)
+    "q127_bm25_topk_capped",    // BM25 with the stop-word df cap (skew guard)
+    "q128_bm25_index_pruned",   // postings lifecycle + retention GC (build, 3
+                                // appends, fold, reference-closure prune, serve)
+    "q129_ann_index_pruned",    // vector lifecycle + retention GC (build, batch
+                                // append, fold, prune, carried-ledger replay block)
+    "q130_mix_token_budget")    // token-budgeted weighted corpus mixing (hash-gated)
     // q104 (3-trigger streaming intake) is an oracle/lifecycle query, not
     // a headline: its batches feed through driver-side MemoryStream
     // plumbing, and the lifecycle's bench-scale cost story is carried by

@@ -205,7 +205,18 @@ class PlanAuditSpec extends SparkSpec {
       // the vector leg q110's (codes/centroids/codebooks + raw-vector
       // rerank fetches), fused by one batch-sized integer agg — neither
       // index side ever sits beneath a shuffle
-      "q125_hybrid_indexed" -> (10, 9, 7, 0))
+      "q125_hybrid_indexed" -> (10, 9, 7, 0),
+      // post-GC serving: the lifecycle behind it (build/append/fold/
+      // prune) ran before this plan exists; the SERVE plan is the
+      // single-consolidated-segment q120 shape — the prune must not
+      // change what the reader touches
+      "q128_bm25_index_pruned" -> (5, 6, 4, 0),
+      // post-GC ANN serving: q110's persisted shape through the pruned
+      // version dir
+      "q129_ann_index_pruned" -> (4, 2, 3, 0),
+      // one corpus scan gated by the broadcast cut table (the agg pass
+      // happened driver-side before this plan exists)
+      "q130_mix_token_budget" -> (1, 2, 1, 0))
     for ((q, (scans, shuffles, broadcasts, antis)) <- pins) {
       val p = plan(q)
       def uniq(pat: String): Int =

@@ -133,6 +133,54 @@ object TextOps {
       .limit(k)
   }
 
+  /** Bigram language-model surprisal — the CCNet-style quality signal:
+    * score every document by how surprising its word transitions are
+    * under a bigram model TRAINED ON THE CORPUS ITSELF (boilerplate and
+    * fluent prose score low; mangled extractions, wordlists and
+    * lorem-ipsum tails score high — the filter keeps/buckets by the
+    * score downstream).
+    *
+    * Model: conditional MLE with add-one smoothing over the corpus
+    * vocabulary, p(w2|w1) = (c(w1,w2)+1) / (c1(w1)+V), where c1 counts
+    * bigram STARTS (the proper denominator) and V is the distinct-token
+    * count. Per-bigram surprisal quantizes IMMEDIATELY —
+    * floor(-ln(p)·10⁶) as an exact long, the BM25 convention — so the
+    * per-doc SUM is exact integer arithmetic and the DuckDB oracle
+    * reproduces it bit-for-bit (a sum of raw doubles would accumulate
+    * 1-ulp libm divergence across hundreds of terms). All contributions
+    * are non-negative, so the integer mean divides identically on both
+    * engines (negative integer division truncates on Spark but floors
+    * on DuckDB — the convention dodges that entirely).
+    *
+    * Scale shape: two combinable count aggregates (bigram and start
+    * vocab — sized by vocabulary, not corpus), a shuffle join of the
+    * doc bigrams against each on its own key, one broadcast scalar (V),
+    * and a per-doc sum. No corpus self-join, no window.
+    */
+  def bigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val ws = col("_ws")
+    val grams = transform(sequence(lit(0), size(ws) - 2),
+      i => array_join(slice(ws, i + 1, lit(2)), " "))
+    val big = df.select(col(idCol).cast("long").as("doc_id"), words(col(textCol)).as("_ws"))
+      .filter(size(ws) >= 2)
+      .select(col("doc_id"), explode(grams).as("gram"))
+    val c12 = big.groupBy("gram").agg(count(lit(1)).as("c12"))
+    val c1 = big.select(split(col("gram"), " ").getItem(0).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vdf = df.select(explode(words(col(textCol))).as("tk"))
+      .filter(col("tk") =!= "")
+      .agg(countDistinct(col("tk")).as("vocab"))
+    val p = (col("c12") + 1).cast("double") / (col("c1") + col("vocab")).cast("double")
+    big.join(c12, "gram")
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .join(c1, "w1")
+      .crossJoin(broadcast(vdf))
+      .withColumn("q", floor((-log(p)) * lit(1000000.0)).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("q")).as("surprisal"), count(lit(1)).as("n_bigrams"))
+      .withColumn("avg_q", expr("surprisal div n_bigrams"))
+  }
+
   /** Gopher-style document quality gate: several independent rules, each
     * reported as its own flag plus an overall verdict and the ordered
     * list of failed-rule names (the audit trail a curation pipeline

@@ -555,6 +555,17 @@ object LlmPipeline {
       TextOps.topNgrams(t(s, dir, "documents"), "text", n = 3, k = 20)
     }),
 
+    // Bigram-LM surprisal scoring (the CCNet-style perplexity quality
+    // signal), self-trained on the corpus: the 25 most-surprising docs
+    // by integer mean surprisal. The oracle re-derives the model AND
+    // the scores — add-one-smoothed conditional MLE, per-bigram
+    // floor(-ln(p)·10⁶) longs (the BM25 quantization convention, so
+    // the per-doc sums are exact integers on both engines).
+    "q131_bigram_surprisal" -> ((s, dir) => {
+      TextOps.bigramSurprisal(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("avg_q").desc, col("doc_id").asc).limit(25)
+    }),
+
     // Transitive near-dup clusters: connected components over the
     // 3-gram Jaccard ≥ 0.5 pair graph (pairs via MinHash+LSH+verify,
     // identical to the brute set) — component = min member id, the
@@ -1686,6 +1697,33 @@ object LlmPipeline {
         |g AS (SELECT unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS gram FROM w WHERE len(ws) >= 3)
         |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY gram
         |ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+
+    // the float tree mirrors TextOps.bigramSurprisal op for op:
+    // p = (c12+1)/(c1+V) as one double division of exact integers,
+    // then floor((-ln(p)) * 1e6) per bigram BEFORE the per-doc sum
+    "q131_bigram_surprisal" ->
+      """WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |v AS (SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS vocab
+        |  FROM (SELECT unnest(ws) AS tk FROM w) WHERE tk <> ''),
+        |g AS (SELECT doc_id,
+        |    unnest([array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))]) AS gram
+        |  FROM w WHERE len(ws) >= 2),
+        |c12 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c12 FROM g GROUP BY gram),
+        |c1 AS (SELECT split_part(gram, ' ', 1) AS w1, CAST(COUNT(*) AS BIGINT) AS c1
+        |  FROM g GROUP BY 1),
+        |q AS (SELECT doc_id, CAST(floor((-ln(
+        |      CAST(c12 + 1 AS DOUBLE) / CAST(c1 + vocab AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS q
+        |  FROM g JOIN c12 USING (gram)
+        |  JOIN c1 ON split_part(g.gram, ' ', 1) = c1.w1
+        |  CROSS JOIN v),
+        |s AS (SELECT doc_id, CAST(SUM(q) AS BIGINT) AS surprisal,
+        |    CAST(COUNT(*) AS BIGINT) AS n_bigrams
+        |  FROM q GROUP BY doc_id)
+        |SELECT doc_id, surprisal, n_bigrams, surprisal // n_bigrams AS avg_q
+        |FROM s ORDER BY avg_q DESC, doc_id ASC LIMIT 25""".stripMargin,
 
     "q68_neardup_clusters" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws FROM documents),

@@ -57,4 +57,34 @@ class TextStatsSpec extends SparkSpec {
     //   "box with five dozen liquor" + "with five dozen liquor jugs" with 20
     assert(got.toSeq == Seq((11L, 1L, 2L), (21L, 1L, 4L)))
   }
+
+  test("bigramSurprisal: repeated transitions score low, novel ones high; short docs drop") {
+    // corpus: doc 1 repeats one transition ("a b") many times — the
+    // model learns it, so doc 1's bigrams are UNsurprising; doc 2 takes
+    // transitions seen nowhere else — every one is smoothing-only mass
+    val docs = Seq(
+      (1L, "a b a b a b a b a b"),
+      (2L, "c d e f g h"),
+      (3L, "a b a b"),   // same transitions as doc 1 → similar avg
+      (4L, "one"),       // 1 token: no bigram → absent
+      (5L, "")           // empty: absent
+    ).toDF("doc_id", "text")
+    val got = TextOps.bigramSurprisal(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L), s"short/empty docs must drop: $got")
+    val byId = got.map(r => r._1 -> r).toMap
+    // n_bigrams = tokens - 1
+    assert(byId(1L)._3 == 9 && byId(2L)._3 == 5 && byId(3L)._3 == 3)
+    // novel transitions are strictly more surprising than drilled ones
+    assert(byId(2L)._4 > byId(1L)._4,
+      s"novel-transition doc must out-score the repeated one: $got")
+    // contributions are non-negative longs (the cross-engine div contract)
+    assert(got.forall(_._2 >= 0), s"negative surprisal breaks div parity: $got")
+    // determinism under repartition (exact integer pipeline end to end)
+    val again = TextOps.bigramSurprisal(docs.repartition(5), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(again.toSeq == got.toSeq)
+  }
 }

@@ -44,14 +44,19 @@ trait WriterLock {
   *  - [[swapVersionPointer]] writes the new pointer to a uniquely-named
   *    temp file and renames it into place — an atomic whole-content
   *    replace on local (`rename(2)`) and a plain move on any store whose
-  *    rename lands with the destination absent. Where the rename is
-  *    refused because the destination exists (HDFS honours the
-  *    no-overwrite FileSystem contract; s3a likewise), it falls back to
-  *    the small-object overwrite-put the BatchStore promote uses: atomic
-  *    on object stores (one PUT), a one-`close()` window on HDFS.
-  *    Readers ([[readVersionPointer]]) absorb that window by retrying
-  *    BLANK and MALFORMED reads alike — a partial prefix such as `v001`
-  *    of `v0012` is retried, never served.
+  *    rename lands with the destination absent. Where the destination
+  *    already exists, `FileSystem.rename` REFUSES the move by RETURNING
+  *    FALSE rather than throwing — that is HDFS's documented
+  *    no-overwrite contract (and s3a's), so on those stores every swap
+  *    after the first takes the false branch. It then falls back to
+  *    the small-object overwrite-put the BatchStore promote uses:
+  *    atomic on object stores (one PUT), a one-`close()` window on
+  *    HDFS. Readers ([[readVersionPointer]]) absorb that window two
+  *    ways: the pointer is written WITH a trailing `\n` terminator and
+  *    only terminated reads parse, so a torn prefix — even a
+  *    well-formed one like `v1000` of `v10000\n` — reads as in-flight,
+  *    and in-flight/blank/malformed reads alike are retried, never
+  *    served.
   *  - [[claimDir]] delegates to the installed [[WriterLock]] (default
   *    [[TokenListingLock]] — see its scaladoc for the store
   *    requirements and the adapter seam for stores that don't meet
@@ -181,12 +186,16 @@ object IndexMeta {
     }
   }
 
-  /** Read a one-line `vNNNN` version pointer at `root/POINTER`. A blank
-    * OR malformed read (a reader racing an in-flight overwrite-put on
-    * HDFS can see nothing or a partial prefix like `v001` of `v0012` —
-    * which would otherwise parse as a STALE version) is retried
-    * briefly; a pointer that stays unparseable is corrupt and throws
-    * rather than silently serving the wrong version.
+  /** Read a `vNNNN\n` version pointer at `root/POINTER`. ONLY a
+    * terminated read parses: the trailing `\n` is the completeness
+    * witness, so a reader racing an in-flight overwrite-put on HDFS
+    * that sees nothing, a malformed fragment, or a WELL-FORMED partial
+    * prefix (`v1000` of `v10000\n` — which an unterminated format
+    * would silently serve as stale version 1000) treats the read as
+    * in-flight and retries. A pointer that stays unterminated or
+    * unparseable is corrupt (a crashed mid-put writer, or a root
+    * written by a pre-terminator build — re-run one swap to upgrade)
+    * and throws rather than silently serving the wrong version.
     */
   def readVersionPointer(root: String): Option[Int] = {
     val path = s"${root.stripSuffix("/")}/POINTER"
@@ -194,25 +203,46 @@ object IndexMeta {
     while (true) {
       readPointerString(path) match {
         case None => return None
-        case Some(s) if s.trim.matches("v\\d{4,}") =>
+        case Some(s) if s.matches("v\\d{4,}\n") =>
           return Some(s.trim.stripPrefix("v").toInt)
-        case Some(_) if attempt < 5 => attempt += 1; Thread.sleep(20)
+        // backed-off retries (~630ms total): the fallback put's
+        // truncate-to-close window scales with store latency, and a
+        // FIXED cadence can lock step with a writer swapping in a loop
+        case Some(_) if attempt < 6 => Thread.sleep(10L << attempt); attempt += 1
         case Some(s) =>
           throw new IllegalStateException(
-            s"corrupt pointer at $path: ${if (s.trim.isEmpty) "(blank)" else s.trim}")
+            s"corrupt pointer at $path: " +
+              (if (s.trim.isEmpty) "(blank)"
+               else if (s.matches("v\\d{4,}")) s"unterminated '${s.trim}' (torn write or pre-terminator root)"
+               else s.trim))
       }
     }
     None // unreachable
   }
 
   /** Atomically (see object scaladoc) point readers at version `v`:
-    * tmp write + rename-into-place where the store allows it, the
-    * BatchStore overwrite-put where it doesn't.
+    * tmp write + rename-into-place where the store allows a
+    * replacing rename, the BatchStore overwrite-put where
+    * `FileSystem.rename` RETURNS FALSE on an existing destination
+    * (HDFS/s3a no-overwrite semantics — the false return is the
+    * contract, not an error). The content carries a trailing `\n`
+    * terminator so [[readVersionPointer]] can tell a complete pointer
+    * from a torn fallback-put prefix.
     */
   def swapVersionPointer(root: String, v: Int): Unit = {
     val f = pointerFs(root)
     val ptr = new Path(s"${root.stripSuffix("/")}/POINTER")
-    val content = f"v$v%04d".getBytes("UTF-8")
+    val content = f"v$v%04d\n".getBytes("UTF-8")
+    // roots whose pointer predates raw-FS swaps carry a checksummed
+    // .POINTER.crc sidecar; the first raw swap would leave it
+    // permanently stale (any later checksummed read of POINTER →
+    // ChecksumException), so drop it here, once, before writing
+    fs(root) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+        val crc = c.getChecksumFile(ptr)
+        if (c.getRawFileSystem.exists(crc)) c.getRawFileSystem.delete(crc, false)
+      case _ => ()
+    }
     val tmp = new Path(s"${root.stripSuffix("/")}/.POINTER.tmp." +
       java.util.UUID.randomUUID().toString.take(8))
     val out = f.create(tmp, true)

@@ -1015,6 +1015,24 @@ object DedupOps {
   private def epochFileName(epoch: Long, kind: String): String =
     f"epoch-$epoch%08d.$kind.json"
 
+  private val EpochClaimName = "epoch-(\\d+)\\.claim".r
+
+  private def epochClaimMarker(dir: org.apache.hadoop.fs.Path,
+                               e: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(dir, f"epoch-$e%08d.claim")
+
+  /** Drop epoch `e`'s claim-marker dir. Called by the winner once its
+    * COMMIT record lands (the record is then the permanent fence for
+    * the id — [[claimNextEpoch]] re-checks records after winning a
+    * marker, so a recycled marker can never recycle the id) and by
+    * [[repairCorpusDedupIndex]] for torn/abandoned claims. Without
+    * the release, a long-lived streaming intake mints one permanent
+    * marker dir per epoch that every ledger listing must rescan.
+    */
+  private def releaseEpochClaim(dir: org.apache.hadoop.fs.Path, e: Long): Unit = {
+    graft.io.IndexMeta.deleteTree(epochClaimMarker(dir, e).toString); ()
+  }
+
   /** Allocate-and-claim the next epoch id: max existing record + 1,
     * claimed atomically via a sibling `epoch-NNNNNNNN.claim` marker dir
     * (invisible to the `EpochFileName` regex, so readers and repair
@@ -1025,6 +1043,13 @@ object DedupOps {
     * mint the SAME epoch id and the loser's intent/commit records are
     * silently overwritten — its inserted files then read as orphans
     * and the next repair would quarantine a fully committed append.
+    *
+    * Committed markers are RELEASED (see [[releaseEpochClaim]]), so a
+    * writer claiming from a stale ledger read can win the marker of an
+    * already-recorded epoch; the intent/commit record is the permanent
+    * fence — after winning a marker the allocator re-checks for a
+    * record of that id and steps on instead of overwriting it.
+    *
     * Scope note: the claim makes the LEDGER collision-proof; file
     * ATTRIBUTION under truly concurrent appends can still overlap
     * (insertTracked diffs directory listings), which repair treats
@@ -1033,17 +1058,34 @@ object DedupOps {
     * append contract.
     */
   private def claimNextEpoch(dir: org.apache.hadoop.fs.Path,
-                             led: EpochLedger): Long = {
-    var e = led.nextEpoch
+                             led: EpochLedger): Long =
+    claimEpochFrom(dir, led.nextEpoch)
+
+  private def claimEpochFrom(dir: org.apache.hadoop.fs.Path, start: Long): Long = {
+    var e = start
     var attempts = 0
-    while (!graft.io.IndexMeta.claimDir(
-        new org.apache.hadoop.fs.Path(dir, f"epoch-$e%08d.claim").toString)) {
+    while (attempts < 1000) {
+      if (graft.io.IndexMeta.claimDir(epochClaimMarker(dir, e).toString)) {
+        val recorded = Seq("intent", "commit").exists(k => graft.io.IndexMeta.exists(
+          new org.apache.hadoop.fs.Path(dir, epochFileName(e, k)).toString))
+        if (!recorded) return e
+        // a recycled marker over a recorded epoch: release and step on
+        releaseEpochClaim(dir, e)
+      }
       e += 1; attempts += 1
-      require(attempts < 1000,
-        s"could not claim an epoch id under $dir after 1000 tries")
     }
-    e
+    throw new IllegalStateException(
+      s"could not claim an epoch id under $dir after 1000 tries")
   }
+
+  /** [[claimEpochFrom]] by table prefix — the STALE-READER shape, for
+    * CorpusIndexSpec: a writer whose ledger read predates another
+    * writer's commit starts below the recorded watermark and must be
+    * fenced onto a fresh id by the records, not the (released) markers.
+    */
+  private[graft] def claimEpochIdFrom(spark: org.apache.spark.sql.SparkSession,
+                                      tablePrefix: String, start: Long): Long =
+    claimEpochFrom(epochLedgerDir(spark, tablePrefix), start)
 
   /** [[claimNextEpoch]] from a fresh ledger read — the exact
     * read-then-claim sequence both mutating entry points run, exposed
@@ -1166,6 +1208,9 @@ object DedupOps {
     readEpochLedger(spark, tablePrefix) match {
       case None => Map("torn_epochs" -> Nil, "deleted_files" -> Map.empty[String, Any])
       case Some(led) if led.torn.isEmpty =>
+        // clean indexes still get the clutter sweep: a crashed claimant
+        // leaves no torn epoch, only its marker
+        sweepAbandonedClaims(epochLedgerDir(spark, tablePrefix), led)
         Map("torn_epochs" -> Nil, "deleted_files" -> Map.empty[String, Any])
       case Some(led) =>
         require(led.commits.contains(0L),
@@ -1187,10 +1232,33 @@ object DedupOps {
         // cache is the safe trade
         spark.catalog.clearCache()
         val dir = epochLedgerDir(spark, tablePrefix)
-        led.torn.foreach(e => hadoopFs(spark, dir)
-          .delete(new org.apache.hadoop.fs.Path(dir, epochFileName(e, "intent")), false))
+        led.torn.foreach { e =>
+          hadoopFs(spark, dir)
+            .delete(new org.apache.hadoop.fs.Path(dir, epochFileName(e, "intent")), false)
+          // the quarantined epoch's claim marker goes with its intent —
+          // the id becomes mintable again, its files are gone
+          releaseEpochClaim(dir, e)
+        }
+        sweepAbandonedClaims(dir, led)
         Map("torn_epochs" -> led.torn, "deleted_files" -> deleted)
     }
+
+  /** Collect abandoned claim markers (a claimant that died between
+    * claim and intent) at or below the committed watermark — dead
+    * clutter every ledger listing rescans. Markers ABOVE the watermark
+    * may belong to a live claimant mid-append and stay.
+    */
+  private def sweepAbandonedClaims(dir: org.apache.hadoop.fs.Path,
+                                   led: EpochLedger): Unit = {
+    val watermark = (led.commits.keySet + 0L).max
+    graft.io.IndexMeta.listChildNames(dir.toString).foreach {
+      case EpochClaimName(id)
+          if id.toLong <= watermark && !led.intents.contains(id.toLong) &&
+            !led.commits.contains(id.toLong) =>
+        releaseEpochClaim(dir, id.toLong)
+      case _ => ()
+    }
+  }
 
   // ---- index production pointer (BatchStore S10 integration) --------
 
@@ -1377,6 +1445,7 @@ object DedupOps {
       new org.apache.hadoop.fs.Path(dir, epochFileName(epoch, "commit")).toString,
       graft.io.StableJson.write(Map("epoch" -> epoch, "tables" -> tables,
         "healed_from_epoch" -> srcEpoch) ++ tag.map("tag" -> _)))
+    releaseEpochClaim(dir, epoch) // the commit record now fences the id
     IndexTableNames.foreach(n => spark.catalog.refreshTable(s"${toPrefix}_$n"))
   }
 
@@ -1554,6 +1623,7 @@ object DedupOps {
           graft.io.StableJson.write(
             Map("epoch" -> epoch, "docs" -> docs, "tables" -> tables) ++
               epochTag.map("tag" -> _)))
+        releaseEpochClaim(dir, epoch) // the commit record now fences the id
       } finally {
         sh.unpersist()
         acc.unpersist()

@@ -34,7 +34,11 @@ object MixOps {
     * @param weightExpr relative weight per source — must be a pure
     *                   function of `sourceCol` (it is aggregated per
     *                   source); weights are normalized over the
-    *                   sources actually present
+    *                   sources actually present. Fractional weights
+    *                   ("0.6 web + 0.3 code + 0.1 books") are
+    *                   first-class: the weight is aggregated as a
+    *                   double. A weight of exactly 0 drops its source;
+    *                   negative or all-zero weights are refused.
     * @param budgetFrac global token budget as a fraction of the
     *                   corpus's total tokens
     */
@@ -45,16 +49,23 @@ object MixOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = size(split(col(textCol), " ")).cast("long")
+    // weight aggregated as DOUBLE: fractional recipes must not truncate
+    // to 0 (a long cast turned '0.6 web' into an empty mix). For the
+    // integral weights the q130 oracle uses, double aggregation equals
+    // the oracle's CAST(w AS DOUBLE) bit-for-bit.
     val per = docs.groupBy(col(sourceCol))
-      .agg(sum(toks).as("__toks"), max(weightExpr.cast("long")).as("__w"))
+      .agg(sum(toks).as("__toks"), max(weightExpr.cast("double")).as("__w"))
       .collect()
+    require(per.forall(r => !r.isNullAt(2) && r.getDouble(2) >= 0),
+      "every source weight must be a non-negative number")
     val tot = per.map(_.getLong(1)).sum.toDouble
-    val wsum = per.map(_.getLong(2)).sum.toDouble
+    val wsum = per.map(_.getDouble(2)).sum
+    require(wsum > 0, "at least one source weight must be positive")
     // float tree mirrored verbatim by the q130 oracle SQL — any
     // reordering here must be reordered there
     val cuts = per.map { r =>
       val rate = math.min(1.0,
-        (tot * budgetFrac) * (r.getLong(2).toDouble / wsum) / r.getLong(1).toDouble)
+        (tot * budgetFrac) * (r.getDouble(2) / wsum) / r.getLong(1).toDouble)
       (r.getString(0), f"${math.floor(rate * 65536.0).toLong}%05x")
     }.toSeq.toDF(sourceCol, "mix_cut")
     docs.join(broadcast(cuts), sourceCol)

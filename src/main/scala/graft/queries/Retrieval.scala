@@ -281,11 +281,24 @@ object Retrieval {
     * cache); the SOURCE fingerprint resolves through the corpus dir's
     * own scheme, so an s3a:// corpus stamps its real listing.
     */
+  /** Cache-probe wrapper: a root whose POINTER is corrupt (torn write,
+    * or written by a pre-terminator build — IndexMeta now refuses both)
+    * is a stale CACHE entry, not an error: discard it and report a
+    * miss, so the caller rebuilds instead of failing every query that
+    * serves through the cached index.
+    */
+  private def cachedIndexPresent(root: String)(probe: => Boolean): Boolean =
+    try probe
+    catch {
+      case _: IllegalStateException =>
+        graft.io.IndexMeta.deleteTree(root); false
+    }
+
   private def ensurePostingsIndex(s: SparkSession, dir: String): String = {
     val stamp = Integer.toHexString(dir.hashCode) + "_" + graft.io.Fingerprint
       .ofTree(s"${dir.stripSuffix("/")}/documents.parquet")
     val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_q120_bm25_" + stamp)
-    if (!SearchOps.postingsIndexExists(root.getPath))
+    if (!cachedIndexPresent(root.getPath)(SearchOps.postingsIndexExists(root.getPath)))
       SearchOps.buildPostingsIndex(Tables.load(s, dir, "documents"),
         "text", "doc_id", root.getPath)
     root.getPath
@@ -300,7 +313,8 @@ object Retrieval {
     val stamp = Integer.toHexString(dir.hashCode) + "_" + graft.io.Fingerprint
       .ofTree(s"${dir.stripSuffix("/")}/embeddings.parquet")
     val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_q125_vindex_" + stamp)
-    if (VectorIndex.currentVersion(root.getPath).isEmpty) {
+    if (!cachedIndexPresent(root.getPath)(
+        VectorIndex.currentVersion(root.getPath).isDefined)) {
       val (model, codes) = VectorIndex.build(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", "label", dim = 64, m = 4, k = 16)
       VectorIndex.writeVersion(model, codes, root.getPath, 1)

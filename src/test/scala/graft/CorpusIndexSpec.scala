@@ -1224,4 +1224,53 @@ class CorpusIndexSpec extends SparkSpec {
         "a tagged replay re-applied after the race")
     } finally dropIndex()
   }
+
+  test("epoch claim markers are released on commit; records fence recycled ids; repair sweeps abandoned claims") {
+    // The round-13 advice finding: claimNextEpoch minted one PERMANENT
+    // epoch-NNNNNNNN.claim dir per epoch — a long-lived intake's ledger
+    // dir grew without bound and nothing collected it. Now the winner
+    // releases its marker once the commit record lands; the record
+    // itself fences the id (the allocator re-checks records after
+    // winning a marker), and repair collects claims a dead writer left.
+    dropIndex()
+    try {
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"), prefix, buckets = 4)
+      val dir = DedupOps.epochLedgerDir(spark, prefix)
+      def claimDirs(): Seq[String] =
+        graft.io.IndexMeta.listChildNames(dir.toString).filter(_.endsWith(".claim"))
+      (0 until 3).foreach { i =>
+        DedupOps.appendToCorpusDedupIndex(
+          Seq((8000L + i, s"clutter check append number $i with its own fresh wording"))
+            .toDF("doc_id", "text"),
+          "text", "doc_id", prefix, Some(s"clutter-$i"))
+      }
+      assert(claimDirs().isEmpty,
+        s"committed appends must release their claim markers, found ${claimDirs()}")
+
+      // a STALE reader (its ledger read predates those commits) starts
+      // below the watermark: the released markers are claimable again,
+      // but the intent/commit RECORDS must step it onto a fresh id —
+      // overwriting epoch 1's records would orphan its committed files
+      val minted = DedupOps.claimEpochIdFrom(spark, prefix, start = 1L)
+      assert(minted >= 4, s"stale reader minted a recorded epoch id: $minted")
+      assert(claimDirs() == Seq(f"epoch-$minted%08d.claim"),
+        "the stale reader's own claim is live and stays")
+
+      // the fence re-released the recycled markers it stepped past
+      assert(!claimDirs().exists(_ != f"epoch-$minted%08d.claim"))
+
+      // abandon the minted claim (simulated writer death before intent),
+      // commit one more real append past it → the marker now sits BELOW
+      // the watermark with no record, and repair sweeps it
+      DedupOps.appendToCorpusDedupIndex(
+        Seq((8100L, "one more committed append to advance the ledger watermark"))
+          .toDF("doc_id", "text"),
+        "text", "doc_id", prefix, Some("clutter-post"))
+      val rep = DedupOps.repairCorpusDedupIndex(spark, prefix)
+      assert(rep("torn_epochs") == Nil, s"clean index read as torn: $rep")
+      assert(claimDirs().isEmpty,
+        s"repair must sweep the abandoned below-watermark claim, found ${claimDirs()}")
+    } finally dropIndex()
+  }
 }

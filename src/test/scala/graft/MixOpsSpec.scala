@@ -59,6 +59,44 @@ class MixOpsSpec extends SparkSpec {
       "unsaturated sources must be downsampled")
   }
 
+  test("fractional weights mix the canonical 0.6/0.3/0.1 recipe (no long-truncation)") {
+    // the scaladoc's own example: weights that a long cast would turn
+    // into 0/0/0 (wsum=0 → NaN rate → silently empty mix)
+    val frac = when(col("source") === "src0", lit(0.6))
+      .when(col("source") === "src1", lit(0.3)).otherwise(lit(0.1))
+    val kept = MixOps.mixByTokenBudget(docs, "source", "text", "doc_id", frac,
+        budgetFrac = 0.3)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(kept.values.sum > 0, "fractional weights must not yield an empty mix")
+    assert(kept.getOrElse("src0", 0L) > kept.getOrElse("src2", 0L),
+      s"weight 0.6 must out-keep weight 0.1 at equal source mass: $kept")
+    // fractional and integral statements of the same ratios gate the
+    // SAME rows — only the weight SHARES matter
+    val scaled = when(col("source") === "src0", lit(6))
+      .when(col("source") === "src1", lit(3)).otherwise(lit(1))
+    val a = MixOps.mixByTokenBudget(docs, "source", "text", "doc_id", frac, 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val b = MixOps.mixByTokenBudget(docs, "source", "text", "doc_id", scaled, 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "0.6/0.3/0.1 and 6/3/1 must produce the same mix")
+  }
+
+  test("degenerate weights are refused loudly, zero drops only its source") {
+    val neg = when(col("source") === "src0", lit(-1.0)).otherwise(lit(1.0))
+    assertThrows[IllegalArgumentException] {
+      MixOps.mixByTokenBudget(docs, "source", "text", "doc_id", neg, 0.3)
+    }
+    assertThrows[IllegalArgumentException] {
+      MixOps.mixByTokenBudget(docs, "source", "text", "doc_id", lit(0.0), 0.3)
+    }
+    val oneZero = when(col("source") === "src0", lit(0.0)).otherwise(lit(1.0))
+    val kept = MixOps.mixByTokenBudget(docs, "source", "text", "doc_id", oneZero, 0.3)
+    assert(kept.filter(col("source") === "src0").count() == 0,
+      "a zero-weight source contributes nothing")
+    assert(kept.count() > 0, "the positive-weight sources still mix")
+  }
+
   test("the salt decorrelates mixes") {
     def ids(salt: String) =
       MixOps.mixByTokenBudget(docs, "source", "text", "doc_id", w,

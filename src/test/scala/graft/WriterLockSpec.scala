@@ -4,6 +4,21 @@ import org.scalatest.matchers.should.Matchers
 
 import graft.io.{IndexMeta, WriterLock}
 
+/** HDFS rename semantics on local disk: `rename` REFUSES an existing
+  * destination by RETURNING FALSE (the FileSystem no-overwrite
+  * contract — not an exception), which forces
+  * [[IndexMeta.swapVersionPointer]]'s overwrite-put fallback on every
+  * swap after the first. Registered under `graftnr://` by reflection
+  * (`fs.graftnr.impl`), so it must stay top-level with a no-arg
+  * constructor (the IndexMetaFsSpec convention).
+  */
+class GraftNoRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftnr:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean =
+    if (exists(dst)) false else super.rename(src, dst)
+}
+
 /** The claim/lock layer under both persisted-index version allocators
   * (SearchOps.claimNextPostingsVersion, VectorIndex.claimNextVersion):
   *  - the default TokenListingLock is exclusive under a REAL race on
@@ -138,6 +153,74 @@ class WriterLockSpec extends SparkSpec with Matchers {
     // recovery: a full swap heals the pointer
     IndexMeta.swapVersionPointer(root, 12)
     IndexMeta.readVersionPointer(root) shouldBe Some(12)
+  }
+
+  test("rename-returns-false stores (HDFS no-overwrite contract): swaps fall back to overwrite-put, readers converge") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftnr.impl", classOf[GraftNoRenameFs].getName)
+    val root = s"graftnr://${tmp("graft_lock_nr_")}"
+    IndexMeta.swapVersionPointer(root, 1) // destination absent → rename path
+    IndexMeta.readVersionPointer(root) shouldBe Some(1)
+    IndexMeta.swapVersionPointer(root, 2) // rename returns FALSE → put fallback
+    IndexMeta.readVersionPointer(root) shouldBe Some(2)
+    assert(!IndexMeta.listChildNames(root).exists(_.contains("POINTER.tmp")),
+      "the false branch must consume its tmp file too")
+    // the fallback put truncates-then-writes: readers racing it see
+    // blank/unterminated states, which the terminator + retry absorb
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[Any]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val v = IndexMeta.readVersionPointer(root)
+          if (!v.exists(x => x >= 2 && x <= 40)) bad.add(v)
+        } catch { case t: Throwable => bad.add(t) }
+      }
+    })
+    reader.start()
+    (3 to 40).foreach(v => IndexMeta.swapVersionPointer(root, v))
+    stop.set(true); reader.join()
+    assert(bad.isEmpty, s"reader observed ${bad.peek()} across fallback-put swaps")
+    IndexMeta.readVersionPointer(root) shouldBe Some(40)
+  }
+
+  test("a well-formed but unterminated pointer reads as torn, never as a stale version") {
+    val root = tmp("graft_lock_torn_")
+    // 'v1000' is exactly what a reader snapshots mid-put of 'v10000\n';
+    // the pre-terminator format would happily serve stale version 1000
+    IndexMeta.writeString(s"$root/POINTER", "v1000")
+    val e = intercept[IllegalStateException](IndexMeta.readVersionPointer(root))
+    e.getMessage should include("unterminated")
+    e.getMessage should include("v1000")
+    // a completed swap heals the root
+    IndexMeta.swapVersionPointer(root, 10000)
+    IndexMeta.readVersionPointer(root) shouldBe Some(10000)
+  }
+
+  test("an in-flight put (unterminated prefix on disk) is retried through to the completed value") {
+    val root = tmp("graft_lock_inflight_")
+    IndexMeta.writeString(s"$root/POINTER", "v1000") // torn snapshot of v10000\n
+    val healer = new Thread(() => {
+      Thread.sleep(30); IndexMeta.swapVersionPointer(root, 10000)
+    })
+    healer.start()
+    // the reader's backed-off retry loop (~630ms) outlasts the in-flight window
+    IndexMeta.readVersionPointer(root) shouldBe Some(10000)
+    healer.join()
+  }
+
+  test("upgrading a checksummed-era root: the stale .POINTER.crc sidecar is dropped on swap") {
+    val root = tmp("graft_lock_crc_")
+    // a pre-raw-swap root wrote POINTER through the checksummed local FS
+    IndexMeta.writeString(s"$root/POINTER", "v0001\n")
+    val crc = new java.io.File(root, ".POINTER.crc")
+    assert(crc.exists, "precondition: the checksummed write minted a sidecar")
+    IndexMeta.swapVersionPointer(root, 2)
+    assert(!crc.exists, "a raw swap over a checksummed-era pointer must drop the stale sidecar")
+    // generic CHECKSUMMED reads of the path keep working — with the
+    // stale sidecar left behind this is a ChecksumException
+    IndexMeta.readString(s"$root/POINTER") shouldBe Some("v0002\n")
+    IndexMeta.readVersionPointer(root) shouldBe Some(2)
   }
 
   test("concurrent readers across 50 swaps only ever observe complete versions") {

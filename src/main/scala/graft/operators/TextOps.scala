@@ -156,8 +156,23 @@ object TextOps {
     * vocab — sized by vocabulary, not corpus), a shuffle join of the
     * doc bigrams against each on its own key, one broadcast scalar (V),
     * and a per-doc sum. No corpus self-join, no window.
+    *
+    * Skew note: the per-occurrence joins key on raw bigrams/unigrams,
+    * and natural text is Zipf — at corpus scale the head of the curve
+    * ("of the") concentrates a large share of ALL bigram occurrences
+    * on a handful of reducer keys. AQE's skew-join split cannot fire
+    * here (the count side reuses its aggregation exchange, so the join
+    * doesn't match the two-shuffle-stage pattern the optimizer
+    * rewrites), so `saltBuckets > 1` is the scale path: both joins run
+    * through [[SkewOps.saltedJoin]] — the occurrence side's hot key
+    * spreads over `saltBuckets` sub-keys and the vocabulary-sized count
+    * tables replicate ×buckets — with bit-identical output (same
+    * arithmetic, different routing; TextStatsSpec pins equality under
+    * a planted-Zipf fixture). The default 0 keeps the plain shape the
+    * q131 oracle and plan pin watch.
     */
-  def bigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def bigramSurprisal(df: DataFrame, textCol: String, idCol: String,
+                      saltBuckets: Int = 0): DataFrame = {
     val ws = col("_ws")
     val grams = transform(sequence(lit(0), size(ws) - 2),
       i => array_join(slice(ws, i + 1, lit(2)), " "))
@@ -171,9 +186,17 @@ object TextOps {
       .filter(col("tk") =!= "")
       .agg(countDistinct(col("tk")).as("vocab"))
     val p = (col("c12") + 1).cast("double") / (col("c1") + col("vocab")).cast("double")
-    big.join(c12, "gram")
-      .withColumn("w1", split(col("gram"), " ").getItem(0))
-      .join(c1, "w1")
+    val joined =
+      if (saltBuckets <= 1)
+        big.join(c12, "gram")
+          .withColumn("w1", split(col("gram"), " ").getItem(0))
+          .join(c1, "w1")
+      else
+        SkewOps.saltedJoin(
+          SkewOps.saltedJoin(big, c12, Seq("gram"), saltBuckets)
+            .withColumn("w1", split(col("gram"), " ").getItem(0)),
+          c1, Seq("w1"), saltBuckets)
+    joined
       .crossJoin(broadcast(vdf))
       .withColumn("q", floor((-log(p)) * lit(1000000.0)).cast("long"))
       .groupBy("doc_id")

@@ -216,7 +216,13 @@ class PlanAuditSpec extends SparkSpec {
       "q129_ann_index_pruned" -> (4, 2, 3, 0),
       // one corpus scan gated by the broadcast cut table (the agg pass
       // happened driver-side before this plan exists)
-      "q130_mix_token_budget" -> (1, 2, 1, 0))
+      "q130_mix_token_budget" -> (1, 2, 1, 0),
+      // two combinable count aggs (bigram + start vocab) joined back on
+      // their OWN keys, one broadcast scalar (V) — at sf0.001 the
+      // model-sized count tables broadcast too (3 total); at corpus
+      // scale they become shuffle joins on gram/w1, whose Zipf-head
+      // skew the saltBuckets path covers (TextStatsSpec fixture)
+      "q131_bigram_surprisal" -> (4, 5, 3, 0))
     for ((q, (scans, shuffles, broadcasts, antis)) <- pins) {
       val p = plan(q)
       def uniq(pat: String): Int =
@@ -232,6 +238,24 @@ class PlanAuditSpec extends SparkSpec {
       assert(uniq("""SortMergeJoin LeftAnti\s+\((\d+)\)""") == antis,
         s"$q left-anti joins changed (was $antis)")
     }
+  }
+
+  test("bigram surprisal: combinable aggs, no window, no corpus self-join, one sanctioned vocab cross") {
+    // the round-13 verdict's q131 ask: the model derivations must be
+    // map-side-combinable counts joined back on their own keys — never
+    // a window over the gram table or an occurrence self-join. The one
+    // BroadcastNestedLoopJoin is the sanctioned 1-row vocab scalar
+    // (crossJoin(broadcast(V))); a second one appearing means a real
+    // join degenerated.
+    val p = plan("q131_bigram_surprisal")
+    assert(!p.contains("Window"), "surprisal regressed to a window")
+    assert(!p.contains("CartesianProduct"), "surprisal contains a cartesian")
+    assert(p.contains("partial_count"),
+      s"count aggs lost map-side combine:\n${p.take(1500)}")
+    val bnlj = """BroadcastNestedLoopJoin[^\n(]*\((\d+)\)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size
+    assert(bnlj == 1, s"expected exactly the 1-row vocab cross, got $bnlj BNLJs:\n" +
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
 
   test("scrub/quality operators are pure projections: no exchange at all") {

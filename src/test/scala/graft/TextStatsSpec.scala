@@ -87,4 +87,42 @@ class TextStatsSpec extends SparkSpec {
       .sortBy(_._1)
     assert(again.toSeq == got.toSeq)
   }
+
+  test("bigramSurprisal under planted Zipf skew: salted fallback is bit-identical and splits the hot key") {
+    // One gram ("of the") owns a third of ALL bigram occurrences — the
+    // Zipf head the round-13 verdict flagged for q131's shuffle joins.
+    // AQE's skew split cannot fire on this shape (the count side reuses
+    // its aggregation exchange, so the join never matches the
+    // two-shuffle-stage pattern OptimizeSkewedJoin rewrites), so
+    // saltBuckets is the scale path: same scores, hot key spread.
+    val docs = (0 until 600).map { i =>
+      val f = (0 to 3).map(j => s"u${i}x$j")
+      (i.toLong, s"${f(0)} of the ${f(1)} of the ${f(2)} of the ${f(3)}")
+    }.toDF("doc_id", "text").repartition(8)
+
+    def run(buckets: Int): Seq[(Long, Long, Long, Long)] =
+      TextOps.bigramSurprisal(docs, "text", "doc_id", saltBuckets = buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    val plain = run(0)
+    // fixture honesty: every doc contributes 9 bigrams, 3 of them the
+    // hot gram — exactly a 1/3 occurrence share on one reducer key
+    assert(plain.size == 600 && plain.forall(_._3 == 9), "Zipf fixture drifted")
+    assert(run(8) == plain, "salting changed the surprisal scores")
+
+    // the salted plan keys its joins on gram+salt / w1+salt — losing
+    // the salt silently restores the hot-reducer shape
+    val salted = TextOps.bigramSurprisal(docs, "text", "doc_id", saltBuckets = 8)
+    salted.collect()
+    val p = salted.queryExecution.executedPlan.toString
+    assert(p.contains("_salt"), s"salted plan lost its salt keys:\n${p.take(1500)}")
+
+    // and the salt genuinely SPREADS the hot family: the operator's
+    // salting formula (hash of key + partition id) lands the constant
+    // hot gram in more than one sub-key across the 8 input partitions
+    val hotSalts = docs.select(lit("of the").as("gram"))
+      .withColumn("s", pmod(xxhash64(col("gram"), spark_partition_id()), lit(8)))
+      .select("s").distinct().count()
+    assert(hotSalts > 1, "hot gram not spread across salt sub-keys")
+  }
 }

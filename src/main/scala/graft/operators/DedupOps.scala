@@ -1286,7 +1286,122 @@ object DedupOps {
         previous.map(p => String.valueOf(p.getOrElse("table_prefix", null))).orNull) ++
       path.map("path" -> _)
     store.putJson(pointerKey, pointer)
+    // retirement ledger: the pointer only remembers ONE previous
+    // generation, so without this append the generation retired two
+    // promotes ago becomes unfindable — and uncollectable — garbage.
+    // [[pruneCorpusDedupIndex]] reads this list; entries record the
+    // prefix AND path so prefix reuse at a new location (the a→b→a
+    // alternation) can never alias the serving generation.
+    previous.foreach { prev =>
+      val prevPrefix = prev.get("table_prefix").map(String.valueOf)
+      val prevPath = prev.get("path").map(String.valueOf)
+      val samePlace = prevPrefix.contains(tablePrefix) && prevPath == path
+      if (prevPrefix.isDefined && !samePlace) {
+        val rk = retiredGenerationsKey(pointerKey)
+        val existing = readRetiredGenerations(store, pointerKey)
+        val entry: Map[String, Any] =
+          Map("table_prefix" -> prevPrefix.get,
+            "retired_at_utc" -> store.timestamp()) ++ prevPath.map("path" -> _)
+        store.putJson(rk, Map("retired" -> (existing :+ entry)))
+      }
+    }
     pointer
+  }
+
+  private[graft] def retiredGenerationsKey(pointerKey: String): String =
+    pointerKey.stripSuffix(".json") + "_retired.json"
+
+  private def readRetiredGenerations(store: graft.io.BatchStore,
+                                     pointerKey: String): Seq[Map[String, Any]] =
+    store.readJsonIfExists(retiredGenerationsKey(pointerKey))
+      .flatMap(_.get("retired")).collect {
+        case s: Seq[_] => s.collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+      }.getOrElse(Nil)
+
+  /** Retention GC for the corpus-dedup index family — the third leg of
+    * the per-family GC story (SearchOps.prunePostingsVersions /
+    * VectorIndex.pruneVersions close the other two). Compaction writes
+    * each new generation to a FRESH prefix/path and the checked promote
+    * swaps the pointer, so superseded generations (bucketed tables +
+    * their epoch ledger) otherwise accumulate forever.
+    *
+    * Collects generations from the promote-maintained retirement ledger
+    * ([[retiredGenerationsKey]]), OLDEST first, keeping:
+    *  - the serving generation, always (anything aliasing the pointer's
+    *    current prefix+path is skipped defensively, never deleted);
+    *  - the most recent `keepRetired` retirements as a reader-grace
+    *    window — pointer-resolving readers re-resolve per trigger, but
+    *    a query planned against the old generation may still be
+    *    mid-flight at promote time (the q128/q129 keepLatest analogue).
+    *
+    * Per collected generation: the catalog registrations drop ONLY when
+    * they point under the retired path (a reused prefix re-registered at
+    * the serving location must survive — the a→b→a alternation), then
+    * the path tree deletes — tables AND the `_epochs/<prefix>` ledger
+    * dir live under it. Entries with no recorded path (managed-table
+    * generations) drop through the catalog when still registered —
+    * managed drops delete their data — and are reported skipped
+    * otherwise rather than guessed at.
+    *
+    * Replay safety is by construction, not by keeping the old ledger:
+    * compaction CARRIES the source's committed idempotence tags into
+    * the new generation's base epoch record, so a streaming trigger
+    * replayed after its original generation is collected still reads
+    * as committed (CorpusIndexSpec pins exactly this boundary).
+    *
+    * Returns the collected entries (with a `collected` disposition per
+    * entry: `deleted` or `skipped_no_path`).
+    */
+  def pruneCorpusDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                            store: graft.io.BatchStore, pointerKey: String,
+                            keepRetired: Int = 1): Seq[Map[String, Any]] = {
+    require(keepRetired >= 0, "keepRetired must be >= 0")
+    val ptr = store.readJsonIfExists(pointerKey).getOrElse(
+      throw new java.io.FileNotFoundException(s"no index pointer at $pointerKey"))
+    val curPrefix = String.valueOf(ptr.getOrElse("table_prefix",
+      throw new IllegalStateException(s"index pointer $pointerKey has no table_prefix")))
+    val curPath = ptr.get("path").map(String.valueOf)
+    val all = readRetiredGenerations(store, pointerKey)
+    val candidates = all.dropRight(keepRetired)
+    val results = candidates.map { e =>
+      val prefix = String.valueOf(e.getOrElse("table_prefix", ""))
+      val epath = e.get("path").map(String.valueOf)
+      val aliasesServing = (prefix == curPrefix && epath == curPath) ||
+        (epath.isDefined && epath == curPath)
+      if (aliasesServing) e + ("collected" -> "skipped_serving")
+      else epath match {
+        case Some(p) =>
+          // drop catalog registrations only when they belong to THIS
+          // retired location; a reused prefix serving elsewhere survives
+          if (corpusDedupIndexExists(spark, prefix)) {
+            val registered = tableLocationPath(spark, s"${prefix}_bands")
+              .getParent.toUri.getPath.stripSuffix("/")
+            val retiredLoc = new org.apache.hadoop.fs.Path(p).toUri.getPath.stripSuffix("/")
+            if (registered == retiredLoc)
+              IndexTableNames.foreach(n =>
+                spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$n"))
+          }
+          graft.io.IndexMeta.deleteTree(p)
+          e + ("collected" -> "deleted")
+        case None if corpusDedupIndexExists(spark, prefix) && prefix != curPrefix =>
+          // managed generation: the ledger dir resolves through the
+          // catalog, and managed drops delete their data
+          val ledgerDir = epochLedgerDir(spark, prefix)
+          IndexTableNames.foreach(n => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$n"))
+          hadoopFs(spark, ledgerDir).delete(ledgerDir, true)
+          e + ("collected" -> "deleted")
+        case None =>
+          e + ("collected" -> "skipped_no_path")
+      }
+    }
+    // oldest-first order preserved: surviving (skipped) candidates are
+    // older than the grace window by construction
+    val stillRetired =
+      results.filter(r => r("collected") != "deleted").map(_ - "collected") ++
+        all.takeRight(keepRetired)
+    store.putJson(retiredGenerationsKey(pointerKey),
+      Map("retired" -> stillRetired))
+    results
   }
 
   /** [[promoteCorpusDedupIndex]] with the compact-promote append window

@@ -664,6 +664,45 @@ object LlmPipeline {
         .orderBy("new_id")
     }),
 
+    // Retention GC for the corpus-dedup index family — the q128/q129
+    // analogue for the third persisted index. Lifecycle per evaluation:
+    // gen1 build (q78 params) → promote → compact to gen2 → checked
+    // promote (retires gen1 into the retirement ledger) →
+    // pruneCorpusDedupIndex collects gen1 → judge the q78 batch through
+    // the pointer-resolved PRUNED index. Shares q78's oracle: the GC
+    // must not change a single judgment — dedup state and replay
+    // idempotence ride the compaction (copied fingerprints + carried
+    // tags), never the collected generation.
+    "q132_dedup_index_pruned" -> ((s, dir) => {
+      val (corpus, newBatch) = incrementalBatchParts(s, dir)
+      val runTag = java.util.UUID.randomUUID().toString.take(8)
+      val (g1, g2) = (s"graft_q132_gen1_$runTag", s"graft_q132_gen2_$runTag")
+      val work = java.nio.file.Files.createTempDirectory("graft_q132_").toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(work)
+      def sub(n: String) = new java.io.File(work, n).getPath
+      val store = graft.io.BatchStore.local(sub("store"))
+      val key = "pointers/dedup_index.json"
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id",
+          n = 3, numHashes = 64, bands = 32, maxBucket = DedupOps.NoBucketCap),
+        g1, buckets = 16, path = Some(sub("gen1")))
+      DedupOps.promoteCorpusDedupIndexChecked(s, store, key, g1, Some(sub("gen1")))
+      DedupOps.compactCorpusDedupIndex(s, g1, g2, buckets = 16,
+        path = Some(sub("gen2"))).count()
+      DedupOps.promoteCorpusDedupIndexChecked(s, store, key, g2, Some(sub("gen2")))
+      val collected = DedupOps.pruneCorpusDedupIndex(s, store, key, keepRetired = 0)
+      require(collected.map(e => String.valueOf(e("collected"))) == Seq("deleted"),
+        s"q132 lifecycle: expected gen1 collected, got $collected")
+      require(!graft.io.IndexMeta.exists(sub("gen1")),
+        "q132 lifecycle: collected generation's files survived the prune")
+      val prefix = DedupOps.resolveCorpusDedupIndex(s, store, key)
+      val idx = DedupOps.readCorpusDedupIndex(s, prefix)
+      DedupOps.incrementalDedupPrepared(newBatch, idx, "text", "doc_id",
+          n = 3, numHashes = 64, bands = 32, threshold = 0.5,
+          maxBucket = DedupOps.NoBucketCap)
+        .orderBy("new_id")
+    }),
+
     // Span-level substring dedup (Lee-et-al-style, order-free variant):
     // every 10-word span occurring ≥2 times corpus-wide is removed from
     // every covered position; planted full copies (every 25th doc under
@@ -1914,6 +1953,8 @@ object LlmPipeline {
     // LSH + verify must reproduce it), greedy keep-first semantics.
     // q78 (prepared-index path) must produce the identical judgment.
     "q78_incremental_dedup_prepared" -> incrementalDedupSql,
+    // the pruned-lifecycle judgment must equal the fresh-index one
+    "q132_dedup_index_pruned" -> incrementalDedupSql,
     "q73_incremental_dedup" -> incrementalDedupSql,
 
     // the cap makes the planted hot family contribute NOTHING, so the

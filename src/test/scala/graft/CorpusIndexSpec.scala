@@ -1225,6 +1225,120 @@ class CorpusIndexSpec extends SparkSpec {
     } finally dropIndex()
   }
 
+  test("dedup-index retention GC: grace window kept, serving generation safe, carried-tag replays survive collection") {
+    // the q128/q129 keep/collect boundary applied to the third persisted
+    // family: three promoted generations → retirement ledger [g1, g2] →
+    // prune(keepRetired=1) collects ONLY g1; a second prune(0) collects
+    // g2 but can never touch the serving g3; judgments are unchanged and
+    // a tagged trigger that committed on the COLLECTED g1 still no-ops
+    // (its tag rode the compactions into g3's base record).
+    val (g1, g2, g3) = ("graft_gc_g1", "graft_gc_g2", "graft_gc_g3")
+    def dropGens(): Unit = Seq(g1, g2, g3).foreach(p =>
+      Seq("_fingerprints", "_shingles", "_bands")
+        .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $p$sfx")))
+    dropGens()
+    val work = java.nio.file.Files.createTempDirectory("graft_dedupgc_").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work)
+    def sub(n: String) = new java.io.File(work, n).getPath
+    val store = graft.io.BatchStore.local(sub("store"))
+    val key = "pointers/idx.json"
+    val later = Seq(
+      (9100L, "a gc test document accepted through a tagged trigger"),
+      (9101L, "nothing resembling anything else in this corpus right now")
+    ).toDF("doc_id", "text")
+    def judge(prefix: String): Seq[(Long, String)] =
+      DedupOps.incrementalDedupPrepared(later,
+          DedupOps.readCorpusDedupIndex(spark, prefix), "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    try {
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"),
+        g1, buckets = 4, path = Some(sub("g1")))
+      val acc = Seq((9000L, "a gc test document accepted through a tagged trigger"))
+        .toDF("doc_id", "text")
+      DedupOps.appendToCorpusDedupIndex(acc, "text", "doc_id", g1, Some("gc-trig-1"))
+      DedupOps.promoteCorpusDedupIndexChecked(spark, store, key, g1, Some(sub("g1")))
+      DedupOps.compactCorpusDedupIndex(spark, g1, g2, buckets = 4,
+        path = Some(sub("g2"))).count()
+      DedupOps.promoteCorpusDedupIndexChecked(spark, store, key, g2, Some(sub("g2")))
+      DedupOps.compactCorpusDedupIndex(spark, g2, g3, buckets = 4,
+        path = Some(sub("g3"))).count()
+      DedupOps.promoteCorpusDedupIndexChecked(spark, store, key, g3, Some(sub("g3")))
+
+      val before = judge(g3)
+      assert(before.toMap.apply(9100L) == "exact_dup",
+        s"the tagged append's doc must be corpus-known pre-GC: $before")
+
+      val collected = DedupOps.pruneCorpusDedupIndex(spark, store, key, keepRetired = 1)
+      assert(collected.map(e => (String.valueOf(e("table_prefix")),
+          String.valueOf(e("collected")))) == Seq((g1, "deleted")),
+        s"prune(1) must collect exactly g1: $collected")
+      assert(!graft.io.IndexMeta.exists(sub("g1")), "collected g1 files survived")
+      assert(graft.io.IndexMeta.exists(sub("g2")), "grace-window g2 was collected")
+      assert(graft.io.IndexMeta.exists(sub("g3")), "serving g3 was collected")
+
+      val second = DedupOps.pruneCorpusDedupIndex(spark, store, key, keepRetired = 0)
+      assert(second.map(e => (String.valueOf(e("table_prefix")),
+          String.valueOf(e("collected")))) == Seq((g2, "deleted")))
+      assert(graft.io.IndexMeta.exists(sub("g3")), "serving g3 must never collect")
+      // a drained ledger prunes to a no-op
+      assert(DedupOps.pruneCorpusDedupIndex(spark, store, key, keepRetired = 0).isEmpty)
+
+      assert(judge(g3) == before, "GC changed a judgment")
+      // carried-tag replay: the trigger that committed on COLLECTED g1
+      // replays against the serving generation and must no-op
+      assert(DedupOps.resolveCorpusDedupIndex(spark, store, key) == g3)
+      val rows = spark.table(s"${g3}_fingerprints").count()
+      DedupOps.appendToCorpusDedupIndex(acc, "text", "doc_id", g3, Some("gc-trig-1"))
+      assert(spark.table(s"${g3}_fingerprints").count() == rows,
+        "a carried-tag replay re-applied after its generation was collected")
+    } finally dropGens()
+  }
+
+  test("dedup-index GC never aliases the serving generation: a re-promoted prefix's entry is skipped, not deleted") {
+    // the a→b→a shape: g1@P1 promoted, g2@P2 promoted (retires g1@P1),
+    // then g1@P1 promoted AGAIN (rollback-by-promote; retires g2@P2).
+    // The ledger now holds an entry whose prefix+path ARE the serving
+    // generation — prune must skip it defensively and still collect g2.
+    val (g1, g2) = ("graft_gcalias_g1", "graft_gcalias_g2")
+    def dropGens(): Unit = Seq(g1, g2).foreach(p =>
+      Seq("_fingerprints", "_shingles", "_bands")
+        .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $p$sfx")))
+    dropGens()
+    val work = java.nio.file.Files.createTempDirectory("graft_dedupgc_alias_").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work)
+    def sub(n: String) = new java.io.File(work, n).getPath
+    val store = graft.io.BatchStore.local(sub("store"))
+    val key = "pointers/idx.json"
+    try {
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"),
+        g1, buckets = 4, path = Some(sub("g1")))
+      DedupOps.promoteCorpusDedupIndexChecked(spark, store, key, g1, Some(sub("g1")))
+      DedupOps.compactCorpusDedupIndex(spark, g1, g2, buckets = 4,
+        path = Some(sub("g2"))).count()
+      DedupOps.promoteCorpusDedupIndexChecked(spark, store, key, g2, Some(sub("g2")))
+      // roll back by re-promoting g1 — its OWN retirement entry now
+      // aliases the serving generation
+      DedupOps.promoteCorpusDedupIndexChecked(spark, store, key, g1, Some(sub("g1")))
+      val res = DedupOps.pruneCorpusDedupIndex(spark, store, key, keepRetired = 0)
+      val byPrefix = res.map(e => String.valueOf(e("table_prefix")) ->
+        String.valueOf(e("collected"))).toMap
+      assert(byPrefix(g1) == "skipped_serving", s"serving alias deleted: $res")
+      assert(byPrefix(g2) == "deleted", s"retired g2 not collected: $res")
+      assert(graft.io.IndexMeta.exists(sub("g1")), "serving generation's files deleted")
+      assert(!graft.io.IndexMeta.exists(sub("g2")))
+      // the skipped alias stays in the ledger (never silently forgotten)
+      val again = DedupOps.pruneCorpusDedupIndex(spark, store, key, keepRetired = 0)
+      assert(again.map(e => String.valueOf(e("collected"))) == Seq("skipped_serving"))
+      // the serving index still judges
+      assert(DedupOps.incrementalDedupPrepared(
+        Seq((9200L, "completely novel wording for the alias check")).toDF("doc_id", "text"),
+        DedupOps.readCorpusDedupIndex(spark, g1), "text", "doc_id")
+        .collect().nonEmpty)
+    } finally dropGens()
+  }
+
   test("epoch claim markers are released on commit; records fence recycled ids; repair sweeps abandoned claims") {
     // The round-13 advice finding: claimNextEpoch minted one PERMANENT
     // epoch-NNNNNNNN.claim dir per epoch — a long-lived intake's ledger

@@ -162,6 +162,32 @@ object IndexMeta {
   def claimDir(dir: String): Boolean =
     writerLock.tryClaim(dir, java.util.UUID.randomUUID().toString)
 
+  /** Run `body` holding an exclusive claim on `dir` — the mutex for
+    * short metadata read-modify-writes (a pointer put plus its
+    * retirement-ledger append) that would otherwise interleave and
+    * silently drop a concurrent writer's entry. Spins on [[claimDir]]
+    * with capped backoff up to `waitMs` (ties burn the claim for both
+    * racers, so retry is part of the protocol), releases by deleting
+    * the claim dir. NOT for long critical sections: a holder that dies
+    * leaves its claim file behind and every later claimant times out —
+    * `deleteTree(dir)` is the documented manual break (the dir holds
+    * nothing but the claim marker, so breaking it loses no state).
+    */
+  def withClaim[T](dir: String, waitMs: Long = 30000L)(body: => T): T = {
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    var backoff = 5L
+    var claimed = claimDir(dir)
+    while (!claimed && System.nanoTime() < deadline) {
+      Thread.sleep(backoff)
+      backoff = math.min(backoff * 2, 200L)
+      claimed = claimDir(dir)
+    }
+    if (!claimed) throw new IllegalStateException(
+      s"could not claim $dir within ${waitMs}ms — a crashed holder " +
+        "leaves its claim file behind; delete the dir to break the lock")
+    try body finally { deleteTree(dir); () }
+  }
+
   /** The pointer is the ONE metadata object overwritten while
     * concurrently read. On ChecksumFileSystem schemes (plain `file://`)
     * the data file and its `.crc` sidecar move in two SEPARATE renames,
@@ -192,14 +218,32 @@ object IndexMeta {
     * that sees nothing, a malformed fragment, or a WELL-FORMED partial
     * prefix (`v1000` of `v10000\n` — which an unterminated format
     * would silently serve as stale version 1000) treats the read as
-    * in-flight and retries. A pointer that stays unterminated or
-    * unparseable is corrupt (a crashed mid-put writer, or a root
-    * written by a pre-terminator build — re-run one swap to upgrade)
-    * and throws rather than silently serving the wrong version.
+    * in-flight and retries.
+    *
+    * A well-formed-but-unterminated value that stays IDENTICAL through
+    * the whole retry window is not in-flight — it is a durable root
+    * written by a pre-terminator build (or a writer that crashed
+    * mid-put). Those HEAL in place: the value is re-put WITH the
+    * terminator via [[swapVersionPointer]] and served, instead of
+    * throwing until a human re-runs a swap (SearchOps postings /
+    * VectorIndex roots persisted by earlier builds have no writer to
+    * do it). The heal never invents a version — it serves exactly what
+    * the pre-terminator format would have served; for a crashed
+    * mid-put the prefix is a once-valid version, a stale-but-committed
+    * read where the intended value is unrecoverable either way. The
+    * heal deliberately pays the FULL ~630ms backoff first (a genuinely
+    * in-flight put on a slow store must get the whole window to
+    * complete, or the heal would re-introduce the stale-prefix serve
+    * the terminator exists to prevent), and runs at most once per
+    * root: the healed pointer is terminated, so later reads parse
+    * immediately. Unparseable or UNSTABLE content still throws after
+    * the backoff rather than silently serving anything.
     */
   def readVersionPointer(root: String): Option[Int] = {
     val path = s"${root.stripSuffix("/")}/POINTER"
     var attempt = 0
+    var seen: String = null // last well-formed unterminated observation
+    var stable = true       // every unterminated observation identical
     while (true) {
       readPointerString(path) match {
         case None => return None
@@ -208,13 +252,22 @@ object IndexMeta {
         // backed-off retries (~630ms total): the fallback put's
         // truncate-to-close window scales with store latency, and a
         // FIXED cadence can lock step with a writer swapping in a loop
-        case Some(_) if attempt < 6 => Thread.sleep(10L << attempt); attempt += 1
+        case Some(s) if attempt < 6 =>
+          if (s.matches("v\\d{4,}")) {
+            if (seen != null && seen != s) stable = false
+            seen = s
+          } else stable = false
+          Thread.sleep(10L << attempt); attempt += 1
+        case Some(s) if s.matches("v\\d{4,}") && s == seen && stable =>
+          // identical through the whole window: legacy/crashed root —
+          // one-time in-place format upgrade, then serve it
+          val v = s.stripPrefix("v").toInt
+          swapVersionPointer(root, v)
+          return Some(v)
         case Some(s) =>
           throw new IllegalStateException(
             s"corrupt pointer at $path: " +
-              (if (s.trim.isEmpty) "(blank)"
-               else if (s.matches("v\\d{4,}")) s"unterminated '${s.trim}' (torn write or pre-terminator root)"
-               else s.trim))
+              (if (s.trim.isEmpty) "(blank)" else s.trim))
       }
     }
     None // unreachable

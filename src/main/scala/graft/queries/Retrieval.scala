@@ -281,11 +281,12 @@ object Retrieval {
     * cache); the SOURCE fingerprint resolves through the corpus dir's
     * own scheme, so an s3a:// corpus stamps its real listing.
     */
-  /** Cache-probe wrapper: a root whose POINTER is corrupt (torn write,
-    * or written by a pre-terminator build — IndexMeta now refuses both)
-    * is a stale CACHE entry, not an error: discard it and report a
-    * miss, so the caller rebuilds instead of failing every query that
-    * serves through the cached index.
+  /** Cache-probe wrapper: a root whose POINTER is corrupt (a torn
+    * write IndexMeta refuses — stable pre-terminator values now heal
+    * in place before reaching here) is a stale CACHE entry, not an
+    * error: discard it and report a miss, so the caller rebuilds
+    * instead of failing every query that serves through the cached
+    * index.
     */
   private def cachedIndexPresent(root: String)(probe: => Boolean): Boolean =
     try probe

@@ -127,6 +127,31 @@ class WriterLockSpec extends SparkSpec with Matchers {
     assert(IndexMeta.listChildNames(dir).exists(_.startsWith("_CLAIM.")))
   }
 
+  test("withClaim serializes a read-modify-write: N racing appenders, zero lost updates") {
+    val root = tmp("graft_lock_mutex_")
+    val lock = s"$root/_ledger.lock"
+    val ledger = s"$root/ledger.txt"
+    IndexMeta.writeString(ledger, "")
+    // the unguarded shape loses appends (both read "", both write one
+    // line); under withClaim every append lands exactly once
+    val threads = (0 until 8).map(i => new Thread(() =>
+      IndexMeta.withClaim(lock) {
+        val cur = IndexMeta.readString(ledger).getOrElse("")
+        IndexMeta.writeString(ledger, cur + s"entry-$i\n")
+      }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val lines = IndexMeta.readString(ledger).getOrElse("").split("\n").filter(_.nonEmpty)
+    lines.sorted.toSeq shouldBe (0 until 8).map(i => s"entry-$i")
+    // the claim released: the dir is claimable again
+    assert(IndexMeta.claimDir(lock), "withClaim must release its claim")
+    IndexMeta.deleteTree(lock)
+    // a held claim times out loudly instead of proceeding unguarded
+    assert(IndexMeta.claimDir(lock))
+    val e = intercept[IllegalStateException](
+      IndexMeta.withClaim(lock, waitMs = 150) { fail("body ran under a held claim") })
+    e.getMessage should include("could not claim")
+  }
+
   test("pointer swap: round-trips, replaces in place, leaves no tmp litter") {
     val root = tmp("graft_lock_ptr_")
     IndexMeta.readVersionPointer(root) shouldBe None
@@ -184,17 +209,42 @@ class WriterLockSpec extends SparkSpec with Matchers {
     IndexMeta.readVersionPointer(root) shouldBe Some(40)
   }
 
-  test("a well-formed but unterminated pointer reads as torn, never as a stale version") {
+  test("a stable unterminated pointer (pre-terminator root) heals in place after the full backoff") {
     val root = tmp("graft_lock_torn_")
-    // 'v1000' is exactly what a reader snapshots mid-put of 'v10000\n';
-    // the pre-terminator format would happily serve stale version 1000
+    // a durable root written by a pre-terminator build: well-formed,
+    // no trailing newline, and no writer left to re-run a swap. The
+    // reader pays the whole ~630ms in-flight window (the value could
+    // still be a slow put's prefix), then upgrades the format itself.
     IndexMeta.writeString(s"$root/POINTER", "v1000")
-    val e = intercept[IllegalStateException](IndexMeta.readVersionPointer(root))
-    e.getMessage should include("unterminated")
-    e.getMessage should include("v1000")
-    // a completed swap heals the root
-    IndexMeta.swapVersionPointer(root, 10000)
-    IndexMeta.readVersionPointer(root) shouldBe Some(10000)
+    IndexMeta.readVersionPointer(root) shouldBe Some(1000)
+    // the heal is durable: the pointer is now terminated, so the next
+    // read parses immediately (no backoff, no second heal)
+    IndexMeta.readString(s"$root/POINTER") shouldBe Some("v1000\n")
+    val t0 = System.nanoTime()
+    IndexMeta.readVersionPointer(root) shouldBe Some(1000)
+    assert((System.nanoTime() - t0) / 1e6 < 300,
+      "a healed pointer must read without the torn-write backoff")
+  }
+
+  test("an UNSTABLE unterminated pointer still refuses — instability proves an in-flight writer, not a legacy root") {
+    val root = tmp("graft_lock_unstable_")
+    IndexMeta.writeString(s"$root/POINTER", "v1000")
+    // a rewriter keeps changing the unterminated content for longer
+    // than the read window — healing ANY snapshot would serve a
+    // version no completed swap ever committed
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writer = new Thread(() => {
+      var i = 0
+      while (!stop.get()) {
+        // strictly increasing: no two reads can ever observe the same
+        // unterminated value, so stability can never be inferred
+        IndexMeta.writeString(s"$root/POINTER", f"v${1001 + i}%04d")
+        i += 1; Thread.sleep(2)
+      }
+    })
+    writer.start()
+    try intercept[IllegalStateException](IndexMeta.readVersionPointer(root))
+    finally { stop.set(true); writer.join() }
   }
 
   test("an in-flight put (unterminated prefix on disk) is retried through to the completed value") {

@@ -17,6 +17,12 @@ final class BatchStore(fs: FileSystem, root: String,
 
   private def p(key: String) = new Path(root.stripSuffix("/") + "/" + key)
 
+  /** Absolute location of `key` in this store — for callers that need
+    * to hand the path to filesystem-level primitives (IndexMeta claim
+    * dirs guarding a pointer's read-modify-write, not store objects).
+    */
+  def objectPath(key: String): String = p(key).toString
+
   def productionPointerKey: String = "pointers/production.json"
   def previousPointerKey: String = "pointers/previous.json"
   def batchManifestKey(batchId: String): String =

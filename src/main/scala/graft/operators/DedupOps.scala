@@ -1204,13 +1204,14 @@ object DedupOps {
     * clean or unledgered index.
     */
   def repairCorpusDedupIndex(spark: org.apache.spark.sql.SparkSession,
-                             tablePrefix: String): Map[String, Any] =
+                             tablePrefix: String,
+                             claimStalenessMs: Long = DefaultClaimStalenessMs): Map[String, Any] =
     readEpochLedger(spark, tablePrefix) match {
       case None => Map("torn_epochs" -> Nil, "deleted_files" -> Map.empty[String, Any])
       case Some(led) if led.torn.isEmpty =>
         // clean indexes still get the clutter sweep: a crashed claimant
         // leaves no torn epoch, only its marker
-        sweepAbandonedClaims(epochLedgerDir(spark, tablePrefix), led)
+        sweepAbandonedClaims(epochLedgerDir(spark, tablePrefix), led, claimStalenessMs)
         Map("torn_epochs" -> Nil, "deleted_files" -> Map.empty[String, Any])
       case Some(led) =>
         require(led.commits.contains(0L),
@@ -1239,23 +1240,44 @@ object DedupOps {
           // the id becomes mintable again, its files are gone
           releaseEpochClaim(dir, e)
         }
-        sweepAbandonedClaims(dir, led)
+        sweepAbandonedClaims(dir, led, claimStalenessMs)
         Map("torn_epochs" -> led.torn, "deleted_files" -> deleted)
     }
+
+  /** Claim markers younger than this survive every sweep: the
+    * claim-win → intent-write window is sub-second, so 15 minutes is a
+    * generous multiple of any real claimant's hold time while still
+    * collecting genuinely dead markers on the next maintenance pass.
+    */
+  private[graft] val DefaultClaimStalenessMs: Long = 15L * 60 * 1000
 
   /** Collect abandoned claim markers (a claimant that died between
     * claim and intent) at or below the committed watermark — dead
     * clutter every ledger listing rescans. Markers ABOVE the watermark
-    * may belong to a live claimant mid-append and stay.
+    * may belong to a live claimant mid-append and stay. Below-watermark
+    * markers are NOT proof of death either: [[claimEpochFrom]] hands
+    * gap ids (quarantined or tie-burned epochs) to stale readers, and
+    * sweeping a live claimant's marker between its claim-win and its
+    * intent-write would let a second writer mint the same id — the
+    * double-record overwrite the claim protocol exists to prevent. So
+    * only markers older than `olderThanMs` (by marker mtime) release;
+    * a live claimant's marker is always fresh.
     */
   private def sweepAbandonedClaims(dir: org.apache.hadoop.fs.Path,
-                                   led: EpochLedger): Unit = {
+                                   led: EpochLedger,
+                                   olderThanMs: Long = DefaultClaimStalenessMs): Unit = {
     val watermark = (led.commits.keySet + 0L).max
+    val fs = graft.io.IndexMeta.fs(dir.toString)
+    val now = System.currentTimeMillis()
     graft.io.IndexMeta.listChildNames(dir.toString).foreach {
       case EpochClaimName(id)
           if id.toLong <= watermark && !led.intents.contains(id.toLong) &&
             !led.commits.contains(id.toLong) =>
-        releaseEpochClaim(dir, id.toLong)
+        val marker = epochClaimMarker(dir, id.toLong)
+        val stale =
+          try now - fs.getFileStatus(marker).getModificationTime >= olderThanMs
+          catch { case _: java.io.FileNotFoundException => false } // already released
+        if (stale) releaseEpochClaim(dir, id.toLong)
       case _ => ()
     }
   }
@@ -1277,7 +1299,14 @@ object DedupOps {
     */
   private[graft] def promoteCorpusDedupIndex(store: graft.io.BatchStore, pointerKey: String,
                               tablePrefix: String,
-                              path: Option[String] = None): Map[String, Any] = {
+                              path: Option[String] = None): Map[String, Any] =
+    // the pointer put and the retirement-ledger append are ONE
+    // read-modify-write: two unguarded promotes can both read pointer
+    // P0, both swap, both append P0 — the losing promote's generation
+    // is then never recorded as retired, storage the GC can never find.
+    // Prune takes the same claim, so its ledger rewrite can't swallow a
+    // concurrent promote's append either.
+    graft.io.IndexMeta.withClaim(store.objectPath(pointerSwapLockKey(pointerKey))) {
     val previous = store.readJsonIfExists(pointerKey)
     val pointer = Map(
       "table_prefix" -> tablePrefix,
@@ -1291,22 +1320,51 @@ object DedupOps {
     // promotes ago becomes unfindable — and uncollectable — garbage.
     // [[pruneCorpusDedupIndex]] reads this list; entries record the
     // prefix AND path so prefix reuse at a new location (the a→b→a
-    // alternation) can never alias the serving generation.
+    // alternation) can never alias the serving generation. A MANAGED
+    // outgoing generation (no explicit path) records its epoch-ledger
+    // dir instead, resolved through the catalog NOW while the tables
+    // are still registered — once someone drops them the location is
+    // unrecoverable and the entry would be skipped on every prune
+    // forever.
     previous.foreach { prev =>
       val prevPrefix = prev.get("table_prefix").map(String.valueOf)
       val prevPath = prev.get("path").map(String.valueOf)
-      val samePlace = prevPrefix.contains(tablePrefix) && prevPath == path
+      val samePlace = prevPrefix.contains(tablePrefix) &&
+        prevPath.map(normLoc) == path.map(normLoc)
       if (prevPrefix.isDefined && !samePlace) {
         val rk = retiredGenerationsKey(pointerKey)
         val existing = readRetiredGenerations(store, pointerKey)
+        val ledgerLoc: Option[String] =
+          if (prevPath.isDefined) None
+          else scala.util.Try {
+            val spark = org.apache.spark.sql.SparkSession.active
+            if (corpusDedupIndexExists(spark, prevPrefix.get))
+              Some(epochLedgerDir(spark, prevPrefix.get).toString)
+            else None
+          }.toOption.flatten
         val entry: Map[String, Any] =
           Map("table_prefix" -> prevPrefix.get,
-            "retired_at_utc" -> store.timestamp()) ++ prevPath.map("path" -> _)
+            "retired_at_utc" -> store.timestamp()) ++
+            prevPath.map("path" -> _) ++ ledgerLoc.map("ledger_dir" -> _)
         store.putJson(rk, Map("retired" -> (existing :+ entry)))
       }
     }
     pointer
   }
+
+  /** Claim dir serializing every pointer-put + retirement-ledger
+    * mutation for one pointerKey (promotes and prunes alike).
+    */
+  private[graft] def pointerSwapLockKey(pointerKey: String): String =
+    pointerKey.stripSuffix(".json") + "_swap.lock"
+
+  /** Scheme-free normalized location for alias comparisons — the SAME
+    * normalization everywhere (`file:/x/`, `/x` and `/x/` are one
+    * location), so a rollback-by-promote whose caller spells the same
+    * path differently can never slip past a serving-alias guard.
+    */
+  private def normLoc(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath.stripSuffix("/")
 
   private[graft] def retiredGenerationsKey(pointerKey: String): String =
     pointerKey.stripSuffix(".json") + "_retired.json"
@@ -1356,53 +1414,92 @@ object DedupOps {
                             store: graft.io.BatchStore, pointerKey: String,
                             keepRetired: Int = 1): Seq[Map[String, Any]] = {
     require(keepRetired >= 0, "keepRetired must be >= 0")
+    // same claim as promote: the ledger rewrite below is a
+    // read-modify-write, and a promote appending a retirement between
+    // our read and our put would have its entry silently dropped — a
+    // permanently unfindable generation. The claim also freezes the
+    // pointer for the whole pass, so the serving-alias guard and the
+    // deletes judge one consistent serving generation.
+    graft.io.IndexMeta.withClaim(store.objectPath(pointerSwapLockKey(pointerKey))) {
     val ptr = store.readJsonIfExists(pointerKey).getOrElse(
       throw new java.io.FileNotFoundException(s"no index pointer at $pointerKey"))
     val curPrefix = String.valueOf(ptr.getOrElse("table_prefix",
       throw new IllegalStateException(s"index pointer $pointerKey has no table_prefix")))
-    val curPath = ptr.get("path").map(String.valueOf)
+    val curPath = ptr.get("path").map(String.valueOf).map(normLoc)
+    // the serving generation's epoch-ledger location, for managed
+    // entries whose only recorded handle is their ledger_dir
+    def servingLedger: Option[String] =
+      if (!corpusDedupIndexExists(spark, curPrefix)) None
+      else scala.util.Try(normLoc(epochLedgerDir(spark, curPrefix).toString)).toOption
     val all = readRetiredGenerations(store, pointerKey)
     val candidates = all.dropRight(keepRetired)
     val results = candidates.map { e =>
       val prefix = String.valueOf(e.getOrElse("table_prefix", ""))
-      val epath = e.get("path").map(String.valueOf)
+      val epath = e.get("path").map(String.valueOf).map(normLoc)
+      val eledger = e.get("ledger_dir").map(String.valueOf).map(normLoc)
+      // every location comparison through normLoc: a rollback-by-
+      // promote spelling the same place differently (trailing slash,
+      // file:/ scheme) must hit the skip, never the delete
       val aliasesServing = (prefix == curPrefix && epath == curPath) ||
-        (epath.isDefined && epath == curPath)
+        (epath.isDefined && epath == curPath) ||
+        (eledger.isDefined && eledger == servingLedger)
       if (aliasesServing) e + ("collected" -> "skipped_serving")
       else epath match {
         case Some(p) =>
           // drop catalog registrations only when they belong to THIS
           // retired location; a reused prefix serving elsewhere survives
           if (corpusDedupIndexExists(spark, prefix)) {
-            val registered = tableLocationPath(spark, s"${prefix}_bands")
-              .getParent.toUri.getPath.stripSuffix("/")
-            val retiredLoc = new org.apache.hadoop.fs.Path(p).toUri.getPath.stripSuffix("/")
-            if (registered == retiredLoc)
+            val registered = normLoc(tableLocationPath(spark, s"${prefix}_bands")
+              .getParent.toString)
+            if (registered == p)
               IndexTableNames.foreach(n =>
                 spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$n"))
           }
           graft.io.IndexMeta.deleteTree(p)
           e + ("collected" -> "deleted")
-        case None if corpusDedupIndexExists(spark, prefix) && prefix != curPrefix =>
-          // managed generation: the ledger dir resolves through the
-          // catalog, and managed drops delete their data
+        case None if eledger.isEmpty &&
+            corpusDedupIndexExists(spark, prefix) && prefix != curPrefix =>
+          // pre-ledger_dir managed entry, still registered: the ledger
+          // dir resolves through the catalog, and managed drops delete
+          // their data
           val ledgerDir = epochLedgerDir(spark, prefix)
           IndexTableNames.foreach(n => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$n"))
           hadoopFs(spark, ledgerDir).delete(ledgerDir, true)
           e + ("collected" -> "deleted")
+        case None if eledger.isDefined =>
+          // managed entry with its ledger location recorded at promote
+          // time. When the prefix is still registered AT that location
+          // this is the same incarnation: drop the tables (managed
+          // drops delete their data) before collecting the ledger dir.
+          // Registered elsewhere (or not at all) means the retired
+          // incarnation's tables are already gone — a managed
+          // re-CREATE requires the old drop — so only its ledger dir
+          // remains to collect.
+          val sameIncarnation = corpusDedupIndexExists(spark, prefix) &&
+            scala.util.Try(normLoc(epochLedgerDir(spark, prefix).toString))
+              .toOption.contains(eledger.get)
+          if (sameIncarnation)
+            IndexTableNames.foreach(n => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$n"))
+          graft.io.IndexMeta.deleteTree(eledger.get)
+          e + ("collected" -> "deleted")
         case None =>
-          e + ("collected" -> "skipped_no_path")
+          // nothing recorded, nothing registered: no recoverable
+          // storage. Dropping the entry (instead of re-skipping it on
+          // every future prune, forever) is the only terminal state.
+          e + ("collected" -> "dropped_unresolvable")
       }
     }
     // oldest-first order preserved: surviving (skipped) candidates are
-    // older than the grace window by construction
+    // older than the grace window by construction; deleted and
+    // unresolvable entries leave the ledger
+    val terminal = Set("deleted", "dropped_unresolvable")
     val stillRetired =
-      results.filter(r => r("collected") != "deleted").map(_ - "collected") ++
-        all.takeRight(keepRetired)
+      results.filterNot(r => terminal(String.valueOf(r("collected"))))
+        .map(_ - "collected") ++ all.takeRight(keepRetired)
     store.putJson(retiredGenerationsKey(pointerKey),
       Map("retired" -> stillRetired))
     results
-  }
+  }}
 
   /** [[promoteCorpusDedupIndex]] with the compact-promote append window
     * CLOSED: before swapping the pointer, diff the source index's

@@ -1376,15 +1376,158 @@ class CorpusIndexSpec extends SparkSpec {
 
       // abandon the minted claim (simulated writer death before intent),
       // commit one more real append past it → the marker now sits BELOW
-      // the watermark with no record, and repair sweeps it
+      // the watermark with no record
       DedupOps.appendToCorpusDedupIndex(
         Seq((8100L, "one more committed append to advance the ledger watermark"))
           .toDF("doc_id", "text"),
         "text", "doc_id", prefix, Some("clutter-post"))
-      val rep = DedupOps.repairCorpusDedupIndex(spark, prefix)
+      // a DEFAULT repair must NOT sweep it: a live claimant holding a
+      // below-watermark gap id between claim-win and intent-write looks
+      // exactly like this, and releasing its marker would let a second
+      // writer mint the same epoch — the marker is fresh, so it stays
+      val repFresh = DedupOps.repairCorpusDedupIndex(spark, prefix)
+      assert(repFresh("torn_epochs") == Nil, s"clean index read as torn: $repFresh")
+      assert(claimDirs() == Seq(f"epoch-$minted%08d.claim"),
+        "a fresh below-watermark claim may belong to a live claimant and must survive")
+      // once the marker is STALE (no claimant holds a claim for 15min)
+      // the sweep collects it — staleness 0 simulates the aged marker
+      val rep = DedupOps.repairCorpusDedupIndex(spark, prefix, claimStalenessMs = 0L)
       assert(rep("torn_epochs") == Nil, s"clean index read as torn: $rep")
       assert(claimDirs().isEmpty,
-        s"repair must sweep the abandoned below-watermark claim, found ${claimDirs()}")
+        s"repair must sweep the abandoned STALE below-watermark claim, found ${claimDirs()}")
     } finally dropIndex()
+  }
+
+  test("concurrent promotes serialize: every superseded generation is serving or in the retirement ledger (no orphan)") {
+    // Two unguarded promotes both read pointer P0, both swap, both
+    // append P0 — the losing promote's generation is then recorded
+    // NOWHERE (not serving, not retired): storage the GC can never
+    // find. The pointer-swap claim serializes the read-modify-write.
+    val work = java.nio.file.Files.createTempDirectory("graft_promrace_").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work)
+    def sub(n: String) = new java.io.File(work, n).getPath
+    val store = graft.io.BatchStore.local(sub("store"))
+    val key = "pointers/race.json"
+    DedupOps.promoteCorpusDedupIndex(store, key, "graft_promrace_g0", Some(sub("g0")))
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val racers = Seq("g1", "g2").map(g => new Thread(() => {
+      latch.countDown(); latch.await()
+      try DedupOps.promoteCorpusDedupIndex(store, key, s"graft_promrace_$g", Some(sub(g)))
+      catch { case t: Throwable => failures.add(t) }
+    }))
+    racers.foreach(_.start()); racers.foreach(_.join())
+    assert(failures.isEmpty, s"a racing promote failed: ${failures.peek()}")
+    val serving = String.valueOf(
+      store.readJsonIfExists(key).get.apply("table_prefix"))
+    val retired = store.readJsonIfExists(DedupOps.retiredGenerationsKey(key))
+      .flatMap(_.get("retired")).collect { case s: Seq[_] =>
+        s.collect { case m: Map[_, _] =>
+          String.valueOf(m.asInstanceOf[Map[String, Any]]("table_prefix")) } }
+      .getOrElse(Nil)
+    val everyone = Set("graft_promrace_g0", "graft_promrace_g1", "graft_promrace_g2")
+    assert(retired.toSet + serving == everyone,
+      s"a generation was orphaned: serving=$serving retired=$retired")
+    assert(retired.size == 2, s"a ledger append was lost: $retired")
+    // the claim released: a later promote still proceeds
+    DedupOps.promoteCorpusDedupIndex(store, key, "graft_promrace_g3", Some(sub("g3")))
+  }
+
+  test("GC alias guard is spelling-proof: a re-promote naming the serving path with a scheme/slash variant still skips") {
+    // the a→b→a rollback where the caller spells the same location
+    // 'file:' + trailing slash — raw string comparison would miss the
+    // alias and deleteTree() the SERVING generation's files
+    val (g1, g2) = ("graft_gcspell_g1", "graft_gcspell_g2")
+    def dropGens(): Unit = Seq(g1, g2).foreach(p =>
+      Seq("_fingerprints", "_shingles", "_bands")
+        .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $p$sfx")))
+    dropGens()
+    val work = java.nio.file.Files.createTempDirectory("graft_gcspell_").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work)
+    def sub(n: String) = new java.io.File(work, n).getPath
+    val store = graft.io.BatchStore.local(sub("store"))
+    val key = "pointers/idx.json"
+    try {
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"),
+        g1, buckets = 4, path = Some(sub("g1")))
+      DedupOps.promoteCorpusDedupIndexChecked(spark, store, key, g1, Some(sub("g1")))
+      DedupOps.compactCorpusDedupIndex(spark, g1, g2, buckets = 4,
+        path = Some(sub("g2"))).count()
+      DedupOps.promoteCorpusDedupIndexChecked(spark, store, key, g2, Some(sub("g2")))
+      // roll back to g1, spelling its path as file: + trailing slash
+      DedupOps.promoteCorpusDedupIndexChecked(spark, store, key, g1,
+        Some("file:" + sub("g1") + "/"))
+      val res = DedupOps.pruneCorpusDedupIndex(spark, store, key, keepRetired = 0)
+      val byPrefix = res.map(e => String.valueOf(e("table_prefix")) ->
+        String.valueOf(e("collected"))).toMap
+      assert(byPrefix(g1) == "skipped_serving",
+        s"differently-spelled serving alias was not skipped: $res")
+      assert(byPrefix(g2) == "deleted", s"retired g2 not collected: $res")
+      assert(graft.io.IndexMeta.exists(sub("g1")),
+        "the serving generation's files were deleted through a spelling variant")
+      assert(!graft.io.IndexMeta.exists(sub("g2")))
+    } finally dropGens()
+  }
+
+  test("managed retirements record their ledger dir at promote; prune stays terminal after out-of-band drops") {
+    // A MANAGED generation's only handle after its tables are dropped
+    // used to be nothing — the entry was re-examined and re-written on
+    // every prune forever. Promote now records the epoch-ledger dir
+    // while the tables are still registered, so prune always has
+    // something terminal to do; a legacy entry with no handle at all
+    // drops out of the ledger as unresolvable instead of looping.
+    val (g1, g2) = ("graft_gcman_g1", "graft_gcman_g2")
+    def dropGens(): Unit = Seq(g1, g2).foreach(p =>
+      Seq("_fingerprints", "_shingles", "_bands")
+        .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $p$sfx")))
+    dropGens()
+    val work = java.nio.file.Files.createTempDirectory("graft_gcman_").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work)
+    def sub(n: String) = new java.io.File(work, n).getPath
+    val store = graft.io.BatchStore.local(sub("store"))
+    val key = "pointers/idx.json"
+    try {
+      // g1 managed (no path), g2 external; g1's retirement entry must
+      // carry its ledger_dir, resolved while g1 was still registered
+      DedupOps.writeCorpusDedupIndex(
+        DedupOps.buildCorpusDedupIndex(corpus, "text", "doc_id"), g1, buckets = 4)
+      DedupOps.promoteCorpusDedupIndexChecked(spark, store, key, g1)
+      DedupOps.compactCorpusDedupIndex(spark, g1, g2, buckets = 4,
+        path = Some(sub("g2"))).count()
+      DedupOps.promoteCorpusDedupIndexChecked(spark, store, key, g2, Some(sub("g2")))
+      val entry = store.readJsonIfExists(DedupOps.retiredGenerationsKey(key))
+        .flatMap(_.get("retired")).collect { case s: Seq[_] =>
+          s.collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] } }
+        .getOrElse(Nil).head
+      assert(entry.contains("ledger_dir"),
+        s"managed retirement must record its ledger dir: $entry")
+      val ledgerDir = String.valueOf(entry("ledger_dir"))
+      assert(graft.io.IndexMeta.exists(ledgerDir))
+      // someone drops the g1 tables out-of-band (managed drop deletes
+      // table data; the ledger dir is a warehouse sibling and survives)
+      Seq("_fingerprints", "_shingles", "_bands")
+        .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $g1$sfx"))
+      assert(graft.io.IndexMeta.exists(ledgerDir),
+        "precondition: the ledger dir outlives the table drops")
+      val res = DedupOps.pruneCorpusDedupIndex(spark, store, key, keepRetired = 0)
+      assert(res.map(e => (String.valueOf(e("table_prefix")),
+          String.valueOf(e("collected")))) == Seq((g1, "deleted")),
+        s"recorded ledger dir must make the managed entry terminal: $res")
+      assert(!graft.io.IndexMeta.exists(ledgerDir), "recorded ledger dir survived prune")
+      assert(DedupOps.pruneCorpusDedupIndex(spark, store, key, keepRetired = 0).isEmpty,
+        "a collected managed entry must leave the ledger")
+
+      // a LEGACY entry (no path, no ledger_dir, nothing registered)
+      // resolves to nothing: reported unresolvable and dropped, so the
+      // next prune no-ops instead of re-examining it forever
+      store.putJson(DedupOps.retiredGenerationsKey(key), Map("retired" -> Seq(
+        Map("table_prefix" -> "graft_gcman_ghost", "retired_at_utc" -> "t0"))))
+      val ghost = DedupOps.pruneCorpusDedupIndex(spark, store, key, keepRetired = 0)
+      assert(ghost.map(e => String.valueOf(e("collected"))) == Seq("dropped_unresolvable"),
+        s"unresolvable legacy entry must be reported dropped: $ghost")
+      assert(DedupOps.pruneCorpusDedupIndex(spark, store, key, keepRetired = 0).isEmpty,
+        "an unresolvable entry must not be re-examined forever")
+    } finally dropGens()
   }
 }

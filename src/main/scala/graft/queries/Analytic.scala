@@ -137,6 +137,28 @@ object Analytic {
           min(col("doc_id")).as("first_doc"))
         .orderBy("source")
     }),
+
+    // q130 with FRACTIONAL weights — the "0.6 web + 0.3 code" recipe
+    // shape, and the exact bug class round 14 fixed (a long cast
+    // silently truncated sub-1.0 weights to an EMPTY mix) put under the
+    // hash gate, where MixOpsSpec alone had to catch it before. Weights
+    // are (N%4+1)/4.0: dyadic rationals (0.25..1.0) are exactly
+    // representable, so the driver-side weight SUM is order-independent
+    // and bit-identical across engines — a /10.0 recipe would make wsum
+    // depend on the engines' summation order at the last ulp. A
+    // distinct salt decorrelates this mix's kept set from q130's.
+    "q133_mix_fractional_weights" -> ((s, dir) => {
+      val kept = graft.operators.MixOps.mixByTokenBudget(
+        t(s, dir, "documents"), "source", "text", "doc_id",
+        weightExpr =
+          (substring(col("source"), 4, 10).cast("int") % 4 + 1).cast("double") / 4.0,
+        budgetFrac = 0.1, salt = "graft-mix-frac")
+      kept.groupBy("source", "mix_cut")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(size(split(col("text"), " ")).cast("long")).as("kept_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("source")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -221,6 +243,32 @@ object Analytic {
         |g AS (SELECT d.doc_id, d.source, d.toks, cuts.mix_cut
         |  FROM d JOIN cuts USING (source)
         |  WHERE lpad(substring(sha256('graft-mix:' || CAST(doc_id AS VARCHAR)), 1, 4),
+        |    5, '0') < mix_cut)
+        |SELECT source, mix_cut,
+        |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(toks) AS BIGINT) AS kept_tokens,
+        |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        |FROM g GROUP BY source, mix_cut ORDER BY source""".stripMargin,
+
+    // q130's oracle with the weight tree made fractional: w is a DOUBLE
+    // (N%4+1)/4.0 per source — dyadic, so SUM(w) is exact in any order —
+    // and the rate tree mirrors MixOps op for op with w already double
+    "q133_mix_fractional_weights" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |per AS (SELECT source, SUM(toks) AS stoks,
+        |    CAST(CAST(substring(source, 4) AS INTEGER) % 4 + 1 AS DOUBLE) / 4.0 AS w
+        |  FROM d GROUP BY source),
+        |tot AS (SELECT CAST(SUM(stoks) AS DOUBLE) AS tot,
+        |    SUM(w) AS wsum FROM per),
+        |cuts AS (SELECT source, printf('%05x', CAST(floor(LEAST(1.0,
+        |      (tot * 0.1) * (w / wsum) / CAST(stoks AS DOUBLE))
+        |      * 65536.0) AS BIGINT)) AS mix_cut
+        |  FROM per, tot),
+        |g AS (SELECT d.doc_id, d.source, d.toks, cuts.mix_cut
+        |  FROM d JOIN cuts USING (source)
+        |  WHERE lpad(substring(sha256('graft-mix-frac:' || CAST(doc_id AS VARCHAR)), 1, 4),
         |    5, '0') < mix_cut)
         |SELECT source, mix_cut,
         |  CAST(COUNT(*) AS BIGINT) AS n_kept,

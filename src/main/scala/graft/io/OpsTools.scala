@@ -390,4 +390,35 @@ object OpsTools {
     try out.write(StableJson.write(manifest).getBytes("UTF-8")) finally out.close()
     manifest
   }
+
+  /** The seven hand-filled review columns of the option-5 sheet, in the
+    * reference's column order
+    * (process/instagram_option5_build_review_sheet.py:26-37).
+    */
+  val ReviewSheetColumns: Seq[String] = Seq(
+    "brand_consistency", "factual_correctness_visible_text",
+    "text_legibility", "repeatability_note",
+    "better_than_deterministic_template", "approved", "review_notes")
+
+  /** Option-5 review sheet: the generated-image manifest with the seven
+    * blank review columns appended, manifest columns first (the
+    * reference's `{**row, ...}` + DictWriter-fieldnames contract —
+    * which also BLANKS a manifest column that collides with a review
+    * column name, as the dict merge does).
+    */
+  def buildReviewSheet(manifest: DataFrame): DataFrame = {
+    val kept = manifest.columns.filterNot(ReviewSheetColumns.contains)
+    ReviewSheetColumns.foldLeft(manifest.select(kept.map(col): _*))(
+      (df, c) => df.withColumn(c, lit("")))
+  }
+
+  /** Write the sheet where the reference refreshes it:
+    * `<runRoot>/review/review_sheet.csv`
+    * (instagram_option5_build_review_sheet.py:19-45).
+    */
+  def writeReviewSheet(manifest: DataFrame, runRoot: String): String = {
+    val target = s"${runRoot.stripSuffix("/")}/review/review_sheet.csv"
+    TableIO.writeCsv(buildReviewSheet(manifest), target)
+    target
+  }
 }

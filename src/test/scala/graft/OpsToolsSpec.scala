@@ -155,4 +155,42 @@ class OpsToolsSpec extends SparkSpec {
       Seq("speaker_name", "caf", "name_2", "name", "name_3", "col", "ab"),
       cleaned.columns.toSeq.toString)
   }
+
+  test("option-5 review sheet: manifest columns first, seven blank review columns appended") {
+    // reference process/instagram_option5_build_review_sheet.py:24-45 —
+    // the generated-image manifest (instagram_option5_generate_images.py:125-136
+    // column set) plus blank hand-review fields, original columns first
+    val manifest = Seq(
+      ("rec1", "Dublin Bay North", "warm", "0", "ab12", "img-model",
+        "1024x1536", "/r/images/rec1.png", "/r/specs/rec1.yaml", "generated"),
+      ("rec2", "Cork East", "cool", "1", "cd34", "img-model",
+        "1024x1536", "/r/images/rec2.png", "/r/specs/rec2.yaml", "generated"))
+      .toDF("record_id", "constituency_name", "style_direction", "variant_index",
+        "prompt_hash", "model", "size", "image_path", "render_spec_path", "status")
+    val sheet = OpsTools.buildReviewSheet(manifest)
+    assert(sheet.columns.toSeq == manifest.columns.toSeq ++ OpsTools.ReviewSheetColumns)
+    val rows = sheet.orderBy("record_id").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => OpsTools.ReviewSheetColumns
+      .forall(c => r.getAs[String](c) == "")), "review fields must start blank")
+    assert(rows.head.getAs[String]("record_id") == "rec1" &&
+      rows.head.getAs[String]("status") == "generated")
+
+    // a stale review column in the input is re-blanked (the reference's
+    // dict-merge overwrite), never carried into a fresh sheet
+    val stale = manifest.withColumn("approved",
+      org.apache.spark.sql.functions.lit("yes"))
+    val refreshed = OpsTools.buildReviewSheet(stale)
+    assert(refreshed.select("approved").collect().forall(_.getString(0) == ""))
+
+    // write-through lands at <runRoot>/review/review_sheet.csv and
+    // round-trips through the all-string CSV reader
+    val root = Files.createTempDirectory("graft_option5_").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(root)
+    val target = OpsTools.writeReviewSheet(manifest, root.getPath)
+    assert(target.endsWith("/review/review_sheet.csv"))
+    val back = graft.io.TableIO.readCsvAllString(spark, target, sheet.columns.toSeq)
+    assert(back.count() == 2)
+    assert(back.columns.toSeq == sheet.columns.toSeq)
+  }
 }

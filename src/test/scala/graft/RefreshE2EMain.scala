@@ -1,0 +1,379 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.compat.CompatOps
+import graft.control.ControlTables
+import graft.core.{TableRegistry, TableSpec}
+import graft.gold.GoldMarts
+import graft.io.{BatchStore, TableIO}
+import graft.operators.DqOps
+import graft.orchestrate.{ContractOps, RefreshRun}
+import graft.silver.{FlattenSpecs, SilverBuilder}
+import graft.sources.RestSource
+
+/** The weekly-refresh orchestration, driven END TO END at bench scale in
+  * one process (not a test — the PERF.md transcript driver, the q84stream
+  * convention): stubbed REST pages synthesized from the SF tables →
+  * SilverBuilder flatten/merge/DQ/batch writes for seven silver tables →
+  * all five gold marts reading the CANDIDATE silver plus the PROMOTED
+  * previous batch (both read disciplines) → compat adapters → candidate
+  * contract validation → control tables (ordered last, as
+  * RefreshRun.normalize forces) → manifest assembly → batch promote →
+  * post-promote contract validation through the swapped pointer.
+  *
+  * Mirrors the reference's production entry point (SURVEY §3.3,
+  * .github/workflows/oireachtas_refresh_validation_orchestrator.yml →
+  * process/oireachtas_refresh_inputs.py + the per-table builders +
+  * batch.py promote): a weekly run fetches a 35-day window for event
+  * tables and full rosters for dimensions, builds into an immutable
+  * batch, validates, and promotes with a single pointer write.
+  */
+object RefreshE2EMain {
+
+  private def chunkPages(payloads: Seq[String], pageSize: Int): Seq[String] =
+    payloads.grouped(pageSize).map(g => s"""{"results":[${g.mkString(",")}]}""").toSeq
+
+  private def transportFor(pages: Seq[String]) = new RestSource.HttpTransport {
+    private val q = scala.collection.mutable.Queue(pages: _*)
+    def get(url: String, params: Map[String, String]): RestSource.HttpResult =
+      RestSource.HttpResult(200, if (q.nonEmpty) q.dequeue() else """{"results":[]}""")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val builder = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("graft_refresh_e2e_").toString
+    val store = BatchStore.local(root)
+    val timings = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def stage[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      val secs = (System.nanoTime() - t0) / 1e9
+      timings += name -> secs
+      println(f"REFRESH $name%-28s ${secs}%7.2f s")
+      r
+    }
+
+    val orders = Tables.load(spark, sfDir, "orders")
+    val customer = Tables.load(spark, sfDir, "customer")
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+
+    // the weekly window: trailing 35 days of the data's own clock
+    val maxDate = orders
+      .agg(max(date_format(col("o_orderdate"), "yyyy-MM-dd"))).head().getString(0)
+    val dateEnd = java.time.LocalDate.parse(maxDate)
+    val dateStart = dateEnd.minusDays(35)
+    val snapshotDate = dateEnd.toString
+    def inWindow(d: org.apache.spark.sql.Column) =
+      d >= lit(dateStart.toString) && d <= lit(dateEnd.toString)
+
+    // ---- stage 0: seed the PREVIOUS promoted batch (last week's state:
+    // speeches + member votes — tables this weekly run does NOT refresh,
+    // which gold must read through the production pointer)
+    stage("seed:promoted-b0") {
+      val speeches = orders.select(
+        concat(lit("sp"), col("o_orderkey")).as("speech_id"),
+        concat(lit("M"), col("o_custkey")).as("speaker_member_code"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("debate_date"),
+        concat(lit("deb"), col("o_orderkey") % 1000).as("debate_id"),
+        lit(snapshotDate).as("snapshot_date"))
+      val votes = lineitem.join(
+          orders.select(col("o_orderkey").as("l_orderkey"), col("o_custkey")), Seq("l_orderkey"))
+        .select(
+          concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("member_vote_id"),
+          concat(lit("division:v"), col("l_orderkey"), lit(":"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd")).as("division_id"),
+          concat(lit("v"), col("l_orderkey")).as("vote_id"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("division_date"),
+          concat(lit("M"), col("o_custkey")).as("member_code"),
+          concat(lit("Member "), col("o_custkey")).as("member_name"),
+          when(col("l_linenumber") % 3 === 0, "ta")
+            .when(col("l_linenumber") % 3 === 1, "nil").otherwise("staon").as("vote_code"),
+          when(col("l_linenumber") % 3 === 0, "Tá")
+            .when(col("l_linenumber") % 3 === 1, "Níl").otherwise("Staon").as("vote_label"),
+          lit("").as("party_name_at_vote"), lit("").as("constituency_name_at_vote"),
+          lit(snapshotDate).as("snapshot_date"))
+        .dropDuplicates("member_vote_id") // synthetic lineitem repeats (okey, line) pairs
+      Seq(("silver_speeches", speeches), ("silver_member_votes", votes)).foreach {
+        case (name, df) =>
+          val csvKey = s"latest/csv/$name.csv"
+          val pqKey = s"latest/parquet/$name.parquet"
+          TableIO.writeCsv(df, s"$root/${store.batchKeyForProductionKey(csvKey, "b0")}")
+          TableIO.writeParquet(df, s"$root/${store.batchKeyForProductionKey(pqKey, "b0")}")
+          store.recordBatchTable("b0", name, df.count(), "pass",
+            TableRegistry.specs(name).primaryKey, df.columns.toSeq, Seq(csvKey, pqKey))
+      }
+      store.assembleBatchManifest("b0", Seq("silver_speeches", "silver_member_votes"))
+      store.promoteBatch("b0", actor = "refresh-e2e-seed")
+    }
+
+    // ---- stage 1: input normalization (refresh_inputs.py semantics)
+    val silverTables = Seq("silver_members", "silver_member_memberships",
+      "silver_member_parties", "silver_member_constituencies",
+      "silver_member_offices", "silver_divisions", "silver_bill_stages")
+    val inputs = stage("normalize") {
+      RefreshRun.normalize("weekly", TableRegistry.specs.keySet,
+        silverTables ++ RefreshRun.ControlTail,
+        dateStart = dateStart.toString, dateEnd = dateEnd.toString)
+    }
+    require(inputs.tables.takeRight(3) == RefreshRun.ControlTail,
+      "control tables must order last")
+
+    // ---- stage 2: silver builds through the REAL paginated-REST path
+    // (stub transport serving pages synthesized from the SF tables;
+    // full-roster fetch for the member family, window fetch for events)
+    val memberPayloads = stage("silver:payload-synth") {
+      val officeName = when(col("c_custkey") % 10 === 0,
+        concat(lit("Office "), col("c_custkey") % 7)).otherwise(lit(""))
+      customer.select(to_json(struct(struct(
+        concat(lit("M"), col("c_custkey")).as("memberCode"),
+        col("c_name").as("fullName"),
+        concat(lit("F"), col("c_custkey")).as("firstName"),
+        concat(lit("L"), col("c_custkey")).as("lastName"),
+        col("c_name").as("showAs"),
+        concat(lit("member/"), col("c_custkey")).as("uri"),
+        when(col("c_custkey") % 2 === 0, "male").otherwise("female").as("gender"),
+        array(struct(struct(
+          concat(lit("membership/"), col("c_custkey")).as("uri"),
+          struct(lit("house/34").as("uri"), lit("34").as("houseNo"),
+            lit("dail").as("houseCode")).as("house"),
+          struct(lit("2020-02-08").as("start")).as("dateRange"),
+          array(struct(struct(
+            concat(lit("party/"), col("c_nationkey") % 5).as("uri"),
+            concat(lit("Party "), col("c_nationkey") % 5).as("showAs"),
+            struct(lit("2020-02-08").as("start")).as("dateRange")).as("party"))).as("parties"),
+          array(struct(struct(
+            concat(lit("con/"), col("c_nationkey")).as("uri"),
+            concat(lit("CON-"), col("c_nationkey")).as("showAs"),
+            struct(lit("2020-02-08").as("start")).as("dateRange")).as("represent"))).as("represents"),
+          array(struct(struct(
+            concat(lit("office/"), col("c_custkey")).as("uri"),
+            struct(officeName.as("showAs")).as("officeName"),
+            struct(lit("2021-01-01").as("start")).as("dateRange")).as("office"))).as("offices")
+        ).as("membership"))).as("memberships")
+      ).as("member"))).as("p")).orderBy(col("p")).collect().map(_.getString(0)).toSeq
+    }
+    val divisionPayloads = orders.filter(inWindow(col("o_orderdate")))
+      .select(to_json(struct(
+        concat(lit("vote/"), col("o_orderkey")).as("uri"),
+        concat(lit("v"), col("o_orderkey")).as("voteId"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("date"),
+        struct(lit("house/34").as("uri"), lit("34").as("houseNo"),
+          lit("dail").as("houseCode")).as("house"),
+        struct(concat(lit("Division on order "), col("o_orderkey")).as("showAs")).as("subject"),
+        when(col("o_orderkey") % 2 === 0, "carried").otherwise("lost").as("outcome")
+      )).as("p")).orderBy(col("p")).collect().map(_.getString(0)).toSeq
+    val billStagePayloads = lineitem.filter(inWindow(col("l_shipdate")))
+      .select(col("l_orderkey"), struct(
+        col("l_linenumber").as("_k1"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("_k2"),
+        struct(
+          concat(lit("Stage "), col("l_linenumber")).as("showAs"),
+          array(struct(date_format(col("l_shipdate"), "yyyy-MM-dd").as("date"))).as("dates"),
+          col("l_linenumber").cast("string").as("progressStage"),
+          col("l_returnflag").as("stageOutcome"),
+          struct(concat(lit("house/"), col("l_suppkey")).as("uri"),
+            concat(lit("House "), col("l_suppkey")).as("showAs")).as("house")).as("s")).as("item"))
+      .groupBy("l_orderkey")
+      .agg(to_json(struct(struct(
+        concat(lit("bill/"), col("l_orderkey")).as("uri"),
+        transform(sort_array(collect_list(col("item"))), x => x.getField("s")).as("stages")
+      ).as("bill"))).as("p"))
+      .orderBy(col("p")).collect().map(_.getString(1)).toSeq
+
+    def fetchOf(payloads: Seq[String])() =
+      new RestSource.Client(transportFor(chunkPages(payloads, inputs.pageSize)),
+        "https://api.test", sleeper = _ => ())
+        .getPaginated("/refresh", Map("limit" -> inputs.pageSize.toString))
+
+    val silverBuilds = Map[String, (FlattenSpecs.type => graft.operators.FlattenOps.FlattenSpec,
+                                    DataFrame => DataFrame, Seq[String])](
+      "silver_members" -> ((f => f.members), FlattenSpecs.membersTransform _, memberPayloads),
+      "silver_member_memberships" -> ((f => f.memberMemberships),
+        FlattenSpecs.membershipsTransform _, memberPayloads),
+      "silver_member_parties" -> ((f => f.memberParties),
+        FlattenSpecs.memberPartiesTransform _, memberPayloads),
+      "silver_member_constituencies" -> ((f => f.memberConstituencies),
+        FlattenSpecs.memberConstituenciesTransform _, memberPayloads),
+      "silver_member_offices" -> ((f => f.memberOffices),
+        FlattenSpecs.memberOfficesTransform _, memberPayloads),
+      "silver_divisions" -> ((f => f.divisions),
+        FlattenSpecs.divisionsTransform _, divisionPayloads),
+      "silver_bill_stages" -> ((f => f.billStages),
+        FlattenSpecs.billStagesTransform _, billStagePayloads))
+
+    val buildResults = RefreshRun.execute(
+      inputs.copy(tables = inputs.tables.filterNot(RefreshRun.ControlTail.contains)),
+      t => stage(s"silver:$t") {
+        val (specOf, transform, payloads) = silverBuilds(t)
+        val r = SilverBuilder.build(spark, store, root, "b1",
+          TableRegistry.specs(t), specOf(FlattenSpecs), fetchOf(payloads),
+          transform, snapshotDate)
+        require(r.ok && r.dqStatus == "pass", s"silver build failed: $r")
+        r
+      })
+
+    // ---- stage 3: gold marts — candidate silver (b1) + promoted (b0)
+    def candidate(name: String): DataFrame = spark.read.parquet(
+      s"$root/${store.batchKeyForProductionKey(s"latest/parquet/$name.parquet", "b1")}")
+    def promoted(name: String): DataFrame = spark.read.parquet(
+      s"$root/${store.resolveProductionKey(s"latest/parquet/$name.parquet")}")
+
+    def writeGold(name: String, df: DataFrame): Long = {
+      val spec = TableRegistry.specs(name)
+      val out = df.cache()
+      val dqRow = DqOps.summary(out, spec.primaryKey, spec.columns).collect().head
+      val rows = dqRow.getAs[Long]("row_count")
+      val dq = if (dqRow.getAs[Long]("pk_duplicate_count") == 0 &&
+        dqRow.getAs[Long]("pk_blank_count") == 0 && rows > 0) "pass" else "fail"
+      require(dq == "pass", s"gold DQ failed for $name")
+      val csvKey = s"latest/csv/$name.csv"
+      val pqKey = s"latest/parquet/$name.parquet"
+      TableIO.writeCsv(out, s"$root/${store.batchKeyForProductionKey(csvKey, "b1")}")
+      TableIO.writeParquet(out, s"$root/${store.batchKeyForProductionKey(pqKey, "b1")}")
+      store.recordBatchTable("b1", name, rows, dq, spec.primaryKey,
+        spec.columns, Seq(csvKey, pqKey))
+      out.unpersist()
+      rows
+    }
+
+    val (speeches, votes) = (promoted("silver_speeches"), promoted("silver_member_votes"))
+    val currentMembers = stage("gold:current_members") {
+      val cm = GoldMarts.currentMembers(candidate("silver_members"),
+        candidate("silver_member_memberships"), candidate("silver_member_parties"),
+        candidate("silver_member_constituencies"), candidate("silver_member_offices"),
+        snapshotDate)
+      writeGold("gold_current_members", cm); cm.cache()
+    }
+    stage("gold:activity_yearly") {
+      writeGold("gold_member_activity_yearly", GoldMarts.memberActivityYearly(
+        currentMembers, speeches, votes, candidate("silver_divisions"), snapshotDate))
+    }
+    stage("gold:activity_monthly") {
+      writeGold("gold_member_activity_monthly",
+        GoldMarts.memberActivityMonthly(speeches, votes, snapshotDate))
+    }
+    stage("gold:constituency_yearly") {
+      writeGold("gold_constituency_activity_yearly",
+        GoldMarts.constituencyActivityYearly(currentMembers, speeches, votes, snapshotDate))
+    }
+    stage("gold:content_fact_pool") {
+      writeGold("gold_content_fact_pool", GoldMarts.contentFactPool(
+        candidate("gold_member_activity_yearly"), currentMembers, snapshotDate))
+    }
+
+    // ---- stage 4: compat adapters over the candidate gold + promoted votes
+    def writeCompat(name: String, key: String, df: DataFrame, pk: Seq[String]): Long = {
+      val out = df.cache()
+      val rows = out.count()
+      TableIO.writeCsv(out, s"$root/${store.batchKeyForProductionKey(key, "b1")}")
+      store.recordBatchTable("b1", name, rows, "pass", pk, out.columns.toSeq, Seq(key))
+      out.unpersist()
+      rows
+    }
+    stage("compat:members") {
+      writeCompat("compat_members", "compat/members/members_compat.csv",
+        CompatOps.membersCompat(currentMembers), Seq("member_code"))
+    }
+    stage("compat:member_votes") {
+      writeCompat("compat_member_votes", "compat/member_votes/member_votes_compat.csv",
+        CompatOps.memberVotesCompat(votes), Seq("unique_vote_id", "member_code"))
+    }
+
+    // ---- stage 5: candidate contract validation (direct batch keys — the
+    // pre-promote gate; the pointer still serves b0)
+    val contractDefs = Map(
+      "compat_members" -> ContractOps.DatasetContract("compat_members",
+        "compat/members/members_compat.csv",
+        Seq("member_code", "full_name", "constituency", "party"), Seq("member_code"),
+        minimumRows = 100),
+      "gold_activity_monthly" -> ContractOps.DatasetContract("gold_activity_monthly",
+        "latest/csv/gold_member_activity_monthly.csv",
+        Seq("member_code", "year_month", "speech_count", "votes_cast_count"),
+        Seq("member_code", "year_month"), minimumRows = 1000),
+      "gold_constituency_yearly" -> ContractOps.DatasetContract("gold_constituency_yearly",
+        "latest/csv/gold_constituency_activity_yearly.csv",
+        Seq("constituency_name", "year", "member_count"),
+        Seq("constituency_name", "year"), minimumRows = 25))
+    val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+    stage("contracts:candidate") {
+      val candidateContracts = contractDefs.map { case (n, c) =>
+        n -> c.copy(logicalKey = store.batchKeyForProductionKey(c.logicalKey, "b1"))
+      }
+      val res = ContractOps.validateContractSet(spark, store, root,
+        candidateContracts, Nil, today)
+      require(res("status") == "pass", s"candidate contracts failed: $res")
+    }
+
+    // ---- stage 6: control tables (ordered last, as normalize demands)
+    stage("control") {
+      val now = java.time.Instant.now().toString
+      val runs = ControlTables.pipelineRuns(spark, buildResults.map { case (t, r) =>
+        ControlTables.RunRecord(s"run-$t", "wf-refresh-e2e", t, inputs.mode,
+          inputs.refreshType, now, now, if (r.ok) "success" else "failed",
+          s"""{"date_start":"${inputs.dateStart}","date_end":"${inputs.dateEnd}"}""",
+          r.rowCount.toString, r.rowCount.toString, "",
+          store.batchManifestKey("b1"))
+      })
+      val manifests = ControlTables.tableManifests(spark, buildResults.map { case (t, r) =>
+        ControlTables.ManifestRecord(t, s"run-$t", snapshotDate,
+          s"latest/parquet/$t.parquet", s"latest/csv/$t.csv", r.rowCount.toString,
+          TableRegistry.specs(t).columns.size.toString,
+          ControlTables.schemaHash(TableRegistry.specs(t).columns),
+          "true", r.dqStatus, now)
+      })
+      val dqr = buildResults.map { case (t, r) =>
+        ControlTables.dqResults(spark, s"run-$t", t,
+          Seq(("row_count_gt_zero", r.rowCount > 0, r.rowCount.toString),
+            ("dq_status_pass", r.dqStatus == "pass", r.dqStatus)), now)
+      }.reduce(_ unionByName _)
+      Seq(("control_pipeline_runs", runs), ("control_table_manifests", manifests),
+        ("control_data_quality_results", dqr)).foreach { case (name, df) =>
+        val spec = TableRegistry.specs(name)
+        val csvKey = s"latest/csv/$name.csv"
+        val pqKey = s"latest/parquet/$name.parquet"
+        val conformed = TableSpec.conform(df, spec)
+        TableIO.writeCsv(conformed, s"$root/${store.batchKeyForProductionKey(csvKey, "b1")}")
+        TableIO.writeParquet(conformed, s"$root/${store.batchKeyForProductionKey(pqKey, "b1")}")
+        store.recordBatchTable("b1", name, conformed.count(), "pass",
+          spec.primaryKey, spec.columns, Seq(csvKey, pqKey))
+      }
+    }
+
+    // ---- stage 7: manifest assembly + the single-pointer promote
+    stage("promote") {
+      val required = silverTables ++
+        Seq("gold_current_members", "gold_member_activity_yearly",
+          "gold_member_activity_monthly", "gold_constituency_activity_yearly",
+          "gold_content_fact_pool", "compat_members", "compat_member_votes") ++
+        RefreshRun.ControlTail
+      val manifest = store.assembleBatchManifest("b1", required)
+      require(manifest("status") == "validated", s"manifest not validated: $manifest")
+      store.promoteBatch("b1", actor = "refresh-e2e")
+    }
+
+    // ---- stage 8: post-promote contracts resolve through the NEW pointer
+    stage("contracts:promoted") {
+      val res = ContractOps.validateContractSet(spark, store, root, contractDefs, Nil, today)
+      require(res("status") == "pass", s"post-promote contracts failed: $res")
+      val resolved = store.resolveProductionKey("latest/parquet/silver_members.parquet")
+      require(resolved.startsWith("batches/b1/"), s"pointer still serves b0: $resolved")
+    }
+
+    val total = timings.map(_._2).sum
+    println(f"REFRESH total                        ${total}%7.2f s  (store: $root)")
+    val rowsByTable = buildResults.map { case (t, r) => s"$t=${r.rowCount}" }.mkString(" ")
+    println(s"REFRESH silver-rows $rowsByTable")
+    spark.stop()
+  }
+}

@@ -73,6 +73,10 @@ object Bench {
                                 // appends, fold, reference-closure prune, serve)
     "q129_ann_index_pruned",    // vector lifecycle + retention GC (build, batch
                                 // append, fold, prune, carried-ledger replay block)
+    "q134_bm25_pruned_serve",   // q128's end state SERVED from a build-once cache —
+                                // the serve-only drift sentinel (a flag here means
+                                // the serving plan regressed, not the lifecycle)
+    "q135_ann_pruned_serve",    // q129's end state served (same split, vector leg)
     "q130_mix_token_budget")    // token-budgeted weighted corpus mixing (hash-gated)
     // q104 (3-trigger streaming intake) is an oracle/lifecycle query, not
     // a headline: its batches feed through driver-side MemoryStream

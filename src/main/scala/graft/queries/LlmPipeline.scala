@@ -452,6 +452,22 @@ object LlmPipeline {
         .orderBy("query_id", "rank")
     }),
 
+    // q129's END STATE served without re-running the lifecycle: the
+    // pruned vector index (half-build + batch append + fold + prune) is
+    // built ONCE per (sf, fingerprint) and cached; later calls only
+    // resolve the pointer and query — the q134 bench-hygiene split for
+    // the vector family. Answer is q111's oracle verbatim (fold
+    // re-encodes nothing, prune collects only unreferenced versions).
+    "q135_ann_pruned_serve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = ensurePrunedVectorIndex(s, dir, emb)
+      VectorIndex.query(emb, "vec_id", "embedding",
+          VectorIndex.readCurrentModel(s, root, dim = 64, m = 4, k = 16),
+          VectorIndex.readCurrentCodes(s, root), rawVectors = emb,
+          nprobe = 2, shortlist = 10, topK = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // ANN without a precomputed label: hyperplane-LSH quantizer with
     // multi-probe (flip the lowest-|margin| plane bits). Plane signs are
     // sha-derived and projections integer-quantized, so the oracle
@@ -982,6 +998,39 @@ object LlmPipeline {
     * table). Shared by every query that serves through the stored index
     * (q110, q113) — the build cost is paid once per corpus generation.
     */
+  /** Build-once cache of the PRUNED versioned vector index (the q129
+    * lifecycle end state) for the q135 serve-only headliner. A corrupt
+    * cached pointer is a cache miss, not an error (the Retrieval
+    * cachedIndexPresent convention).
+    */
+  private def ensurePrunedVectorIndex(s: SparkSession, dir: String,
+                                      emb: DataFrame): String = {
+    val stamp = Integer.toHexString(dir.hashCode) + "_" +
+      graft.io.Fingerprint.ofTree(s"${dir.stripSuffix("/")}/embeddings.parquet")
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_q135_vindexp_" + stamp)
+    val cached =
+      try VectorIndex.currentVersion(root.getPath).isDefined
+      catch { case _: IllegalStateException =>
+        graft.io.IndexMeta.deleteTree(root.getPath); false }
+    if (!cached) {
+      cleanStaleIndexDirs("graft_q135_vindexp_" +
+        Integer.toHexString(dir.hashCode) + "_", "graft_q135_vindexp_" + stamp)
+      val cutoff = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0) / 2
+      val (m1, c1) = VectorIndex.build(emb.filter(col("vec_id") <= cutoff),
+        "vec_id", "embedding", "label", dim = 64, m = 4, k = 16)
+      VectorIndex.writeVersion(m1, c1, root.getPath, 1)
+      VectorIndex.swapPointer(root.getPath, 1)
+      val batch = emb.filter(col("vec_id") > cutoff)
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      require(VectorIndex.appendBatch(batch, "vec_id", "embedding", m1,
+        VectorIndex.versionDir(root.getPath, 1), batchId = 0L),
+        "q135 cache build: the append batch must apply")
+      VectorIndex.foldIngestAndSwap(s, root.getPath, dim = 64, m = 4, k = 16)
+      VectorIndex.pruneVersions(root.getPath)
+    }
+    root.getPath
+  }
+
   private def ensureQ110Index(s: SparkSession, dir: String,
                               emb: DataFrame): String = {
     val stamp = Integer.toHexString(dir.hashCode) + "_" +
@@ -1153,6 +1202,9 @@ object LlmPipeline {
     // retention GC moves no answer: the fold re-encoded nothing and the
     // prune deleted only the unreachable predecessor — q111's oracle
     ("q129_ann_index_pruned" -> oraclesMain("q111_ann_topk_index_appended")) +
+    // the cached pruned lifecycle serves the q129 end state, which is
+    // q111's index exactly (fold re-encodes nothing)
+    ("q135_ann_pruned_serve" -> oraclesMain("q111_ann_topk_index_appended")) +
     // the versioned lifecycle closes on a FULL-corpus retrain, which is
     // definitionally the derive-in-query model — q109's oracle verbatim
     ("q117_ann_stream_ingest_versioned" -> oraclesMain("q109_ann_topk_ivfpq_refined")) +

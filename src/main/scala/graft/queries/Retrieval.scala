@@ -271,6 +271,21 @@ object Retrieval {
         SearchOps.postingsVersionDir(root.getPath, 1)), "pruned dir survived")
       SearchOps.bm25TopKIndexed(s, root.getPath, qs(s, dir), topK = 5)
         .orderBy("query_id", "rank")
+    }),
+
+    // q128's END STATE served without re-running the lifecycle: the
+    // pruned postings index (half-build + 3 tagged appends + fold +
+    // reference-closure prune) is built ONCE per (sf, fingerprint) and
+    // cached; every later call only resolves and serves — the round-14
+    // verdict's bench-hygiene split. q128 keeps pricing the full
+    // lifecycle per rep; THIS entry is the serve-shape drift sentinel,
+    // so a flag on it means the serving plan regressed, not that a
+    // build/fold/prune got slower. Answer is q118's oracle verbatim
+    // (the same convergence argument as q128).
+    "q134_bm25_pruned_serve" -> ((s, dir) => {
+      SearchOps.bm25TopKIndexed(s, ensurePrunedPostingsIndex(s, dir),
+          qs(s, dir), topK = 5)
+        .orderBy("query_id", "rank")
     }))
 
   /** Build the postings index once per (sf dir + data fingerprint);
@@ -294,6 +309,29 @@ object Retrieval {
       case _: IllegalStateException =>
         graft.io.IndexMeta.deleteTree(root); false
     }
+
+  /** Build-once cache of the PRUNED postings lifecycle end state (the
+    * q128 shape) for the q134 serve-only headliner.
+    */
+  private def ensurePrunedPostingsIndex(s: SparkSession, dir: String): String = {
+    val stamp = Integer.toHexString(dir.hashCode) + "_" + graft.io.Fingerprint
+      .ofTree(s"${dir.stripSuffix("/")}/documents.parquet")
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_q134_bm25p_" + stamp)
+    if (!cachedIndexPresent(root.getPath)(SearchOps.postingsIndexExists(root.getPath))) {
+      val docs = Tables.load(s, dir, "documents")
+      val cutoff = docs.agg(max(col("doc_id").cast("long"))).head().getLong(0) / 2
+      SearchOps.buildPostingsIndex(docs.filter(col("doc_id") <= cutoff),
+        "text", "doc_id", root.getPath)
+      (0 until 3).foreach { r =>
+        SearchOps.appendPostingsIndex(
+          docs.filter(col("doc_id") > cutoff && col("doc_id") % 3 === r),
+          "text", "doc_id", root.getPath, batchTag = s"q134-b$r")
+      }
+      SearchOps.foldPostingsIndex(s, root.getPath)
+      SearchOps.prunePostingsVersions(s, root.getPath)
+    }
+    root.getPath
+  }
 
   private def ensurePostingsIndex(s: SparkSession, dir: String): String = {
     val stamp = Integer.toHexString(dir.hashCode) + "_" + graft.io.Fingerprint
@@ -462,5 +500,9 @@ object Retrieval {
     // retention GC moves no answer: fold copies rows verbatim and the
     // prune deletes only unreachable dirs — q118's oracle verbatim
     // through the GC'd index
-    "q128_bm25_index_pruned" -> bm25TopSql)
+    "q128_bm25_index_pruned" -> bm25TopSql,
+
+    // the cached pruned lifecycle converges on the same index a full
+    // build produces (q128's argument), so serve-only is q118 verbatim
+    "q134_bm25_pruned_serve" -> bm25TopSql)
 }

@@ -522,6 +522,65 @@ object SimilarityOps {
       centroids: Seq[Array[Long]]): DataFrame =
     emb.withColumn("cell", assignCells(quantize(col(vecCol)), centroids))
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the trained
+    * coarse quantizer ([[kmeansTrain]]), compare pairs ONLY within a
+    * cluster, and drop every vector whose cosine to a lower-id
+    * cluster-mate reaches the threshold (min-id-wins — the greedy
+    * convention of the exact/near-dup stages, with dup_of = the lowest
+    * matching cluster-mate as the audit evidence).
+    *
+    * Clustering is what makes embedding dedup tractable at corpus
+    * scale: the all-pairs O(n²) of the brute path collapses to
+    * Σ|cell|², and k grows with n (k ≈ √n keeps the expected cell at
+    * √n vectors) so per-cell work stays bounded. The pair join keys on
+    * the cell label — one hash exchange per side, no global self-join —
+    * and everything upstream of it is the kmeans sufficient-stats
+    * shuffle (k·dim rows per iteration, corpus-size-independent driver
+    * traffic). A planted hot cell degrades to that cell's |cell|² only;
+    * at production k the cap convention of the LSH family (drop + log
+    * oversized cells) applies unchanged if an adversarial corpus
+    * collapses onto one centroid.
+    *
+    * All similarity arithmetic is the exact integer-quantized cosine of
+    * the near-dup family (floor(x·1e6) longs; dup iff d > 0 ∧
+    * d² ≥ t2·‖a‖²·‖b‖² with t2 the pre-squared threshold), so any
+    * engine reproduces the judgment bit-for-bit — no float cosine
+    * crosses the engine boundary.
+    *
+    * Returns one row per input vector: (vid, cell, dup_of, kept).
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxIter: Int, t2: Double,
+      cacheLabeled: Boolean = true): DataFrame = {
+    val cents = kmeansTrain(emb, idCol, vecCol, k, maxIter)
+    // the labeled+quantized table feeds three consumers (both pair legs
+    // and the verdict join-back) — persist it once, the q28/q55
+    // rationale; at corpus scale write it as parquet instead (it IS the
+    // cell-partitioned index an IVF build would store anyway)
+    val q0 = emb.select(col(idCol).cast("long").as("vid"),
+        quantize(col(vecCol)).as("qv"))
+      .withColumn("cell", assignCells(col("qv"), cents))
+      .withColumn("n2", VecExprs.dotLong(col("qv"), col("qv")).cast("double"))
+    val q = if (cacheLabeled)
+      q0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else q0
+    val a = q.select(col("cell"), col("vid").as("va"), col("qv").as("qa"),
+      col("n2").as("na2"))
+    val b = q.select(col("cell"), col("vid").as("vb"), col("qv").as("qb"),
+      col("n2").as("nb2"))
+    val d = VecExprs.dotLong(col("qa"), col("qb")).cast("double")
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("va") < col("vb"))
+      .withColumn("d", d)
+      .filter(col("d") > 0 && col("d") * col("d") >= lit(t2) * col("na2") * col("nb2"))
+      .groupBy(col("vb").as("vid"))
+      .agg(min(col("va")).as("dup_of"))
+    q.select(col("vid"), col("cell"))
+      .join(dups, Seq("vid"), "left")
+      .withColumn("kept", col("dup_of").isNull)
+  }
+
   /** Random-hyperplane LSH bucket id (sign bits of hash-derived planes):
     * a deterministic, data-independent coarse cell for when no label
     * exists. planeSeed × dim hashes stand in for gaussian components —

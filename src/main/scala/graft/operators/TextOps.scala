@@ -133,6 +133,67 @@ object TextOps {
       .limit(k)
   }
 
+  /** DSIR-style hashed importance scores (Xie et al. 2023,
+    * arXiv:2302.03169): score every raw document by how target-like its
+    * hashed bag-of-words is, the published recipe for selecting
+    * pretraining data that matches a small high-quality target corpus.
+    *
+    * Features are word unigrams hashed into 256 buckets via the
+    * engine-portable sha256-prefix gate (the q62 convention: the bucket
+    * IS the first two hex chars under a dedicated salt, so no hex→int
+    * conversion has to agree across engines). Per-bucket add-one-
+    * smoothed log-probability ratios
+    * λ_b = ln( (t_b+1)·(R+256) / ((r_b+1)·(T+256)) )
+    * (t_b/r_b = bucket counts in the target/raw side, T/R the totals)
+    * quantize IMMEDIATELY to integer micro-nats — floor(λ·10⁶) as a
+    * long, ONE libm call per bucket (256 total, never per occurrence;
+    * the q131 convention) — so the per-doc sum Σ_occurrences λq is
+    * exact integer arithmetic any engine reproduces. All operands of
+    * the ratio are exact integers in doubles (≪ 2⁵³) and the division
+    * rounds identically under IEEE; negative λq is fine because the
+    * score is a SUM, never an integer mean.
+    *
+    * Scale shape: ONE token-explode pass builds the model (a combinable
+    * 256-row count aggregate — the model pass runs eagerly and collects
+    * 256 rows to the driver, the kmeansTrain convention: model-sized
+    * stats, not data); the trained λq map then rides into the scoring
+    * pass as a broadcast literal, so scoring is a narrow projection +
+    * ONE data-sized shuffle (the per-doc sum, map-side combined). No
+    * join keys on raw tokens anywhere, so Zipf skew can't concentrate a
+    * reducer: the hot head spreads over the hash range.
+    *
+    * Returns (doc_id, dsir_score, n_toks) for raw (non-target) docs
+    * with ≥1 token; selection downstream is a filter or top-k on
+    * dsir_score.
+    */
+  def dsirScores(df: DataFrame, textCol: String, idCol: String,
+      isTarget: Column): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+        isTarget.as("is_target"),
+        explode(words(col(textCol))).as("tk"))
+      .filter(col("tk") =!= "")
+      .withColumn("bucket",
+        substring(sha2(concat(lit("graft-dsir:"), col("tk")), 256), 1, 2))
+    val counts = toks.groupBy("bucket").agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("t_b"),
+      sum(when(col("is_target"), 0L).otherwise(1L)).as("r_b"))
+      .collect()
+    val tt = counts.map(_.getLong(1)).sum
+    val rt = counts.map(_.getLong(2)).sum
+    // λ quantizes on the driver with the SAME libm the executors run
+    // (java.lang.Math.log); all ratio operands are exact integers in
+    // doubles, one log call per occupied bucket
+    val lamQ: Map[String, Long] = counts.map { r =>
+      r.getString(0) -> math.floor(math.log(
+        ((r.getLong(1) + 1) * (rt + 256)).toDouble /
+          ((r.getLong(2) + 1) * (tt + 256)).toDouble) * 1e6).toLong
+    }.toMap
+    toks.filter(!col("is_target"))
+      .withColumn("lam_q", element_at(typedlit(lamQ), col("bucket")))
+      .groupBy("doc_id")
+      .agg(sum(col("lam_q")).as("dsir_score"), count(lit(1)).as("n_toks"))
+  }
+
   /** Bigram language-model surprisal — the CCNet-style quality signal:
     * score every document by how surprising its word transitions are
     * under a bigram model TRAINED ON THE CORPUS ITSELF (boilerplate and

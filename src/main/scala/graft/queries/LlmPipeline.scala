@@ -582,6 +582,29 @@ object LlmPipeline {
         .orderBy(col("avg_q").desc, col("doc_id").asc).limit(25)
     }),
 
+    // SemDeDup-style semantic dedup over the planted near-dup corpus:
+    // train the k=8 coarse quantizer (2 Lloyd iterations, integer-
+    // exact), then judge pairs WITHIN a trained cell by the exact
+    // integer-quantized cosine (≥ 0.9 ⇒ the higher id is a duplicate of
+    // its lowest matching cluster-mate). The oracle unrolls the
+    // training (q76's CTEs) and replays the in-cell pair math (q54's).
+    "q136_semantic_dedup" -> ((s, dir) => {
+      SimilarityOps.semanticDedup(nearDupCorpus(s, dir), "vid", "vd",
+          k = 8, maxIter = 2, t2 = 0.81)
+        .orderBy("vid")
+    }),
+
+    // DSIR-style hashed importance scores: docs with doc_id % 10 == 0
+    // stand in for the high-quality target (the q65 convention); every
+    // raw doc scores by the sum of per-bucket smoothed log-ratio
+    // micro-nats over its 256-bucket hashed unigrams. The oracle
+    // re-derives the bucket model AND the scores.
+    "q137_dsir_scores" -> ((s, dir) => {
+      TextOps.dsirScores(t(s, dir, "documents"), "text", "doc_id",
+          col("doc_id") % 10 === 0)
+        .orderBy("doc_id")
+    }),
+
     // Transitive near-dup clusters: connected components over the
     // 3-gram Jaccard ≥ 0.5 pair graph (pairs via MinHash+LSH+verify,
     // identical to the brute set) — component = min member id, the
@@ -2223,6 +2246,74 @@ object LlmPipeline {
   }
 
   private def oraclesTail: Map[String, String] = Map(
+    // q76's kmeans unroll (2 Lloyd iterations, integer-exact) over the
+    // q54 planted near-dup corpus, then q54's quantized-cosine pair
+    // math restricted to same-cell pairs, min-id-wins
+    "q136_semantic_dedup" ->
+      """WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vid, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+        |pert AS (SELECT vid + 100000 AS vid, list_concat([vd[1] * 1.25], vd[2:]) AS vd
+        |         FROM base WHERE vid % 5 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        |v AS (SELECT vid, list_transform(vd, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv FROM u),
+        |e AS (SELECT vid, dd.range AS dim, qv[CAST(dd.range AS INT) + 1] AS x
+        |      FROM v CROSS JOIN range(64) dd),
+        |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS BIGINT) AS cell, vid
+        |       FROM (SELECT vid FROM v ORDER BY vid LIMIT 8)),
+        |cent0 AS (SELECT c0.cell, e.dim, e.x AS comp FROM c0 JOIN e ON c0.vid = e.vid),
+        |d1 AS (SELECT e.vid, c.cell, SUM((e.x - c.comp) * (e.x - c.comp)) AS dist
+        |       FROM e JOIN cent0 c ON e.dim = c.dim GROUP BY e.vid, c.cell),
+        |a1 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM d1) WHERE rn = 1),
+        |s1 AS (SELECT a.cell, e.dim, CAST(SUM(e.x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM a1 a JOIN e ON a.vid = e.vid GROUP BY a.cell, e.dim),
+        |cent1 AS (SELECT c.cell, c.dim,
+        |        COALESCE(CASE WHEN s1.s >= 0 THEN s1.s // s1.n ELSE -((-s1.s) // s1.n) END, c.comp) AS comp
+        |       FROM cent0 c LEFT JOIN s1 ON c.cell = s1.cell AND c.dim = s1.dim),
+        |d2 AS (SELECT e.vid, c.cell, SUM((e.x - c.comp) * (e.x - c.comp)) AS dist
+        |       FROM e JOIN cent1 c ON e.dim = c.dim GROUP BY e.vid, c.cell),
+        |a2 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM d2) WHERE rn = 1),
+        |s2 AS (SELECT a.cell, e.dim, CAST(SUM(e.x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM a2 a JOIN e ON a.vid = e.vid GROUP BY a.cell, e.dim),
+        |cent2 AS (SELECT c.cell, c.dim,
+        |        COALESCE(CASE WHEN s2.s >= 0 THEN s2.s // s2.n ELSE -((-s2.s) // s2.n) END, c.comp) AS comp
+        |       FROM cent1 c LEFT JOIN s2 ON c.cell = s2.cell AND c.dim = s2.dim),
+        |d3 AS (SELECT e.vid, c.cell, SUM((e.x - c.comp) * (e.x - c.comp)) AS dist
+        |       FROM e JOIN cent2 c ON e.dim = c.dim GROUP BY e.vid, c.cell),
+        |a3 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM d3) WHERE rn = 1),
+        |n AS (SELECT vid, qv, list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS n2 FROM v),
+        |pr AS (SELECT a.vid AS va, b.vid AS vb,
+        |        list_dot_product(CAST(na.qv AS DOUBLE[]), CAST(nb.qv AS DOUBLE[])) AS d,
+        |        na.n2 AS na2, nb.n2 AS nb2
+        |      FROM a3 a JOIN a3 b ON a.cell = b.cell AND a.vid < b.vid
+        |      JOIN n na ON na.vid = a.vid JOIN n nb ON nb.vid = b.vid),
+        |dups AS (SELECT vb AS vid, MIN(va) AS dup_of FROM pr
+        |      WHERE d > 0 AND d * d >= 0.81 * na2 * nb2 GROUP BY vb)
+        |SELECT a3.vid, a3.cell, dups.dup_of, dups.dup_of IS NULL AS kept
+        |FROM a3 LEFT JOIN dups ON a3.vid = dups.vid
+        |ORDER BY a3.vid""".stripMargin,
+
+    // re-derives the 256-bucket hashed model (sha256-prefix buckets,
+    // add-one-smoothed log-ratio micro-nats, one ln per bucket) and the
+    // per-doc integer sums over raw docs
+    "q137_dsir_scores" ->
+      """WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, doc_id % 10 = 0 AS is_target,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, is_target, unnest(ws) AS tk FROM w),
+        |b AS (SELECT doc_id, is_target,
+        |    substring(sha256('graft-dsir:' || tk), 1, 2) AS bucket FROM tok WHERE tk <> ''),
+        |cnt AS (SELECT bucket, SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_b,
+        |        SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS r_b FROM b GROUP BY bucket),
+        |tot AS (SELECT SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS tt,
+        |        SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS rt FROM b),
+        |lam AS (SELECT bucket, CAST(floor(ln(
+        |      CAST((t_b + 1) * (rt + 256) AS DOUBLE) / CAST((r_b + 1) * (tt + 256) AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS lam_q FROM cnt, tot)
+        |SELECT doc_id, CAST(SUM(lam_q) AS BIGINT) AS dsir_score, CAST(COUNT(*) AS BIGINT) AS n_toks
+        |FROM b JOIN lam USING (bucket) WHERE NOT is_target
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // re-runs span dedup on the span STRINGS (the Spark side hashes
     // them — q27/q28 convention): occurrence counts, coverage explode,
     // uncovered-position reassembly

@@ -222,7 +222,17 @@ class PlanAuditSpec extends SparkSpec {
       // model-sized count tables broadcast too (3 total); at corpus
       // scale they become shuffle joins on gram/w1, whose Zipf-head
       // skew the saltBuckets path covers (TextStatsSpec fixture)
-      "q131_bigram_surprisal" -> (4, 5, 3, 0))
+      "q131_bigram_surprisal" -> (4, 5, 3, 0),
+      // SemDeDup: the labeled+quantized corpus persists once (its build
+      // scans embeddings twice for base∪pert — visible inside the
+      // InMemoryRelation); the in-cell pair join and the verdict
+      // join-back are the exchanges, plus the output sort — no global
+      // self-join, no broadcast needed beyond the small dup side
+      "q136_semantic_dedup" -> (2, 3, 1, 0),
+      // DSIR scoring: the 256-row model pass ran driver-side before
+      // this plan exists (the q130 convention); serving is ONE corpus
+      // scan + the per-doc sum + the output sort, zero joins
+      "q137_dsir_scores" -> (1, 2, 0, 0))
     for ((q, (scans, shuffles, broadcasts, antis)) <- pins) {
       val p = plan(q)
       def uniq(pat: String): Int =

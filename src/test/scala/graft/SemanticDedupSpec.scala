@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilarityOps
+
+/** SemDeDup-style semantic dedup: trained-cell restriction, exact
+  * integer-cosine judgment, min-id-wins greedy keeps.
+  */
+class SemanticDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def blob(center: Array[Double], i: Int): Seq[Double] =
+    center.toIndexedSeq.zipWithIndex.map { case (c, d) => c + 0.01 * ((i * 7 + d) % 5) }
+  private val centers = Seq(
+    Array(10.0, 0.0, 0.0, 0.0),
+    Array(0.0, 10.0, 0.0, 0.0),
+    Array(0.0, 0.0, 10.0, 0.0))
+
+  // 30 base vectors interleaving three tight separable blobs (first-k
+  // seeding starts one seed per blob; jitter 0.01-0.05 keeps every
+  // same-blob cosine ≈ 1), plus planted copies: id 100+i duplicates
+  // vector i scaled 1.001 for every i % 10 == 0 — same direction, same
+  // cell
+  private lazy val base = (0 until 30).map(i => (i.toLong, blob(centers(i % 3), i)))
+  private lazy val planted = base.filter(_._1 % 10 == 0)
+    .map { case (id, v) => (id + 100L, v.map(_ * 1.001)) }
+  private lazy val vecs = (base ++ planted).toDF("vec_id", "embedding")
+
+  // blob index of any fixture id (planted ids mirror their source's blob)
+  private def blobOf(vid: Long): Long = (if (vid >= 100) vid - 100 else vid) % 3
+
+  private lazy val result =
+    SimilarityOps.semanticDedup(vecs, "vec_id", "embedding", k = 3, maxIter = 10, t2 = 0.81)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toSeq
+
+  test("min-id-wins: each blob keeps exactly its lowest id, everything else points at it") {
+    assert(result.size == base.size + planted.size)
+    val keptIds = result.filter(_._4).map(_._1).sorted
+    assert(keptIds == Seq(0L, 1L, 2L), "one survivor per blob, the lowest id")
+    result.filterNot(_._4).foreach { case (vid, _, dupOf, _) =>
+      assert(dupOf == blobOf(vid),
+        s"dropped $vid must point at its blob's lowest id ${blobOf(vid)}, got $dupOf")
+    }
+  }
+
+  test("planted copies land in their source's trained cell and are dropped") {
+    val byId = result.map(t => t._1 -> t).toMap
+    planted.foreach { case (pid, _) =>
+      assert(!byId(pid)._4, s"planted copy $pid must be dropped")
+      assert(byId(pid)._2 == byId(pid - 100L)._2, "copy and source share a trained cell")
+    }
+  }
+
+  test("high-cosine pairs in DIFFERENT cells are not compared (the SemDeDup contract)") {
+    // same direction as blob 0, 40x magnitude: cosine = 1 but L2-far.
+    // ids 0..3 are the k=4 seeds (three blob reps + the far vector), so
+    // the far vector anchors its own cell throughout training and the
+    // within-cell judge never sees the (0, 3) pair — the deliberate
+    // trade the clustering restriction makes (a brute pass would drop 3)
+    val reps = centers.zipWithIndex.map { case (c, b) => (b.toLong, c.toIndexedSeq) }
+    val far = (3L, centers(0).toIndexedSeq.map(_ * 40.0))
+    val members = (0 until 27).map(i => ((i + 4).toLong, blob(centers(i % 3), i)))
+    val vecs2 = (reps ++ Seq(far) ++ members).toDF("vec_id", "embedding")
+    val labeled = SimilarityOps.semanticDedup(vecs2, "vec_id", "embedding",
+      k = 4, maxIter = 10, t2 = 0.81)
+    val r = labeled.filter(col("vid") === 3L).collect().head
+    assert(r.getBoolean(3), "cross-cell near-dup must survive by construction")
+  }
+
+  test("judgment is deterministic under repartitioning") {
+    val r2 = SimilarityOps.semanticDedup(vecs.repartition(7), "vec_id", "embedding",
+        k = 3, maxIter = 10, t2 = 0.81)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toSeq
+    assert(r2.sortBy(_._1) == result.sortBy(_._1))
+  }
+}

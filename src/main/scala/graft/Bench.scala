@@ -77,7 +77,11 @@ object Bench {
                                 // the serve-only drift sentinel (a flag here means
                                 // the serving plan regressed, not the lifecycle)
     "q135_ann_pruned_serve",    // q129's end state served (same split, vector leg)
-    "q130_mix_token_budget")    // token-budgeted weighted corpus mixing (hash-gated)
+    "q130_mix_token_budget",    // token-budgeted weighted corpus mixing (hash-gated)
+    "q136_semantic_dedup",      // SemDeDup: trained-cell-bounded cosine dedup
+                                // (kmeans training cost included, the q76 stance)
+    "q137_dsir_scores")         // DSIR importance scoring (256-bucket hashed model
+                                // driver-trained, then scan+sum serving)
     // q104 (3-trigger streaming intake) is an oracle/lifecycle query, not
     // a headline: its batches feed through driver-side MemoryStream
     // plumbing, and the lifecycle's bench-scale cost story is carried by

@@ -80,8 +80,10 @@ object Bench {
     "q130_mix_token_budget",    // token-budgeted weighted corpus mixing (hash-gated)
     "q136_semantic_dedup",      // SemDeDup: trained-cell-bounded cosine dedup
                                 // (kmeans training cost included, the q76 stance)
-    "q137_dsir_scores")         // DSIR importance scoring (256-bucket hashed model
+    "q137_dsir_scores",         // DSIR importance scoring (256-bucket hashed model
                                 // driver-trained, then scan+sum serving)
+    "q138_quality_classifier")  // trained quality filter: 3 logistic epochs over
+                                // hashed features (training cost included)
     // q104 (3-trigger streaming intake) is an oracle/lifecycle query, not
     // a headline: its batches feed through driver-side MemoryStream
     // plumbing, and the lifecycle's bench-scale cost story is carried by

@@ -194,6 +194,75 @@ object TextOps {
       .agg(sum(col("lam_q")).as("dsir_score"), count(lit(1)).as("n_toks"))
   }
 
+  /** Trained quality classifier — the GPT-3/LLaMA-pipeline recipe
+    * (Brown et al. 2020 §A; a fastText-style linear classifier): train
+    * logistic regression to separate a small high-quality target set
+    * from the raw corpus over hashed bag-of-words features, then score
+    * every raw document by its margin. The discriminative complement
+    * of [[dsirScores]] (generative importance ratios) — same feature
+    * space, different model.
+    *
+    * Exactness contract (what lets a DuckDB oracle replay the TRAINED
+    * model): binary features over the 256 sha256-prefix buckets (q62
+    * convention, salt `graft-qc:`); weights are integer micro-units
+    * starting at 0; each full-batch step computes per-doc margins
+    * m_d = Σ_{b∈d} w_b (exact longs), per-doc probability
+    * p̂_d = floor(10⁶ / (1 + exp(−m_d/10⁶))) — ONE libm call per doc
+    * per step, quantized immediately, the q131 convention — residual
+    * r_d = p̂_d − y_d·10⁶ (exact), gradient g_b = Σ_{d∋b} r_d (exact),
+    * and the update w_b ← w_b − trunc(η·g_b / n) in driver-side Long
+    * arithmetic (η = [[QcEtaNum]], truncating division — the oracle
+    * mirrors with the q76 CASE). Gradients stay within Long: g_b ≤
+    * n·10⁶, so η·g_b needs n ≤ ~2·10¹² docs.
+    *
+    * Scale shape: the distinct (doc, bucket) feature table builds once
+    * (one explode + distinct) and persists; each of the `steps` epochs
+    * is two feat-sized combinable aggregations (margin per doc,
+    * gradient per bucket) with the 256-weight model riding as a
+    * broadcast map literal — per-epoch driver traffic is 256 rows (the
+    * kmeansTrain stance). No join keys on raw tokens. Returns
+    * (doc_id, margin_q, predicted_target) for raw docs.
+    */
+  val QcEtaNum = 4L
+
+  def qualityClassifier(df: DataFrame, textCol: String, idCol: String,
+      isTarget: Column, steps: Int = 3,
+      cacheFeatures: Boolean = true): DataFrame = {
+    val feat0 = df.select(col(idCol).cast("long").as("doc_id"),
+        isTarget.as("is_target"),
+        explode(words(col(textCol))).as("tk"))
+      .filter(col("tk") =!= "")
+      .select(col("doc_id"), col("is_target"),
+        substring(sha2(concat(lit("graft-qc:"), col("tk")), 256), 1, 2).as("bucket"))
+      .distinct()
+    val feat = if (cacheFeatures)
+      feat0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else feat0
+    val n = feat.select(countDistinct(col("doc_id"))).collect()(0).getLong(0)
+    require(n > 0, "qualityClassifier: no documents with tokens")
+    val occupied = feat.select("bucket").distinct().collect().map(_.getString(0))
+    var w: Map[String, Long] = occupied.map(_ -> 0L).toMap
+    val yq = when(col("is_target"), lit(1000000L)).otherwise(lit(0L))
+    for (_ <- 1 to steps) {
+      val margins = feat
+        .withColumn("wq", element_at(typedlit(w), col("bucket")))
+        .groupBy("doc_id")
+        .agg(sum("wq").as("m"), first(col("is_target")).as("is_target"))
+      val resid = margins.select(col("doc_id"),
+        (floor(lit(1000000.0) / (lit(1.0) + exp(-col("m").cast("double") / lit(1000000.0))))
+          .cast("long") - yq).as("r"))
+      val grad = feat.join(resid, Seq("doc_id"))
+        .groupBy("bucket").agg(sum("r").as("g"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      w = w.map { case (b, wb) => b -> (wb - grad.getOrElse(b, 0L) * QcEtaNum / n) }
+    }
+    feat.filter(!col("is_target"))
+      .withColumn("wq", element_at(typedlit(w), col("bucket")))
+      .groupBy("doc_id")
+      .agg(sum("wq").as("margin_q"))
+      .withColumn("predicted_target", col("margin_q") > 0L)
+  }
+
   /** Bigram language-model surprisal — the CCNet-style quality signal:
     * score every document by how surprising its word transitions are
     * under a bigram model TRAINED ON THE CORPUS ITSELF (boilerplate and

@@ -605,6 +605,18 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
+    // Trained quality classifier (the GPT-3-pipeline recipe): 3
+    // full-batch logistic-regression epochs over 256-bucket hashed
+    // binary features, target = doc_id % 10 == 0, exact integer
+    // micro-unit weights. The oracle unrolls all three epochs —
+    // residuals, gradients, truncating updates — and replays the
+    // trained margins.
+    "q138_quality_classifier" -> ((s, dir) => {
+      TextOps.qualityClassifier(t(s, dir, "documents"), "text", "doc_id",
+          col("doc_id") % 10 === 0, steps = 3)
+        .orderBy("doc_id")
+    }),
+
     // Transitive near-dup clusters: connected components over the
     // 3-gram Jaccard ≥ 0.5 pair graph (pairs via MinHash+LSH+verify,
     // identical to the brute set) — component = min member id, the
@@ -2246,6 +2258,40 @@ object LlmPipeline {
   }
 
   private def oraclesTail: Map[String, String] = Map(
+    // three unrolled logistic epochs: residuals -> gradients ->
+    // truncating micro-unit updates (the q76 CASE convention for
+    // negative integer division), then the trained margins
+    "q138_quality_classifier" ->
+      """WITH feat AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, doc_id % 10 = 0 AS is_target,
+        |    substring(sha256('graft-qc:' || tk), 1, 2) AS bucket
+        |  FROM (SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tk
+        |        FROM documents) WHERE tk <> ''),
+        |nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM feat),
+        |docs AS (SELECT DISTINCT doc_id, is_target FROM feat),
+        |r1 AS (SELECT doc_id, 500000 - CASE WHEN is_target THEN 1000000 ELSE 0 END AS r FROM docs),
+        |g1 AS (SELECT bucket, SUM(r) AS g FROM feat JOIN r1 USING (doc_id) GROUP BY bucket),
+        |w1 AS (SELECT bucket, -(CASE WHEN g * 4 >= 0 THEN (g * 4) // n ELSE -((-(g * 4)) // n) END) AS w FROM g1, nn),
+        |m2 AS (SELECT f.doc_id, SUM(w1.w) AS m FROM feat f JOIN w1 USING (bucket) GROUP BY f.doc_id),
+        |r2 AS (SELECT d.doc_id,
+        |    CAST(floor(1000000.0 / (1.0 + exp(-CAST(m AS DOUBLE) / 1000000.0))) AS BIGINT)
+        |      - CASE WHEN d.is_target THEN 1000000 ELSE 0 END AS r
+        |  FROM m2 JOIN docs d USING (doc_id)),
+        |g2 AS (SELECT bucket, SUM(r) AS g FROM feat JOIN r2 USING (doc_id) GROUP BY bucket),
+        |w2 AS (SELECT w1.bucket, w1.w - (CASE WHEN g * 4 >= 0 THEN (g * 4) // n ELSE -((-(g * 4)) // n) END) AS w
+        |  FROM w1 JOIN g2 USING (bucket), nn),
+        |m3 AS (SELECT f.doc_id, SUM(w2.w) AS m FROM feat f JOIN w2 USING (bucket) GROUP BY f.doc_id),
+        |r3 AS (SELECT d.doc_id,
+        |    CAST(floor(1000000.0 / (1.0 + exp(-CAST(m AS DOUBLE) / 1000000.0))) AS BIGINT)
+        |      - CASE WHEN d.is_target THEN 1000000 ELSE 0 END AS r
+        |  FROM m3 JOIN docs d USING (doc_id)),
+        |g3 AS (SELECT bucket, SUM(r) AS g FROM feat JOIN r3 USING (doc_id) GROUP BY bucket),
+        |w3 AS (SELECT w2.bucket, w2.w - (CASE WHEN g * 4 >= 0 THEN (g * 4) // n ELSE -((-(g * 4)) // n) END) AS w
+        |  FROM w2 JOIN g3 USING (bucket), nn)
+        |SELECT f.doc_id, CAST(SUM(w3.w) AS BIGINT) AS margin_q, SUM(w3.w) > 0 AS predicted_target
+        |FROM feat f JOIN w3 USING (bucket)
+        |WHERE NOT f.is_target
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+
     // q76's kmeans unroll (2 Lloyd iterations, integer-exact) over the
     // q54 planted near-dup corpus, then q54's quantized-cosine pair
     // math restricted to same-cell pairs, min-id-wins

@@ -232,7 +232,13 @@ class PlanAuditSpec extends SparkSpec {
       // DSIR scoring: the 256-row model pass ran driver-side before
       // this plan exists (the q130 convention); serving is ONE corpus
       // scan + the per-doc sum + the output sort, zero joins
-      "q137_dsir_scores" -> (1, 2, 0, 0))
+      "q137_dsir_scores" -> (1, 2, 0, 0),
+      // trained quality classifier: the 3 epochs ran driver-coordinated
+      // before this plan exists (kmeansTrain stance); serving reads the
+      // persisted feature table (its build scan + distinct exchange sit
+      // inside the InMemoryRelation), sums trained weights per doc —
+      // the model is a map literal, zero joins
+      "q138_quality_classifier" -> (1, 4, 0, 0))
     for ((q, (scans, shuffles, broadcasts, antis)) <- pins) {
       val p = plan(q)
       def uniq(pat: String): Int =

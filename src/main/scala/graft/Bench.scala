@@ -82,8 +82,10 @@ object Bench {
                                 // (kmeans training cost included, the q76 stance)
     "q137_dsir_scores",         // DSIR importance scoring (256-bucket hashed model
                                 // driver-trained, then scan+sum serving)
-    "q138_quality_classifier")  // trained quality filter: 3 logistic epochs over
+    "q138_quality_classifier",  // trained quality filter: 3 logistic epochs over
                                 // hashed features (training cost included)
+    "q139_semantic_dedup_incremental") // batch-vs-corpus SemDeDup ingest (corpus-
+                                // trained cells; batch-proportional judge)
     // q104 (3-trigger streaming intake) is an oracle/lifecycle query, not
     // a headline: its batches feed through driver-side MemoryStream
     // plumbing, and the lifecycle's bench-scale cost story is carried by

@@ -581,6 +581,64 @@ object SimilarityOps {
       .withColumn("kept", col("dup_of").isNull)
   }
 
+  /** Incremental SemDeDup: judge a NEW batch of embeddings against an
+    * existing corpus without re-deduping the corpus — the q73/q78
+    * ingestion stance applied to semantic dedup. The coarse quantizer
+    * trains on the CORPUS ONLY (the serving model; a batch must not
+    * shift cell boundaries under the corpus it is judged against), both
+    * sides label with it, and a batch vector is a duplicate when the
+    * exact integer-quantized cosine reaches √t2 against EITHER a
+    * same-cell corpus vector (dup_of = lowest matching corpus id) or a
+    * same-cell lower-id batch-mate (min-id-wins within the batch);
+    * dup_of is the least of the two.
+    *
+    * Scale: per-ingest compute is batch-proportional — the corpus-side
+    * join key is the cell label, so a corpus labeled+quantized table
+    * persisted/bucketed by cell (which IS the stored layout of the
+    * persisted IVF index, operators/VectorIndex) serves every future
+    * batch with no corpus-side exchange; training amortizes across
+    * ingests exactly like the prepared dedup index family. Here both
+    * labelings derive in-query (the q73 oracle-parity stance); the
+    * prepared-layout variant is the vector-index lifecycle.
+    *
+    * Returns one row per batch vector: (vid, cell, dup_of, kept).
+    */
+  def incrementalSemanticDedup(newBatch: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, maxIter: Int, t2: Double,
+      cacheLabeled: Boolean = true): DataFrame = {
+    val cents = kmeansTrain(corpus, idCol, vecCol, k, maxIter)
+    def labeled(df: DataFrame): DataFrame = {
+      val l = df.select(col(idCol).cast("long").as("vid"),
+          quantize(col(vecCol)).as("qv"))
+        .withColumn("cell", assignCells(col("qv"), cents))
+        .withColumn("n2", VecExprs.dotLong(col("qv"), col("qv")).cast("double"))
+      if (cacheLabeled) l.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else l
+    }
+    val corpusL = labeled(corpus)
+    val batchL = labeled(newBatch)
+    def aSide(df: DataFrame): DataFrame =
+      df.select(col("cell"), col("vid").as("va"), col("qv").as("qa"),
+        col("n2").as("na2"))
+    val bSide = batchL.select(col("cell"), col("vid").as("vb"),
+      col("qv").as("qb"), col("n2").as("nb2"))
+    val d = VecExprs.dotLong(col("qa"), col("qb")).cast("double")
+    def minMatch(cand: DataFrame): DataFrame = cand
+      .withColumn("d", d)
+      .filter(col("d") > 0 && col("d") * col("d") >= lit(t2) * col("na2") * col("nb2"))
+      .groupBy(col("vb").as("vid"))
+      .agg(min(col("va")).as("m"))
+    val vsCorpus = minMatch(bSide.join(aSide(corpusL), Seq("cell")))
+    val vsBatch = minMatch(
+      bSide.join(aSide(batchL), Seq("cell")).filter(col("va") < col("vb")))
+    val dups = vsCorpus.select(col("vid"), col("m").as("mc"))
+      .join(vsBatch.select(col("vid"), col("m").as("mb")), Seq("vid"), "full")
+      .select(col("vid"), least(col("mc"), col("mb")).as("dup_of"))
+    batchL.select(col("vid"), col("cell"))
+      .join(dups, Seq("vid"), "left")
+      .withColumn("kept", col("dup_of").isNull)
+  }
+
   /** Random-hyperplane LSH bucket id (sign bits of hash-derived planes):
     * a deterministic, data-independent coarse cell for when no label
     * exists. planeSeed × dim hashes stand in for gaussian components —

@@ -594,6 +594,19 @@ object LlmPipeline {
         .orderBy("vid")
     }),
 
+    // Incremental SemDeDup (the q73/q78 ingestion stance applied to
+    // embedding dedup): the coarse quantizer trains on the CORPUS only;
+    // the batch is judged within trained cells against corpus vectors
+    // AND lower-id batch-mates, dup_of = least match. The oracle
+    // re-trains (q136's unroll), assigns the batch through the trained
+    // centroids, and replays both pair legs.
+    "q139_semantic_dedup_incremental" -> ((s, dir) => {
+      val (corpus, batch) = semBatchParts(s, dir)
+      SimilarityOps.incrementalSemanticDedup(batch, corpus, "vid", "vd",
+          k = 8, maxIter = 2, t2 = 0.81)
+        .orderBy("vid")
+    }),
+
     // DSIR-style hashed importance scores: docs with doc_id % 10 == 0
     // stand in for the high-quality target (the q65 convention); every
     // raw doc scores by the sum of per-bucket smoothed log-ratio
@@ -1183,6 +1196,24 @@ object LlmPipeline {
     * vid+100000 with its first component scaled by 1.25 (exact in binary
     * floating point, so both engines synthesize identical vectors).
     */
+  /** q139 corpus/batch split: corpus = the embeddings table; batch =
+    * every 5th vector perturbed (first component ×1.25 under +1e5 —
+    * a planted near-dup of its corpus source) plus every 7th-mod-3
+    * vector re-idd verbatim under +2e5 (an exact-direction corpus dup;
+    * ids where both legs fire also plant an in-batch pair).
+    */
+  private def semBatchParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = t(s, dir, "embeddings").select(col("vec_id").cast("long").as("vid"),
+      transform(col("embedding"), x => x.cast("double")).as("vd"))
+    val pert = base.filter(col("vid") % 5 === 0)
+      .select((col("vid") + 100000L).as("vid"),
+        concat(array(element_at(col("vd"), 1) * lit(1.25)),
+          slice(col("vd"), lit(2), size(col("vd")) - 1)).as("vd"))
+    val exact = base.filter(col("vid") % 7 === 3)
+      .select((col("vid") + 200000L).as("vid"), col("vd"))
+    (base, pert.unionByName(exact))
+  }
+
   private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "embeddings").select(col("vec_id").cast("long").as("vid"),
       transform(col("embedding"), x => x.cast("double")).as("vd"))
@@ -2291,6 +2322,71 @@ object LlmPipeline {
         |FROM feat f JOIN w3 USING (bucket)
         |WHERE NOT f.is_target
         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+
+    // q136's corpus-side unroll, then the batch assigned through the
+    // TRAINED centroids and judged on both legs (vs corpus cell-mates,
+    // vs lower-id batch-mates), dup_of = least match
+    "q139_semantic_dedup_incremental" ->
+      """WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vid, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+        |bat0 AS (
+        |  SELECT vid + 100000 AS vid, list_concat([vd[1] * 1.25], vd[2:]) AS vd FROM base WHERE vid % 5 = 0
+        |  UNION ALL
+        |  SELECT vid + 200000 AS vid, vd FROM base WHERE vid % 7 = 3),
+        |v AS (SELECT vid, list_transform(vd, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv FROM base),
+        |e AS (SELECT vid, dd.range AS dim, qv[CAST(dd.range AS INT) + 1] AS x FROM v CROSS JOIN range(64) dd),
+        |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS BIGINT) AS cell, vid
+        |       FROM (SELECT vid FROM v ORDER BY vid LIMIT 8)),
+        |cent0 AS (SELECT c0.cell, e.dim, e.x AS comp FROM c0 JOIN e ON c0.vid = e.vid),
+        |d1 AS (SELECT e.vid, c.cell, SUM((e.x - c.comp) * (e.x - c.comp)) AS dist
+        |       FROM e JOIN cent0 c ON e.dim = c.dim GROUP BY e.vid, c.cell),
+        |a1 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM d1) WHERE rn = 1),
+        |s1 AS (SELECT a.cell, e.dim, CAST(SUM(e.x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM a1 a JOIN e ON a.vid = e.vid GROUP BY a.cell, e.dim),
+        |cent1 AS (SELECT c.cell, c.dim,
+        |        COALESCE(CASE WHEN s1.s >= 0 THEN s1.s // s1.n ELSE -((-s1.s) // s1.n) END, c.comp) AS comp
+        |       FROM cent0 c LEFT JOIN s1 ON c.cell = s1.cell AND c.dim = s1.dim),
+        |d2 AS (SELECT e.vid, c.cell, SUM((e.x - c.comp) * (e.x - c.comp)) AS dist
+        |       FROM e JOIN cent1 c ON e.dim = c.dim GROUP BY e.vid, c.cell),
+        |a2 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM d2) WHERE rn = 1),
+        |s2 AS (SELECT a.cell, e.dim, CAST(SUM(e.x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM a2 a JOIN e ON a.vid = e.vid GROUP BY a.cell, e.dim),
+        |cent2 AS (SELECT c.cell, c.dim,
+        |        COALESCE(CASE WHEN s2.s >= 0 THEN s2.s // s2.n ELSE -((-s2.s) // s2.n) END, c.comp) AS comp
+        |       FROM cent1 c LEFT JOIN s2 ON c.cell = s2.cell AND c.dim = s2.dim),
+        |bq AS (SELECT vid, list_transform(vd, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv FROM bat0),
+        |be AS (SELECT vid, dd.range AS dim, qv[CAST(dd.range AS INT) + 1] AS x FROM bq CROSS JOIN range(64) dd),
+        |d3 AS (SELECT e.vid, c.cell, SUM((e.x - c.comp) * (e.x - c.comp)) AS dist
+        |       FROM e JOIN cent2 c ON e.dim = c.dim GROUP BY e.vid, c.cell),
+        |a3 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM d3) WHERE rn = 1),
+        |bd AS (SELECT be.vid, c.cell, SUM((be.x - c.comp) * (be.x - c.comp)) AS dist
+        |       FROM be JOIN cent2 c ON be.dim = c.dim GROUP BY be.vid, c.cell),
+        |ba AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM bd) WHERE rn = 1),
+        |nc AS (SELECT vid, qv, list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS n2 FROM v),
+        |nb AS (SELECT vid, qv, list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS n2 FROM bq),
+        |prc AS (SELECT a.vid AS va, b.vid AS vb,
+        |        list_dot_product(CAST(na.qv AS DOUBLE[]), CAST(nb.qv AS DOUBLE[])) AS d,
+        |        na.n2 AS na2, nb.n2 AS nb2
+        |      FROM ba b JOIN a3 a ON a.cell = b.cell
+        |      JOIN nc na ON na.vid = a.vid JOIN nb ON nb.vid = b.vid),
+        |mc AS (SELECT vb AS vid, MIN(va) AS m FROM prc
+        |      WHERE d > 0 AND d * d >= 0.81 * na2 * nb2 GROUP BY vb),
+        |prb AS (SELECT a.vid AS va, b.vid AS vb,
+        |        list_dot_product(CAST(na.qv AS DOUBLE[]), CAST(nb.qv AS DOUBLE[])) AS d,
+        |        na.n2 AS na2, nb.n2 AS nb2
+        |      FROM ba b JOIN ba a ON a.cell = b.cell AND a.vid < b.vid
+        |      JOIN nb na ON na.vid = a.vid JOIN nb ON nb.vid = b.vid),
+        |mb AS (SELECT vb AS vid, MIN(va) AS m FROM prb
+        |      WHERE d > 0 AND d * d >= 0.81 * na2 * nb2 GROUP BY vb),
+        |dups AS (SELECT COALESCE(mc.vid, mb.vid) AS vid,
+        |      COALESCE(LEAST(mc.m, mb.m), mc.m, mb.m) AS dup_of
+        |    FROM mc FULL OUTER JOIN mb ON mc.vid = mb.vid)
+        |SELECT ba.vid, ba.cell, dups.dup_of, dups.dup_of IS NULL AS kept
+        |FROM ba LEFT JOIN dups ON ba.vid = dups.vid
+        |ORDER BY ba.vid""".stripMargin,
 
     // q76's kmeans unroll (2 Lloyd iterations, integer-exact) over the
     // q54 planted near-dup corpus, then q54's quantized-cosine pair

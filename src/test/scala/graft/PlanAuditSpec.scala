@@ -238,7 +238,12 @@ class PlanAuditSpec extends SparkSpec {
       // persisted feature table (its build scan + distinct exchange sit
       // inside the InMemoryRelation), sums trained weights per doc —
       // the model is a map literal, zero joins
-      "q138_quality_classifier" -> (1, 4, 0, 0))
+      "q138_quality_classifier" -> (1, 4, 0, 0),
+      // incremental SemDeDup: the corpus and batch labelings each
+      // persist (their embeddings scans sit inside InMemoryRelations);
+      // the batch side is small so BOTH pair legs broadcast it against
+      // the cell-keyed corpus — per-ingest cost stays batch-sized
+      "q139_semantic_dedup_incremental" -> (3, 5, 2, 0))
     for ((q, (scans, shuffles, broadcasts, antis)) <- pins) {
       val p = plan(q)
       def uniq(pat: String): Int =

@@ -15,6 +15,41 @@ import graft.functions.VecExprs
   */
 object SimilarityOps {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.SimilarityOps")
+
+  /** Explicit "no cap" for oracle-checked semantic-dedup paths (the
+    * DedupOps.NoBucketCap convention: oracles replay uncapped
+    * semantics, so query paths pass this explicitly).
+    */
+  val NoCellCap: Int = Int.MaxValue
+
+  /** Pair-leg input restricted to cells of width ≤ maxCell — the
+    * trained-cell analog of DedupOps.boundBuckets: an adversarial
+    * corpus collapsing onto one centroid would otherwise explode that
+    * cell's m(m−1)/2 candidate pairs. Width is a cell-keyed window
+    * count (spillable buffer, reused partitioning); members of dropped
+    * cells still receive verdict rows (kept — their recall is gone,
+    * loudly logged, never silently judged).
+    */
+  private def boundCells(labeled: DataFrame, maxCell: Int, op: String): DataFrame = {
+    if (maxCell == NoCellCap) labeled
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+      val wide = labeled.withColumn("_cw", count(lit(1)).over(w))
+      val drops = wide.filter(col("_cw") > maxCell)
+        .agg(countDistinct(col("cell")).as("n_cells"), count(lit(1)).as("n_rows"))
+        .collect()(0)
+      if (drops.getLong(0) > 0)
+        log.warn(s"$op: cell cap $maxCell dropped ${drops.getLong(0)} cell(s) / " +
+          s"${drops.getLong(1)} vector(s) from the pair legs — semantic-dedup " +
+          "recall inside that mass is gone; retrain with larger k, or pass " +
+          "NoCellCap on an oracle-checked path")
+      else
+        log.info(s"$op: cell cap $maxCell dropped nothing")
+      wide.filter(col("_cw") <= maxCell).drop("_cw")
+    }
+  }
+
   /** Cast a float vector column to double for deterministic math. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
@@ -538,9 +573,10 @@ object SimilarityOps {
     * and everything upstream of it is the kmeans sufficient-stats
     * shuffle (k·dim rows per iteration, corpus-size-independent driver
     * traffic). A planted hot cell degrades to that cell's |cell|² only;
-    * at production k the cap convention of the LSH family (drop + log
-    * oversized cells) applies unchanged if an adversarial corpus
-    * collapses onto one centroid.
+    * `maxCell` is the LSH family's cap convention for when an
+    * adversarial corpus collapses onto one centroid — oversized cells
+    * drop out of the pair legs (members KEPT, loss logged loudly,
+    * [[boundCells]]); oracle-checked paths pass [[NoCellCap]].
     *
     * All similarity arithmetic is the exact integer-quantized cosine of
     * the near-dup family (floor(x·1e6) longs; dup iff d > 0 ∧
@@ -552,7 +588,7 @@ object SimilarityOps {
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, maxIter: Int, t2: Double,
-      cacheLabeled: Boolean = true): DataFrame = {
+      cacheLabeled: Boolean = true, maxCell: Int = NoCellCap): DataFrame = {
     val cents = kmeansTrain(emb, idCol, vecCol, k, maxIter)
     // the labeled+quantized table feeds three consumers (both pair legs
     // and the verdict join-back) — persist it once, the q28/q55
@@ -565,9 +601,10 @@ object SimilarityOps {
     val q = if (cacheLabeled)
       q0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else q0
-    val a = q.select(col("cell"), col("vid").as("va"), col("qv").as("qa"),
+    val judged = boundCells(q, maxCell, "semanticDedup")
+    val a = judged.select(col("cell"), col("vid").as("va"), col("qv").as("qa"),
       col("n2").as("na2"))
-    val b = q.select(col("cell"), col("vid").as("vb"), col("qv").as("qb"),
+    val b = judged.select(col("cell"), col("vid").as("vb"), col("qv").as("qb"),
       col("n2").as("nb2"))
     val d = VecExprs.dotLong(col("qa"), col("qb")).cast("double")
     val dups = a.join(b, Seq("cell"))
@@ -605,7 +642,7 @@ object SimilarityOps {
     */
   def incrementalSemanticDedup(newBatch: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, maxIter: Int, t2: Double,
-      cacheLabeled: Boolean = true): DataFrame = {
+      cacheLabeled: Boolean = true, maxCell: Int = NoCellCap): DataFrame = {
     val cents = kmeansTrain(corpus, idCol, vecCol, k, maxIter)
     def labeled(df: DataFrame): DataFrame = {
       val l = df.select(col(idCol).cast("long").as("vid"),
@@ -617,6 +654,11 @@ object SimilarityOps {
     }
     val corpusL = labeled(corpus)
     val batchL = labeled(newBatch)
+    // the cap bounds each pair leg by ITS candidate-mass side: a hot
+    // corpus cell explodes |batch∩cell|·|corpus∩cell|, a hot batch cell
+    // its own m(m−1)/2 — capped members stay judgeable on the other leg
+    val corpusJ = boundCells(corpusL, maxCell, "incrementalSemanticDedup.corpus")
+    val batchJ = boundCells(batchL, maxCell, "incrementalSemanticDedup.batch")
     def aSide(df: DataFrame): DataFrame =
       df.select(col("cell"), col("vid").as("va"), col("qv").as("qa"),
         col("n2").as("na2"))
@@ -628,9 +670,9 @@ object SimilarityOps {
       .filter(col("d") > 0 && col("d") * col("d") >= lit(t2) * col("na2") * col("nb2"))
       .groupBy(col("vb").as("vid"))
       .agg(min(col("va")).as("m"))
-    val vsCorpus = minMatch(bSide.join(aSide(corpusL), Seq("cell")))
+    val vsCorpus = minMatch(bSide.join(aSide(corpusJ), Seq("cell")))
     val vsBatch = minMatch(
-      bSide.join(aSide(batchL), Seq("cell")).filter(col("va") < col("vb")))
+      bSide.join(aSide(batchJ), Seq("cell")).filter(col("va") < col("vb")))
     val dups = vsCorpus.select(col("vid"), col("m").as("mc"))
       .join(vsBatch.select(col("vid"), col("m").as("mb")), Seq("vid"), "full")
       .select(col("vid"), least(col("mc"), col("mb")).as("dup_of"))

@@ -61,6 +61,21 @@ class IncrementalSemanticDedupSpec extends SparkSpec {
     assert(result(105L) == (104L, false), "its batch-mate dedupes against it")
   }
 
+  test("cell cap: a hot corpus cell stops the corpus leg; the batch leg still judges") {
+    // cap 5 < corpus blob widths (10) → no corpus matches; batch cells
+    // are width ≤ 2 → 103 now dedupes against batch-mate 101 instead of
+    // corpus id 1, and the novel pair still dedupes
+    val capped = SimilarityOps.incrementalSemanticDedup(batch, corpus,
+        "vec_id", "embedding", k = 3, maxIter = 10, t2 = 0.81, maxCell = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(2)) -1L else r.getLong(2)), r.getBoolean(3))).toMap
+    assert(capped(101L) == (-1L, true))
+    assert(capped(102L) == (-1L, true))
+    assert(capped(103L) == (101L, false))
+    assert(capped(104L) == (-1L, true))
+    assert(capped(105L) == (104L, false))
+  }
+
   test("deterministic under repartitioning") {
     val again = SimilarityOps.incrementalSemanticDedup(
         batch.repartition(3), corpus.repartition(7), "vec_id", "embedding",

@@ -69,6 +69,21 @@ class SemanticDedupSpec extends SparkSpec {
     assert(r.getBoolean(3), "cross-cell near-dup must survive by construction")
   }
 
+  test("cell cap: oversized cells stop judging (members kept); a wide cap is the identity") {
+    // cap 5 < every blob-cell width (10-13) → the pair legs see nothing
+    val capped = SimilarityOps.semanticDedup(vecs, "vec_id", "embedding",
+        k = 3, maxIter = 10, t2 = 0.81, maxCell = 5)
+      .collect()
+    assert(capped.length == base.size + planted.size)
+    assert(capped.forall(_.getBoolean(3)), "capped cells judge nothing — all kept")
+    // a cap above every width reproduces the uncapped judgment exactly
+    val wide = SimilarityOps.semanticDedup(vecs, "vec_id", "embedding",
+        k = 3, maxIter = 10, t2 = 0.81, maxCell = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toSeq
+    assert(wide.sortBy(_._1) == result.sortBy(_._1))
+  }
+
   test("judgment is deterministic under repartitioning") {
     val r2 = SimilarityOps.semanticDedup(vecs.repartition(7), "vec_id", "embedding",
         k = 3, maxIter = 10, t2 = 0.81)

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Leakage-safe dataset splitting: train/val/test assignment that
+  * respects the near-dup graph, so two near-duplicate documents can
+  * never straddle a split boundary (the eval-contamination failure a
+  * per-doc random split bakes in: the GPT-3 dedup postmortem and Lee
+  * et al. 2022 both trace inflated eval numbers to exactly this).
+  *
+  * The unit of assignment is the CONNECTED COMPONENT of the near-dup
+  * pair graph ([[GraphOps.connectedComponents]] — pointer-doubling,
+  * O(log diameter) rounds), labeled by its minimum member id; docs in
+  * no pair are their own singleton component. The split gates on the
+  * engine-portable sha256-prefix of the COMPONENT id (the q62
+  * convention, salt `graft-split:`): identical under task retries,
+  * partitioning changes, re-runs, and any engine — and co-location is
+  * by construction, not by post-hoc repair.
+  *
+  * Cut points are 2-hex-char prefixes: gate < testCut → test;
+  * < valCut → val; else train (defaults ≈ 10% / 10% / 80%:
+  * 0x1a/256 ≈ 10.2%, 0x34/256 ≈ 20.3% cumulative).
+  *
+  * Scale shape: the pair graph is near-dup-sized (tiny vs the corpus),
+  * CC shuffles only the pair nodes, and the corpus-side work is one
+  * left join on doc_id plus a narrow projection — the broadcast-sized
+  * component table rides onto the corpus scan when the dup mass is
+  * small, and AQE picks the join strategy either way.
+  */
+object SplitOps {
+
+  /** One row per input doc: (doc_id, component, split). `pairs` must
+    * carry two doc-id columns of the near-dup pair graph (aCol, bCol).
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      testCut: String = "1a", valCut: String = "34"): DataFrame = {
+    require(testCut <= valCut,
+      s"testCut ($testCut) must not exceed valCut ($valCut)")
+    val comp = GraphOps.connectedComponents(pairs, aCol, bCol)
+    val labeled = docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    val gate = substring(
+      sha2(concat(lit("graft-split:"), col("component").cast("string")), 256), 1, 2)
+    labeled.withColumn("split",
+      when(gate < lit(testCut), lit("test"))
+        .when(gate < lit(valCut), lit("val"))
+        .otherwise(lit("train")))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{CurationPipeline, DedupOps, GraphOps, MultimodalOps, ScrubOps, SimilarityOps, TextOps, VectorIndex}
+import graft.operators.{CurationPipeline, DedupOps, GraphOps, MultimodalOps, ScrubOps, SimilarityOps, SplitOps, TextOps, VectorIndex}
 
 /** Training-data-pipeline operator surface (north star beyond the
   * reference): dedupe, similarity search, text analysis, multimodal
@@ -592,6 +592,21 @@ object LlmPipeline {
       SimilarityOps.semanticDedup(nearDupCorpus(s, dir), "vid", "vd",
           k = 8, maxIter = 2, t2 = 0.81)
         .orderBy("vid")
+    }),
+
+    // Leakage-safe train/val/test split: the q68 near-dup components
+    // (MinHash+LSH pairs, identical to the brute set) are the unit of
+    // assignment — cluster-mates can never straddle a split — gated by
+    // the portable sha256 prefix of the component id. The oracle
+    // re-derives the components (recursive-CTE reachability) and the
+    // gate.
+    "q140_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = DedupOps.minhashNearDupPairs(docs, "text", "doc_id",
+        n = 3, numHashes = 64, bands = 32, threshold = 0.5,
+        maxBucket = DedupOps.NoBucketCap)
+      SplitOps.leakageSafeSplit(docs, "doc_id", pairs, "doc_a", "doc_b")
+        .orderBy("doc_id")
     }),
 
     // Incremental SemDeDup (the q73/q78 ingestion stance applied to
@@ -2289,6 +2304,35 @@ object LlmPipeline {
   }
 
   private def oraclesTail: Map[String, String] = Map(
+    // q68's recursive-CTE components + singleton fallback + the
+    // sha256-prefix split gate on the component id
+    "q140_leakage_safe_split" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws FROM documents),
+        |sh AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sg
+        |  FROM w WHERE len(ws) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sg, b.sg)) * 2.0 >= len(list_distinct(list_concat(a.sg, b.sg)))),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS node FROM edges),
+        |reach AS (
+        |  WITH RECURSIVE r(node, t) AS (
+        |    SELECT node, node FROM nodes
+        |    UNION
+        |    SELECT e.b, r.t FROM edges e JOIN r ON r.node = e.a)
+        |  SELECT * FROM r),
+        |comp AS (SELECT node AS doc_id, MIN(t) AS component FROM reach GROUP BY node),
+        |lab AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |    COALESCE(c.component, CAST(d.doc_id AS BIGINT)) AS component
+        |  FROM documents d LEFT JOIN comp c ON CAST(d.doc_id AS BIGINT) = c.doc_id),
+        |g AS (SELECT doc_id, component,
+        |    substring(sha256('graft-split:' || CAST(component AS VARCHAR)), 1, 2) AS gate FROM lab)
+        |SELECT doc_id, component,
+        |  CASE WHEN gate < '1a' THEN 'test' WHEN gate < '34' THEN 'val' ELSE 'train' END AS split
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     // three unrolled logistic epochs: residuals -> gradients ->
     // truncating micro-unit updates (the q76 CASE convention for
     // negative integer division), then the trained margins

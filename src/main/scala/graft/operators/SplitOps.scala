@@ -3,7 +3,11 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Leakage-safe dataset splitting: train/val/test assignment that
+/** Cluster-level dataset policies: operations whose unit is the
+  * near-dup CONNECTED COMPONENT rather than the document — leakage-safe
+  * train/val/test splitting and keep-best retention.
+  *
+  * Leakage-safe splitting: train/val/test assignment that
   * respects the near-dup graph, so two near-duplicate documents can
   * never straddle a split boundary (the eval-contamination failure a
   * per-doc random split bakes in: the GPT-3 dedup postmortem and Lee
@@ -49,5 +53,33 @@ object SplitOps {
       when(gate < lit(testCut), lit("test"))
         .when(gate < lit(valCut), lit("val"))
         .otherwise(lit("train")))
+  }
+
+  /** Keep-BEST near-dup retention (the RefinedWeb/FineWeb policy:
+    * clusters keep their highest-quality member — typically the
+    * longest — not the arbitrary lowest id that a min-id dedup
+    * implies). The unit is again the transitive near-dup component;
+    * the keeper is argmax(score) with min-id tie-break, computed as a
+    * COMBINABLE struct-max aggregate — (score, −doc_id) compares
+    * lexicographically, so no per-component sort window exists to skew
+    * on a giant cluster. `score` must be an exact integer column (the
+    * cross-engine convention; q141 uses n_chars — "keep longest").
+    *
+    * Returns one row per doc: (doc_id, component, score, keeper, kept).
+    */
+  def nearDupKeepBest(docs: DataFrame, idCol: String, score: Column,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val comp = GraphOps.connectedComponents(pairs, aCol, bCol)
+    val labeled = docs.select(col(idCol).cast("long").as("doc_id"),
+        score.cast("long").as("score"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("score"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    val keepers = labeled.groupBy("component")
+      .agg(max(struct(col("score"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("component"), (-col("best.nid")).as("keeper"))
+    labeled.join(keepers, Seq("component"))
+      .select(col("doc_id"), col("component"), col("score"), col("keeper"),
+        (col("doc_id") === col("keeper")).as("kept"))
   }
 }

@@ -609,6 +609,20 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
+    // Keep-best near-dup retention (RefinedWeb/FineWeb "keep longest"):
+    // q68's components keep their longest member (n_chars, min-id
+    // tie-break) instead of the min id — the keeper derives from a
+    // combinable struct-max, never a per-cluster sort window.
+    "q141_neardup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = DedupOps.minhashNearDupPairs(docs, "text", "doc_id",
+        n = 3, numHashes = 64, bands = 32, threshold = 0.5,
+        maxBucket = DedupOps.NoBucketCap)
+      SplitOps.nearDupKeepBest(docs, "doc_id", col("n_chars"),
+          pairs, "doc_a", "doc_b")
+        .orderBy("doc_id")
+    }),
+
     // Incremental SemDeDup (the q73/q78 ingestion stance applied to
     // embedding dedup): the coarse quantizer trains on the CORPUS only;
     // the batch is judged within trained cells against corpus vectors
@@ -2304,6 +2318,37 @@ object LlmPipeline {
   }
 
   private def oraclesTail: Map[String, String] = Map(
+    // q68's recursive-CTE components + singleton fallback + the
+    // deterministic per-component argmax (score desc, id asc)
+    "q141_neardup_keep_best" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws FROM documents),
+        |sh AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sg
+        |  FROM w WHERE len(ws) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sg, b.sg)) * 2.0 >= len(list_distinct(list_concat(a.sg, b.sg)))),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS node FROM edges),
+        |reach AS (
+        |  WITH RECURSIVE r(node, t) AS (
+        |    SELECT node, node FROM nodes
+        |    UNION
+        |    SELECT e.b, r.t FROM edges e JOIN r ON r.node = e.a)
+        |  SELECT * FROM r),
+        |comp AS (SELECT node AS doc_id, MIN(t) AS component FROM reach GROUP BY node),
+        |lab AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |    CAST(d.n_chars AS BIGINT) AS score,
+        |    COALESCE(c.component, CAST(d.doc_id AS BIGINT)) AS component
+        |  FROM documents d LEFT JOIN comp c ON CAST(d.doc_id AS BIGINT) = c.doc_id),
+        |k AS (SELECT component, doc_id AS keeper FROM (
+        |    SELECT component, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY component ORDER BY score DESC, doc_id ASC) AS rn
+        |    FROM lab) WHERE rn = 1)
+        |SELECT lab.doc_id, lab.component, lab.score, k.keeper, lab.doc_id = k.keeper AS kept
+        |FROM lab JOIN k USING (component) ORDER BY lab.doc_id""".stripMargin,
+
     // q68's recursive-CTE components + singleton fallback + the
     // sha256-prefix split gate on the component id
     "q140_leakage_safe_split" ->

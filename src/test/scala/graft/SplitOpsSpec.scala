@@ -60,6 +60,24 @@ class SplitOpsSpec extends SparkSpec {
     assert(splits == Set("train", "val", "test"))
   }
 
+  test("keep-best retention: the longest member wins, min-id breaks ties") {
+    val scored = Seq((1L, 50L), (2L, 90L), (3L, 90L), (10L, 5L), (11L, 5L),
+      (20L, 7L), (21L, 0L)).toDF("doc_id", "n_chars")
+    val r = SplitOps.nearDupKeepBest(scored, "doc_id", col("n_chars"),
+        pairs, "doc_a", "doc_b")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(3), x.getBoolean(4))).toMap
+    // cluster {1,2,3}: scores 50/90/90 → keeper 2 (tie with 3 → min id)
+    assert(r(1L) == (1L, 2L, false))
+    assert(r(2L) == (1L, 2L, true))
+    assert(r(3L) == (1L, 2L, false))
+    // cluster {10,11}: tie at 5 → keeper 10
+    assert(r(10L) == (10L, 10L, true))
+    assert(r(11L) == (10L, 10L, false))
+    // singletons always keep themselves
+    assert(r(20L) == (20L, 20L, true))
+    assert(r(21L) == (21L, 21L, true))
+  }
+
   test("deterministic under repartitioning") {
     val again = SplitOps.leakageSafeSplit(docs.repartition(5), "doc_id",
         pairs.repartition(3), "doc_a", "doc_b")

@@ -2584,7 +2584,7 @@ object LlmPipeline {
         |k AS (SELECT doc_id, ls, list_filter(ls, x -> NOT list_contains(f.fl, x)) AS kept
         |      FROM d CROSS JOIN f)
         |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
-        |  array_to_string(kept, chr(10)) AS text_clean
+        |  COALESCE(array_to_string(kept, chr(10)), '') AS text_clean
         |FROM k ORDER BY doc_id""".stripMargin,
 
     // same synthetic PII construction + RE2 patterns; counts on the raw

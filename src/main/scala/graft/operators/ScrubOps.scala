@@ -213,6 +213,76 @@ object ScrubOps {
     (joined.select(cols: _*), Seq(ws))
   }
 
+  /** GPT-3-style decontamination SCRUB (Brown et al. 2020 Appendix C —
+    * the "dirty window" variant): instead of DROPPING a training
+    * document that shares an n-gram with the eval set (the
+    * contaminationReport / curation-chain stance, which forfeits the
+    * whole doc), remove the overlapping span PLUS `window` words on
+    * each side and keep the rest. The published rationale: most
+    * contamination is a quoted snippet inside an otherwise-clean doc,
+    * and windowed excision preserves the clean mass.
+    *
+    * Semantics: eval docs (evalPred) contribute their distinct n-gram
+    * spans as the dirty set; every train-doc occurrence of a dirty span
+    * at position `start` covers word positions
+    * [max(start−window, 0), min(start+n−1+window, n_words−1)]; covered
+    * positions excise, survivors reassemble in order (the spanDedup
+    * machinery — same tokenizer, same hash-only identity travel: dirty
+    * spans cross the exchange as 8-byte Horner hashes, never strings,
+    * the accepted ~k²/2⁻⁶⁴ collision trade; the oracle checks the
+    * string-level small-SF regime).
+    *
+    * Scale shape: one linear typed pass per doc (tokenize + hash +
+    * span-fold), the dirty set is eval-sized (broadcastable), the
+    * coverage join keys on the span hash, and reassembly is one
+    * doc-keyed groupBy — no train×eval pair blowup anywhere.
+    *
+    * Output: one row per TRAIN doc — (doc_id, n_words, n_covered,
+    * text_clean); a fully-covered doc survives with empty text so the
+    * caller decides (the lineFrequencyFilter convention).
+    */
+  def decontaminateScrub(df: DataFrame, textCol: String, idCol: String,
+      evalPred: Column, n: Int = 5, window: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ws = df.select(col(idCol).cast("long"), evalPred, col(textCol).cast("string"))
+      .as[(Long, Boolean, String)]
+      .map { case (docId, isEval, text) =>
+        val words = SpanHash.tokenize(text)
+        val wh = words.map(SpanHash.fnv1a64)
+        (docId, isEval, words.toSeq, SpanHash.spanHashes(wh, n))
+      }
+      .toDF("doc_id", "_is_eval", "_ws", "_spans")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dirty = ws.filter(col("_is_eval"))
+      .select(explode(col("_spans")).as("s"))
+      .select(col("s.h").as("h")).distinct()
+    val occ = ws.filter(!col("_is_eval"))
+      .select(col("doc_id"), (size(col("_ws")) - 1).as("_last"),
+        explode(col("_spans")).as("s"))
+      .select(col("doc_id"), col("_last"), col("s.start"), col("s.h"))
+    val covered = occ.join(dirty, Seq("h"))
+      .select(col("doc_id"), explode(sequence(
+        greatest(col("start") - window, lit(0)),
+        least(col("start") + (n - 1) + window, col("_last")))).as("pos"))
+      .distinct()
+      .groupBy("doc_id").agg(sort_array(collect_set(col("pos"))).as("_cov"))
+    val joined = ws.filter(!col("_is_eval"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("_cov", coalesce(col("_cov"), array().cast("array<int>")))
+    val textClean = udf { (wsArr: Seq[String], cov: Seq[Int]) =>
+      if (cov.isEmpty) wsArr.mkString(" ")
+      else {
+        val c = cov.toSet
+        wsArr.iterator.zipWithIndex.collect { case (w, i) if !c(i) => w }.mkString(" ")
+      }
+    }
+    joined.select(col("doc_id"),
+      size(col("_ws")).cast("long").as("n_words"),
+      size(col("_cov")).cast("long").as("n_covered"),
+      textClean(col("_ws"), col("_cov")).as("text_clean"))
+  }
+
   /** C4-style line-level boilerplate removal: a line that appears in
     * ≥ `minDocs` distinct documents is dropped from EVERY document
     * (navigation chrome, cookie banners, boilerplate headers), and the

@@ -565,6 +565,16 @@ object LlmPipeline {
         .orderBy("train_doc")
     }),
 
+    // GPT-3-style decontamination SCRUB: instead of dropping docs that
+    // share a 5-gram with the eval set (q65), excise the overlap plus
+    // 10 words each side and keep the rest. Oracle replays coverage on
+    // the span STRINGS (the q75 convention).
+    "q142_decontaminate_scrub" -> ((s, dir) => {
+      ScrubOps.decontaminateScrub(t(s, dir, "documents"), "text", "doc_id",
+          col("doc_id") % 10 === 0, n = 5, window = 10)
+        .orderBy("doc_id")
+    }),
+
     // Corpus statistics: global top-20 trigrams by count (count desc,
     // gram asc) — map-side partial agg + TakeOrderedAndProject.
     "q66_top_ngrams" -> ((s, dir) => {
@@ -2318,6 +2328,31 @@ object LlmPipeline {
   }
 
   private def oraclesTail: Map[String, String] = Map(
+    // dirty-window coverage replayed on the 5-gram STRINGS: eval span
+    // set, per-occurrence window [start-10, start+4+10] clamped,
+    // uncovered-position reassembly (the q75 conventions)
+    "q142_decontaminate_scrub" ->
+      """WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, doc_id % 10 = 0 AS is_eval,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws FROM documents),
+        |ev AS (SELECT DISTINCT g FROM (
+        |    SELECT unnest([array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]) AS g
+        |    FROM w WHERE is_eval AND len(ws) >= 5)),
+        |sp AS (SELECT doc_id, len(ws) AS nw,
+        |    unnest([{'start': i - 1, 'g': array_to_string(ws[i:i+4], ' ')} for i in range(1, len(ws) - 3)],
+        |           recursive := true)
+        |  FROM w WHERE NOT is_eval AND len(ws) >= 5),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT doc_id, unnest([p for p in range(
+        |        CASE WHEN start - 10 > 0 THEN start - 10 ELSE 0 END,
+        |        CASE WHEN start + 15 < nw THEN start + 15 ELSE nw END)]) AS pos
+        |    FROM sp WHERE g IN (SELECT g FROM ev))),
+        |cl AS (SELECT doc_id, list(pos ORDER BY pos) AS cl FROM cov GROUP BY doc_id),
+        |j AS (SELECT w.doc_id, w.ws, COALESCE(cl.cl, CAST([] AS BIGINT[])) AS cov
+        |      FROM w LEFT JOIN cl ON w.doc_id = cl.doc_id WHERE NOT w.is_eval)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, CAST(len(cov) AS BIGINT) AS n_covered,
+        |  COALESCE(array_to_string([ws[i] for i in range(1, len(ws) + 1) if NOT list_contains(cov, i - 1)], ' '), '') AS text_clean
+        |FROM j ORDER BY doc_id""".stripMargin,
+
     // q68's recursive-CTE components + singleton fallback + the
     // deterministic per-component argmax (score desc, id asc)
     "q141_neardup_keep_best" ->

@@ -242,7 +242,16 @@ object ScrubOps {
     * caller decides (the lineFrequencyFilter convention).
     */
   def decontaminateScrub(df: DataFrame, textCol: String, idCol: String,
-      evalPred: Column, n: Int = 5, window: Int = 10): DataFrame = {
+      evalPred: Column, n: Int = 5, window: Int = 10): DataFrame =
+    decontaminateScrubWithCaches(df, textCol, idCol, evalPred, n, window)._1
+
+  /** [[decontaminateScrub]] plus the internally persisted tokenized
+    * frame for caller unpersist — the [[spanDedupWithCaches]]
+    * convention.
+    */
+  def decontaminateScrubWithCaches(df: DataFrame, textCol: String, idCol: String,
+      evalPred: Column, n: Int = 5,
+      window: Int = 10): (DataFrame, Seq[DataFrame]) = {
     val spark = df.sparkSession
     import spark.implicits._
     val ws = df.select(col(idCol).cast("long"), evalPred, col(textCol).cast("string"))
@@ -277,10 +286,10 @@ object ScrubOps {
         wsArr.iterator.zipWithIndex.collect { case (w, i) if !c(i) => w }.mkString(" ")
       }
     }
-    joined.select(col("doc_id"),
+    (joined.select(col("doc_id"),
       size(col("_ws")).cast("long").as("n_words"),
       size(col("_cov")).cast("long").as("n_covered"),
-      textClean(col("_ws"), col("_cov")).as("text_clean"))
+      textClean(col("_ws"), col("_cov")).as("text_clean")), Seq(ws))
   }
 
   /** C4-style line-level boilerplate removal: a line that appears in

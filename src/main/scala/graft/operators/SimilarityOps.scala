@@ -31,11 +31,20 @@ object SimilarityOps {
     * cells still receive verdict rows (kept — their recall is gone,
     * loudly logged, never silently judged).
     */
-  private def boundCells(labeled: DataFrame, maxCell: Int, op: String): DataFrame = {
-    if (maxCell == NoCellCap) labeled
+  private def boundCells(labeled: DataFrame, maxCell: Int,
+      op: String): (DataFrame, Seq[DataFrame]) = {
+    if (maxCell == NoCellCap) (labeled, Nil)
     else {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+      // the windowed frame feeds TWO consumers — the drop-stats action
+      // and the returned pair-leg filter — so it persists across them:
+      // one windowed pass total (and, when the caller skipped persisting
+      // the labeled input, one labeling pass total — the stats collect
+      // would otherwise recompute centroid assignment over the corpus
+      // once per cap check). Handed back for caller unpersist (the
+      // spanDedupWithCaches convention).
       val wide = labeled.withColumn("_cw", count(lit(1)).over(w))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val drops = wide.filter(col("_cw") > maxCell)
         .agg(countDistinct(col("cell")).as("n_cells"), count(lit(1)).as("n_rows"))
         .collect()(0)
@@ -46,7 +55,7 @@ object SimilarityOps {
           "NoCellCap on an oracle-checked path")
       else
         log.info(s"$op: cell cap $maxCell dropped nothing")
-      wide.filter(col("_cw") <= maxCell).drop("_cw")
+      (wide.filter(col("_cw") <= maxCell).drop("_cw"), Seq(wide))
     }
   }
 
@@ -588,7 +597,19 @@ object SimilarityOps {
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, maxIter: Int, t2: Double,
-      cacheLabeled: Boolean = true, maxCell: Int = NoCellCap): DataFrame = {
+      cacheLabeled: Boolean = true, maxCell: Int = NoCellCap): DataFrame =
+    semanticDedupWithCaches(emb, idCol, vecCol, k, maxIter, t2,
+      cacheLabeled, maxCell)._1
+
+  /** [[semanticDedup]] plus the internally persisted frames (the
+    * labeled+quantized table and, when capped, the cell-width frame),
+    * so an eager caller can unpersist them after its final action —
+    * the spanDedupWithCaches convention.
+    */
+  def semanticDedupWithCaches(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxIter: Int, t2: Double,
+      cacheLabeled: Boolean = true,
+      maxCell: Int = NoCellCap): (DataFrame, Seq[DataFrame]) = {
     val cents = kmeansTrain(emb, idCol, vecCol, k, maxIter)
     // the labeled+quantized table feeds three consumers (both pair legs
     // and the verdict join-back) — persist it once, the q28/q55
@@ -601,7 +622,7 @@ object SimilarityOps {
     val q = if (cacheLabeled)
       q0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else q0
-    val judged = boundCells(q, maxCell, "semanticDedup")
+    val (judged, capCaches) = boundCells(q, maxCell, "semanticDedup")
     val a = judged.select(col("cell"), col("vid").as("va"), col("qv").as("qa"),
       col("n2").as("na2"))
     val b = judged.select(col("cell"), col("vid").as("vb"), col("qv").as("qb"),
@@ -613,9 +634,10 @@ object SimilarityOps {
       .filter(col("d") > 0 && col("d") * col("d") >= lit(t2) * col("na2") * col("nb2"))
       .groupBy(col("vb").as("vid"))
       .agg(min(col("va")).as("dup_of"))
-    q.select(col("vid"), col("cell"))
+    val verdicts = q.select(col("vid"), col("cell"))
       .join(dups, Seq("vid"), "left")
       .withColumn("kept", col("dup_of").isNull)
+    (verdicts, (if (cacheLabeled) Seq(q) else Nil) ++ capCaches)
   }
 
   /** Incremental SemDeDup: judge a NEW batch of embeddings against an
@@ -642,7 +664,18 @@ object SimilarityOps {
     */
   def incrementalSemanticDedup(newBatch: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, maxIter: Int, t2: Double,
-      cacheLabeled: Boolean = true, maxCell: Int = NoCellCap): DataFrame = {
+      cacheLabeled: Boolean = true, maxCell: Int = NoCellCap): DataFrame =
+    incrementalSemanticDedupWithCaches(newBatch, corpus, idCol, vecCol,
+      k, maxIter, t2, cacheLabeled, maxCell)._1
+
+  /** [[incrementalSemanticDedup]] plus the internally persisted frames
+    * (both labeled sides and, when capped, the per-leg cell-width
+    * frames) for caller unpersist — the spanDedupWithCaches convention.
+    */
+  def incrementalSemanticDedupWithCaches(newBatch: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, maxIter: Int, t2: Double,
+      cacheLabeled: Boolean = true,
+      maxCell: Int = NoCellCap): (DataFrame, Seq[DataFrame]) = {
     val cents = kmeansTrain(corpus, idCol, vecCol, k, maxIter)
     def labeled(df: DataFrame): DataFrame = {
       val l = df.select(col(idCol).cast("long").as("vid"),
@@ -657,8 +690,10 @@ object SimilarityOps {
     // the cap bounds each pair leg by ITS candidate-mass side: a hot
     // corpus cell explodes |batch∩cell|·|corpus∩cell|, a hot batch cell
     // its own m(m−1)/2 — capped members stay judgeable on the other leg
-    val corpusJ = boundCells(corpusL, maxCell, "incrementalSemanticDedup.corpus")
-    val batchJ = boundCells(batchL, maxCell, "incrementalSemanticDedup.batch")
+    val (corpusJ, corpusCaps) =
+      boundCells(corpusL, maxCell, "incrementalSemanticDedup.corpus")
+    val (batchJ, batchCaps) =
+      boundCells(batchL, maxCell, "incrementalSemanticDedup.batch")
     def aSide(df: DataFrame): DataFrame =
       df.select(col("cell"), col("vid").as("va"), col("qv").as("qa"),
         col("n2").as("na2"))
@@ -676,9 +711,11 @@ object SimilarityOps {
     val dups = vsCorpus.select(col("vid"), col("m").as("mc"))
       .join(vsBatch.select(col("vid"), col("m").as("mb")), Seq("vid"), "full")
       .select(col("vid"), least(col("mc"), col("mb")).as("dup_of"))
-    batchL.select(col("vid"), col("cell"))
+    val verdicts = batchL.select(col("vid"), col("cell"))
       .join(dups, Seq("vid"), "left")
       .withColumn("kept", col("dup_of").isNull)
+    (verdicts, (if (cacheLabeled) Seq(corpusL, batchL) else Nil) ++
+      corpusCaps ++ batchCaps)
   }
 
   /** Random-hyperplane LSH bucket id (sign bits of hash-derived planes):

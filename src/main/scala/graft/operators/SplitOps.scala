@@ -40,9 +40,30 @@ object SplitOps {
   def leakageSafeSplit(docs: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
       testCut: String = "1a", valCut: String = "34"): DataFrame = {
+    val comp = GraphOps.connectedComponents(pairs, aCol, bCol)
+    leakageSafeSplitFromComponents(docs, idCol, comp, testCut, valCut)
+  }
+
+  /** [[leakageSafeSplit]] over a PREBUILT component table (doc_id,
+    * component) — the reuse seam for a curation pipeline that derives
+    * the near-dup components once and feeds split, retention and mix
+    * from the same frame instead of re-running MinHash + CC per
+    * consumer (TrainDataE2E wires it this way). Docs absent from
+    * `comp` are their own singleton component, exactly as the
+    * pair-graph form treats unpaired docs.
+    */
+  def leakageSafeSplitFromComponents(docs: DataFrame, idCol: String,
+      comp: DataFrame,
+      testCut: String = "1a", valCut: String = "34"): DataFrame = {
+    // the gate is a LEXICOGRAPHIC compare against lowercase-hex sha256
+    // prefixes: a non-lowercase-hex cut ("A0", "2G") would not fail —
+    // uppercase sorts below 'a', so it silently skews the fractions
+    Seq("testCut" -> testCut, "valCut" -> valCut).foreach { case (n, c) =>
+      require(c.matches("[0-9a-f]{2}"),
+        s"$n ('$c') must be a 2-char lowercase-hex prefix")
+    }
     require(testCut <= valCut,
       s"testCut ($testCut) must not exceed valCut ($valCut)")
-    val comp = GraphOps.connectedComponents(pairs, aCol, bCol)
     val labeled = docs.select(col(idCol).cast("long").as("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -70,6 +91,16 @@ object SplitOps {
   def nearDupKeepBest(docs: DataFrame, idCol: String, score: Column,
       pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val comp = GraphOps.connectedComponents(pairs, aCol, bCol)
+    nearDupKeepBestFromComponents(docs, idCol, score, comp)
+  }
+
+  /** [[nearDupKeepBest]] over a PREBUILT component table (doc_id,
+    * component) — the same reuse seam as
+    * [[leakageSafeSplitFromComponents]]: one CC job feeds both the
+    * split and the retention policy.
+    */
+  def nearDupKeepBestFromComponents(docs: DataFrame, idCol: String,
+      score: Column, comp: DataFrame): DataFrame = {
     val labeled = docs.select(col(idCol).cast("long").as("doc_id"),
         score.cast("long").as("score"))
       .join(comp, Seq("doc_id"), "left")

@@ -148,9 +148,11 @@ object TextOps {
     * quantize IMMEDIATELY to integer micro-nats — floor(λ·10⁶) as a
     * long, ONE libm call per bucket (256 total, never per occurrence;
     * the q131 convention) — so the per-doc sum Σ_occurrences λq is
-    * exact integer arithmetic any engine reproduces. All operands of
-    * the ratio are exact integers in doubles (≪ 2⁵³) and the division
-    * rounds identically under IEEE; negative λq is fine because the
+    * exact integer arithmetic any engine reproduces. Each ratio FACTOR
+    * converts to double before multiplying (a Long product would wrap
+    * at 100 TB token counts): every factor is an exact integer in a
+    * double, and the product and division each round once under IEEE,
+    * identically cross-engine; negative λq is fine because the
     * score is a SUM, never an integer mean.
     *
     * Scale shape: ONE token-explode pass builds the model (a combinable
@@ -181,12 +183,17 @@ object TextOps {
     val tt = counts.map(_.getLong(1)).sum
     val rt = counts.map(_.getLong(2)).sum
     // λ quantizes on the driver with the SAME libm the executors run
-    // (java.lang.Math.log); all ratio operands are exact integers in
-    // doubles, one log call per occupied bucket
+    // (java.lang.Math.log); each FACTOR converts to double before the
+    // multiply — at 100 TB scale (rt ~ 2e13 occurrences, hot-bucket
+    // t_b ~ 1e6+) the Long product would silently wrap past
+    // Long.MaxValue, while the double product rounds once under IEEE,
+    // identically on any engine (each factor is an exact integer ≪ 2⁶³
+    // in a double; the oracle mirrors the same factor-wise form). One
+    // log call per occupied bucket
     val lamQ: Map[String, Long] = counts.map { r =>
       r.getString(0) -> math.floor(math.log(
-        ((r.getLong(1) + 1) * (rt + 256)).toDouble /
-          ((r.getLong(2) + 1) * (tt + 256)).toDouble) * 1e6).toLong
+        ((r.getLong(1) + 1).toDouble * (rt + 256).toDouble) /
+          ((r.getLong(2) + 1).toDouble * (tt + 256).toDouble)) * 1e6).toLong
     }.toMap
     toks.filter(!col("is_target"))
       .withColumn("lam_q", element_at(typedlit(lamQ), col("bucket")))
@@ -227,7 +234,18 @@ object TextOps {
 
   def qualityClassifier(df: DataFrame, textCol: String, idCol: String,
       isTarget: Column, steps: Int = 3,
-      cacheFeatures: Boolean = true): DataFrame = {
+      cacheFeatures: Boolean = true): DataFrame =
+    qualityClassifierWithCaches(df, textCol, idCol, isTarget, steps,
+      cacheFeatures)._1
+
+  /** [[qualityClassifier]] plus the internally persisted feature table
+    * for caller unpersist — the spanDedupWithCaches convention (the
+    * returned margins frame still reads `feat`, so the release must
+    * come AFTER the caller's final action on it).
+    */
+  def qualityClassifierWithCaches(df: DataFrame, textCol: String, idCol: String,
+      isTarget: Column, steps: Int = 3,
+      cacheFeatures: Boolean = true): (DataFrame, Seq[DataFrame]) = {
     val feat0 = df.select(col(idCol).cast("long").as("doc_id"),
         isTarget.as("is_target"),
         explode(words(col(textCol))).as("tk"))
@@ -256,11 +274,12 @@ object TextOps {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       w = w.map { case (b, wb) => b -> (wb - grad.getOrElse(b, 0L) * QcEtaNum / n) }
     }
-    feat.filter(!col("is_target"))
+    val margins = feat.filter(!col("is_target"))
       .withColumn("wq", element_at(typedlit(w), col("bucket")))
       .groupBy("doc_id")
       .agg(sum("wq").as("margin_q"))
       .withColumn("predicted_target", col("margin_q") > 0L)
+    (margins, if (cacheFeatures) Seq(feat) else Nil)
   }
 
   /** Bigram language-model surprisal — the CCNet-style quality signal:

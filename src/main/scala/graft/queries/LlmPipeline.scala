@@ -633,6 +633,20 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
+    // SemDeDup hot-cell cap under PLANTED skew (the q82 maxBucket
+    // pattern applied to trained cells): 250 identical clones of vector
+    // 1 collapse onto one centroid, blowing that cell past maxCell=150 —
+    // the capped pair legs drop the hot cell (members KEPT, recall gone
+    // by policy), while normal cells keep judging the planted pert
+    // dups. The oracle mirrors the deterministic cell-width exclusion:
+    // widths from the final assignment, wide cells out of the pair CTE,
+    // verdicts over ALL vectors.
+    "q143_semantic_dedup_capped" -> ((s, dir) => {
+      SimilarityOps.semanticDedup(hotCellCorpus(s, dir), "vid", "vd",
+          k = 8, maxIter = 2, t2 = 0.81, maxCell = 150)
+        .orderBy("vid")
+    }),
+
     // Incremental SemDeDup (the q73/q78 ingestion stance applied to
     // embedding dedup): the coarse quantizer trains on the CORPUS only;
     // the batch is judged within trained cells against corpus vectors
@@ -1261,6 +1275,23 @@ object LlmPipeline {
         concat(array(element_at(col("vd"), 1) * lit(1.25)),
           slice(col("vd"), lit(2), size(col("vd")) - 1)).as("vd"))
     base.unionByName(pert)
+  }
+
+  /** q143 fixture: [[nearDupCorpus]] plus a planted HOT CELL — every
+    * even base vid contributes a verbatim clone of vector 1 under
+    * +3e5, so half the corpus collapses onto one trained centroid (the
+    * q82 skew-fixture pattern for the cell-cap path). Clones copy an
+    * EXISTING row's components (no arithmetic), so both engines
+    * synthesize bit-identical vectors.
+    */
+  private def hotCellCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings").select(col("vec_id").cast("long").as("vid"),
+      transform(col("embedding"), x => x.cast("double")).as("vd"))
+    val hotRef = base.filter(col("vid") === 1).select(col("vd").as("hot_vd"))
+    val hot = base.filter(col("vid") % 2 === 0)
+      .crossJoin(broadcast(hotRef))
+      .select((col("vid") + 300000L).as("vid"), col("hot_vd").as("vd"))
+    nearDupCorpus(s, dir).unionByName(hot)
   }
 
   /** Shared brute-force SQL for q54/q55 — the LSH path must reproduce the
@@ -2560,6 +2591,61 @@ object LlmPipeline {
         |FROM a3 LEFT JOIN dups ON a3.vid = dups.vid
         |ORDER BY a3.vid""".stripMargin,
 
+    // q136's unroll over the hot-cell corpus (clones of vector 1 under
+    // +3e5), then the DETERMINISTIC cell-width exclusion: widths count
+    // the final assignment, cells wider than 150 leave the pair CTE
+    // (their members still get verdict rows — kept), surviving cells
+    // judge by the same quantized-cosine math
+    "q143_semantic_dedup_capped" ->
+      """WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vid, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+        |pert AS (SELECT vid + 100000 AS vid, list_concat([vd[1] * 1.25], vd[2:]) AS vd
+        |         FROM base WHERE vid % 5 = 0),
+        |hot AS (SELECT b.vid + 300000 AS vid, r.vd AS vd
+        |        FROM base b CROSS JOIN (SELECT vd FROM base WHERE vid = 1) r
+        |        WHERE b.vid % 2 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM pert UNION ALL SELECT * FROM hot),
+        |v AS (SELECT vid, list_transform(vd, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv FROM u),
+        |e AS (SELECT vid, dd.range AS dim, qv[CAST(dd.range AS INT) + 1] AS x
+        |      FROM v CROSS JOIN range(64) dd),
+        |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS BIGINT) AS cell, vid
+        |       FROM (SELECT vid FROM v ORDER BY vid LIMIT 8)),
+        |cent0 AS (SELECT c0.cell, e.dim, e.x AS comp FROM c0 JOIN e ON c0.vid = e.vid),
+        |d1 AS (SELECT e.vid, c.cell, SUM((e.x - c.comp) * (e.x - c.comp)) AS dist
+        |       FROM e JOIN cent0 c ON e.dim = c.dim GROUP BY e.vid, c.cell),
+        |a1 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM d1) WHERE rn = 1),
+        |s1 AS (SELECT a.cell, e.dim, CAST(SUM(e.x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM a1 a JOIN e ON a.vid = e.vid GROUP BY a.cell, e.dim),
+        |cent1 AS (SELECT c.cell, c.dim,
+        |        COALESCE(CASE WHEN s1.s >= 0 THEN s1.s // s1.n ELSE -((-s1.s) // s1.n) END, c.comp) AS comp
+        |       FROM cent0 c LEFT JOIN s1 ON c.cell = s1.cell AND c.dim = s1.dim),
+        |d2 AS (SELECT e.vid, c.cell, SUM((e.x - c.comp) * (e.x - c.comp)) AS dist
+        |       FROM e JOIN cent1 c ON e.dim = c.dim GROUP BY e.vid, c.cell),
+        |a2 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM d2) WHERE rn = 1),
+        |s2 AS (SELECT a.cell, e.dim, CAST(SUM(e.x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM a2 a JOIN e ON a.vid = e.vid GROUP BY a.cell, e.dim),
+        |cent2 AS (SELECT c.cell, c.dim,
+        |        COALESCE(CASE WHEN s2.s >= 0 THEN s2.s // s2.n ELSE -((-s2.s) // s2.n) END, c.comp) AS comp
+        |       FROM cent1 c LEFT JOIN s2 ON c.cell = s2.cell AND c.dim = s2.dim),
+        |d3 AS (SELECT e.vid, c.cell, SUM((e.x - c.comp) * (e.x - c.comp)) AS dist
+        |       FROM e JOIN cent2 c ON e.dim = c.dim GROUP BY e.vid, c.cell),
+        |a3 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM d3) WHERE rn = 1),
+        |width AS (SELECT cell, COUNT(*) AS cw FROM a3 GROUP BY cell),
+        |aj AS (SELECT a3.vid, a3.cell FROM a3 JOIN width USING (cell) WHERE cw <= 150),
+        |n AS (SELECT vid, qv, list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS n2 FROM v),
+        |pr AS (SELECT a.vid AS va, b.vid AS vb,
+        |        list_dot_product(CAST(na.qv AS DOUBLE[]), CAST(nb.qv AS DOUBLE[])) AS d,
+        |        na.n2 AS na2, nb.n2 AS nb2
+        |      FROM aj a JOIN aj b ON a.cell = b.cell AND a.vid < b.vid
+        |      JOIN n na ON na.vid = a.vid JOIN n nb ON nb.vid = b.vid),
+        |dups AS (SELECT vb AS vid, MIN(va) AS dup_of FROM pr
+        |      WHERE d > 0 AND d * d >= 0.81 * na2 * nb2 GROUP BY vb)
+        |SELECT a3.vid, a3.cell, dups.dup_of, dups.dup_of IS NULL AS kept
+        |FROM a3 LEFT JOIN dups ON a3.vid = dups.vid
+        |ORDER BY a3.vid""".stripMargin,
+
     // re-derives the 256-bucket hashed model (sha256-prefix buckets,
     // add-one-smoothed log-ratio micro-nats, one ln per bucket) and the
     // per-doc integer sums over raw docs
@@ -2574,7 +2660,8 @@ object LlmPipeline {
         |tot AS (SELECT SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS tt,
         |        SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS rt FROM b),
         |lam AS (SELECT bucket, CAST(floor(ln(
-        |      CAST((t_b + 1) * (rt + 256) AS DOUBLE) / CAST((r_b + 1) * (tt + 256) AS DOUBLE))
+        |      (CAST(t_b + 1 AS DOUBLE) * CAST(rt + 256 AS DOUBLE))
+        |        / (CAST(r_b + 1 AS DOUBLE) * CAST(tt + 256 AS DOUBLE)))
         |      * 1000000.0) AS BIGINT) AS lam_q FROM cnt, tot)
         |SELECT doc_id, CAST(SUM(lam_q) AS BIGINT) AS dsir_score, CAST(COUNT(*) AS BIGINT) AS n_toks
         |FROM b JOIN lam USING (bucket) WHERE NOT is_target

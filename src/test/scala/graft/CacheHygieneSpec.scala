@@ -54,6 +54,60 @@ class CacheHygieneSpec extends SparkSpec {
     assert(leaked.isEmpty, s"curateFullToParquet leaked cached frames with RDD ids $leaked")
   }
 
+  test("the WithCaches variants hand back every persisted frame (round-15 advice)") {
+    import graft.operators.{ScrubOps, SimilarityOps, TextOps}
+    // distinctive literals so CacheManager plan-matching can't alias
+    // these frames with another suite's cached plans
+    val vecs = (0 until 24).map { i =>
+      (i.toLong + 7000L, Seq.tabulate(4)(d =>
+        (if (d == i % 3) 11.0 else 0.0) + 0.01 * ((i * 7 + d) % 5)))
+    }.toDF("vec_id", "embedding")
+    val texts = (0 until 30).map(i =>
+      (i.toLong + 7000L, s"hygiene fixture doc $i topic ${i % 5} with shared window phrase alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+
+    def assertClean(label: String)(run: => Seq[org.apache.spark.sql.DataFrame]): Unit = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val caches = run
+      caches.foreach(_.unpersist(true))
+      // RDD-id SETS, not counts (see the suites above for the rationale)
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"$label leaked cached frames with RDD ids $leaked")
+    }
+
+    assertClean("semanticDedupWithCaches (capped)") {
+      val (res, caches) = SimilarityOps.semanticDedupWithCaches(vecs, "vec_id",
+        "embedding", k = 3, maxIter = 5, t2 = 0.81, maxCell = 5)
+      res.collect()
+      assert(caches.size == 2, "expected the labeled frame + the cell-width frame")
+      caches
+    }
+    assertClean("incrementalSemanticDedupWithCaches (capped)") {
+      val batch = vecs.filter(col("vec_id") % 4 === 0)
+        .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+      val (res, caches) = SimilarityOps.incrementalSemanticDedupWithCaches(
+        batch, vecs, "vec_id", "embedding", k = 3, maxIter = 5, t2 = 0.81,
+        maxCell = 5)
+      res.collect()
+      assert(caches.size == 4, "expected both labeled sides + both width frames")
+      caches
+    }
+    assertClean("qualityClassifierWithCaches") {
+      val (res, caches) = TextOps.qualityClassifierWithCaches(texts, "text",
+        "doc_id", col("doc_id") % 3 === 0, steps = 2)
+      res.collect()
+      assert(caches.size == 1, "expected the persisted feature table")
+      caches
+    }
+    assertClean("decontaminateScrubWithCaches") {
+      val (res, caches) = ScrubOps.decontaminateScrubWithCaches(texts, "text",
+        "doc_id", col("doc_id") % 3 === 0, n = 5, window = 2)
+      res.collect()
+      assert(caches.size == 1, "expected the persisted tokenized frame")
+      caches
+    }
+  }
+
   test("incrementalDedupToParquet unpersists the index and batch caches") {
     val corpus = docs.filter(col("doc_id") < 900)
     val batch = Seq(

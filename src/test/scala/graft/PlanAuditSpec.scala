@@ -243,7 +243,14 @@ class PlanAuditSpec extends SparkSpec {
       // persist (their embeddings scans sit inside InMemoryRelations);
       // the batch side is small so BOTH pair legs broadcast it against
       // the cell-keyed corpus — per-ingest cost stays batch-sized
-      "q139_semantic_dedup_incremental" -> (3, 5, 2, 0))
+      "q139_semantic_dedup_incremental" -> (3, 5, 2, 0),
+      // capped SemDeDup under planted hot-cell skew: the cell-width
+      // frame persists across the drop-stats action and the pair-leg
+      // filter (one windowed pass — the cached Window sits inside the
+      // InMemoryRelation bodies, asserted structurally below); the 4th
+      // scan and 3rd broadcast are the hot-clone leg's 1-row reference
+      // vector cross
+      "q143_semantic_dedup_capped" -> (4, 5, 3, 0))
     for ((q, (scans, shuffles, broadcasts, antis)) <- pins) {
       val p = plan(q)
       def uniq(pat: String): Int =
@@ -259,6 +266,38 @@ class PlanAuditSpec extends SparkSpec {
       assert(uniq("""SortMergeJoin LeftAnti\s+\((\d+)\)""") == antis,
         s"$q left-anti joins changed (was $antis)")
     }
+  }
+
+  test("capped SemDeDup: no live Window in the executed plan (width served from cache)") {
+    // boundCells persists the cell-width frame across its two consumers
+    // (the drop-stats action at construction time and the pair-leg
+    // filter), so by the time q143's plan executes, the Window lives
+    // only inside InMemoryRelation bodies — a WindowExec surfacing in
+    // the executed tree means the cap recomputes the width per consumer
+    // (round-15 advice: one extra windowed pass per capped call)
+    spark.sharedState.cacheManager.clearCache()
+    val df = SparkEntry.queries("q143_semantic_dedup_capped")(spark, dir)
+    df.collect() // finalizes the adaptive plan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def walk(p: SparkPlan): (Int, Int) = {
+      val self = p match {
+        case _: WindowExec => (1, 0)
+        case _: InMemoryTableScanExec => (0, 1) // leaf: cached body not re-walked
+        case a: AdaptiveSparkPlanExec => return walk(a.executedPlan)
+        case q: QueryStageExec => return walk(q.plan)
+        case _ => (0, 0)
+      }
+      p.children.map(walk).foldLeft(self) {
+        case ((w1, s1), (w2, s2)) => (w1 + w2, s1 + s2) }
+    }
+    val (windows, cacheScans) = walk(df.queryExecution.executedPlan)
+    assert(windows == 0,
+      s"cell-width window recomputed live ($windows WindowExec nodes)")
+    assert(cacheScans >= 3,
+      s"expected the two pair legs + verdict join-back to read caches, got $cacheScans")
   }
 
   test("bigram surprisal: combinable aggs, no window, no corpus self-join, one sanctioned vocab cross") {

@@ -78,6 +78,38 @@ class SplitOpsSpec extends SparkSpec {
     assert(r(21L) == (21L, 21L, true))
   }
 
+  test("non-lowercase-hex cut points are rejected, not silently skewed") {
+    // the gate compares lexicographically against lowercase-hex sha256
+    // prefixes: "A0" sorts below every [0-9a-f]{2} gate value, so an
+    // uppercase cut would silently produce ~0% test instead of failing
+    Seq(("A0", "b0"), ("1a", "2G"), ("1", "34"), ("xyz", "34")).foreach {
+      case (t, v) =>
+        val e = intercept[IllegalArgumentException] {
+          SplitOps.leakageSafeSplit(docs, "doc_id", pairs, "doc_a", "doc_b", t, v)
+        }
+        assert(e.getMessage.contains("lowercase-hex"), s"($t,$v): ${e.getMessage}")
+    }
+  }
+
+  test("FromComponents overloads reproduce the pair-graph forms exactly") {
+    import graft.operators.GraphOps
+    val comp = GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+    val viaComp = SplitOps.leakageSafeSplitFromComponents(docs, "doc_id", comp)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(viaComp == result, "split: prebuilt components diverge from the pair form")
+
+    val scored = Seq((1L, 50L), (2L, 90L), (3L, 90L), (10L, 5L), (11L, 5L),
+      (20L, 7L), (21L, 0L)).toDF("doc_id", "n_chars")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3), x.getBoolean(4)))
+      .toMap
+    val viaPairs = keyed(SplitOps.nearDupKeepBest(scored, "doc_id", col("n_chars"),
+      pairs, "doc_a", "doc_b"))
+    val viaComp2 = keyed(SplitOps.nearDupKeepBestFromComponents(scored, "doc_id",
+      col("n_chars"), comp))
+    assert(viaComp2 == viaPairs, "keep-best: prebuilt components diverge from the pair form")
+  }
+
   test("deterministic under repartitioning") {
     val again = SplitOps.leakageSafeSplit(docs.repartition(5), "doc_id",
         pairs.repartition(3), "doc_a", "doc_b")

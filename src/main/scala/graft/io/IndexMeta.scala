@@ -162,29 +162,70 @@ object IndexMeta {
   def claimDir(dir: String): Boolean =
     writerLock.tryClaim(dir, java.util.UUID.randomUUID().toString)
 
+  /** Claim markers younger than this always survive [[withClaim]]'s
+    * auto-break: real hold times are sub-second (a pointer put plus a
+    * ledger append), so 15 minutes is a generous multiple of any live
+    * claimant while still collecting a genuinely crashed holder on the
+    * next contender's spin — the same staleness convention as the
+    * dedup-index epoch-claim sweeps.
+    */
+  val DefaultClaimStalenessMs: Long = 15L * 60 * 1000
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.IndexMeta")
+
+  /** Break claim markers in `dir` older than `stalenessMs` (by marker
+    * mtime) — a crashed holder's leftover. A live claimant's marker is
+    * always fresh, so this never steals a held claim; a marker deleted
+    * concurrently by another contender's break is fine (delete of a
+    * missing file is a no-op).
+    */
+  private def breakStaleClaims(dir: String, stalenessMs: Long): Unit = {
+    val f = fs(dir)
+    val now = System.currentTimeMillis()
+    listChildNames(dir).filter(_.startsWith("_CLAIM")).foreach { name =>
+      val marker = new Path(dir, name)
+      val stale =
+        try now - f.getFileStatus(marker).getModificationTime >= stalenessMs
+        catch { case _: java.io.FileNotFoundException => false }
+      if (stale) {
+        log.warn(s"breaking stale claim $name on $dir (older than " +
+          s"${stalenessMs}ms — a crashed holder's leftover marker)")
+        f.delete(marker, false)
+      }
+    }
+  }
+
   /** Run `body` holding an exclusive claim on `dir` — the mutex for
     * short metadata read-modify-writes (a pointer put plus its
     * retirement-ledger append) that would otherwise interleave and
     * silently drop a concurrent writer's entry. Spins on [[claimDir]]
     * with capped backoff up to `waitMs` (ties burn the claim for both
     * racers, so retry is part of the protocol), releases by deleting
-    * the claim dir. NOT for long critical sections: a holder that dies
-    * leaves its claim file behind and every later claimant times out —
-    * `deleteTree(dir)` is the documented manual break (the dir holds
-    * nothing but the claim marker, so breaking it loses no state).
+    * the claim dir. NOT for long critical sections: the auto-break
+    * assumes sub-second holds. A holder that DIES leaves its claim
+    * file behind; once the marker ages past `stalenessMs` the next
+    * contender breaks it with a loud log and proceeds — a crashed
+    * promote can no longer wedge every future promote of the pointer
+    * until a human deletes the dir (the round-15 manual-break
+    * documentation, now automated; [[DefaultClaimStalenessMs]]'s
+    * scaladoc argues why a LIVE holder is never broken).
     */
-  def withClaim[T](dir: String, waitMs: Long = 30000L)(body: => T): T = {
+  def withClaim[T](dir: String, waitMs: Long = 30000L,
+      stalenessMs: Long = DefaultClaimStalenessMs)(body: => T): T = {
     val deadline = System.nanoTime() + waitMs * 1000000L
     var backoff = 5L
     var claimed = claimDir(dir)
     while (!claimed && System.nanoTime() < deadline) {
+      breakStaleClaims(dir, stalenessMs)
       Thread.sleep(backoff)
       backoff = math.min(backoff * 2, 200L)
       claimed = claimDir(dir)
     }
     if (!claimed) throw new IllegalStateException(
-      s"could not claim $dir within ${waitMs}ms — a crashed holder " +
-        "leaves its claim file behind; delete the dir to break the lock")
+      s"could not claim $dir within ${waitMs}ms — the holder's claim " +
+        s"marker is younger than ${stalenessMs}ms, so it is presumed " +
+        "live; a crashed holder's marker auto-breaks once it ages past " +
+        "the staleness window")
     try body finally { deleteTree(dir); () }
   }
 

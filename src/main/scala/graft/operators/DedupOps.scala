@@ -1249,7 +1249,8 @@ object DedupOps {
     * generous multiple of any real claimant's hold time while still
     * collecting genuinely dead markers on the next maintenance pass.
     */
-  private[graft] val DefaultClaimStalenessMs: Long = 15L * 60 * 1000
+  private[graft] val DefaultClaimStalenessMs: Long =
+    graft.io.IndexMeta.DefaultClaimStalenessMs
 
   /** Collect abandoned claim markers (a claimant that died between
     * claim and intent) at or below the committed watermark — dead

@@ -92,9 +92,41 @@ object RefreshRun {
   }
 
   /** Sequential build execution in dependency order (the reference runs
-    * silver before gold by list order; independent silver builds could
-    * parallelize — the hook is the `parallelism` parameter).
+    * silver before gold by list order; [[executePar]] is the
+    * parallelizing variant for the independent silver builds).
     */
   def execute[T](inputs: RefreshInputs, build: String => T): Seq[(String, T)] =
     inputs.tables.map(t => t -> build(t))
+
+  /** Parallel build execution over a bounded pool, results in the
+    * INPUT order (the manifest/control consumers key by table name and
+    * the reference's run records are order-stable). The silver builds
+    * are mutually independent — each writes its own batch entry key
+    * and table objects, and Spark's scheduler interleaves concurrent
+    * jobs from one session fine (FIFO within the shared pool) — so the
+    * wall-clock of a refresh collapses from Σ(build) toward
+    * max(build) + spillover. Control tables MUST NOT be in `inputs`
+    * here: they read the builds' results, so the caller runs them
+    * after (the normalize ordering makes that split trivial —
+    * `tables.filterNot(ControlTail.contains)`).
+    *
+    * Any build failure propagates after the pool drains (no partial
+    * silent success); the pool is torn down either way.
+    */
+  def executePar[T](inputs: RefreshInputs, build: String => T,
+      parallelism: Int = 4): Seq[(String, T)] = {
+    require(inputs.tables.forall(t => !ControlTail.contains(t)),
+      "control tables read the build results — run them after the parallel phase")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, inputs.tables.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = inputs.tables.map(t =>
+        t -> scala.concurrent.Future(build(t)))
+      futures.map { case (t, f) =>
+        t -> scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+      }
+    } finally pool.shutdown()
+  }
 }

@@ -59,7 +59,9 @@ object RefreshE2EMain {
       val t0 = System.nanoTime()
       val r = body
       val secs = (System.nanoTime() - t0) / 1e9
-      timings += name -> secs
+      // the silver builds run concurrently (executePar) — serialize the
+      // transcript bookkeeping
+      timings.synchronized { timings += name -> secs }
       println(f"REFRESH $name%-28s ${secs}%7.2f s")
       r
     }
@@ -212,16 +214,26 @@ object RefreshE2EMain {
       "silver_bill_stages" -> ((f => f.billStages),
         FlattenSpecs.billStagesTransform _, billStagePayloads))
 
-    val buildResults = RefreshRun.execute(
-      inputs.copy(tables = inputs.tables.filterNot(RefreshRun.ControlTail.contains)),
-      t => stage(s"silver:$t") {
-        val (specOf, transform, payloads) = silverBuilds(t)
-        val r = SilverBuilder.build(spark, store, root, "b1",
-          TableRegistry.specs(t), specOf(FlattenSpecs), fetchOf(payloads),
-          transform, snapshotDate)
-        require(r.ok && r.dqStatus == "pass", s"silver build failed: $r")
-        r
-      })
+    // the seven silver builds are mutually independent (SURVEY §3.3's
+    // "could parallelize" note): each has its own stub transport, batch
+    // entry key and table objects, so they overlap on a bounded pool —
+    // Spark schedules the concurrent jobs from the shared session —
+    // while the per-stage timings still record each build's own cost
+    // (wall-clock for the phase ≈ the max, not the sum; the transcript's
+    // silver:parallel line prices the phase)
+    val buildResults = stage("silver:parallel") {
+      RefreshRun.executePar(
+        inputs.copy(tables = inputs.tables.filterNot(RefreshRun.ControlTail.contains)),
+        t => stage(s"silver:$t") {
+          val (specOf, transform, payloads) = silverBuilds(t)
+          val r = SilverBuilder.build(spark, store, root, "b1",
+            TableRegistry.specs(t), specOf(FlattenSpecs), fetchOf(payloads),
+            transform, snapshotDate)
+          require(r.ok && r.dqStatus == "pass", s"silver build failed: $r")
+          r
+        },
+        parallelism = 4)
+    }
 
     // ---- stage 3: gold marts — candidate silver (b1) + promoted (b0)
     def candidate(name: String): DataFrame = spark.read.parquet(
@@ -370,7 +382,9 @@ object RefreshE2EMain {
       require(resolved.startsWith("batches/b1/"), s"pointer still serves b0: $resolved")
     }
 
-    val total = timings.map(_._2).sum
+    // per-table silver:silver_* lines are informational (they OVERLAP
+    // inside silver:parallel) — the total sums wall-clock phases only
+    val total = timings.filterNot(_._1.startsWith("silver:silver_")).map(_._2).sum
     println(f"REFRESH total                        ${total}%7.2f s  (store: $root)")
     val rowsByTable = buildResults.map { case (t, r) => s"$t=${r.rowCount}" }.mkString(" ")
     println(s"REFRESH silver-rows $rowsByTable")

@@ -152,6 +152,33 @@ class WriterLockSpec extends SparkSpec with Matchers {
     e.getMessage should include("could not claim")
   }
 
+  test("withClaim auto-breaks a crashed holder's stale claim; a fresh holder is never broken") {
+    val root = tmp("graft_lock_stale_")
+    val lock = s"$root/_ptr.lock"
+    // a crashed promote: claim won, holder died before release — the
+    // marker stays behind. Age it past the staleness window and the
+    // next promote must proceed instead of throwing forever (round-15
+    // "what's wrong #3": the manual deleteTree break, automated)
+    assert(IndexMeta.claimDir(lock))
+    Thread.sleep(30)
+    var ran = false
+    IndexMeta.withClaim(lock, waitMs = 2000, stalenessMs = 10L) { ran = true }
+    assert(ran, "stale claim not broken — the crashed holder wedged the lock")
+    // release happened: the dir is claimable again
+    assert(IndexMeta.claimDir(lock))
+    IndexMeta.deleteTree(lock)
+
+    // liveness protection: a marker YOUNGER than the staleness window
+    // is a presumed-live holder — withClaim still times out loudly
+    assert(IndexMeta.claimDir(lock))
+    val e2 = intercept[IllegalStateException](
+      IndexMeta.withClaim(lock, waitMs = 150,
+        stalenessMs = IndexMeta.DefaultClaimStalenessMs) {
+        fail("body ran under a live claim")
+      })
+    e2.getMessage should include("could not claim")
+  }
+
   test("pointer swap: round-trips, replaces in place, leaves no tmp litter") {
     val root = tmp("graft_lock_ptr_")
     IndexMeta.readVersionPointer(root) shouldBe None

@@ -660,6 +660,22 @@ object LlmPipeline {
         .orderBy("vid")
     }),
 
+    // Incremental SemDeDup's hot-cell cap under PLANTED skew on BOTH
+    // legs (q143's gate applied to the q139 shape): clones of vector 1
+    // blow one corpus cell (+3e5, half the base) AND one batch cell
+    // (+4e5, a third of the base) past maxCell=150 — the corpus leg
+    // stops offering candidates from the wide corpus cell, the batch
+    // leg from the wide batch cell, while every batch vector still
+    // receives a verdict (judged side uncapped). The oracle adds the
+    // per-leg width exclusions to q139's unroll — widths counted on
+    // each side's OWN final assignment.
+    "q144_semantic_dedup_incremental_capped" -> ((s, dir) => {
+      val (corpus, batch) = semBatchPartsHot(s, dir)
+      SimilarityOps.incrementalSemanticDedup(batch, corpus, "vid", "vd",
+          k = 8, maxIter = 2, t2 = 0.81, maxCell = 150)
+        .orderBy("vid")
+    }),
+
     // DSIR-style hashed importance scores: docs with doc_id % 10 == 0
     // stand in for the high-quality target (the q65 convention); every
     // raw doc scores by the sum of per-bucket smoothed log-ratio
@@ -1265,6 +1281,25 @@ object LlmPipeline {
     val exact = base.filter(col("vid") % 7 === 3)
       .select((col("vid") + 200000L).as("vid"), col("vd"))
     (base, pert.unionByName(exact))
+  }
+
+  /** q144 fixture: [[semBatchParts]] with a planted hot cell on EACH
+    * side — verbatim clones of vector 1 under +3e5 (every even base
+    * vid → the corpus side) and +4e5 (every third base vid → the batch
+    * side). Clones copy an existing row's components (no arithmetic),
+    * so both engines synthesize bit-identical vectors; both hot masses
+    * collapse onto vector 1's trained cell.
+    */
+  private def semBatchPartsHot(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (corpus, batch) = semBatchParts(s, dir)
+    val base = t(s, dir, "embeddings").select(col("vec_id").cast("long").as("vid"),
+      transform(col("embedding"), x => x.cast("double")).as("vd"))
+    val hotRef = base.filter(col("vid") === 1).select(col("vd").as("hot_vd"))
+    def clones(pred: org.apache.spark.sql.Column, offset: Long): DataFrame =
+      base.filter(pred).crossJoin(broadcast(hotRef))
+        .select((col("vid") + offset).as("vid"), col("hot_vd").as("vd"))
+    (corpus.unionByName(clones(col("vid") % 2 === 0, 300000L)),
+      batch.unionByName(clones(col("vid") % 3 === 0, 400000L)))
   }
 
   private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
@@ -2533,6 +2568,84 @@ object LlmPipeline {
         |        list_dot_product(CAST(na.qv AS DOUBLE[]), CAST(nb.qv AS DOUBLE[])) AS d,
         |        na.n2 AS na2, nb.n2 AS nb2
         |      FROM ba b JOIN ba a ON a.cell = b.cell AND a.vid < b.vid
+        |      JOIN nb na ON na.vid = a.vid JOIN nb ON nb.vid = b.vid),
+        |mb AS (SELECT vb AS vid, MIN(va) AS m FROM prb
+        |      WHERE d > 0 AND d * d >= 0.81 * na2 * nb2 GROUP BY vb),
+        |dups AS (SELECT COALESCE(mc.vid, mb.vid) AS vid,
+        |      COALESCE(LEAST(mc.m, mb.m), mc.m, mb.m) AS dup_of
+        |    FROM mc FULL OUTER JOIN mb ON mc.vid = mb.vid)
+        |SELECT ba.vid, ba.cell, dups.dup_of, dups.dup_of IS NULL AS kept
+        |FROM ba LEFT JOIN dups ON ba.vid = dups.vid
+        |ORDER BY ba.vid""".stripMargin,
+
+    // q139's unroll over the two-sided hot fixture (clones of vector 1
+    // under +3e5 corpus-side and +4e5 batch-side), plus the per-leg
+    // cell-width exclusions: the corpus pair leg drops corpus cells
+    // wider than 150 (widths on the corpus assignment a3), the batch
+    // pair leg drops batch cells wider than 150 (widths on the batch
+    // assignment ba); verdicts still cover every batch vector
+    "q144_semantic_dedup_incremental_capped" ->
+      """WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vid, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+        |hotref AS (SELECT vd FROM base WHERE vid = 1),
+        |hotc AS (SELECT b.vid + 300000 AS vid, r.vd AS vd FROM base b CROSS JOIN hotref r WHERE b.vid % 2 = 0),
+        |hotb AS (SELECT b.vid + 400000 AS vid, r.vd AS vd FROM base b CROSS JOIN hotref r WHERE b.vid % 3 = 0),
+        |corp AS (SELECT * FROM base UNION ALL SELECT * FROM hotc),
+        |bat0 AS (
+        |  SELECT vid + 100000 AS vid, list_concat([vd[1] * 1.25], vd[2:]) AS vd FROM base WHERE vid % 5 = 0
+        |  UNION ALL
+        |  SELECT vid + 200000 AS vid, vd FROM base WHERE vid % 7 = 3
+        |  UNION ALL
+        |  SELECT * FROM hotb),
+        |v AS (SELECT vid, list_transform(vd, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv FROM corp),
+        |e AS (SELECT vid, dd.range AS dim, qv[CAST(dd.range AS INT) + 1] AS x FROM v CROSS JOIN range(64) dd),
+        |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS BIGINT) AS cell, vid
+        |       FROM (SELECT vid FROM v ORDER BY vid LIMIT 8)),
+        |cent0 AS (SELECT c0.cell, e.dim, e.x AS comp FROM c0 JOIN e ON c0.vid = e.vid),
+        |d1 AS (SELECT e.vid, c.cell, SUM((e.x - c.comp) * (e.x - c.comp)) AS dist
+        |       FROM e JOIN cent0 c ON e.dim = c.dim GROUP BY e.vid, c.cell),
+        |a1 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM d1) WHERE rn = 1),
+        |s1 AS (SELECT a.cell, e.dim, CAST(SUM(e.x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM a1 a JOIN e ON a.vid = e.vid GROUP BY a.cell, e.dim),
+        |cent1 AS (SELECT c.cell, c.dim,
+        |        COALESCE(CASE WHEN s1.s >= 0 THEN s1.s // s1.n ELSE -((-s1.s) // s1.n) END, c.comp) AS comp
+        |       FROM cent0 c LEFT JOIN s1 ON c.cell = s1.cell AND c.dim = s1.dim),
+        |d2 AS (SELECT e.vid, c.cell, SUM((e.x - c.comp) * (e.x - c.comp)) AS dist
+        |       FROM e JOIN cent1 c ON e.dim = c.dim GROUP BY e.vid, c.cell),
+        |a2 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM d2) WHERE rn = 1),
+        |s2 AS (SELECT a.cell, e.dim, CAST(SUM(e.x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM a2 a JOIN e ON a.vid = e.vid GROUP BY a.cell, e.dim),
+        |cent2 AS (SELECT c.cell, c.dim,
+        |        COALESCE(CASE WHEN s2.s >= 0 THEN s2.s // s2.n ELSE -((-s2.s) // s2.n) END, c.comp) AS comp
+        |       FROM cent1 c LEFT JOIN s2 ON c.cell = s2.cell AND c.dim = s2.dim),
+        |bq AS (SELECT vid, list_transform(vd, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv FROM bat0),
+        |be AS (SELECT vid, dd.range AS dim, qv[CAST(dd.range AS INT) + 1] AS x FROM bq CROSS JOIN range(64) dd),
+        |d3 AS (SELECT e.vid, c.cell, SUM((e.x - c.comp) * (e.x - c.comp)) AS dist
+        |       FROM e JOIN cent2 c ON e.dim = c.dim GROUP BY e.vid, c.cell),
+        |a3 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM d3) WHERE rn = 1),
+        |bd AS (SELECT be.vid, c.cell, SUM((be.x - c.comp) * (be.x - c.comp)) AS dist
+        |       FROM be JOIN cent2 c ON be.dim = c.dim GROUP BY be.vid, c.cell),
+        |ba AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM bd) WHERE rn = 1),
+        |wc AS (SELECT cell, COUNT(*) AS cw FROM a3 GROUP BY cell),
+        |wb AS (SELECT cell, COUNT(*) AS cw FROM ba GROUP BY cell),
+        |aj AS (SELECT a3.vid, a3.cell FROM a3 JOIN wc USING (cell) WHERE cw <= 150),
+        |bj AS (SELECT ba.vid, ba.cell FROM ba JOIN wb USING (cell) WHERE cw <= 150),
+        |nc AS (SELECT vid, qv, list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS n2 FROM v),
+        |nb AS (SELECT vid, qv, list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS n2 FROM bq),
+        |prc AS (SELECT a.vid AS va, b.vid AS vb,
+        |        list_dot_product(CAST(na.qv AS DOUBLE[]), CAST(nb.qv AS DOUBLE[])) AS d,
+        |        na.n2 AS na2, nb.n2 AS nb2
+        |      FROM ba b JOIN aj a ON a.cell = b.cell
+        |      JOIN nc na ON na.vid = a.vid JOIN nb ON nb.vid = b.vid),
+        |mc AS (SELECT vb AS vid, MIN(va) AS m FROM prc
+        |      WHERE d > 0 AND d * d >= 0.81 * na2 * nb2 GROUP BY vb),
+        |prb AS (SELECT a.vid AS va, b.vid AS vb,
+        |        list_dot_product(CAST(na.qv AS DOUBLE[]), CAST(nb.qv AS DOUBLE[])) AS d,
+        |        na.n2 AS na2, nb.n2 AS nb2
+        |      FROM ba b JOIN bj a ON a.cell = b.cell AND a.vid < b.vid
         |      JOIN nb na ON na.vid = a.vid JOIN nb ON nb.vid = b.vid),
         |mb AS (SELECT vb AS vid, MIN(va) AS m FROM prb
         |      WHERE d > 0 AND d * d >= 0.81 * na2 * nb2 GROUP BY vb),

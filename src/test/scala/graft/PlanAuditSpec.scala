@@ -250,7 +250,12 @@ class PlanAuditSpec extends SparkSpec {
       // InMemoryRelation bodies, asserted structurally below); the 4th
       // scan and 3rd broadcast are the hot-clone leg's 1-row reference
       // vector cross
-      "q143_semantic_dedup_capped" -> (4, 5, 3, 0))
+      "q143_semantic_dedup_capped" -> (4, 5, 3, 0),
+      // capped incremental SemDeDup: q139's shape + one persisted
+      // width frame per side (each with its own clone-leg reference
+      // cross); the judged batch side stays broadcast on both pair
+      // legs, so per-ingest cost remains batch-sized under the cap
+      "q144_semantic_dedup_incremental_capped" -> (7, 9, 6, 0))
     for ((q, (scans, shuffles, broadcasts, antis)) <- pins) {
       val p = plan(q)
       def uniq(pat: String): Int =

@@ -592,6 +592,17 @@ object LlmPipeline {
         .orderBy(col("avg_q").desc, col("doc_id").asc).limit(25)
     }),
 
+    // The SALTED Zipf-skew path of q131 (SkewOps.saltedJoin on both
+    // model joins — the scale shape AQE can't rewrite here): same
+    // arithmetic, different routing, so the output is bit-identical
+    // and q131's oracle gates it verbatim — the salted path was
+    // spec-only (TextStatsSpec) before this.
+    "q145_bigram_surprisal_salted" -> ((s, dir) => {
+      TextOps.bigramSurprisal(t(s, dir, "documents"), "text", "doc_id",
+          saltBuckets = 4)
+        .orderBy(col("avg_q").desc, col("doc_id").asc).limit(25)
+    }),
+
     // SemDeDup-style semantic dedup over the planted near-dup corpus:
     // train the k=8 coarse quantizer (2 Lloyd iterations, integer-
     // exact), then judge pairs WITHIN a trained cell by the exact
@@ -1360,6 +1371,10 @@ object LlmPipeline {
       |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
   val oracles: Map[String, String] = oraclesMain +
+    // the salted-join routing is arithmetic-identical to the plain
+    // shape (TextStatsSpec pins equality under planted Zipf) — q131's
+    // oracle verbatim, now enforced by hash instead of spec alone
+    ("q145_bigram_surprisal_salted" -> oraclesMain("q131_bigram_surprisal")) +
     // the persisted-index query (q110) is exactly q109's math answered
     // through the stored files — one oracle, two engines-side paths
     ("q110_ann_topk_indexed" -> oraclesMain("q109_ann_topk_ivfpq_refined")) +

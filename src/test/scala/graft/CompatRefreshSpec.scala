@@ -96,4 +96,37 @@ class CompatRefreshSpec extends SparkSpec {
     val order = RefreshRun.execute(in, identity).map(_._1)
     assert(order == Seq("silver_members", "gold_current_members", "control_pipeline_runs"))
   }
+
+  test("executePar: input-order results under real concurrency; refuses control tables; propagates failures") {
+    val tables = (1 to 8).map(i => s"t$i")
+    val in = RefreshRun.RefreshInputs("weekly", "incremental", tables,
+      "dail", "34", "2026-07-08", "2026-08-12", 100, 10)
+    // builds finish in REVERSE submission order (later = shorter sleep):
+    // the result sequence must still follow input order, and the pool
+    // must genuinely overlap (peak concurrency > 1)
+    val live = new java.util.concurrent.atomic.AtomicInteger(0)
+    val peak = new java.util.concurrent.atomic.AtomicInteger(0)
+    val out = RefreshRun.executePar(in, { t =>
+      val n = live.incrementAndGet()
+      peak.getAndUpdate(p => math.max(p, n))
+      Thread.sleep(90 - 10 * t.drop(1).toInt)
+      live.decrementAndGet()
+      t.toUpperCase
+    }, parallelism = 4)
+    assert(out.map(_._1) == tables, "results must keep input order")
+    assert(out.map(_._2) == tables.map(_.toUpperCase))
+    assert(peak.get() > 1, "builds never overlapped")
+
+    // control tables read the builds' results — the parallel phase
+    // refuses them outright (the caller runs them after)
+    intercept[IllegalArgumentException](RefreshRun.executePar(
+      in.copy(tables = Seq("t1", RefreshRun.ControlTail.head)), identity[String] _))
+
+    // a failing build propagates after the pool drains — no partial
+    // silent success
+    val boom = intercept[IllegalStateException](RefreshRun.executePar(in, { t =>
+      if (t == "t5") throw new IllegalStateException("build t5 failed") else t
+    }, parallelism = 3))
+    assert(boom.getMessage.contains("t5"))
+  }
 }

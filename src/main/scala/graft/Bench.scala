@@ -84,8 +84,15 @@ object Bench {
                                 // driver-trained, then scan+sum serving)
     "q138_quality_classifier",  // trained quality filter: 3 logistic epochs over
                                 // hashed features (training cost included)
-    "q139_semantic_dedup_incremental") // batch-vs-corpus SemDeDup ingest (corpus-
+    "q139_semantic_dedup_incremental", // batch-vs-corpus SemDeDup ingest (corpus-
                                 // trained cells; batch-proportional judge)
+    "q143_semantic_dedup_capped", // q136 under planted hot-cell skew with the
+                                // maxCell cap live — prices the capped pair legs
+                                // + the persisted width frame (the q82 stance)
+    "q144_semantic_dedup_incremental_capped", // q139 with BOTH legs capped under
+                                // two-sided planted skew
+    "q145_bigram_surprisal_salted") // q131's salted-join Zipf routing — prices
+                                // the ×buckets model-table replication
     // q104 (3-trigger streaming intake) is an oracle/lifecycle query, not
     // a headline: its batches feed through driver-side MemoryStream
     // plumbing, and the lifecycle's bench-scale cost story is carried by

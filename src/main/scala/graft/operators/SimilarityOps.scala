@@ -26,27 +26,30 @@ object SimilarityOps {
   /** Pair-leg input restricted to cells of width ≤ maxCell — the
     * trained-cell analog of DedupOps.boundBuckets: an adversarial
     * corpus collapsing onto one centroid would otherwise explode that
-    * cell's m(m−1)/2 candidate pairs. Width is a cell-keyed window
-    * count (spillable buffer, reused partitioning); members of dropped
-    * cells still receive verdict rows (kept — their recall is gone,
-    * loudly logged, never silently judged).
+    * cell's m(m−1)/2 candidate pairs.
+    *
+    * Widths are a COMBINABLE cell-count aggregate, not a window: the
+    * partial aggregation collapses to k rows per partition map-side,
+    * so the width exchange is O(partitions · k) count rows — a
+    * cell-keyed window here would shuffle (and per-cell buffer) the
+    * whole labeled corpus just to count it. The keep-cell list is
+    * model-sized (k ≈ √n cells) and rides a broadcast semi-join onto
+    * the labeled frame, so the cap adds ZERO corpus-sized shuffle; the
+    * width table persists across its two consumers (the drop-stats
+    * action and the keep-list) and is handed back for caller unpersist
+    * (the spanDedupWithCaches convention). Members of dropped cells
+    * still receive verdict rows (kept — their recall is gone, loudly
+    * logged, never silently judged).
     */
   private def boundCells(labeled: DataFrame, maxCell: Int,
       op: String): (DataFrame, Seq[DataFrame]) = {
     if (maxCell == NoCellCap) (labeled, Nil)
     else {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
-      // the windowed frame feeds TWO consumers — the drop-stats action
-      // and the returned pair-leg filter — so it persists across them:
-      // one windowed pass total (and, when the caller skipped persisting
-      // the labeled input, one labeling pass total — the stats collect
-      // would otherwise recompute centroid assignment over the corpus
-      // once per cap check). Handed back for caller unpersist (the
-      // spanDedupWithCaches convention).
-      val wide = labeled.withColumn("_cw", count(lit(1)).over(w))
+      val widths = labeled.groupBy("cell").agg(count(lit(1)).as("_cw"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val drops = wide.filter(col("_cw") > maxCell)
-        .agg(countDistinct(col("cell")).as("n_cells"), count(lit(1)).as("n_rows"))
+      val drops = widths.filter(col("_cw") > maxCell)
+        .agg(count(lit(1)).as("n_cells"),
+          coalesce(sum(col("_cw")), lit(0L)).as("n_rows"))
         .collect()(0)
       if (drops.getLong(0) > 0)
         log.warn(s"$op: cell cap $maxCell dropped ${drops.getLong(0)} cell(s) / " +
@@ -55,7 +58,8 @@ object SimilarityOps {
           "NoCellCap on an oracle-checked path")
       else
         log.info(s"$op: cell cap $maxCell dropped nothing")
-      (wide.filter(col("_cw") <= maxCell).drop("_cw"), Seq(wide))
+      (labeled.join(broadcast(widths.filter(col("_cw") <= maxCell).select("cell")),
+        Seq("cell"), "left_semi"), Seq(widths))
     }
   }
 

@@ -244,18 +244,20 @@ class PlanAuditSpec extends SparkSpec {
       // the batch side is small so BOTH pair legs broadcast it against
       // the cell-keyed corpus — per-ingest cost stays batch-sized
       "q139_semantic_dedup_incremental" -> (3, 5, 2, 0),
-      // capped SemDeDup under planted hot-cell skew: the cell-width
-      // frame persists across the drop-stats action and the pair-leg
-      // filter (one windowed pass — the cached Window sits inside the
-      // InMemoryRelation bodies, asserted structurally below); the 4th
-      // scan and 3rd broadcast are the hot-clone leg's 1-row reference
-      // vector cross
-      "q143_semantic_dedup_capped" -> (4, 5, 3, 0),
+      // capped SemDeDup under planted hot-cell skew: widths are a
+      // combinable cell-count aggregate (persisted across drop-stats
+      // and keep-list) and the cap is a broadcast semi-join of the
+      // model-sized keep-cell list — zero corpus shuffle added, zero
+      // Window (asserted structurally below); the extra scan and the
+      // hot-clone reference cross come from the fixture's 1-row clone
+      // source
+      "q143_semantic_dedup_capped" -> (4, 5, 5, 0),
       // capped incremental SemDeDup: q139's shape + one persisted
-      // width frame per side (each with its own clone-leg reference
-      // cross); the judged batch side stays broadcast on both pair
-      // legs, so per-ingest cost remains batch-sized under the cap
-      "q144_semantic_dedup_incremental_capped" -> (7, 9, 6, 0))
+      // width table and keep-list broadcast per side (each with its
+      // own clone-leg reference cross); the judged batch side stays
+      // broadcast on both pair legs, so per-ingest cost remains
+      // batch-sized under the cap
+      "q144_semantic_dedup_incremental_capped" -> (7, 9, 8, 0))
     for ((q, (scans, shuffles, broadcasts, antis)) <- pins) {
       val p = plan(q)
       def uniq(pat: String): Int =
@@ -273,13 +275,13 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("capped SemDeDup: no live Window in the executed plan (width served from cache)") {
-    // boundCells persists the cell-width frame across its two consumers
-    // (the drop-stats action at construction time and the pair-leg
-    // filter), so by the time q143's plan executes, the Window lives
-    // only inside InMemoryRelation bodies — a WindowExec surfacing in
-    // the executed tree means the cap recomputes the width per consumer
-    // (round-15 advice: one extra windowed pass per capped call)
+  test("capped SemDeDup: no Window at all — widths aggregate, keep-cells broadcast") {
+    // boundCells derives widths as a COMBINABLE cell-count aggregate
+    // (persisted across the drop-stats action and the keep-list — the
+    // round-15 single-pass advice) and applies the cap as a broadcast
+    // semi-join, so the cap adds ZERO corpus-sized shuffle: a
+    // WindowExec surfacing in q143's executed tree means the cap
+    // regressed to the corpus-shuffling cell-window shape
     spark.sharedState.cacheManager.clearCache()
     val df = SparkEntry.queries("q143_semantic_dedup_capped")(spark, dir)
     df.collect() // finalizes the adaptive plan

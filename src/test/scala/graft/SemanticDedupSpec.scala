@@ -84,19 +84,19 @@ class SemanticDedupSpec extends SparkSpec {
     assert(wide.sortBy(_._1) == result.sortBy(_._1))
   }
 
-  test("capped run persists the cell-width frame across its two consumers") {
+  test("capped run persists the width table across its two consumers") {
     // the drop-stats collect inside boundCells runs at CONSTRUCTION
-    // time and materializes the width frame, so the pair-leg filter
-    // (and everything downstream) reads cached blocks — one windowed
-    // pass total, not one per consumer (round-15 advice)
+    // time and materializes the (model-sized) width table, so the
+    // keep-list semi-join reads cached blocks — one width derivation
+    // total, not one per consumer (round-15 advice)
     val (res, caches) = SimilarityOps.semanticDedupWithCaches(vecs, "vec_id",
       "embedding", k = 3, maxIter = 10, t2 = 0.81, maxCell = 5)
-    assert(caches.size == 2, "labeled frame + cell-width frame")
-    val wide = caches(1)
-    assert(wide.storageLevel.useMemory || wide.storageLevel.useDisk,
-      "width frame not persisted")
+    assert(caches.size == 2, "labeled frame + cell-width table")
+    val widths = caches(1)
+    assert(widths.storageLevel.useMemory || widths.storageLevel.useDisk,
+      "width table not persisted")
     assert(spark.sparkContext.getRDDStorageInfo.exists(_.numCachedPartitions > 0),
-      "width frame not materialized by the construction-time stats action")
+      "width table not materialized by the construction-time stats action")
     assert(res.collect().forall(_.getBoolean(3)), "cap 5 judges nothing — all kept")
     caches.foreach(_.unpersist())
   }

@@ -179,6 +179,45 @@ class WriterLockSpec extends SparkSpec with Matchers {
     e2.getMessage should include("could not claim")
   }
 
+  test("racing contenders over a stale claim: the break never double-admits") {
+    // a crashed holder's marker + N contenders arriving at once: every
+    // contender may break the stale marker, but admission still goes
+    // through TokenListingLock — the critical sections must serialize
+    // (the mutex property of the racing-appenders test, now with the
+    // auto-break in the path)
+    val root = tmp("graft_lock_stalerace_")
+    val lock = s"$root/_ptr.lock"
+    assert(IndexMeta.claimDir(lock)) // the crashed holder
+    // backdate the crashed marker well past the staleness window while
+    // keeping the window itself far above the live holders' hold time —
+    // the contract: staleness >> any real hold, so a LIVE holder's
+    // fresh marker is never stolen even while contenders break the dead
+    // one
+    IndexMeta.listChildNames(lock).filter(_.startsWith("_CLAIM")).foreach { n =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(lock, n),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 60000L))
+    }
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val latch = new java.util.concurrent.CountDownLatch(4)
+    val threads = (0 until 4).map(_ => new Thread(() => {
+      latch.countDown(); latch.await()
+      try IndexMeta.withClaim(lock, waitMs = 10000, stalenessMs = 5000L) {
+        val n = inside.incrementAndGet()
+        if (n != 1) errs.add(new IllegalStateException(s"$n holders inside"))
+        Thread.sleep(20)
+        inside.decrementAndGet()
+        ran.incrementAndGet()
+      } catch { case t: Throwable => errs.add(t) }
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"stale-race violation: ${errs.peek()}")
+    assert(ran.get() == 4, "every contender must eventually run")
+  }
+
   test("pointer swap: round-trips, replaces in place, leaves no tmp litter") {
     val root = tmp("graft_lock_ptr_")
     IndexMeta.readVersionPointer(root) shouldBe None

@@ -110,8 +110,10 @@ object RefreshRun {
     * after (the normalize ordering makes that split trivial —
     * `tables.filterNot(ControlTail.contains)`).
     *
-    * Any build failure propagates after the pool drains (no partial
-    * silent success); the pool is torn down either way.
+    * A build failure propagates to the caller (no partial silent
+    * success — the sequential Await walk throws at the first failed
+    * entry); in-flight builds on other pool threads complete under the
+    * graceful shutdown rather than being interrupted mid-write.
     */
   def executePar[T](inputs: RefreshInputs, build: String => T,
       parallelism: Int = 4): Seq[(String, T)] = {

@@ -163,11 +163,15 @@ object IndexMeta {
     writerLock.tryClaim(dir, java.util.UUID.randomUUID().toString)
 
   /** Claim markers younger than this always survive [[withClaim]]'s
-    * auto-break: real hold times are sub-second (a pointer put plus a
-    * ledger append), so 15 minutes is a generous multiple of any live
-    * claimant while still collecting a genuinely crashed holder on the
-    * next contender's spin — the same staleness convention as the
-    * dedup-index epoch-claim sweeps.
+    * auto-break. A LIVE holder's marker is kept fresh by the holder's
+    * heartbeat (an overwrite-put every stalenessMs/4 — mtime-portable,
+    * object stores included), so staleness only ever collects a marker
+    * whose OWNING PROCESS died: hold duration does not matter (a prune
+    * pass legitimately holds for minutes of deleteTree at corpus
+    * scale). 15 minutes bounds how long a crashed holder can wedge the
+    * pointer while staying ~200 heartbeats above the refresh cadence —
+    * the same staleness convention as the dedup-index epoch-claim
+    * sweeps.
     */
   val DefaultClaimStalenessMs: Long = 15L * 60 * 1000
 
@@ -195,20 +199,41 @@ object IndexMeta {
     }
   }
 
+  /** Refresh every claim marker in `dir` (overwrite-put of its own
+    * content — mtime update that works on object stores too, where
+    * setTimes is a no-op). The only markers present while a holder
+    * beats are its own plus, transiently, a losing contender's (which
+    * that loser deletes regardless); refreshing either is harmless.
+    */
+  private def touchClaims(dir: String): Unit =
+    listChildNames(dir).filter(_.startsWith("_CLAIM")).foreach { name =>
+      val p = s"${dir.stripSuffix("/")}/$name"
+      try writeString(p, readString(p).getOrElse(name))
+      catch { case _: java.io.IOException => () } // beat lost; next one covers
+    }
+
   /** Run `body` holding an exclusive claim on `dir` — the mutex for
-    * short metadata read-modify-writes (a pointer put plus its
-    * retirement-ledger append) that would otherwise interleave and
-    * silently drop a concurrent writer's entry. Spins on [[claimDir]]
-    * with capped backoff up to `waitMs` (ties burn the claim for both
-    * racers, so retry is part of the protocol), releases by deleting
-    * the claim dir. NOT for long critical sections: the auto-break
-    * assumes sub-second holds. A holder that DIES leaves its claim
-    * file behind; once the marker ages past `stalenessMs` the next
+    * metadata read-modify-writes (a pointer put plus its
+    * retirement-ledger append; a prune pass holds across its whole GC
+    * walk) that would otherwise interleave and silently drop a
+    * concurrent writer's entry. Spins on [[claimDir]] with capped
+    * backoff up to `waitMs` (ties burn the claim for both racers, so
+    * retry is part of the protocol), releases by deleting the claim
+    * dir.
+    *
+    * Crashed-holder recovery: a holder that DIES leaves its claim file
+    * behind; once the marker ages past `stalenessMs` the next
     * contender breaks it with a loud log and proceeds — a crashed
     * promote can no longer wedge every future promote of the pointer
     * until a human deletes the dir (the round-15 manual-break
-    * documentation, now automated; [[DefaultClaimStalenessMs]]'s
-    * scaladoc argues why a LIVE holder is never broken).
+    * documentation, automated). A LIVE holder is never broken no
+    * matter how long its body runs: a daemon heartbeat refreshes the
+    * marker every stalenessMs/4 while the body executes (a prune's
+    * minutes-long deleteTree walk at corpus scale would otherwise age
+    * past any fixed window and hand the claim to a concurrent promote
+    * mid-GC — the exact interleaving the claim exists to prevent), and
+    * the heartbeat is joined BEFORE release so a final in-flight beat
+    * can never recreate the marker after the delete.
     */
   def withClaim[T](dir: String, waitMs: Long = 30000L,
       stalenessMs: Long = DefaultClaimStalenessMs)(body: => T): T = {
@@ -224,9 +249,23 @@ object IndexMeta {
     if (!claimed) throw new IllegalStateException(
       s"could not claim $dir within ${waitMs}ms — the holder's claim " +
         s"marker is younger than ${stalenessMs}ms, so it is presumed " +
-        "live; a crashed holder's marker auto-breaks once it ages past " +
-        "the staleness window")
-    try body finally { deleteTree(dir); () }
+        "live (held claims heartbeat); a crashed holder's marker " +
+        "auto-breaks once it ages past the staleness window")
+    val hb = new Thread(() => {
+      try {
+        while (true) {
+          Thread.sleep(math.max(stalenessMs / 4, 10L))
+          touchClaims(dir)
+        }
+      } catch { case _: InterruptedException => () }
+    }, "graft-claim-heartbeat")
+    hb.setDaemon(true)
+    hb.start()
+    try body finally {
+      hb.interrupt()
+      hb.join()
+      deleteTree(dir); ()
+    }
   }
 
   /** The pointer is the ONE metadata object overwritten while

@@ -179,6 +179,33 @@ class WriterLockSpec extends SparkSpec with Matchers {
     e2.getMessage should include("could not claim")
   }
 
+  test("heartbeat: a hold LONGER than the staleness window is never stolen") {
+    // a prune pass legitimately holds its claim for minutes of
+    // deleteTree at corpus scale — far past any fixed staleness window.
+    // The holder's heartbeat keeps its marker fresh, so a contender
+    // running the auto-break must still time out while the body runs,
+    // and must succeed right after release.
+    val root = tmp("graft_lock_heartbeat_")
+    val lock = s"$root/_ptr.lock"
+    val released = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      try IndexMeta.withClaim(lock, waitMs = 5000, stalenessMs = 200L) {
+        Thread.sleep(1200) // body >> stalenessMs: only the heartbeat saves it
+      } finally released.countDown())
+    holder.start()
+    Thread.sleep(400) // un-heartbeated, the marker would now read stale
+    val e = intercept[IllegalStateException](
+      IndexMeta.withClaim(lock, waitMs = 400, stalenessMs = 200L) {
+        fail("a live long-held claim was stolen")
+      })
+    e.getMessage should include("could not claim")
+    released.await()
+    holder.join()
+    // release happened and no final heartbeat resurrected the marker:
+    // the dir is claimable immediately
+    IndexMeta.withClaim(lock, waitMs = 2000, stalenessMs = 200L) { () }
+  }
+
   test("racing contenders over a stale claim: the break never double-admits") {
     // a crashed holder's marker + N contenders arriving at once: every
     // contender may break the stale marker, but admission still goes

@@ -131,10 +131,31 @@ final class BatchStore(fs: FileSystem, root: String,
     manifest
   }
 
-  /** Promote a validated batch: single pointer overwrite, previous pointer
-    * preserved for rollback (batch.py:180-219).
+  /** Pointer-swap mutex key: [[promoteBatch]] / [[rollbackBatch]] /
+    * [[rollbackPrevious]] are read-modify-writes of the
+    * production/previous pointer PAIR — two unguarded promotes can both
+    * read the same current pointer, both record it as "previous", and
+    * the losing promote's generation disappears from the supersede
+    * chain (rollbackPrevious then skips a real generation) — the same
+    * lost-update shape the corpus-dedup index promote serializes
+    * (DedupOps round-15). The reference's batch.py takes no lock (its
+    * orchestrator is single-writer by convention); the claim changes
+    * no single-writer output, it only makes the multi-writer
+    * deployment safe.
     */
-  def promoteBatch(batchId: String, actor: String = ""): Map[String, Any] = {
+  def pointerSwapLockKey: String = "pointers/_swap.lock"
+
+  private def withPointerClaim[T](body: => T): T =
+    IndexMeta.withClaimVia(fs, objectPath(pointerSwapLockKey))(body)
+
+  /** Promote a validated batch: single pointer overwrite, previous pointer
+    * preserved for rollback (batch.py:180-219). Serialized under
+    * [[pointerSwapLockKey]].
+    */
+  def promoteBatch(batchId: String, actor: String = ""): Map[String, Any] =
+    withPointerClaim { promoteBatchUnlocked(batchId, actor) }
+
+  private def promoteBatchUnlocked(batchId: String, actor: String): Map[String, Any] = {
     val id = validateBatchId(batchId)
     val manifest = readJsonIfExists(batchManifestKey(id))
       .getOrElse(throw new java.io.FileNotFoundException(s"No manifest for batch $id"))
@@ -161,9 +182,12 @@ final class BatchStore(fs: FileSystem, root: String,
   }
 
   /** Rollback to an earlier batch or to the legacy direct layout
-    * (batch.py:222-263).
+    * (batch.py:222-263). Serialized under [[pointerSwapLockKey]].
     */
-  def rollbackBatch(targetBatchId: String, actor: String = ""): Map[String, Any] = {
+  def rollbackBatch(targetBatchId: String, actor: String = ""): Map[String, Any] =
+    withPointerClaim { rollbackBatchUnlocked(targetBatchId, actor) }
+
+  private def rollbackBatchUnlocked(targetBatchId: String, actor: String): Map[String, Any] = {
     val current = readJsonIfExists(productionPointerKey)
     if (targetBatchId == LegacyDirectMode) {
       current.foreach { cur =>
@@ -179,7 +203,7 @@ final class BatchStore(fs: FileSystem, root: String,
       putJson(productionPointerKey, pointer)
       pointer
     } else {
-      val pointer = promoteBatch(targetBatchId, actor) ++ Map(
+      val pointer = promoteBatchUnlocked(targetBatchId, actor) ++ Map(
         "operation" -> "rollback",
         "rolled_back_from_batch_id" -> current.map(c => str(c.get("batch_id"))).orNull,
         "rolled_back_at_utc" -> now())
@@ -188,15 +212,20 @@ final class BatchStore(fs: FileSystem, root: String,
     }
   }
 
-  /** Rollback to whatever the previous pointer recorded (batch.py:266-283). */
-  def rollbackPrevious(actor: String = ""): Map[String, Any] = {
+  /** Rollback to whatever the previous pointer recorded
+    * (batch.py:266-283). Serialized under [[pointerSwapLockKey]] — the
+    * previous-pointer READ is part of the critical section, or a
+    * concurrent promote between the read and the swap would roll back
+    * to a generation that is no longer the previous one.
+    */
+  def rollbackPrevious(actor: String = ""): Map[String, Any] = withPointerClaim {
     val previous = readJsonIfExists(previousPointerKey)
       .getOrElse(throw new java.io.FileNotFoundException("No previous pointer"))
     val target = previous.getOrElse("mode", BatchMode) match {
       case LegacyDirectMode => LegacyDirectMode
       case _ => validateBatchId(str(previous.get("batch_id")))
     }
-    rollbackBatch(target, actor)
+    rollbackBatchUnlocked(target, actor)
   }
 
   // --- low-level json/fs helpers ---

@@ -73,8 +73,12 @@ object IndexMeta {
 
   def exists(path: String): Boolean = fs(path).exists(new Path(path))
 
-  def readString(path: String): Option[String] = {
-    val f = fs(path)
+  // ---- explicit-FileSystem primitives: the claim/pointer machinery is
+  // usable by callers that own their filesystem handle and may run with
+  // NO active Spark session (BatchStore's pointer swaps) — the
+  // session-resolved forms below delegate here
+
+  def readStringVia(f: FileSystem, path: String): Option[String] = {
     val p = new Path(path)
     if (!f.exists(p)) None
     else {
@@ -84,18 +88,29 @@ object IndexMeta {
   }
 
   /** Overwrite-put `content` at `path` (create-overwrite + close). */
-  def writeString(path: String, content: String): Unit = {
-    val out = fs(path).create(new Path(path), true)
+  def writeStringVia(f: FileSystem, path: String, content: String): Unit = {
+    val out = f.create(new Path(path), true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
   /** Child names of `dir`, sorted; empty when the dir is absent. */
-  def listChildNames(dir: String): Seq[String] = {
-    val f = fs(dir)
+  def listChildNamesVia(f: FileSystem, dir: String): Seq[String] = {
     val p = new Path(dir)
     if (!f.exists(p)) Nil
     else f.listStatus(p).toSeq.map(_.getPath.getName).sorted
   }
+
+  def deleteTreeVia(f: FileSystem, path: String): Boolean =
+    f.delete(new Path(path), true)
+
+  def readString(path: String): Option[String] = readStringVia(fs(path), path)
+
+  /** Overwrite-put `content` at `path` (create-overwrite + close). */
+  def writeString(path: String, content: String): Unit =
+    writeStringVia(fs(path), path, content)
+
+  /** Child names of `dir`, sorted; empty when the dir is absent. */
+  def listChildNames(dir: String): Seq[String] = listChildNamesVia(fs(dir), dir)
 
   /** Recursively delete `path`; false when it was already absent. The
     * retention-GC primitive ([[graft.operators.SearchOps
@@ -125,18 +140,20 @@ object IndexMeta {
     * later) and the allocators step to the next version number.
     */
   object TokenListingLock extends WriterLock {
-    def tryClaim(dir: String, token: String): Boolean = {
-      val f = fs(dir)
-      f.mkdirs(new Path(dir))
-      def claims(): Seq[String] =
-        listChildNames(dir).filter(_.startsWith("_CLAIM"))
-      if (claims().nonEmpty) return false // an established claim
-      val mine = s"_CLAIM.$token"
-      writeString(s"${dir.stripSuffix("/")}/$mine", token)
-      val alone = claims() == Seq(mine)
-      if (!alone) f.delete(new Path(dir, mine), false)
-      alone
-    }
+    def tryClaim(dir: String, token: String): Boolean =
+      tokenListingClaim(fs(dir), dir, token)
+  }
+
+  private def tokenListingClaim(f: FileSystem, dir: String, token: String): Boolean = {
+    f.mkdirs(new Path(dir))
+    def claims(): Seq[String] =
+      listChildNamesVia(f, dir).filter(_.startsWith("_CLAIM"))
+    if (claims().nonEmpty) return false // an established claim
+    val mine = s"_CLAIM.$token"
+    writeStringVia(f, s"${dir.stripSuffix("/")}/$mine", token)
+    val alone = claims() == Seq(mine)
+    if (!alone) f.delete(new Path(dir, mine), false)
+    alone
   }
 
   @volatile private var writerLock: WriterLock = TokenListingLock
@@ -162,6 +179,18 @@ object IndexMeta {
   def claimDir(dir: String): Boolean =
     writerLock.tryClaim(dir, java.util.UUID.randomUUID().toString)
 
+  /** [[claimDir]] over an explicit FileSystem: the default
+    * token-listing protocol routes through `f`; a CUSTOM installed
+    * [[WriterLock]] still takes precedence (it owns its own store
+    * access and ignores `f`).
+    */
+  private def claimDirVia(f: FileSystem, dir: String): Boolean =
+    writerLock match {
+      case TokenListingLock =>
+        tokenListingClaim(f, dir, java.util.UUID.randomUUID().toString)
+      case other => other.tryClaim(dir, java.util.UUID.randomUUID().toString)
+    }
+
   /** Claim markers younger than this always survive [[withClaim]]'s
     * auto-break. A LIVE holder's marker is kept fresh by the holder's
     * heartbeat (an overwrite-put every stalenessMs/4 — mtime-portable,
@@ -183,10 +212,9 @@ object IndexMeta {
     * concurrently by another contender's break is fine (delete of a
     * missing file is a no-op).
     */
-  private def breakStaleClaims(dir: String, stalenessMs: Long): Unit = {
-    val f = fs(dir)
+  private def breakStaleClaims(f: FileSystem, dir: String, stalenessMs: Long): Unit = {
     val now = System.currentTimeMillis()
-    listChildNames(dir).filter(_.startsWith("_CLAIM")).foreach { name =>
+    listChildNamesVia(f, dir).filter(_.startsWith("_CLAIM")).foreach { name =>
       val marker = new Path(dir, name)
       val stale =
         try now - f.getFileStatus(marker).getModificationTime >= stalenessMs
@@ -205,10 +233,10 @@ object IndexMeta {
     * beats are its own plus, transiently, a losing contender's (which
     * that loser deletes regardless); refreshing either is harmless.
     */
-  private def touchClaims(dir: String): Unit =
-    listChildNames(dir).filter(_.startsWith("_CLAIM")).foreach { name =>
+  private def touchClaims(f: FileSystem, dir: String): Unit =
+    listChildNamesVia(f, dir).filter(_.startsWith("_CLAIM")).foreach { name =>
       val p = s"${dir.stripSuffix("/")}/$name"
-      try writeString(p, readString(p).getOrElse(name))
+      try writeStringVia(f, p, readStringVia(f, p).getOrElse(name))
       catch { case _: java.io.IOException => () } // beat lost; next one covers
     }
 
@@ -236,15 +264,23 @@ object IndexMeta {
     * can never recreate the marker after the delete.
     */
   def withClaim[T](dir: String, waitMs: Long = 30000L,
+      stalenessMs: Long = DefaultClaimStalenessMs)(body: => T): T =
+    withClaimVia(fs(dir), dir, waitMs, stalenessMs)(body)
+
+  /** [[withClaim]] over an explicit FileSystem — for holders that own
+    * their filesystem handle and may run with no active Spark session
+    * (BatchStore pointer swaps).
+    */
+  def withClaimVia[T](f: FileSystem, dir: String, waitMs: Long = 30000L,
       stalenessMs: Long = DefaultClaimStalenessMs)(body: => T): T = {
     val deadline = System.nanoTime() + waitMs * 1000000L
     var backoff = 5L
-    var claimed = claimDir(dir)
+    var claimed = claimDirVia(f, dir)
     while (!claimed && System.nanoTime() < deadline) {
-      breakStaleClaims(dir, stalenessMs)
+      breakStaleClaims(f, dir, stalenessMs)
       Thread.sleep(backoff)
       backoff = math.min(backoff * 2, 200L)
-      claimed = claimDir(dir)
+      claimed = claimDirVia(f, dir)
     }
     if (!claimed) throw new IllegalStateException(
       s"could not claim $dir within ${waitMs}ms — the holder's claim " +
@@ -255,7 +291,7 @@ object IndexMeta {
       try {
         while (true) {
           Thread.sleep(math.max(stalenessMs / 4, 10L))
-          touchClaims(dir)
+          touchClaims(f, dir)
         }
       } catch { case _: InterruptedException => () }
     }, "graft-claim-heartbeat")
@@ -264,7 +300,7 @@ object IndexMeta {
     try body finally {
       hb.interrupt()
       hb.join()
-      deleteTree(dir); ()
+      deleteTreeVia(f, dir); ()
     }
   }
 

@@ -80,6 +80,42 @@ class BatchStoreSpec extends SparkSpec {
       "batches/b1/tables/members/csv/members.csv")
   }
 
+  test("racing promotes serialize: the losing generation never vanishes from the supersede chain") {
+    // two unguarded promotes both read the same current pointer and both
+    // record it as "previous" — the later writer's pointer then claims a
+    // previous generation that skips the other promote entirely. Under
+    // the pointer-swap claim the promotes serialize: whichever lands
+    // second records the FIRST as its previous.
+    val (store, _) = newStore()
+    publishTable(store, "b0", "members")
+    store.assembleBatchManifest("b0", Seq("members"))
+    store.promoteBatch("b0", actor = "seed")
+    Seq("b1", "b2").foreach { id =>
+      publishTable(store, id, "members")
+      store.assembleBatchManifest(id, Seq("members"))
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    val threads = Seq("b1", "b2").map(id => new Thread(() => {
+      latch.countDown(); latch.await()
+      try store.promoteBatch(id, actor = s"racer-$id")
+      catch { case t: Throwable => errs.add(t) }
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing promote threw: ${errs.peek()}")
+    val prod = store.readJsonIfExists(store.productionPointerKey).get
+    val prev = store.readJsonIfExists(store.previousPointerKey).get
+    val winner = prod("batch_id").toString
+    val loser = if (winner == "b1") "b2" else "b1"
+    assert(Set("b1", "b2")(winner))
+    // serialization witness: the final previous pointer is the OTHER
+    // racer (superseded by the winner), not the b0 both started from
+    assert(prev("batch_id").toString == loser,
+      s"lost update: previous=${prev("batch_id")} skipped the $loser promote")
+    assert(prev("superseded_by_batch_id").toString == winner)
+    assert(prod("previous_batch_id").toString == loser)
+  }
+
   test("promoting an unvalidated batch is refused") {
     val (store, _) = newStore()
     publishTable(store, "b9", "members", dq = "fail")

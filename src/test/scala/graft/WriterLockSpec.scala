@@ -185,17 +185,26 @@ class WriterLockSpec extends SparkSpec with Matchers {
     // The holder's heartbeat keeps its marker fresh, so a contender
     // running the auto-break must still time out while the body runs,
     // and must succeed right after release.
+    // margins sized for a loaded full-suite JVM: the heartbeat fires
+    // every stalenessMs/4 = 375ms, so only a >1.1s scheduler/GC stall
+    // could let the contender misread the live marker as stale
     val root = tmp("graft_lock_heartbeat_")
     val lock = s"$root/_ptr.lock"
     val released = new java.util.concurrent.CountDownLatch(1)
     val holder = new Thread(() =>
-      try IndexMeta.withClaim(lock, waitMs = 5000, stalenessMs = 200L) {
-        Thread.sleep(1200) // body >> stalenessMs: only the heartbeat saves it
+      try IndexMeta.withClaim(lock, waitMs = 10000, stalenessMs = 1500L) {
+        Thread.sleep(4000) // body >> stalenessMs: only the heartbeat saves it
       } finally released.countDown())
     holder.start()
-    Thread.sleep(400) // un-heartbeated, the marker would now read stale
+    // scheduling-proof: wait until the holder actually HOLDS (its
+    // marker is visible) before aging the clock — a delayed holder
+    // thread must not let the contender claim an unowned dir
+    val t0 = System.currentTimeMillis()
+    while (!IndexMeta.listChildNames(lock).exists(_.startsWith("_CLAIM")) &&
+           System.currentTimeMillis() - t0 < 3000) Thread.sleep(10)
+    Thread.sleep(2000) // un-heartbeated, the marker would now read stale
     val e = intercept[IllegalStateException](
-      IndexMeta.withClaim(lock, waitMs = 400, stalenessMs = 200L) {
+      IndexMeta.withClaim(lock, waitMs = 500, stalenessMs = 1500L) {
         fail("a live long-held claim was stolen")
       })
     e.getMessage should include("could not claim")
@@ -203,7 +212,7 @@ class WriterLockSpec extends SparkSpec with Matchers {
     holder.join()
     // release happened and no final heartbeat resurrected the marker:
     // the dir is claimable immediately
-    IndexMeta.withClaim(lock, waitMs = 2000, stalenessMs = 200L) { () }
+    IndexMeta.withClaim(lock, waitMs = 2000, stalenessMs = 1500L) { () }
   }
 
   test("racing contenders over a stale claim: the break never double-admits") {

@@ -201,6 +201,18 @@ object IndexMeta {
     * pointer while staying ~200 heartbeats above the refresh cadence —
     * the same staleness convention as the dedup-index epoch-claim
     * sweeps.
+    *
+    * Clock-skew tolerance: staleness compares the CONTENDER's local
+    * `System.currentTimeMillis()` against the marker's STORE-side
+    * mtime (server time on S3A/GCS; local time on file://). The safety
+    * margin is therefore `stalenessMs - beatIntervalMs` = 15min -
+    * 3.75min ≈ **11 minutes of client/store clock skew** before a
+    * contender could mistake a live, beating holder's marker for
+    * stale. NTP-disciplined fleets sit under one second of skew;
+    * clusters running without time sync must either fix that or raise
+    * `stalenessMs` so the margin covers their worst skew. (Skew cuts
+    * both ways: a slow contender clock instead DELAYS a legitimate
+    * break of a crashed holder's marker — safe, just slower.)
     */
   val DefaultClaimStalenessMs: Long = 15L * 60 * 1000
 
@@ -291,7 +303,19 @@ object IndexMeta {
       try {
         while (true) {
           Thread.sleep(math.max(stalenessMs / 4, 10L))
-          touchClaims(f, dir)
+          // One transient store error (listStatus on an object store
+          // hiccups routinely) must not kill the heartbeat for the rest
+          // of a minutes-long hold — a silently-dead heartbeat lets the
+          // marker age past stalenessMs and a contender auto-break a
+          // LIVE claim. Log and keep beating; InterruptedException (the
+          // release signal) still exits via the outer catch.
+          try touchClaims(f, dir)
+          catch {
+            case _: InterruptedException => throw new InterruptedException
+            case scala.util.control.NonFatal(e) =>
+              log.warn(s"claim heartbeat on $dir failed transiently " +
+                s"(${e.getClass.getSimpleName}: ${e.getMessage}); next beat retries")
+          }
         }
       } catch { case _: InterruptedException => () }
     }, "graft-claim-heartbeat")
@@ -299,7 +323,16 @@ object IndexMeta {
     hb.start()
     try body finally {
       hb.interrupt()
-      hb.join()
+      // Bounded join: a beat wedged in non-interruptible FS IO must not
+      // hang release forever. After the timeout the delete proceeds; a
+      // straggler beat can then recreate the marker, but it is a daemon
+      // thread whose NEXT iteration dies on interrupt, and the recreated
+      // marker ages out via the staleness break — degraded, not wedged.
+      hb.join(10000L)
+      if (hb.isAlive)
+        log.warn(s"claim heartbeat on $dir did not stop within 10s of " +
+          "interrupt (wedged in FS IO?); releasing anyway — a straggler " +
+          "beat's recreated marker auto-breaks after the staleness window")
       deleteTreeVia(f, dir); ()
     }
   }

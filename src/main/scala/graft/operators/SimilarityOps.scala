@@ -601,9 +601,27 @@ object SimilarityOps {
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, maxIter: Int, t2: Double,
-      cacheLabeled: Boolean = true, maxCell: Int = NoCellCap): DataFrame =
-    semanticDedupWithCaches(emb, idCol, vecCol, k, maxIter, t2,
-      cacheLabeled, maxCell)._1
+      cacheLabeled: Boolean = true, maxCell: Int = NoCellCap): DataFrame = {
+    val (verdicts, caches) = semanticDedupWithCaches(emb, idCol, vecCol,
+      k, maxIter, t2, cacheLabeled, maxCell)
+    releaseCapWidths(caches)
+    verdicts
+  }
+
+  /** The plain (non-WithCaches) wrappers cannot unpersist after their
+    * caller's final action, so a capped call would leak the cap's
+    * width frame for the session. The width frame's only EAGER consumer
+    * (the drop-stats collect) already ran inside [[boundCells]];
+    * releasing it here costs at most one recompute of a k-row map-side
+    * count (from the still-cached labeled frame) when the keep-list
+    * broadcast materializes — corpus-size-independent. The labeled
+    * frame stays cached (it feeds the verdict plan's pair legs and
+    * join-back at full corpus width); callers wanting full cache
+    * hygiene use the WithCaches variants.
+    */
+  private def releaseCapWidths(caches: Seq[DataFrame]): Unit =
+    caches.filter(_.columns.sameElements(Array("cell", "_cw")))
+      .foreach(_.unpersist())
 
   /** [[semanticDedup]] plus the internally persisted frames (the
     * labeled+quantized table and, when capped, the cell-width frame),
@@ -668,9 +686,12 @@ object SimilarityOps {
     */
   def incrementalSemanticDedup(newBatch: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, maxIter: Int, t2: Double,
-      cacheLabeled: Boolean = true, maxCell: Int = NoCellCap): DataFrame =
-    incrementalSemanticDedupWithCaches(newBatch, corpus, idCol, vecCol,
-      k, maxIter, t2, cacheLabeled, maxCell)._1
+      cacheLabeled: Boolean = true, maxCell: Int = NoCellCap): DataFrame = {
+    val (verdicts, caches) = incrementalSemanticDedupWithCaches(newBatch,
+      corpus, idCol, vecCol, k, maxIter, t2, cacheLabeled, maxCell)
+    releaseCapWidths(caches)
+    verdicts
+  }
 
   /** [[incrementalSemanticDedup]] plus the internally persisted frames
     * (both labeled sides and, when capped, the per-leg cell-width

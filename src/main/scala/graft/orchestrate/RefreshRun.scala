@@ -112,8 +112,14 @@ object RefreshRun {
     *
     * A build failure propagates to the caller (no partial silent
     * success — the sequential Await walk throws at the first failed
-    * entry); in-flight builds on other pool threads complete under the
-    * graceful shutdown rather than being interrupted mid-write.
+    * entry). Failure is FAIL-FAST for work that has not started: the
+    * first build to throw flips a shared flag, and every queued task
+    * that dequeues afterwards cancels itself instead of running its
+    * build — no background writes continue after the exception reaches
+    * the caller. Builds already in flight on other pool threads
+    * complete gracefully rather than being interrupted mid-write
+    * (interrupting a half-written parquet commit trades a clean retry
+    * for a torn table).
     */
   def executePar[T](inputs: RefreshInputs, build: String => T,
       parallelism: Int = 4): Seq[(String, T)] = {
@@ -123,12 +129,29 @@ object RefreshRun {
       math.max(1, math.min(parallelism, inputs.tables.size)))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
     try {
       val futures = inputs.tables.map(t =>
-        t -> scala.concurrent.Future(build(t)))
-      futures.map { case (t, f) =>
-        t -> scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+        t -> scala.concurrent.Future {
+          if (failed.get())
+            throw new java.util.concurrent.CancellationException(
+              s"build $t not started: an earlier build in this refresh failed")
+          try build(t)
+          catch { case e: Throwable => failed.set(true); throw e }
+        })
+      // Settle EVERY future before reporting (queued self-cancellations
+      // are instant; in-flight builds finish gracefully), then throw
+      // the ORIGINAL failure — never a downstream CancellationException
+      // that would mask which build actually broke.
+      val settled = futures.map { case (t, f) =>
+        t -> scala.util.Try(
+          scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
       }
+      settled.collectFirst {
+        case (_, scala.util.Failure(e))
+            if !e.isInstanceOf[java.util.concurrent.CancellationException] => e
+      }.foreach(throw _)
+      settled.map { case (t, r) => t -> r.get }
     } finally pool.shutdown()
   }
 }

@@ -92,6 +92,26 @@ class CacheHygieneSpec extends SparkSpec {
       assert(caches.size == 4, "expected both labeled sides + both width frames")
       caches
     }
+    // The PLAIN capped wrappers cannot hand caches back, so they must
+    // release the cap width frame(s) themselves (round-16 advice: the
+    // q143/q144 shape through the plain entry point leaked the width
+    // frame for the session). With cacheLabeled=false the call must
+    // leave storage exactly as found.
+    assertClean("semanticDedup plain (capped, cacheLabeled=false)") {
+      val res = SimilarityOps.semanticDedup(vecs, "vec_id", "embedding",
+        k = 3, maxIter = 5, t2 = 0.81, cacheLabeled = false, maxCell = 5)
+      res.collect()
+      Nil
+    }
+    assertClean("incrementalSemanticDedup plain (capped, cacheLabeled=false)") {
+      val batch = vecs.filter(col("vec_id") % 4 === 0)
+        .select((col("vec_id") + 2000L).as("vec_id"), col("embedding"))
+      val res = SimilarityOps.incrementalSemanticDedup(batch, vecs, "vec_id",
+        "embedding", k = 3, maxIter = 5, t2 = 0.81, cacheLabeled = false,
+        maxCell = 5)
+      res.collect()
+      Nil
+    }
     assertClean("qualityClassifierWithCaches") {
       val (res, caches) = TextOps.qualityClassifierWithCaches(texts, "text",
         "doc_id", col("doc_id") % 3 === 0, steps = 2)

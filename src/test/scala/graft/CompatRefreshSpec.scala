@@ -129,4 +129,25 @@ class CompatRefreshSpec extends SparkSpec {
     }, parallelism = 3))
     assert(boom.getMessage.contains("t5"))
   }
+
+  test("executePar fails fast: builds queued behind a failure never run (round-16 advice)") {
+    // parallelism=1 makes ordering deterministic: t1 fails and flips
+    // the shared flag BEFORE t2..t8 dequeue, so none of them may
+    // execute its build (previously shutdown() still ran every queued
+    // task — background writes continued after the caller saw the
+    // exception)
+    val tables = (1 to 8).map(i => s"t$i")
+    val in = RefreshRun.RefreshInputs("weekly", "incremental", tables,
+      "dail", "34", "2026-07-08", "2026-08-12", 100, 10)
+    val ranAfterFailure = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    intercept[IllegalStateException](RefreshRun.executePar(in, { t =>
+      if (t == "t1") throw new IllegalStateException("build t1 failed")
+      ranAfterFailure.add(t); t
+    }, parallelism = 1))
+    // the cancelled stubs are trivial — give any straggler time to
+    // surface before asserting none of the queued builds executed
+    Thread.sleep(300)
+    assert(ranAfterFailure.isEmpty,
+      s"builds ran after the failure: ${ranAfterFailure.toArray.toSeq}")
+  }
 }

@@ -215,6 +215,48 @@ class WriterLockSpec extends SparkSpec with Matchers {
     IndexMeta.withClaim(lock, waitMs = 2000, stalenessMs = 1500L) { () }
   }
 
+  test("heartbeat survives a transient store error: one failed beat does not kill the thread") {
+    // listStatus hiccups routinely on object stores; round-16 advice:
+    // one IOException from a beat's listing killed the heartbeat
+    // SILENTLY, so a long hold's marker aged past staleness and a
+    // contender auto-broke a LIVE claim. Now a failed beat logs and the
+    // next beat covers. We fail exactly the FIRST beat (targeted by
+    // thread name so claims/breaks are untouched) and assert the claim
+    // is still unstealable well past the staleness window.
+    val root = tmp("graft_lock_flakyhb_")
+    val lock = s"$root/_ptr.lock"
+    val failsLeft = new java.util.concurrent.atomic.AtomicInteger(1)
+    val f = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def listStatus(p: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] = {
+        if (Thread.currentThread().getName == "graft-claim-heartbeat" &&
+            failsLeft.getAndDecrement() > 0)
+          throw new java.io.IOException("injected transient listStatus failure")
+        super.listStatus(p)
+      }
+    }
+    f.initialize(java.net.URI.create("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val released = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      try IndexMeta.withClaimVia(f, lock, waitMs = 10000, stalenessMs = 1500L) {
+        Thread.sleep(4000) // beats at ~375ms; beat 1 throws, beat 2+ must refresh
+      } finally released.countDown())
+    holder.start()
+    val t0 = System.currentTimeMillis()
+    while (!IndexMeta.listChildNames(lock).exists(_.startsWith("_CLAIM")) &&
+           System.currentTimeMillis() - t0 < 3000) Thread.sleep(10)
+    Thread.sleep(2500) // with a DEAD heartbeat the marker would now read stale
+    assert(failsLeft.get() <= 0, "the injected failure was never exercised")
+    val e = intercept[IllegalStateException](
+      IndexMeta.withClaimVia(f, lock, waitMs = 500, stalenessMs = 1500L) {
+        fail("a live claim was stolen after one transient heartbeat error")
+      })
+    e.getMessage should include("could not claim")
+    released.await()
+    holder.join()
+    IndexMeta.withClaimVia(f, lock, waitMs = 2000, stalenessMs = 1500L) { () }
+  }
+
   test("racing contenders over a stale claim: the break never double-admits") {
     // a crashed holder's marker + N contenders arriving at once: every
     // contender may break the stale marker, but admission still goes

@@ -73,12 +73,23 @@ def main(path: str) -> int:
     if b.get("failed"):
         print(f"BENCHCHECK: failures: {b['failed']}")
         rc = 1
+    hi = b.get("host_inflation")
     if b.get("drift"):
-        print(f"BENCHCHECK: drift over 1.5x baseline: {b['drift']}")
+        # surface the weather-normalized ratios alongside the raw ones:
+        # a drift entry whose normalized ratio falls back under 1.5x is
+        # host weather (the canary moved with it), not a plan change
+        if hi:
+            norm = {k: round(v / hi, 2) for k, v in b["drift"].items()}
+            print(f"BENCHCHECK: drift over 1.5x baseline: {b['drift']} "
+                  f"(host_inflation {hi}; weather-normalized: {norm})")
+        else:
+            print(f"BENCHCHECK: drift over 1.5x baseline: {b['drift']}")
         rc = 1
     if rc == 0:
+        hi_note = f", host_inflation {hi}" if hi is not None else ""
         print(f"BENCHCHECK: ok — total {b.get('value'):.1f}s, "
-              f"{len(b.get('queries', {}))} queries, no drift, fingerprint matched")
+              f"{len(b.get('queries', {}))} queries, no drift, "
+              f"fingerprint matched{hi_note}")
     return rc
 
 

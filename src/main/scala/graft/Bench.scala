@@ -93,10 +93,12 @@ object Bench {
                                 // two-sided planted skew
     "q145_bigram_surprisal_salted") // q131's salted-join Zipf routing — prices
                                 // the ×buckets model-table replication
-    // q104 (3-trigger streaming intake) is an oracle/lifecycle query, not
-    // a headline: its batches feed through driver-side MemoryStream
-    // plumbing, and the lifecycle's bench-scale cost story is carried by
-    // q84 + the committed ProfileMain q84stream transcript (PERF.md).
+    // q104 (3-trigger streaming intake) and q146 (streaming SemDeDup
+    // intake) are oracle/lifecycle queries, not headliners: their batches
+    // feed through driver-side MemoryStream plumbing, and the lifecycle
+    // cost stories are carried by q84 + the committed ProfileMain
+    // q84stream transcript (PERF.md) and by q139/q143/q144 (the judge
+    // plans q146 serves per trigger).
     // q119 (hybrid RRF) is oracle-tier: its vector leg is the O(|Q|·n)
     // brute scorer (the oracle convention), and the fusion itself is a
     // trivial integer agg — the production fusion of both persisted

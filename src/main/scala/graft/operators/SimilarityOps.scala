@@ -719,6 +719,24 @@ object SimilarityOps {
       boundCells(corpusL, maxCell, "incrementalSemanticDedup.corpus")
     val (batchJ, batchCaps) =
       boundCells(batchL, maxCell, "incrementalSemanticDedup.batch")
+    val verdicts = judgeLabeledBatch(batchL, corpusJ, batchJ, t2)
+    (verdicts, (if (cacheLabeled) Seq(corpusL, batchL) else Nil) ++
+      corpusCaps ++ batchCaps)
+  }
+
+  /** The judging core of [[incrementalSemanticDedup]] over PRE-LABELED
+    * frames (vid, cell, qv, n2): a batch row is a duplicate when the
+    * exact integer-quantized cosine reaches √t2 against a same-cell
+    * `corpusJ` row (any id) or a same-cell LOWER-id `batchJ` mate;
+    * dup_of = the least match across both legs. `corpusJ`/`batchJ` are
+    * the pair-leg sides (possibly cell-capped); verdicts cover every
+    * `batchL` row regardless. Exposed for callers that hold a PREPARED
+    * labeled corpus — the persisted trained-cell layout
+    * ([[SemanticIndex]]) — where re-labeling the corpus per batch would
+    * defeat the prepared-index stance.
+    */
+  private[graft] def judgeLabeledBatch(batchL: DataFrame, corpusJ: DataFrame,
+      batchJ: DataFrame, t2: Double): DataFrame = {
     def aSide(df: DataFrame): DataFrame =
       df.select(col("cell"), col("vid").as("va"), col("qv").as("qa"),
         col("n2").as("na2"))
@@ -736,11 +754,9 @@ object SimilarityOps {
     val dups = vsCorpus.select(col("vid"), col("m").as("mc"))
       .join(vsBatch.select(col("vid"), col("m").as("mb")), Seq("vid"), "full")
       .select(col("vid"), least(col("mc"), col("mb")).as("dup_of"))
-    val verdicts = batchL.select(col("vid"), col("cell"))
+    batchL.select(col("vid"), col("cell"))
       .join(dups, Seq("vid"), "left")
       .withColumn("kept", col("dup_of").isNull)
-    (verdicts, (if (cacheLabeled) Seq(corpusL, batchL) else Nil) ++
-      corpusCaps ++ batchCaps)
   }
 
   /** Random-hyperplane LSH bucket id (sign bits of hash-derived planes):

@@ -1095,6 +1095,58 @@ object LlmPipeline {
         .select(lit(4L).as("src"), col("new_id").as("doc_id"), col("status"))
       sink.unionByName(probed).orderBy("src", "doc_id")
     }),
+
+    // Streaming SemDeDup intake against the PERSISTED trained-cell
+    // layout (round-16 verdict item 2): the corpus trains+labels once
+    // into a served SemanticIndex version; the q139 batch then arrives
+    // as TWO micro-batches — the perturbed near-dups (+1e5) first, the
+    // exact clones (+2e5) second — with a foldIngestAndSwap BETWEEN
+    // them, so the second batch judges through the swapped version and
+    // against the first batch's KEPT rows (sequential intake semantics:
+    // unlike q139's one-shot judge, a b2 vector can only dup against
+    // corpus + kept-b1 + lower-id b2-mates — the oracle replays exactly
+    // that). Exactly-once across the swap rides the carried ledger.
+    "q146_semantic_dedup_stream_intake" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val (corpus, batch) = semBatchParts(s, dir)
+      val b1 = batch.filter(col("vid") < 200000L)  // perturbed near-dups
+      val b2 = batch.filter(col("vid") >= 200000L) // exact clones
+      def fresh(name: String): java.io.File = {
+        val f = new java.io.File(sys.props("java.io.tmpdir"),
+          s"${name}_${Integer.toHexString(dir.hashCode)}")
+        org.apache.commons.io.FileUtils.deleteQuietly(f); f
+      }
+      val root = fresh("graft_q146_semidx").getPath
+      val target = fresh("graft_q146_sink").getPath
+      val ckpt = fresh("graft_q146_ckpt").getPath
+      graft.operators.SemanticIndex.buildAndServe(corpus, "vid", "vd",
+        k = 8, maxIter = 2, root)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Double])]
+      val q = graft.streaming.StreamOps.semanticIntakeSink(
+          input.toDF().toDF("vid", "vd"), "vid", "vd", root, target, t2 = 0.81)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+        .option("checkpointLocation", ckpt)
+        .start()
+      def feed(df: DataFrame): Unit = {
+        input.addData(df.select(col("vid"), col("vd"))
+          .as[(Long, Seq[Double])].collect().toSeq: _*)
+        q.processAllAvailable()
+      }
+      try {
+        feed(b1)
+        // mid-stream maintenance: consolidate kept-b1 segments into the
+        // next version and swap — b2 must judge identically through it
+        graft.operators.SemanticIndex.foldIngestAndSwap(s, root)
+        feed(b2)
+      } finally q.stop()
+      s.read.parquet(target)
+        .select(col("vid").cast("long").as("vid"),
+          col("cell").cast("long").as("cell"),
+          col("dup_of").cast("long").as("dup_of"), col("kept"))
+        .orderBy("vid")
+    }),
   )
 
   /** Persisted-index dir stamp: the sf dir's identity PLUS the source
@@ -2592,6 +2644,105 @@ object LlmPipeline {
         |SELECT ba.vid, ba.cell, dups.dup_of, dups.dup_of IS NULL AS kept
         |FROM ba LEFT JOIN dups ON ba.vid = dups.vid
         |ORDER BY ba.vid""".stripMargin,
+
+    // q139's unroll with the batch split into the stream's TWO
+    // micro-batches and replayed SEQUENTIALLY: b1 (+1e5 perturbed)
+    // judges against corpus + b1-mates; b2 (+2e5 exact clones) judges
+    // against corpus ∪ KEPT-b1 + b2-mates — the persisted-index intake
+    // semantics (dropped b1 rows never enter the corpus side; in q139's
+    // one-shot judge they would still be mates). The mid-stream fold is
+    // answer-preserving by construction, so the oracle needs no notion
+    // of versions.
+    "q146_semantic_dedup_stream_intake" ->
+      """WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vid, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+        |b1r AS (SELECT vid + 100000 AS vid, list_concat([vd[1] * 1.25], vd[2:]) AS vd FROM base WHERE vid % 5 = 0),
+        |b2r AS (SELECT vid + 200000 AS vid, vd FROM base WHERE vid % 7 = 3),
+        |v AS (SELECT vid, list_transform(vd, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv FROM base),
+        |e AS (SELECT vid, dd.range AS dim, qv[CAST(dd.range AS INT) + 1] AS x FROM v CROSS JOIN range(64) dd),
+        |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS BIGINT) AS cell, vid
+        |       FROM (SELECT vid FROM v ORDER BY vid LIMIT 8)),
+        |cent0 AS (SELECT c0.cell, e.dim, e.x AS comp FROM c0 JOIN e ON c0.vid = e.vid),
+        |d1 AS (SELECT e.vid, c.cell, SUM((e.x - c.comp) * (e.x - c.comp)) AS dist
+        |       FROM e JOIN cent0 c ON e.dim = c.dim GROUP BY e.vid, c.cell),
+        |a1 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM d1) WHERE rn = 1),
+        |s1 AS (SELECT a.cell, e.dim, CAST(SUM(e.x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM a1 a JOIN e ON a.vid = e.vid GROUP BY a.cell, e.dim),
+        |cent1 AS (SELECT c.cell, c.dim,
+        |        COALESCE(CASE WHEN s1.s >= 0 THEN s1.s // s1.n ELSE -((-s1.s) // s1.n) END, c.comp) AS comp
+        |       FROM cent0 c LEFT JOIN s1 ON c.cell = s1.cell AND c.dim = s1.dim),
+        |d2 AS (SELECT e.vid, c.cell, SUM((e.x - c.comp) * (e.x - c.comp)) AS dist
+        |       FROM e JOIN cent1 c ON e.dim = c.dim GROUP BY e.vid, c.cell),
+        |a2 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM d2) WHERE rn = 1),
+        |s2 AS (SELECT a.cell, e.dim, CAST(SUM(e.x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM a2 a JOIN e ON a.vid = e.vid GROUP BY a.cell, e.dim),
+        |cent2 AS (SELECT c.cell, c.dim,
+        |        COALESCE(CASE WHEN s2.s >= 0 THEN s2.s // s2.n ELSE -((-s2.s) // s2.n) END, c.comp) AS comp
+        |       FROM cent1 c LEFT JOIN s2 ON c.cell = s2.cell AND c.dim = s2.dim),
+        |d3 AS (SELECT e.vid, c.cell, SUM((e.x - c.comp) * (e.x - c.comp)) AS dist
+        |       FROM e JOIN cent2 c ON e.dim = c.dim GROUP BY e.vid, c.cell),
+        |a3 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM d3) WHERE rn = 1),
+        |nc AS (SELECT vid, qv, list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS n2 FROM v),
+        |q1 AS (SELECT vid, list_transform(vd, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv FROM b1r),
+        |q2 AS (SELECT vid, list_transform(vd, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv FROM b2r),
+        |e1 AS (SELECT vid, dd.range AS dim, qv[CAST(dd.range AS INT) + 1] AS x FROM q1 CROSS JOIN range(64) dd),
+        |e2 AS (SELECT vid, dd.range AS dim, qv[CAST(dd.range AS INT) + 1] AS x FROM q2 CROSS JOIN range(64) dd),
+        |bd1 AS (SELECT e1.vid, c.cell, SUM((e1.x - c.comp) * (e1.x - c.comp)) AS dist
+        |       FROM e1 JOIN cent2 c ON e1.dim = c.dim GROUP BY e1.vid, c.cell),
+        |ba1 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM bd1) WHERE rn = 1),
+        |bd2 AS (SELECT e2.vid, c.cell, SUM((e2.x - c.comp) * (e2.x - c.comp)) AS dist
+        |       FROM e2 JOIN cent2 c ON e2.dim = c.dim GROUP BY e2.vid, c.cell),
+        |ba2 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM bd2) WHERE rn = 1),
+        |n1 AS (SELECT vid, qv, list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS n2 FROM q1),
+        |n2t AS (SELECT vid, qv, list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS n2 FROM q2),
+        |prc1 AS (SELECT a.vid AS va, b.vid AS vb,
+        |        list_dot_product(CAST(na.qv AS DOUBLE[]), CAST(nb.qv AS DOUBLE[])) AS d,
+        |        na.n2 AS na2, nb.n2 AS nb2
+        |      FROM ba1 b JOIN a3 a ON a.cell = b.cell
+        |      JOIN nc na ON na.vid = a.vid JOIN n1 nb ON nb.vid = b.vid),
+        |mc1 AS (SELECT vb AS vid, MIN(va) AS m FROM prc1
+        |      WHERE d > 0 AND d * d >= 0.81 * na2 * nb2 GROUP BY vb),
+        |prb1 AS (SELECT a.vid AS va, b.vid AS vb,
+        |        list_dot_product(CAST(na.qv AS DOUBLE[]), CAST(nb.qv AS DOUBLE[])) AS d,
+        |        na.n2 AS na2, nb.n2 AS nb2
+        |      FROM ba1 b JOIN ba1 a ON a.cell = b.cell AND a.vid < b.vid
+        |      JOIN n1 na ON na.vid = a.vid JOIN n1 nb ON nb.vid = b.vid),
+        |mb1 AS (SELECT vb AS vid, MIN(va) AS m FROM prb1
+        |      WHERE d > 0 AND d * d >= 0.81 * na2 * nb2 GROUP BY vb),
+        |dups1 AS (SELECT COALESCE(mc1.vid, mb1.vid) AS vid,
+        |      COALESCE(LEAST(mc1.m, mb1.m), mc1.m, mb1.m) AS dup_of
+        |    FROM mc1 FULL OUTER JOIN mb1 ON mc1.vid = mb1.vid),
+        |verd1 AS (SELECT ba1.vid, ba1.cell, dups1.dup_of, dups1.dup_of IS NULL AS kept
+        |    FROM ba1 LEFT JOIN dups1 ON ba1.vid = dups1.vid),
+        |corp2 AS (SELECT vid, cell FROM a3
+        |    UNION ALL SELECT vid, cell FROM verd1 WHERE dup_of IS NULL),
+        |nall AS (SELECT vid, qv, n2 FROM nc UNION ALL SELECT vid, qv, n2 FROM n1),
+        |prc2 AS (SELECT a.vid AS va, b.vid AS vb,
+        |        list_dot_product(CAST(na.qv AS DOUBLE[]), CAST(nb.qv AS DOUBLE[])) AS d,
+        |        na.n2 AS na2, nb.n2 AS nb2
+        |      FROM ba2 b JOIN corp2 a ON a.cell = b.cell
+        |      JOIN nall na ON na.vid = a.vid JOIN n2t nb ON nb.vid = b.vid),
+        |mc2 AS (SELECT vb AS vid, MIN(va) AS m FROM prc2
+        |      WHERE d > 0 AND d * d >= 0.81 * na2 * nb2 GROUP BY vb),
+        |prb2 AS (SELECT a.vid AS va, b.vid AS vb,
+        |        list_dot_product(CAST(na.qv AS DOUBLE[]), CAST(nb.qv AS DOUBLE[])) AS d,
+        |        na.n2 AS na2, nb.n2 AS nb2
+        |      FROM ba2 b JOIN ba2 a ON a.cell = b.cell AND a.vid < b.vid
+        |      JOIN n2t na ON na.vid = a.vid JOIN n2t nb ON nb.vid = b.vid),
+        |mb2 AS (SELECT vb AS vid, MIN(va) AS m FROM prb2
+        |      WHERE d > 0 AND d * d >= 0.81 * na2 * nb2 GROUP BY vb),
+        |dups2 AS (SELECT COALESCE(mc2.vid, mb2.vid) AS vid,
+        |      COALESCE(LEAST(mc2.m, mb2.m), mc2.m, mb2.m) AS dup_of
+        |    FROM mc2 FULL OUTER JOIN mb2 ON mc2.vid = mb2.vid),
+        |verd2 AS (SELECT ba2.vid, ba2.cell, dups2.dup_of, dups2.dup_of IS NULL AS kept
+        |    FROM ba2 LEFT JOIN dups2 ON ba2.vid = dups2.vid)
+        |SELECT vid, cell, dup_of, kept
+        |FROM (SELECT * FROM verd1 UNION ALL SELECT * FROM verd2) u
+        |ORDER BY vid""".stripMargin,
 
     // q139's unroll over the two-sided hot fixture (clones of vector 1
     // under +3e5 corpus-side and +4e5 batch-side), plus the per-leg

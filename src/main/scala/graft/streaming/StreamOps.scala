@@ -402,6 +402,66 @@ object StreamOps {
         ()
       }
 
+  /** Streaming semantic-dedup intake against the persisted trained-cell
+    * layout ([[graft.operators.SemanticIndex]]) — the deployment story
+    * [[graft.operators.SimilarityOps.incrementalSemanticDedup]]'s
+    * scaladoc names, wired: each micro-batch of (id, embedding) rows is
+    * labeled with the SERVED version's stored model (pointer resolved
+    * per trigger, so a maintenance [[graft.operators.SemanticIndex
+    * .foldIngestAndSwap]] rolls the running intake onto the new version
+    * with NO stream restart), judged against the stored labeled corpus
+    * PLUS every earlier trigger's committed kept rows, its verdict
+    * rows written to `targetPath/batch=b<id>`, and its KEPT rows
+    * committed as an ingest segment so later batches dedup against
+    * them.
+    *
+    * Exactly-once, in commit order: verdict partition (deterministic
+    * overwrite) THEN segment append (the commit point). A replayed
+    * trigger whose append never landed re-judges against the unchanged
+    * index — identical verdicts, idempotent rewrite; one whose append
+    * landed (or was absorbed by a fold — the carried ledger) skips
+    * ENTIRELY, because re-judging a batch against an index that already
+    * contains its own kept rows would mark each of them a duplicate of
+    * itself. Per-trigger cost is batch-proportional: the corpus
+    * participates as a cell-pruned scan + map-side partial min, never
+    * an exchange. One logical stream owns an index root (segments key
+    * on the raw batch id, the [[vectorIngestSink]] convention).
+    */
+  def semanticIntakeSink(stream: DataFrame, idCol: String, vecCol: String,
+                         root: String, targetPath: String,
+                         t2: Double): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        semanticIntakeTrigger(batch, batchId, root, idCol, vecCol,
+          targetPath, t2)
+        ()
+      }
+
+  private[graft] def semanticIntakeTrigger(batch: DataFrame, batchId: Long,
+      root: String, idCol: String, vecCol: String, targetPath: String,
+      t2: Double): Unit = {
+    if (batch.isEmpty) return // idle trigger: no empty partitions/segments
+    val v = graft.operators.SemanticIndex.currentVersion(root).getOrElse(
+      sys.error(s"no served semantic index version at $root"))
+    val dir = graft.operators.SemanticIndex.versionDir(root, v)
+    if (graft.operators.SemanticIndex.batchApplied(dir, batchId)) return
+    val (verdicts, batchL) = graft.operators.SemanticIndex.judgeBatch(
+      batch, idCol, vecCol, dir, t2)
+    // pin: the verdict frame feeds the partition write AND the kept
+    // semi-join — un-pinned, each consumer re-runs both pair legs (the
+    // judgeKept rationale)
+    val vp = verdicts.localCheckpoint(true)
+    try {
+      vp.write.mode("overwrite").parquet(s"$targetPath/batch=b$batchId")
+      val kept = batchL.join(vp.filter(col("kept")).select(col("vid")),
+        Seq("vid"), "left_semi")
+      graft.operators.SemanticIndex.appendBatch(kept, dir, batchId)
+    } finally vp.unpersist()
+    ()
+  }
+
   /** Idempotence tag for one micro-batch: streaming query id (stable
     * across restarts from the same checkpoint — the replay case) +
     * batch id. Distinct queries (fresh checkpoints) get distinct tags,

@@ -565,6 +565,83 @@ class StreamingSpec extends SparkSpec {
     assert(served() == s3)
   }
 
+  test("semantic intake restart: a kill between fold commit and swap recovers past the torn version; replays never self-dup") {
+    import graft.operators.SemanticIndex
+    val root = freshDir("graft_semidx_restart_").getPath
+    val ckpt = freshDir("graft_semidx_restart_ckpt_").getPath
+    val src = freshDir("graft_semidx_restart_src_").getPath
+    val target = freshDir("graft_semidx_restart_tgt_").getPath
+    // four axis vectors: k=4 training puts each in its own cell with
+    // the centroid ON it, so cell/cosine outcomes are exact by hand
+    val corpus = Seq(
+      (0L, Seq(10.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 10.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 10.0, 0.0)), (3L, Seq(0.0, 0.0, 0.0, 10.0))
+    ).toDF("vid", "vd")
+    SemanticIndex.buildAndServe(corpus, "vid", "vd", k = 4, maxIter = 2, root)
+
+    def addFile(name: String, rows: Seq[(Long, Seq[Double])]): Unit =
+      Files.write(java.nio.file.Paths.get(src, name),
+        rows.map { case (id, v) => s"""{"vid":$id,"vd":[${v.mkString(",")}]}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    def runOnce(): Unit = {
+      val q = StreamOps.semanticIntakeSink(
+          spark.readStream.schema("vid LONG, vd ARRAY<DOUBLE>").json(src),
+          "vid", "vd", root, target, t2 = 0.81)
+        .option("checkpointLocation", ckpt).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    def verdicts(): Seq[(Long, Long, Boolean)] = spark.read.parquet(target)
+      .select("vid", "dup_of", "kept").orderBy("vid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getBoolean(2))).toSeq
+
+    // trigger 0: 100 is a near-copy of corpus 0 (cos ≈ 0.9999 → dup);
+    // 101 sits between two axes (cos ≈ 0.707 to each → kept)
+    addFile("f0.json", Seq(
+      100L -> Seq(9.8, 0.1, 0.0, 0.0), 101L -> Seq(5.0, 5.0, 0.0, 0.0)))
+    runOnce()
+    val verd0 = verdicts()
+    assert(verd0 == Seq((100L, 0L, false), (101L, -1L, true)))
+
+    // KILL between the fold's version commit and the pointer swap, the
+    // stream's checkpoint commit lost too: rebuild that exact on-disk
+    // state — v2 complete but unreferenced (pointer back on v1), then
+    // replay trigger 0. Its segment is committed in v1 → the trigger
+    // must skip ENTIRELY: re-judging a batch against an index holding
+    // its own kept rows would mark 101 a duplicate of itself.
+    val v2 = SemanticIndex.foldIngestAndSwap(spark, root)
+    graft.io.IndexMeta.swapVersionPointer(root, 1)
+    dropCommit(ckpt, 0)
+    runOnce()
+    assert(verdicts() == verd0,
+      "a replayed committed trigger must not re-judge (self-dup)")
+    // recovery: re-run the fold — it must mint a version PAST the torn
+    // v2 (never adopt it) and carry trigger 0 in the folded ledger
+    val v3 = SemanticIndex.foldIngestAndSwap(spark, root)
+    assert(v3 > v2, s"recovery must land past the torn v$v2, got v$v3")
+    assert(SemanticIndex.batchApplied(SemanticIndex.versionDir(root, v3), 0L),
+      "the carried ledger must absorb the folded trigger")
+
+    // trigger 1 judges through v3: an exact copy of KEPT 101 dups
+    // against the folded segment (cross-batch intake semantics); a
+    // post-commit kill replays to a ledger-mediated no-op
+    addFile("f1.json", Seq(
+      200L -> Seq(5.0, 5.0, 0.0, 0.0), 201L -> Seq(0.0, 0.0, 7.0, 7.0)))
+    runOnce()
+    val verd1 = verdicts()
+    assert(verd1 == verd0 ++ Seq((200L, 101L, false), (201L, -1L, true)))
+    dropCommit(ckpt, 1)
+    runOnce()
+    assert(verdicts() == verd1)
+    assert(SemanticIndex.currentVersion(root).contains(v3),
+      "a replayed committed trigger must not change the served version")
+
+    // retention GC: everything below the served v3 (v1 + torn v2) is
+    // unreachable — versions are self-contained
+    assert(SemanticIndex.pruneVersions(root) == Seq(1, v2))
+    assert(SemanticIndex.currentVersion(root).contains(v3))
+  }
+
   test("vector sink restart: a torn ingest segment is overwritten by the replay; a committed one no-ops") {
     import graft.operators.VectorIndex
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")

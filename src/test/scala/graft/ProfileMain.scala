@@ -181,8 +181,8 @@ object ProfileMain {
       // for SHARE attribution only.
       import graft.operators.DedupOps
       val (corpus, batch1, batch2) =
-        graft.queries.LlmPipeline.skewLifecycleParts(spark, sfDir)
-      val cap = graft.queries.LlmPipeline.skewCap
+        graft.queries.LlmFixtures.skewLifecycleParts(spark, sfDir)
+      val cap = graft.queries.LlmFixtures.skewCap
       val prefix = "graft_profile_q84"
       def dirOf(p: String) = new java.io.File(sys.props("java.io.tmpdir"), p)
       def cleanup(): Unit = Seq(prefix, prefix + "_c").foreach { pf =>
@@ -227,8 +227,8 @@ object ProfileMain {
       import graft.operators.DedupOps
       import spark.implicits._
       val (corpus, batch1, batch2) =
-        graft.queries.LlmPipeline.skewLifecycleParts(spark, sfDir)
-      val cap = graft.queries.LlmPipeline.skewCap
+        graft.queries.LlmFixtures.skewLifecycleParts(spark, sfDir)
+      val cap = graft.queries.LlmFixtures.skewCap
       val prefix = "graft_prof_q84d"
       def dirOf(p: String) = new java.io.File(sys.props("java.io.tmpdir"), p)
       def cleanup(): Unit = {
@@ -308,8 +308,8 @@ object ProfileMain {
       import graft.streaming.StreamOps
       import spark.implicits._
       val (corpus, batch1, batch2) =
-        graft.queries.LlmPipeline.skewLifecycleParts(spark, sfDir)
-      val cap = graft.queries.LlmPipeline.skewCap
+        graft.queries.LlmFixtures.skewLifecycleParts(spark, sfDir)
+      val cap = graft.queries.LlmFixtures.skewCap
       val pa = "graft_prof_q84s_a"; val pb = "graft_prof_q84s_b"
       def dirOf(p: String) = new java.io.File(sys.props("java.io.tmpdir"), p)
       def cleanup(): Unit = {

@@ -259,7 +259,18 @@ object RefreshE2EMain {
       rows
     }
 
-    val (speeches, votes) = (promoted("silver_speeches"), promoted("silver_member_votes"))
+    // Promoted inputs SHARED across the gold phase (round-16 verdict
+    // item 3): speeches and votes each feed three marts (yearly,
+    // monthly, constituency) and votes additionally the compat adapter.
+    // Un-persisted, every stage re-scans the promoted parquet — the
+    // 457k-row votes re-scan alone swung gold:activity_yearly 9–68s
+    // with page-cache luck (PERF.md round 16). One persist per input,
+    // released after its last consumer; outputs byte-identical (same
+    // frames, same plans above the scan).
+    val speeches = promoted("silver_speeches")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val votes = promoted("silver_member_votes")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val currentMembers = stage("gold:current_members") {
       val cm = GoldMarts.currentMembers(candidate("silver_members"),
         candidate("silver_member_memberships"), candidate("silver_member_parties"),
@@ -283,6 +294,7 @@ object RefreshE2EMain {
       writeGold("gold_content_fact_pool", GoldMarts.contentFactPool(
         candidate("gold_member_activity_yearly"), currentMembers, snapshotDate))
     }
+    speeches.unpersist() // last consumer: gold:constituency_yearly
 
     // ---- stage 4: compat adapters over the candidate gold + promoted votes
     def writeCompat(name: String, key: String, df: DataFrame, pk: Seq[String]): Long = {
@@ -301,6 +313,7 @@ object RefreshE2EMain {
       writeCompat("compat_member_votes", "compat/member_votes/member_votes_compat.csv",
         CompatOps.memberVotesCompat(votes), Seq("unique_vote_id", "member_code"))
     }
+    votes.unpersist() // last consumer: compat:member_votes
 
     // ---- stage 5: candidate contract validation (direct batch keys — the
     // pre-promote gate; the pointer still serves b0)

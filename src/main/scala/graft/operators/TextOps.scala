@@ -421,4 +421,43 @@ object TextOps {
 
   /** Token count re-export (BPE-ish regex proxy). */
   def tokenCount(text: Column): Column = Fns.tokenCount(text)
+
+  /** Sliding-window document chunking: the doc→chunk step every
+    * embedding/retrieval/training pipeline runs before vectors exist
+    * (chunks are what the ANN/SemDeDup families index). Tokens are the
+    * family's whitespace words over [[DedupOps.normText]] (so chunk
+    * boundaries are engine-reproducible); chunk `i` covers tokens
+    * `[i·step, i·step + window)` with `step = window − overlap`, and a
+    * document emits `max(1, ⌈(n − overlap) / step⌉)` chunks — every
+    * token is covered, consecutive chunks share `overlap` tokens, a
+    * short document yields exactly one chunk, and the tail chunk may
+    * run short (never silently dropped). Blank documents are filtered:
+    * a chunker that emits empty chunks poisons every stage downstream.
+    *
+    * Scale: a pure per-row projection + explode — zero exchange, zero
+    * join, whole-stage codegen end to end (ChunkOpsSpec pins the
+    * exchange-free executed plan). At 100 TB the chunker is a map-only
+    * pass whose output partitioning inherits the scan's.
+    *
+    * Returns (doc_id, chunk_id, n_tokens, chunk_text).
+    */
+  def chunkWindows(df: DataFrame, textCol: String, idCol: String,
+                   window: Int, overlap: Int): DataFrame = {
+    require(window > 0 && overlap >= 0 && overlap < window,
+      s"need 0 <= overlap < window, got window=$window overlap=$overlap")
+    val step = window - overlap
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).cast("long").as("doc_id"),
+        words(col(textCol)).as("ws"))
+      .withColumn("n", size(col("ws")))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0L),
+          greatest(ceil((col("n") - lit(overlap)) / lit(step.toDouble))
+            .cast("long"), lit(1L)) - 1L)).as("chunk_id"))
+      .withColumn("chunk", slice(col("ws"),
+        (col("chunk_id") * step + 1L).cast("int"), lit(window)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
 }

@@ -869,5 +869,21 @@ private[queries] object LlmOracles {
     "q83_skew_ingest_capped" -> LlmOraclesTail.skewIngestSql,
     "q84_skew_lifecycle_compacted" -> LlmOraclesTail.skewLifecycleSql,
     "q104_stream_intake_multi_trigger" -> LlmOraclesTail.streamIntakeSql,
+
+    // sliding-window chunking: chunk i covers tokens [i·24+1, min(i·24+32, n)]
+    // (1-based), numChunks = max(1, ceil((n-8)/24)) — tails kept, blank
+    // docs filtered, token = whitespace word over the family's normText
+    "q147_chunk_windows" ->
+      """WITH a AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |b AS (SELECT doc_id, ws, len(ws) AS n FROM a),
+        |c AS (SELECT doc_id, ws, n,
+        |    UNNEST(range(GREATEST(CAST(CEIL((n - 8) / 24.0) AS BIGINT), 1))) AS chunk_id
+        |  FROM b)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(ws[CAST(chunk_id * 24 + 1 AS INT):CAST(LEAST(chunk_id * 24 + 32, n) AS INT)]) AS BIGINT) AS n_tokens,
+        |  array_to_string(ws[CAST(chunk_id * 24 + 1 AS INT):CAST(LEAST(chunk_id * 24 + 32, n) AS INT)], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
   ) ++ LlmOraclesTail.oraclesTail
 }

@@ -605,6 +605,16 @@ object LlmPipeline {
         .orderBy(col("avg_q").desc, col("doc_id").asc).limit(25)
     }),
 
+    // Sliding-window chunking (window=32 tokens, overlap=8): the
+    // doc→chunk step upstream of every embedding/ANN/SemDeDup stage.
+    // Pure projection + explode — the oracle re-derives chunk counts,
+    // boundaries, tails and token counts from the same normalization.
+    "q147_chunk_windows" -> ((s, dir) => {
+      TextOps.chunkWindows(t(s, dir, "documents"), "text", "doc_id",
+          window = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // SemDeDup-style semantic dedup over the planted near-dup corpus:
     // train the k=8 coarse quantizer (2 Lloyd iterations, integer-
     // exact), then judge pairs WITHIN a trained cell by the exact

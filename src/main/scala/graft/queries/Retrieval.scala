@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{SearchOps, VectorIndex}
+import graft.operators.{SearchOps, TextOps, VectorIndex}
 
 /** Keyword + hybrid retrieval over the documents/embeddings tables —
   * the lexical half of the corpus-serving surface (the vector half is
@@ -37,6 +37,23 @@ object Retrieval {
     "q118_bm25_topk" -> ((s, dir) => {
       SearchOps.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
           qs(s, dir), topK = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Passage retrieval: q118's BM25 served over CHUNKS instead of
+    // whole documents — the RAG/serving shape (rank the best 32-token
+    // window, not the best document; df/avgdl/n_docs all become
+    // chunk-level). Chunk key = doc_id·1e5 + chunk_id (composite-as-
+    // long; max chunk_id = tokens/24, so the key space holds to
+    // 2.4M-token docs — at larger scales the key becomes a struct and
+    // nothing else changes). The oracle re-derives the chunking AND
+    // the chunk-level BM25 model.
+    "q148_bm25_chunks" -> ((s, dir) => {
+      val chunks = TextOps.chunkWindows(t(s, dir, "documents"),
+          "text", "doc_id", window = 32, overlap = 8)
+        .select((col("doc_id") * 100000L + col("chunk_id")).as("chunk_key"),
+          col("chunk_text"))
+      SearchOps.bm25TopK(chunks, "chunk_text", "chunk_key", qs(s, dir), topK = 5)
         .orderBy("query_id", "rank")
     }),
 
@@ -407,6 +424,47 @@ object Retrieval {
   def oracles: Map[String, String] = Map(
 
     "q118_bm25_topk" -> bm25TopSql,
+
+    // q118's BM25 math over the q147 chunking: corpus-side CTEs derive
+    // chunks (df/avgdl/n_docs become chunk-level), queries stay the
+    // whole-document workload; chunk key = doc_id·1e5 + chunk_id
+    "q148_bm25_chunks" ->
+      """WITH cw AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |cc AS (SELECT doc_id, ws, len(ws) AS n,
+        |    UNNEST(range(GREATEST(CAST(CEIL((len(ws) - 8) / 24.0) AS BIGINT), 1))) AS chunk_id
+        |  FROM cw),
+        |d AS (SELECT doc_id * 100000 + chunk_id AS doc_id,
+        |    ws[CAST(chunk_id * 24 + 1 AS INT):CAST(LEAST(chunk_id * 24 + 32, n) AS INT)] AS ws,
+        |    CAST(LEAST(chunk_id * 24 + 32, n) - chunk_id * 24 AS DOUBLE) AS dl
+        |  FROM cc),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS total_len FROM d),
+        |post AS (SELECT term, doc_id, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS term FROM d) GROUP BY term, doc_id),
+        |qw AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |qt AS (SELECT doc_id AS query_id, unnest(list_distinct(ws[1:8])) AS term
+        |  FROM qw WHERE doc_id % 50 = 0 AND len(ws) >= 1),
+        |dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+        |contrib AS (SELECT q.query_id, p.doc_id,
+        |    CAST(FLOOR((ln((((s.n_docs - f.df) + 0.5) / (f.df + 0.5)) + 1.0)
+        |      * ((p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * ((dd.dl * s.n_docs) / s.total_len)))))
+        |      * 1000000.0) AS BIGINT) AS c
+        |  FROM qt q
+        |  JOIN post p ON p.term = q.term
+        |  JOIN dft f ON f.term = p.term
+        |  JOIN d dd ON dd.doc_id = p.doc_id
+        |  CROSS JOIN stats s),
+        |sc AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score
+        |  FROM contrib GROUP BY query_id, doc_id),
+        |r AS (SELECT query_id, doc_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+        |  FROM sc)
+        |SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rank
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q119_hybrid_rrf" ->
       s"""WITH $bm25Cte,

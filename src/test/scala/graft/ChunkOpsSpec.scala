@@ -43,17 +43,32 @@ class ChunkOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](chunks("x", 0, 0))
   }
 
-  test("every token is covered and consecutive chunks share exactly `overlap` tokens") {
-    val n = 53
-    val doc = (1 to n).map(i => s"t$i").mkString(" ")
-    val (w, o) = (8, 3)
-    val cs = chunks(doc, w, o).map(_._3.split(" ").toSeq)
-    assert(cs.flatten.distinct.size == n, "a token went uncovered")
-    cs.sliding(2).foreach { case Seq(a, b) =>
-      assert(a.takeRight(o) == b.take(o),
-        s"overlap broke between ${a.last} and ${b.head}")
-    case _ => () }
-    assert(cs.init.forall(_.size == w) && cs.last.size <= w)
+  test("laws over a (n, window, overlap) grid: coverage, exact overlap sharing, tail bounds") {
+    // 60 parameter combinations in one driver loop — the law set a
+    // property test would sample, checked exhaustively on a small grid
+    for {
+      n <- Seq(1, 2, 7, 8, 9, 31, 53, 100)
+      (w, o) <- Seq((8, 3), (8, 0), (4, 1), (5, 4), (32, 8))
+      if n > 0
+    } {
+      val doc = (1 to n).map(i => s"t$i").mkString(" ")
+      val cs = chunks(doc, w, o).map(_._3.split(" ").toSeq)
+      val step = w - o
+      val expect = math.max(1, math.ceil((n - o).toDouble / step).toInt)
+      assert(cs.size == expect, s"n=$n w=$w o=$o: ${cs.size} chunks, expected $expect")
+      assert(cs.flatten.distinct.size == n, s"n=$n w=$w o=$o: a token went uncovered")
+      cs.sliding(2).foreach {
+        case Seq(a, b) => assert(a.takeRight(o) == b.take(o),
+          s"n=$n w=$w o=$o: overlap broke between ${a.last} and ${b.head}")
+        case _ => ()
+      }
+      assert(cs.init.forall(_.size == w), s"n=$n w=$w o=$o: a non-tail chunk ran short")
+      assert(cs.last.size <= w && cs.last.nonEmpty)
+      // chunk i starts at token i*step + 1 (1-based): positional law
+      cs.zipWithIndex.foreach { case (c, i) =>
+        assert(c.head == s"t${i * step + 1}", s"n=$n w=$w o=$o chunk $i starts at ${c.head}")
+      }
+    }
   }
 
   test("the chunker is a map-only pass: zero exchanges in the executed plan") {

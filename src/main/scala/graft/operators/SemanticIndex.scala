@@ -64,6 +64,32 @@ object SemanticIndex {
 
   def versionDir(root: String, v: Int): String = f"$root/versions/v$v%04d"
 
+  /** The intake/maintenance mutex dir: [[foldIngestAndSwap]] and the
+    * streaming trigger's judge→append window both hold it, so a fold
+    * can never enumerate segments while a trigger is mid-commit. See
+    * [[withIntakeClaim]].
+    */
+  def intakeClaimDir(root: String): String = s"$root/_claims/intake"
+
+  /** Serialize one intake trigger or one fold against the other — the
+    * round-17 race: a trigger that passed `batchApplied` and committed
+    * its segment to the OLD version after a concurrent fold enumerated
+    * `committedSegmentIds` (but before the pointer swap) would leave
+    * the new version without those kept rows AND without the batch id
+    * in the carried ledger, while the stream checkpoint commits — the
+    * rows silently vanish from every future version. Holding
+    * [[graft.io.IndexMeta.withClaim]] across BOTH windows makes the
+    * interleaving impossible: the fold sees either the whole segment
+    * (committed before it acquired) or none of it (trigger re-resolves
+    * the pointer after the swap). The claim heartbeats while held, so
+    * a minutes-long fold rewrite at corpus scale never ages out; a
+    * crashed holder's marker auto-breaks. waitMs is generous (10 min)
+    * because the contender is waiting on a Spark job, not a metadata
+    * touch. Cost when uncontended: two small FS ops per trigger.
+    */
+  def withIntakeClaim[T](root: String)(body: => T): T =
+    graft.io.IndexMeta.withClaim(intakeClaimDir(root), waitMs = 600000L)(body)
+
   def currentVersion(root: String): Option[Int] =
     graft.io.IndexMeta.readVersionPointer(root)
 
@@ -223,34 +249,53 @@ object SemanticIndex {
     * old version serving and the complete-but-unswapped dir inert;
     * re-running the fold is the recovery (it allocates a fresh number,
     * never adopts the orphan).
+    *
+    * Safe to run against a LIVE intake with no stream restart: the
+    * whole enumerate→write→ledger→swap sequence holds
+    * [[withIntakeClaim]], mutually exclusive with each trigger's
+    * judge→append window — without it, a trigger committing its
+    * segment between this fold's enumeration and its swap would lose
+    * those rows from every future version (round-17 ADVICE).
     */
-  def foldIngestAndSwap(spark: SparkSession, root: String): Int = {
-    val v = currentVersion(root).getOrElse(
-      sys.error(s"no served semantic index version at $root"))
-    val vDir = versionDir(root, v)
-    val nv = claimNextVersion(root)
-    writeVersion(readCentroids(spark, vDir),
-      readLabeledWithIngest(spark, vDir), root, nv)
-    writeFoldedBatchIds(versionDir(root, nv),
-      foldedBatchIds(vDir) ++ committedSegmentIds(vDir))
-    swapPointer(root, nv)
-    nv
-  }
+  def foldIngestAndSwap(spark: SparkSession, root: String): Int =
+    withIntakeClaim(root) {
+      val v = currentVersion(root).getOrElse(
+        sys.error(s"no served semantic index version at $root"))
+      val vDir = versionDir(root, v)
+      val nv = claimNextVersion(root)
+      writeVersion(readCentroids(spark, vDir),
+        readLabeledWithIngest(spark, vDir), root, nv)
+      writeFoldedBatchIds(versionDir(root, nv),
+        foldedBatchIds(vDir) ++ committedSegmentIds(vDir))
+      swapPointer(root, nv)
+      nv
+    }
 
   /** Retention GC for superseded versions — versions are self-contained
     * (fold rewrites labeled and carries the ledger), so anything below
     * the pointer outside the reader-grace window is unreachable (the
     * [[VectorIndex.pruneVersions]] contract). Returns pruned numbers.
+    *
+    * Defaults to keepLatest=2 — the served version PLUS one grace
+    * version — because a live intake trigger resolves the pointer once
+    * at trigger start: a prune run right after a fold with keepLatest=1
+    * would delete the version that trigger is still judging against
+    * (round-17 ADVICE). The GC walk also holds [[withIntakeClaim]], so
+    * it can never delete out from under a trigger that is mid-judge —
+    * the grace version covers batch READERS of superseded dirs, the
+    * claim covers the intake itself.
     */
-  def pruneVersions(root: String, keepLatest: Int = 1): Seq[Int] = {
+  def pruneVersions(root: String, keepLatest: Int = 2): Seq[Int] = {
     require(keepLatest >= 1, "keepLatest must be >= 1")
-    val served = currentVersion(root).getOrElse(
-      sys.error(s"no served semantic index version at $root"))
-    val all = graft.io.IndexMeta.listChildNames(s"$root/versions")
-      .filter(_.matches("v\\d{4,}")).map(_.stripPrefix("v").toInt)
-    val grace = all.filter(_ < served).sorted.takeRight(keepLatest - 1).toSet
-    val prunable = all.filter(v => v < served && !grace(v)).sorted
-    prunable.foreach(v => graft.io.IndexMeta.deleteTree(versionDir(root, v)))
-    prunable
+    withIntakeClaim(root) {
+      val served = currentVersion(root).getOrElse(
+        sys.error(s"no served semantic index version at $root"))
+      val all = graft.io.IndexMeta.listChildNames(s"$root/versions")
+        .filter(_.matches("v\\d{4,}")).map(_.stripPrefix("v").toInt)
+      val grace = all.filter(_ < served).sorted.takeRight(keepLatest - 1).toSet
+      val prunable = all.filter(v => v < served && !grace(v)).sorted
+      prunable.foreach(v => graft.io.IndexMeta.deleteTree(versionDir(root, v)))
+      prunable
+    }
   }
 }

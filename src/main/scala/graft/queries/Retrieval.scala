@@ -30,6 +30,23 @@ object Retrieval {
     SearchOps.derivedQueries(t(s, dir, "documents"), "text", "doc_id",
       everyNth = 50, prefixTokens = 8)
 
+  /** Composite chunk key doc_id·1e5 + chunk_id, GUARDED: the bound
+    * chunk_id < 1e5 (docs up to ~2.4M tokens at window 32 / stride 24)
+    * was previously a comment — an oversized doc would have collided
+    * keys across documents and quietly corrupted BM25 rankings. Now a
+    * violated bound fails the job loudly via raise_error instead
+    * (round-17 ADVICE); at larger scales the key becomes a struct and
+    * nothing else changes.
+    */
+  private[queries] def chunkKey(docId: org.apache.spark.sql.Column,
+                                chunkId: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(chunkId < 100000L, docId.cast("long") * 100000L + chunkId)
+      .otherwise(raise_error(concat(
+        lit("chunk key overflow: chunk_id "), chunkId.cast("string"),
+        lit(" >= 100000 for doc_id "), docId.cast("string"),
+        lit(" — composite long key would collide across documents"))))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // BM25 top-5 per derived query: broadcast query terms prune the
@@ -43,15 +60,13 @@ object Retrieval {
     // Passage retrieval: q118's BM25 served over CHUNKS instead of
     // whole documents — the RAG/serving shape (rank the best 32-token
     // window, not the best document; df/avgdl/n_docs all become
-    // chunk-level). Chunk key = doc_id·1e5 + chunk_id (composite-as-
-    // long; max chunk_id = tokens/24, so the key space holds to
-    // 2.4M-token docs — at larger scales the key becomes a struct and
-    // nothing else changes). The oracle re-derives the chunking AND
-    // the chunk-level BM25 model.
+    // chunk-level). Chunk key = doc_id·1e5 + chunk_id via the GUARDED
+    // chunkKey helper (violated bound raises, never collides). The
+    // oracle re-derives the chunking AND the chunk-level BM25 model.
     "q148_bm25_chunks" -> ((s, dir) => {
       val chunks = TextOps.chunkWindows(t(s, dir, "documents"),
           "text", "doc_id", window = 32, overlap = 8)
-        .select((col("doc_id") * 100000L + col("chunk_id")).as("chunk_key"),
+        .select(chunkKey(col("doc_id"), col("chunk_id")).as("chunk_key"),
           col("chunk_text"))
       SearchOps.bm25TopK(chunks, "chunk_text", "chunk_key", qs(s, dir), topK = 5)
         .orderBy("query_id", "rank")

@@ -409,7 +409,11 @@ object StreamOps {
     * labeled with the SERVED version's stored model (pointer resolved
     * per trigger, so a maintenance [[graft.operators.SemanticIndex
     * .foldIngestAndSwap]] rolls the running intake onto the new version
-    * with NO stream restart), judged against the stored labeled corpus
+    * with NO stream restart — fold and trigger are serialized by
+    * [[graft.operators.SemanticIndex.withIntakeClaim]], so a fold can
+    * never enumerate segments while a trigger is between its
+    * batchApplied check and its segment commit), judged against the
+    * stored labeled corpus
     * PLUS every earlier trigger's committed kept rows, its verdict
     * rows written to `targetPath/batch=b<id>`, and its KEPT rows
     * committed as an ingest segment so later batches dedup against
@@ -443,22 +447,32 @@ object StreamOps {
       root: String, idCol: String, vecCol: String, targetPath: String,
       t2: Double): Unit = {
     if (batch.isEmpty) return // idle trigger: no empty partitions/segments
-    val v = graft.operators.SemanticIndex.currentVersion(root).getOrElse(
-      sys.error(s"no served semantic index version at $root"))
-    val dir = graft.operators.SemanticIndex.versionDir(root, v)
-    if (graft.operators.SemanticIndex.batchApplied(dir, batchId)) return
-    val (verdicts, batchL) = graft.operators.SemanticIndex.judgeBatch(
-      batch, idCol, vecCol, dir, t2)
-    // pin: the verdict frame feeds the partition write AND the kept
-    // semi-join — un-pinned, each consumer re-runs both pair legs (the
-    // judgeKept rationale)
-    val vp = verdicts.localCheckpoint(true)
-    try {
-      vp.write.mode("overwrite").parquet(s"$targetPath/batch=b$batchId")
-      val kept = batchL.join(vp.filter(col("kept")).select(col("vid")),
-        Seq("vid"), "left_semi")
-      graft.operators.SemanticIndex.appendBatch(kept, dir, batchId)
-    } finally vp.unpersist()
+    // The whole resolve→judge→append window holds the intake claim,
+    // mutually exclusive with foldIngestAndSwap and pruneVersions: a
+    // fold that enumerated segments before this trigger's append (but
+    // swapped after) would silently drop the batch's kept rows from
+    // every future version, and a prune could delete the resolved dir
+    // mid-judge (round-17 ADVICE). Claim cost when no maintenance is
+    // running: two small FS ops per trigger.
+    graft.operators.SemanticIndex.withIntakeClaim(root) {
+      val v = graft.operators.SemanticIndex.currentVersion(root).getOrElse(
+        sys.error(s"no served semantic index version at $root"))
+      val dir = graft.operators.SemanticIndex.versionDir(root, v)
+      if (!graft.operators.SemanticIndex.batchApplied(dir, batchId)) {
+        val (verdicts, batchL) = graft.operators.SemanticIndex.judgeBatch(
+          batch, idCol, vecCol, dir, t2)
+        // pin: the verdict frame feeds the partition write AND the kept
+        // semi-join — un-pinned, each consumer re-runs both pair legs
+        // (the judgeKept rationale)
+        val vp = verdicts.localCheckpoint(true)
+        try {
+          vp.write.mode("overwrite").parquet(s"$targetPath/batch=b$batchId")
+          val kept = batchL.join(vp.filter(col("kept")).select(col("vid")),
+            Seq("vid"), "left_semi")
+          graft.operators.SemanticIndex.appendBatch(kept, dir, batchId)
+        } finally vp.unpersist()
+      }
+    }
     ()
   }
 

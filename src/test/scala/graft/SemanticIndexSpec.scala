@@ -139,4 +139,32 @@ class SemanticIndexSpec extends SparkSpec {
       s"$moved labeled-corpus scan(s) feed an exchange without a partial agg:\n" +
         executed.toString.take(2000))
   }
+
+  test("fold and prune wait for a held intake claim (trigger/maintenance mutex)") {
+    // the round-17 race: a trigger between its batchApplied check and
+    // its segment commit must exclude a concurrent fold (which would
+    // silently drop the batch's kept rows from every future version)
+    // and a concurrent prune (which could delete the trigger's resolved
+    // version dir mid-judge). Hold the claim from another thread and
+    // assert the fold does not complete until the hold releases.
+    val root = tmpDir("semidx_mutex").getPath
+    SemanticIndex.buildAndServe(corpus, "vid", "vd", k, iters, root)
+    val holdMs = 1500L
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val holder = new Thread(() => {
+      SemanticIndex.withIntakeClaim(root) {
+        Thread.sleep(holdMs)
+        released.set(true)
+      }
+    }, "semidx-mutex-holder")
+    holder.start()
+    Thread.sleep(200L) // let the holder acquire first
+    val v2 = SemanticIndex.foldIngestAndSwap(spark, root)
+    assert(released.get(),
+      "foldIngestAndSwap completed while the intake claim was still held")
+    holder.join(10000L)
+    assert(SemanticIndex.currentVersion(root).contains(v2))
+    // prune takes the same mutex: uncontended here, must still succeed
+    assert(SemanticIndex.pruneVersions(root, keepLatest = 1) == Seq(1))
+  }
 }

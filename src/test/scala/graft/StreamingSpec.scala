@@ -636,9 +636,12 @@ class StreamingSpec extends SparkSpec {
     assert(SemanticIndex.currentVersion(root).contains(v3),
       "a replayed committed trigger must not change the served version")
 
-    // retention GC: everything below the served v3 (v1 + torn v2) is
-    // unreachable — versions are self-contained
-    assert(SemanticIndex.pruneVersions(root) == Seq(1, v2))
+    // retention GC: keepLatest defaults to 2 (served + one grace
+    // version — a live trigger resolves its dir once at trigger start,
+    // round-17 ADVICE), so the default pass prunes v1 and KEEPS the
+    // torn v2 as grace; an explicit keepLatest=1 reclaims that too
+    assert(SemanticIndex.pruneVersions(root) == Seq(1))
+    assert(SemanticIndex.pruneVersions(root, keepLatest = 1) == Seq(v2))
     assert(SemanticIndex.currentVersion(root).contains(v3))
   }
 

@@ -422,6 +422,25 @@ object TextOps {
   /** Token count re-export (BPE-ish regex proxy). */
   def tokenCount(text: Column): Column = Fns.tokenCount(text)
 
+  /** Deterministic STUB text encoder: fixed-dim Array[Double] from
+    * strided character sampling — dim `i` reads the character at
+    * `(i·31 + 7) mod len`, scaled to [−0.5, 0.5). The text twin of
+    * [[MultimodalOps.featureExtract]]'s byte-sampling stub, standing in
+    * for a sentence-transformer; the Spark-side plumbing (pure codegen
+    * projection, array<double> column shape the ANN/VectorIndex family
+    * consumes, downstream composition) is real, and unlike a model the
+    * stub is ORACLE-EXPRESSIBLE — DuckDB re-derives the exact vectors
+    * (ascii/substr/list_transform), so chunk-level retrieval lands
+    * under the hash gate (q150) instead of a rows-only check. All
+    * arithmetic is IEEE double (int/255.0 − 0.5), bit-identical across
+    * engines; callers quantize via the floor(x·10⁶) convention.
+    * Requires non-empty text (the chunker already filters blanks).
+    */
+  def embedStub(text: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      ascii(text.substr(pmod(i * 31 + 7, length(text)) + 1, lit(1)))
+        .cast("double") / 255.0 - 0.5)
+
   /** Sliding-window document chunking: the doc→chunk step every
     * embedding/retrieval/training pipeline runs before vectors exist
     * (chunks are what the ANN/SemDeDup families index). Tokens are the

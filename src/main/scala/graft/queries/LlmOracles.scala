@@ -61,6 +61,11 @@ private[queries] object LlmOracles {
     // the versioned lifecycle closes on a FULL-corpus retrain, which is
     // definitionally the derive-in-query model — q109's oracle verbatim
     ("q117_ann_stream_ingest_versioned" -> oraclesMain("q109_ann_topk_ivfpq_refined")) +
+    // retention GC on the semantic index moves no answer: versions are
+    // self-contained (the fold rewrote labeled and carried the ledger),
+    // so the pruned lifecycle's end state is q146's oracle verbatim
+    ("q149_semantic_index_pruned" ->
+      oraclesMain("q146_semantic_dedup_stream_intake")) +
     // the retrain lifecycle's two phases ARE the two existing oracles:
     // stale = q111 (appends through the base-half model), retrained =
     // q109 (full-corpus model) — composed verbatim, no third derivation

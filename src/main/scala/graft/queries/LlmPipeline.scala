@@ -1159,6 +1159,75 @@ object LlmPipeline {
           col("dup_of").cast("long").as("dup_of"), col("kept"))
         .orderBy("vid")
     }),
+
+    // The semantic index's FULL lifecycle under the hash gate — the GC
+    // sentinel the other served families already have (q128/q129 +
+    // q134/q135): q146's exact intake dance with retention pruning
+    // interleaved at both points it can run. b2 judges through a
+    // version whose predecessor was PHYSICALLY DELETED (prune after
+    // the first fold, keepLatest=1 — versions must be self-contained:
+    // fold rewrote labeled and carried the ledger), and after the
+    // closing fold the default prune keeps one grace version while an
+    // explicit keepLatest=1 reclaims that too. Every GC step is
+    // invariant-checked inline (require), and the end state answers
+    // q146's oracle VERBATIM — pruning moves no answer, only storage.
+    "q149_semantic_index_pruned" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val (corpus, batch) = semBatchParts(s, dir)
+      val b1 = batch.filter(col("vid") < 200000L)  // perturbed near-dups
+      val b2 = batch.filter(col("vid") >= 200000L) // exact clones
+      def fresh(name: String): java.io.File = {
+        val f = new java.io.File(sys.props("java.io.tmpdir"),
+          s"${name}_${Integer.toHexString(dir.hashCode)}")
+        org.apache.commons.io.FileUtils.deleteQuietly(f); f
+      }
+      val root = fresh("graft_q149_semidx").getPath
+      val target = fresh("graft_q149_sink").getPath
+      val ckpt = fresh("graft_q149_ckpt").getPath
+      val v1 = graft.operators.SemanticIndex.buildAndServe(corpus, "vid", "vd",
+        k = 8, maxIter = 2, root)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Double])]
+      val q = graft.streaming.StreamOps.semanticIntakeSink(
+          input.toDF().toDF("vid", "vd"), "vid", "vd", root, target, t2 = 0.81)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+        .option("checkpointLocation", ckpt)
+        .start()
+      def feed(df: DataFrame): Unit = {
+        input.addData(df.select(col("vid"), col("vd"))
+          .as[(Long, Seq[Double])].collect().toSeq: _*)
+        q.processAllAvailable()
+      }
+      import graft.operators.SemanticIndex
+      try {
+        feed(b1)
+        val v2 = SemanticIndex.foldIngestAndSwap(s, root)
+        // GC 1: reclaim the superseded v1 BEFORE b2 arrives — b2 then
+        // judges through a version with no predecessor on disk
+        require(SemanticIndex.pruneVersions(root, keepLatest = 1) == Seq(v1),
+          s"first prune must reclaim exactly v$v1")
+        feed(b2)
+        val v3 = SemanticIndex.foldIngestAndSwap(s, root)
+        require(SemanticIndex.batchApplied(SemanticIndex.versionDir(root, v3), 0L)
+            && SemanticIndex.batchApplied(SemanticIndex.versionDir(root, v3), 1L),
+          "the carried ledger must absorb both folded triggers")
+        // GC 2: the default prune keeps ONE grace version (a live
+        // trigger resolves its dir at trigger start); keepLatest=1
+        // then reclaims the grace version too
+        require(SemanticIndex.pruneVersions(root) == Seq.empty,
+          s"default prune must keep v$v2 as the grace version")
+        require(SemanticIndex.pruneVersions(root, keepLatest = 1) == Seq(v2),
+          s"keepLatest=1 must reclaim the grace v$v2")
+        require(SemanticIndex.currentVersion(root).contains(v3),
+          "pruning must never move the served pointer")
+      } finally q.stop()
+      s.read.parquet(target)
+        .select(col("vid").cast("long").as("vid"),
+          col("cell").cast("long").as("cell"),
+          col("dup_of").cast("long").as("dup_of"), col("kept"))
+        .orderBy("vid")
+    }),
   )
 
   /** DuckDB parity SQL per query — assembled in [[LlmOracles]] (shared

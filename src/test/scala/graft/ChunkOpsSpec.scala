@@ -80,4 +80,23 @@ class ChunkOpsSpec extends SparkSpec {
       s"chunking must not shuffle:\n${p.take(1500)}")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("embedStub: hand-computed values, determinism, exchange-free plan") {
+    // dim i samples char (i*31 + 7) mod len, scaled (ascii/255 - 0.5):
+    // "ab" (len 2): i=0 → pos 7%2=1 → 'b'; i=1 → 38%2=0 → 'a'
+    val out = Seq((1L, "ab")).toDF("id", "t")
+      .select(TextOps.embedStub(col("t"), 4).as("e"))
+      .head().getSeq[Double](0)
+    assert(out == Seq('b'.toInt / 255.0 - 0.5, 'a'.toInt / 255.0 - 0.5,
+      'b'.toInt / 255.0 - 0.5, 'a'.toInt / 255.0 - 0.5))
+    // values live in [-0.5, 0.5) and the vector is a fixed-dim array
+    assert(out.forall(v => v >= -0.5 && v < 0.5))
+    // a pure per-row projection: zero exchanges end to end
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val df = TextOps.chunkWindows(docs, "text", "doc_id", 32, 8)
+      .select(TextOps.embedStub(col("chunk_text"), 64).as("e"))
+    df.write.format("noop").mode("overwrite").save()
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "the stub encoder must not shuffle")
+  }
 }

@@ -138,7 +138,7 @@ class PlanAuditSpec extends SparkSpec {
     // pattern the rule can't infer — rank stored then filtered through
     // an opaque transform, a non-rank ordering — would silently drop it.
     Seq("q109_ann_topk_ivfpq_refined", "q110_ann_topk_indexed",
-        "q125_hybrid_indexed").foreach { q =>
+        "q125_hybrid_indexed", "q150_hybrid_chunks_indexed").foreach { q =>
       val p = plan(q)
       val wgl = "WindowGroupLimit".r.findAllIn(p).length
       assert(wgl >= 2, s"$q lost its WindowGroupLimit pre-reduce ($wgl found)")
@@ -262,7 +262,15 @@ class PlanAuditSpec extends SparkSpec {
       // still-cached labeled frame instead of reading a persisted width
       // subtree — two fewer distinct exchanges in the executed plan
       // (9 → 7), zero new corpus-sized work
-      "q144_semantic_dedup_incremental_capped" -> (7, 7, 8, 0))
+      "q144_semantic_dedup_incremental_capped" -> (7, 7, 8, 0),
+      // chunk-level hybrid RAG: the kw leg is q148's chunk-grain BM25
+      // (documents re-derived per consumer — doc scans are linear and
+      // projection-pruned), the vector leg q110's persisted serve shape
+      // over the chunk IVF-PQ index (codes/centroids/codebooks + the
+      // raw-vector re-rank re-embedding chunks + queries), fused by one
+      // batch-sized integer agg; the only nested-loop is bm25's
+      // sanctioned 1-row stats scalar cross
+      "q150_hybrid_chunks_indexed" -> (13, 13, 8, 0))
     for ((q, (scans, shuffles, broadcasts, antis)) <- pins) {
       val p = plan(q)
       def uniq(pat: String): Int =

@@ -142,4 +142,51 @@ class GoldMartsSpec extends SparkSpec {
     assert(ids1 == ids2)
     assert(out.select("period_start").as[String].collect().forall(_ == "2024-01-01"))
   }
+
+  test("GoldPhase: outputs in dependency order, shared persists released after last consumer") {
+    // the production composition helper (round-17 verdict item 4):
+    // per-mart results must equal calling GoldMarts directly, the sink
+    // must see every output exactly once in dependency order, and the
+    // speeches/votes persists the helper takes must be RELEASED by the
+    // time it returns (a leaked persist per refresh accumulates in the
+    // BlockManager for the life of the session)
+    val members = Seq(("m1", "Alice A", "true", "FF", "Dublin", "34"))
+      .toDF("member_code", "full_name", "is_current_member",
+        "latest_party_name", "latest_constituency_name", "latest_house_no")
+    val memberships = Seq(("ms1", "m1", "34", "2024-01-01", "", "true"))
+      .toDF("membership_id", "member_code", "house_no", "membership_start", "membership_end", "is_current")
+    val parties = Seq(("p1", "m1", "FF", "2024-01-01", "", "true"))
+      .toDF("member_party_id", "member_code", "party_name", "party_start", "party_end", "is_current")
+    val constituencies = Seq(("c1", "m1", "Dublin Bay", "2024-01-01", "", "true"))
+      .toDF("member_constituency_id", "member_code", "constituency_name", "represent_start", "represent_end", "is_current")
+    val offices = Seq(("o1", "m1", "Whip", "2024-01-01", "", "true"))
+      .toDF("member_office_id", "member_code", "office_name", "office_start", "office_end", "is_current")
+    val sp = speeches(("s1", "m1", "2024-02-01", "a"))
+    val mv = votes(("v1", "m1", "2024-02-05", "ta", "Tá"))
+    val divisions = Seq(("d_v1", "2024-02-05")).toDF("division_id", "division_date")
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    val cm = graft.gold.GoldPhase.run(graft.gold.GoldPhase.Inputs(
+        members, memberships, parties, constituencies, offices,
+        sp, mv, divisions, "2024-12-31")) { (name, df) =>
+      seen += name; counts(name) = df.count(); df
+    }
+    assert(seen.toSeq == Seq("gold_current_members",
+      "gold_member_activity_yearly", "gold_member_activity_monthly",
+      "gold_constituency_activity_yearly", "gold_content_fact_pool",
+      "compat_members", "compat_member_votes"))
+    // equality vs the direct calls (same inputs, same snapshot)
+    assert(counts("gold_current_members") ==
+      GoldMarts.currentMembers(members, memberships, parties,
+        constituencies, offices, "2024-12-31").count())
+    assert(counts("gold_member_activity_yearly") ==
+      GoldMarts.memberActivityYearly(cm, sp, mv, divisions, "2024-12-31").count())
+    assert(cm.count() == counts("gold_current_members"))
+    // the helper's persists are gone once it returns
+    assert(sp.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "speeches persist leaked past GoldPhase.run")
+    assert(mv.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "votes persist leaked past GoldPhase.run")
+  }
 }

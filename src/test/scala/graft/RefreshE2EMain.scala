@@ -259,44 +259,15 @@ object RefreshE2EMain {
       rows
     }
 
-    // Promoted inputs SHARED across the gold phase (round-16 verdict
-    // item 3): speeches and votes each feed three marts (yearly,
-    // monthly, constituency) and votes additionally the compat adapter.
-    // Un-persisted, every stage re-scans the promoted parquet — the
-    // 457k-row votes re-scan alone swung gold:activity_yearly 9–68s
-    // with page-cache luck (PERF.md round 16). One persist per input,
-    // released after its last consumer; outputs byte-identical (same
-    // frames, same plans above the scan).
-    val speeches = promoted("silver_speeches")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val votes = promoted("silver_member_votes")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val currentMembers = stage("gold:current_members") {
-      val cm = GoldMarts.currentMembers(candidate("silver_members"),
-        candidate("silver_member_memberships"), candidate("silver_member_parties"),
-        candidate("silver_member_constituencies"), candidate("silver_member_offices"),
-        snapshotDate)
-      writeGold("gold_current_members", cm); cm.cache()
-    }
-    stage("gold:activity_yearly") {
-      writeGold("gold_member_activity_yearly", GoldMarts.memberActivityYearly(
-        currentMembers, speeches, votes, candidate("silver_divisions"), snapshotDate))
-    }
-    stage("gold:activity_monthly") {
-      writeGold("gold_member_activity_monthly",
-        GoldMarts.memberActivityMonthly(speeches, votes, snapshotDate))
-    }
-    stage("gold:constituency_yearly") {
-      writeGold("gold_constituency_activity_yearly",
-        GoldMarts.constituencyActivityYearly(currentMembers, speeches, votes, snapshotDate))
-    }
-    stage("gold:content_fact_pool") {
-      writeGold("gold_content_fact_pool", GoldMarts.contentFactPool(
-        candidate("gold_member_activity_yearly"), currentMembers, snapshotDate))
-    }
-    speeches.unpersist() // last consumer: gold:constituency_yearly
-
-    // ---- stage 4: compat adapters over the candidate gold + promoted votes
+    // Gold phase + compat adapters through the PRODUCTION composition
+    // helper (round-17 verdict item 4: the shared speeches/votes persist
+    // used to live only here in the test tree): GoldPhase.run persists
+    // each promoted input once, releases after its last consumer, and
+    // hands every output to this sink in dependency order. The sink
+    // writes + records exactly what the inline stages used to, and its
+    // RETURNS preserve the original downstream frames — the cached
+    // current-members, and the written-back candidate activity-yearly
+    // table the fact pool reads (reference semantics).
     def writeCompat(name: String, key: String, df: DataFrame, pk: Seq[String]): Long = {
       val out = df.cache()
       val rows = out.count()
@@ -305,15 +276,41 @@ object RefreshE2EMain {
       out.unpersist()
       rows
     }
-    stage("compat:members") {
-      writeCompat("compat_members", "compat/members/members_compat.csv",
-        CompatOps.membersCompat(currentMembers), Seq("member_code"))
+    val currentMembers = graft.gold.GoldPhase.run(graft.gold.GoldPhase.Inputs(
+      candidate("silver_members"), candidate("silver_member_memberships"),
+      candidate("silver_member_parties"), candidate("silver_member_constituencies"),
+      candidate("silver_member_offices"), promoted("silver_speeches"),
+      promoted("silver_member_votes"), candidate("silver_divisions"),
+      snapshotDate)) {
+      case ("gold_current_members", df) =>
+        stage("gold:current_members") { writeGold("gold_current_members", df) }
+        df.cache()
+      case ("gold_member_activity_yearly", df) =>
+        stage("gold:activity_yearly") { writeGold("gold_member_activity_yearly", df) }
+        candidate("gold_member_activity_yearly")
+      case ("gold_member_activity_monthly", df) =>
+        stage("gold:activity_monthly") { writeGold("gold_member_activity_monthly", df) }
+        df
+      case ("gold_constituency_activity_yearly", df) =>
+        stage("gold:constituency_yearly") { writeGold("gold_constituency_activity_yearly", df) }
+        df
+      case ("gold_content_fact_pool", df) =>
+        stage("gold:content_fact_pool") { writeGold("gold_content_fact_pool", df) }
+        df
+      case ("compat_members", df) =>
+        stage("compat:members") {
+          writeCompat("compat_members", "compat/members/members_compat.csv",
+            df, Seq("member_code"))
+        }
+        df
+      case ("compat_member_votes", df) =>
+        stage("compat:member_votes") {
+          writeCompat("compat_member_votes", "compat/member_votes/member_votes_compat.csv",
+            df, Seq("unique_vote_id", "member_code"))
+        }
+        df
+      case (other, _) => sys.error(s"unexpected gold-phase output $other")
     }
-    stage("compat:member_votes") {
-      writeCompat("compat_member_votes", "compat/member_votes/member_votes_compat.csv",
-        CompatOps.memberVotesCompat(votes), Seq("unique_vote_id", "member_code"))
-    }
-    votes.unpersist() // last consumer: compat:member_votes
 
     // ---- stage 5: candidate contract validation (direct batch keys — the
     // pre-promote gate; the pointer still serves b0)

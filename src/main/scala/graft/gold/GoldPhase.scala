@@ -45,11 +45,22 @@ object GoldPhase {
 
   /** Run the phase; returns the (sink-returned) current-members frame —
     * the one output later pipeline stages commonly reuse. The caller
-    * owns its lifecycle (this helper unpersists only what it persisted).
+    * owns its lifecycle; this helper unpersists only what it persisted:
+    * an input the CALLER already persisted (any storage level) is left
+    * exactly as found — Spark persists are not reference-counted, so an
+    * unconditional unpersist here would silently evict the caller's
+    * block (and an unconditional persist would throw on a caller-chosen
+    * different level).
     */
   def run(in: Inputs)(sink: (String, DataFrame) => DataFrame): DataFrame = {
-    val speeches = in.speeches.persist(StorageLevel.MEMORY_AND_DISK)
-    val votes = in.votes.persist(StorageLevel.MEMORY_AND_DISK)
+    def persistIfUnpersisted(df: DataFrame): Boolean =
+      if (df.storageLevel == StorageLevel.NONE) {
+        df.persist(StorageLevel.MEMORY_AND_DISK); true
+      } else false
+    val speeches = in.speeches
+    val votes = in.votes
+    val ownSpeeches = persistIfUnpersisted(speeches)
+    val ownVotes = persistIfUnpersisted(votes)
     try {
       val cm = sink("gold_current_members", GoldMarts.currentMembers(
         in.members, in.memberships, in.parties, in.constituencies,
@@ -62,15 +73,17 @@ object GoldPhase {
       sink("gold_constituency_activity_yearly",
         GoldMarts.constituencyActivityYearly(cm, speeches, votes,
           in.snapshotDate))
-      speeches.unpersist() // last speeches consumer: the constituency mart
+      if (ownSpeeches) speeches.unpersist() // last consumer: constituency mart
       sink("gold_content_fact_pool",
         GoldMarts.contentFactPool(activityYearly, cm, in.snapshotDate))
       sink("compat_members", CompatOps.membersCompat(cm))
       sink("compat_member_votes", CompatOps.memberVotesCompat(votes))
       cm
     } finally {
-      speeches.unpersist() // idempotent; covers the failure path too
-      votes.unpersist()    // last votes consumer: the member-votes compat
+      // idempotent; covers the failure path too. Only blocks THIS call
+      // persisted — a caller-held persist survives untouched.
+      if (ownSpeeches) speeches.unpersist()
+      if (ownVotes) votes.unpersist() // last votes consumer: member-votes compat
     }
   }
 }

@@ -216,6 +216,31 @@ object IndexMeta {
     */
   val DefaultClaimStalenessMs: Long = 15L * 60 * 1000
 
+  /** Wait budget for [[withIntakeClaim]]: staleness + 10 minutes, so a
+    * crashed holder's marker ALWAYS auto-breaks (at stalenessMs) before
+    * a live contender gives up — a waitMs below stalenessMs would fail
+    * the contender while the break it is waiting for is still in the
+    * future (a streaming trigger would then kill its query over a
+    * marker that was five minutes from collecting itself).
+    */
+  val IntakeClaimWaitMs: Long = DefaultClaimStalenessMs + 10L * 60 * 1000
+
+  /** The per-root intake/maintenance mutex for a versioned index
+    * family (vector / postings / semantic): a streaming trigger's
+    * resolve-pointer→judge/encode→commit-segment window and any
+    * maintenance pass's enumerate→rewrite→swap (fold, retrain, prune)
+    * must not interleave — a fold that enumerated segments before a
+    * trigger's commit but swapped after it silently drops that batch's
+    * rows from every future version while the stream checkpoint
+    * commits (the round-17 SemanticIndex race, present identically in
+    * any read-enumerate-swap maintenance). One claim dir per root;
+    * the held claim heartbeats, so legitimately long holds (a
+    * corpus-scale fold rewrite) never age out. Uncontended cost: two
+    * small FS metadata ops.
+    */
+  def withIntakeClaim[T](root: String)(body: => T): T =
+    withClaim(s"$root/_claims/intake", waitMs = IntakeClaimWaitMs)(body)
+
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.IndexMeta")
 
   /** Break claim markers in `dir` older than `stalenessMs` (by marker

@@ -331,45 +331,51 @@ object SearchOps {
     * [[foldPostingsIndex]], which drops its rows for real AND clears the
     * ledger — then this append converges on exactly a fresh full build.
     *
-    * Concurrency: racing appends can never corrupt (each claims its own
-    * version dir atomically) but are NOT serialized — both read the same
-    * base manifest, so the last pointer swap wins and the loser's
-    * complete-but-unreferenced version goes inert. The recovery is the
-    * tag ledger itself: the superseded tag is absent from the SERVED
-    * manifest, so re-running that append applies it on top of the winner
-    * while applied tags no-op — "re-run until your tag is served" is the
-    * whole protocol (SearchOpsSpec races two appends for real and pins
-    * convergence). Callers needing strict ordering run single-writer.
+    * Concurrency: every mutation of the root (append, delete, fold,
+    * prune) holds the per-root intake claim
+    * ([[graft.io.IndexMeta.withIntakeClaim]]), so its whole
+    * read-manifest→write-version→swap is one atomic step — without it,
+    * an append committing between a fold's manifest read and its swap
+    * lost both its rows and its tag from the served chain (the
+    * round-17 lost-segment race, on this family as a lost DELTA). The
+    * tag ledger remains the recovery for the claim's own edge (a
+    * broken stale claim of a crashed writer): a superseded tag is
+    * absent from the SERVED manifest, so "re-run until your tag is
+    * served" still converges — applied tags no-op (SearchOpsSpec races
+    * two appends for real and pins convergence).
     */
   def appendPostingsIndex(newDocs: DataFrame, textCol: String, idCol: String,
-                          root: String, batchTag: String): Option[Int] = {
+                          root: String, batchTag: String): Option[Int] =
+      graft.io.IndexMeta.withIntakeClaim(root) {
     val spark = newDocs.sparkSession
     val cur = postingsCurrentVersion(root).getOrElse(
       throw new IllegalStateException(s"no postings index at $root — build first"))
     val m = readPostingsManifest(root, cur)
     val tags = m("applied_tags").asInstanceOf[Seq[_]].map(String.valueOf)
-    if (tags.contains(batchTag)) return None
-    readTombstones(spark, root, cur, m).foreach { t =>
-      val clash = newDocs.select(col(idCol).cast("long").as("doc_id")).distinct()
-        .join(broadcast(t.select(col("doc_id"))), "doc_id")
-        .limit(5).collect().map(_.getLong(0))
-      require(clash.isEmpty,
-        s"append batch '$batchTag' contains tombstoned doc_id(s) " +
-          s"${clash.mkString(", ")} — fold the index first (fold drops " +
-          "the deleted rows for real and clears the ledger), then re-add")
+    if (tags.contains(batchTag)) None
+    else {
+      readTombstones(spark, root, cur, m).foreach { t =>
+        val clash = newDocs.select(col(idCol).cast("long").as("doc_id")).distinct()
+          .join(broadcast(t.select(col("doc_id"))), "doc_id")
+          .limit(5).collect().map(_.getLong(0))
+        require(clash.isEmpty,
+          s"append batch '$batchTag' contains tombstoned doc_id(s) " +
+            s"${clash.mkString(", ")} — fold the index first (fold drops " +
+            "the deleted rows for real and clears the ledger), then re-add")
+      }
+      val (post, n, l) = postingsDelta(newDocs, textCol, idCol)
+      val deltaTs = post.groupBy("term").agg(count(lit(1)).as("df"))
+      val curTs = spark.read.parquet(s"${postingsVersionDir(root, cur)}/termstats")
+      val merged = curTs.union(deltaTs)
+        .groupBy("term").agg(sum(col("df")).as("df"))
+      val v = claimNextPostingsVersion(root)
+      val priorSegs = m("segments").asInstanceOf[Seq[_]].map(String.valueOf)
+      writePostingsVersion(root, v, Some(post), priorSegs, merged,
+        m("n_docs").toString.toLong + n, m("total_len").toString.toLong + l,
+        tags :+ batchTag, readTombstones(spark, root, cur, m))
+      postingsSwapPointer(root, v)
+      Some(v)
     }
-    val (post, n, l) = postingsDelta(newDocs, textCol, idCol)
-    val deltaTs = post.groupBy("term").agg(count(lit(1)).as("df"))
-    val curTs = spark.read.parquet(s"${postingsVersionDir(root, cur)}/termstats")
-    val merged = curTs.union(deltaTs)
-      .groupBy("term").agg(sum(col("df")).as("df"))
-    val v = claimNextPostingsVersion(root)
-    val priorSegs = m("segments").asInstanceOf[Seq[_]].map(String.valueOf)
-    writePostingsVersion(root, v, Some(post), priorSegs, merged,
-      m("n_docs").toString.toLong + n, m("total_len").toString.toLong + l,
-      tags :+ batchTag, readTombstones(spark, root, cur, m))
-    postingsSwapPointer(root, v)
-    Some(v)
   }
 
   /** Fold every referenced segment into ONE segment in the next version
@@ -390,7 +396,8 @@ object SearchOps {
     * physical drop, nothing downstream rebuilds from the corpus.)
     */
   def foldPostingsIndex(spark: org.apache.spark.sql.SparkSession,
-                        root: String): Int = {
+                        root: String): Int =
+      graft.io.IndexMeta.withIntakeClaim(root) {
     val cur = postingsCurrentVersion(root).getOrElse(
       throw new IllegalStateException(s"no postings index at $root"))
     val m = readPostingsManifest(root, cur)
@@ -406,7 +413,9 @@ object SearchOps {
       m("applied_tags").asInstanceOf[Seq[_]].map(String.valueOf), None)
     postingsSwapPointer(root, v)
     v
-  }
+  }  // withIntakeClaim: an append landing between this fold's manifest
+     // read and its swap would lose its delta AND its tag from the
+     // served chain (the round-17 lost-segment race on this family)
 
   /** Retention GC for superseded postings versions: delete version dirs
     * that nothing can reach anymore. Every fold/append/delete mints a
@@ -429,13 +438,14 @@ object SearchOps {
     *    to one owned segment) makes predecessors collectable, which is
     *    the natural call order: fold, then prune.
     *
-    * Single-writer maintenance, like fold/retrain (a concurrent append
-    * could read a manifest whose referenced segments this is deleting).
-    * Returns the pruned version numbers.
+    * Holds the per-root intake claim for the whole walk (a concurrent
+    * append could otherwise read a manifest whose referenced segments
+    * this is deleting). Returns the pruned version numbers.
     */
   def prunePostingsVersions(spark: org.apache.spark.sql.SparkSession,
                             root: String, keepLatest: Int = 1): Seq[Int] = {
     require(keepLatest >= 1, "keepLatest must be >= 1")
+    graft.io.IndexMeta.withIntakeClaim(root) {
     val served = postingsCurrentVersion(root).getOrElse(
       throw new IllegalStateException(s"no postings index at $root"))
     val all = graft.io.IndexMeta.listChildNames(s"$root/versions")
@@ -454,6 +464,8 @@ object SearchOps {
     prunable.foreach(v =>
       graft.io.IndexMeta.deleteTree(postingsVersionDir(root, v)))
     prunable
+    }  // withIntakeClaim: a concurrent append could read a manifest
+       // whose referenced segments this walk is deleting
   }
 
   /** Tombstone `deletedIds` (a (doc_id) frame) in a new version:
@@ -467,7 +479,8 @@ object SearchOps {
     * anti-joins the ledger, so deleted docs stop surfacing immediately.
     */
   def deleteFromPostingsIndex(spark: org.apache.spark.sql.SparkSession,
-                              root: String, deletedIds: DataFrame): Int = {
+                              root: String, deletedIds: DataFrame): Int =
+      graft.io.IndexMeta.withIntakeClaim(root) {
     val cur = postingsCurrentVersion(root).getOrElse(
       throw new IllegalStateException(s"no postings index at $root"))
     val m = readPostingsManifest(root, cur)
@@ -498,7 +511,9 @@ object SearchOps {
       m("applied_tags").asInstanceOf[Seq[_]].map(String.valueOf), Some(tombs))
     postingsSwapPointer(root, v)
     v
-  }
+  }  // withIntakeClaim: a delete is the same read-manifest→swap
+     // read-modify-write as append/fold — unserialized it can swallow
+     // a concurrent mutation's version the same way
 
   /** [[bm25TopK]] served from the persisted index: same scores by
     * construction (stored tf/dl/df are exact longs cast back to double;

@@ -77,18 +77,17 @@ object SemanticIndex {
     * `committedSegmentIds` (but before the pointer swap) would leave
     * the new version without those kept rows AND without the batch id
     * in the carried ledger, while the stream checkpoint commits — the
-    * rows silently vanish from every future version. Holding
-    * [[graft.io.IndexMeta.withClaim]] across BOTH windows makes the
-    * interleaving impossible: the fold sees either the whole segment
-    * (committed before it acquired) or none of it (trigger re-resolves
-    * the pointer after the swap). The claim heartbeats while held, so
-    * a minutes-long fold rewrite at corpus scale never ages out; a
-    * crashed holder's marker auto-breaks. waitMs is generous (10 min)
-    * because the contender is waiting on a Spark job, not a metadata
-    * touch. Cost when uncontended: two small FS ops per trigger.
+    * rows silently vanish from every future version. Holding the claim
+    * across BOTH windows makes the interleaving impossible: the fold
+    * sees either the whole segment (committed before it acquired) or
+    * none of it (trigger re-resolves the pointer after the swap).
+    * Delegates to [[graft.io.IndexMeta.withIntakeClaim]] — the shared
+    * mutex every versioned index family uses; its wait budget exceeds
+    * the claim staleness window, so a crashed holder's marker always
+    * auto-breaks before a live contender gives up.
     */
   def withIntakeClaim[T](root: String)(body: => T): T =
-    graft.io.IndexMeta.withClaim(intakeClaimDir(root), waitMs = 600000L)(body)
+    graft.io.IndexMeta.withIntakeClaim(root)(body)
 
   def currentVersion(root: String): Option[Int] =
     graft.io.IndexMeta.readVersionPointer(root)

@@ -378,7 +378,8 @@ object VectorIndex {
     */
   def retrainAndSwap(emb: DataFrame, idCol: String, vecCol: String,
                      cellCol: String, dim: Int, m: Int, k: Int,
-                     root: String): Int = {
+                     root: String): Int =
+      graft.io.IndexMeta.withIntakeClaim(root) {
     val cv = currentVersion(root)
     val v = claimNextVersion(root)
     val spark = emb.sparkSession
@@ -400,7 +401,8 @@ object VectorIndex {
     }
     swapPointer(root, v)
     v
-  }
+  }  // withIntakeClaim: a trigger committing a segment between this
+     // retrain's ledger carry and its swap would lose rows + tag
 
   /** Fold the current version's committed ingest segments into the NEXT
     * version: same model, one consolidated cell-partitioned codes tree —
@@ -429,7 +431,8 @@ object VectorIndex {
     * stays proportional to total deletes, not corpus size.
     */
   def foldIngestAndSwap(spark: SparkSession, root: String,
-                        dim: Int, m: Int, k: Int): Int = {
+                        dim: Int, m: Int, k: Int): Int =
+      graft.io.IndexMeta.withIntakeClaim(root) {
     val v = currentVersion(root).getOrElse(
       sys.error(s"no served index version at $root"))
     val nv = claimNextVersion(root)
@@ -446,7 +449,10 @@ object VectorIndex {
       foldedBatchIds(vDir) ++ committedSegmentIds(vDir))
     swapPointer(root, nv)
     nv
-  }
+  }  // withIntakeClaim: the round-17 SemanticIndex race exists here
+     // identically — a trigger's segment committed between this fold's
+     // committedSegmentIds enumeration and its swap would vanish from
+     // every future version while the stream checkpoint commits
 
   /** Retention GC for superseded index versions: every fold/retrain
     * mints a new version dir and leaves the old one serving-ready on
@@ -459,19 +465,26 @@ object VectorIndex {
     * the current version), so no reference closure is needed: anything
     * below the pointer outside the `keepLatest - 1` reader-grace window
     * is unreachable. Dirs at/above the pointer are never touched (an
-    * in-flight or crashed writer owns them). Single-writer maintenance,
-    * like fold/retrain. Returns the pruned version numbers.
+    * in-flight or crashed writer owns them). Holds the per-root intake
+    * claim for the whole GC walk, so it can never delete the version a
+    * live [[graft.streaming.StreamOps.vectorIngestSinkVersioned]]
+    * trigger resolved at trigger start (the trigger holds the same
+    * claim across its resolve→append window); keepLatest > 1 remains
+    * the grace knob for BATCH readers of superseded dirs. Returns the
+    * pruned version numbers.
     */
   def pruneVersions(root: String, keepLatest: Int = 1): Seq[Int] = {
     require(keepLatest >= 1, "keepLatest must be >= 1")
-    val served = currentVersion(root).getOrElse(
-      sys.error(s"no served index version at $root"))
-    val all = graft.io.IndexMeta.listChildNames(s"$root/versions")
-      .filter(_.matches("v\\d{4,}")).map(_.stripPrefix("v").toInt)
-    val grace = all.filter(_ < served).sorted.takeRight(keepLatest - 1).toSet
-    val prunable = all.filter(v => v < served && !grace(v)).sorted
-    prunable.foreach(v => graft.io.IndexMeta.deleteTree(versionDir(root, v)))
-    prunable
+    graft.io.IndexMeta.withIntakeClaim(root) {
+      val served = currentVersion(root).getOrElse(
+        sys.error(s"no served index version at $root"))
+      val all = graft.io.IndexMeta.listChildNames(s"$root/versions")
+        .filter(_.matches("v\\d{4,}")).map(_.stripPrefix("v").toInt)
+      val grace = all.filter(_ < served).sorted.takeRight(keepLatest - 1).toSet
+      val prunable = all.filter(v => v < served && !grace(v)).sorted
+      prunable.foreach(v => graft.io.IndexMeta.deleteTree(versionDir(root, v)))
+      prunable
+    }
   }
 
   def readCurrentModel(spark: SparkSession, root: String,

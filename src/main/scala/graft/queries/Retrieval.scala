@@ -76,14 +76,16 @@ object Retrieval {
 
   /** Vector-leg queries: the SAME workload docs as [[qs]] (every 50th,
     * non-blank) but embedded as text — the first-8-token prefix string
-    * through the stub encoder, ids offset by [[QueryVidOffset]].
+    * through the stub encoder, ids offset by [[QueryVidOffset]]. Built
+    * on [[SearchOps.tokenized]] so the tokenization/selection stays ONE
+    * source of truth with the BM25 leg's derivedQueries (a tokenizer
+    * tweak there must move both legs and the oracle's single qsel CTE
+    * together, never desynchronize them).
     */
   private def chunkQueryVectors(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id").cast("long").as("doc_id"),
-        filter(split(graft.operators.DedupOps.normText(col("text")), " "),
-          w => w =!= "").as("ws"))
-      .filter(col("doc_id") % 50 === 0 && size(col("ws")) >= 1)
+    SearchOps.tokenized(
+        t(s, dir, "documents").filter(col("doc_id") % 50 === 0),
+        "text", "doc_id")
       .select((col("doc_id") + QueryVidOffset).as("vid"),
         TextOps.embedStub(array_join(slice(col("ws"), 1, 8), " "), dim = 64)
           .as("embedding"))

@@ -355,6 +355,13 @@ object StreamOps {
     * committed its segment to the old version and replays after the
     * swap no-ops instead of re-appending rows the fold already
     * consolidated (VectorIndexSpec pins the cross-swap replay).
+    * The resolve→encode→commit window holds the per-root intake claim
+    * ([[graft.io.IndexMeta.withIntakeClaim]]), mutually exclusive with
+    * fold/retrain/prune: a fold that enumerated segments before this
+    * trigger's commit but swapped after it would silently drop the
+    * batch's rows from every future version (the round-17 SemanticIndex
+    * race, identical on this family); a prune could delete the resolved
+    * dir mid-encode.
     */
   def vectorIngestSinkVersioned(stream: DataFrame, idCol: String,
                                 vecCol: String, root: String,
@@ -363,7 +370,7 @@ object StreamOps {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty) graft.io.IndexMeta.withIntakeClaim(root) {
           val spark = batch.sparkSession
           val v = graft.operators.VectorIndex.currentVersion(root).getOrElse(
             sys.error(s"no served index version at $root"))

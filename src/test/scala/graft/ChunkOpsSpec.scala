@@ -89,7 +89,8 @@ class ChunkOpsSpec extends SparkSpec {
       .head().getSeq[Double](0)
     assert(out == Seq('b'.toInt / 255.0 - 0.5, 'a'.toInt / 255.0 - 0.5,
       'b'.toInt / 255.0 - 0.5, 'a'.toInt / 255.0 - 0.5))
-    // values live in [-0.5, 0.5) and the vector is a fixed-dim array
+    // ASCII input stays in [-0.5, 0.5) (code points > 255 land above,
+    // deterministically on both engines — see the scaladoc)
     assert(out.forall(v => v >= -0.5 && v < 0.5))
     // a pure per-row projection: zero exchanges end to end
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")

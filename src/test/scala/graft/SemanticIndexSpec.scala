@@ -150,15 +150,20 @@ class SemanticIndexSpec extends SparkSpec {
     val root = tmpDir("semidx_mutex").getPath
     SemanticIndex.buildAndServe(corpus, "vid", "vd", k, iters, root)
     val holdMs = 1500L
+    val acquired = new java.util.concurrent.CountDownLatch(1)
     val released = new java.util.concurrent.atomic.AtomicBoolean(false)
     val holder = new Thread(() => {
       SemanticIndex.withIntakeClaim(root) {
+        acquired.countDown()
         Thread.sleep(holdMs)
         released.set(true)
       }
     }, "semidx-mutex-holder")
     holder.start()
-    Thread.sleep(200L) // let the holder acquire first
+    // latch, not a fixed sleep: the holder must OWN the claim before the
+    // fold contends, or a slow-scheduled holder makes the test flaky
+    assert(acquired.await(30, java.util.concurrent.TimeUnit.SECONDS),
+      "holder thread never acquired the intake claim")
     val v2 = SemanticIndex.foldIngestAndSwap(spark, root)
     assert(released.get(),
       "foldIngestAndSwap completed while the intake claim was still held")

@@ -108,13 +108,22 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main(sf_dir: str, out_dir: str, argv=()) -> int:
     staged = "--staged-components" in argv
     def listed(flag):
-        return set(argv[list(argv).index(flag) + 1].split(",")) \
-            if flag in argv else None
+        if flag not in argv:
+            return None
+        i = list(argv).index(flag) + 1
+        if i >= len(argv):
+            sys.exit(f"usage: {flag} takes a comma-separated query list")
+        return set(argv[i].split(","))
     only, skip = listed("--only"), (listed("--skip") or set())
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # a misspelled --only/--skip name must not silently skip everything
+    # and exit 0 — that would turn the gate into a false PASS
+    unknown = ((only or set()) | skip) - set(oracle)
+    if unknown:
+        sys.exit(f"unknown query name(s) in --only/--skip: {sorted(unknown)}")
     if staged and any(q in oracle for q in COMPONENT_QUERIES):
         materialize_components(con)
         print("[staged] component scaffold materialized "

@@ -434,4 +434,28 @@ class SearchOpsSpec extends SparkSpec with Matchers {
     res.map(_._1).toSet shouldBe Set(0L)
     res.map(_._2).toList shouldBe List(1L, 2L, 3L) // by cosine to (1,0)
   }
+
+  test("postings mutations wait for a held intake claim (append/fold mutex)") {
+    // every postings mutation is a read-manifest→write-version→swap;
+    // unserialized, an append landing between a fold's manifest read
+    // and its swap loses its delta AND its tag from the served chain
+    val root = tmpRoot().getPath
+    SearchOps.buildPostingsIndex(docs, "text", "doc_id", root)
+    val acquired = new java.util.concurrent.CountDownLatch(1)
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val holder = new Thread(() => {
+      graft.io.IndexMeta.withIntakeClaim(root) {
+        acquired.countDown()
+        Thread.sleep(1500L)
+        released.set(true)
+      }
+    }, "postings-mutex-holder")
+    holder.start()
+    assert(acquired.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    val v2 = SearchOps.foldPostingsIndex(spark, root)
+    assert(released.get(),
+      "foldPostingsIndex completed while the intake claim was still held")
+    holder.join(10000L)
+    assert(SearchOps.postingsCurrentVersion(root).contains(v2))
+  }
 }

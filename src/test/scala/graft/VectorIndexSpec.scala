@@ -558,4 +558,32 @@ class VectorIndexSpec extends SparkSpec {
         VectorIndex.readCurrentCodes(spark, root.getPath)) ==
       answers(mr, VectorIndex.readCodes(spark, clean.getPath)))
   }
+
+  test("fold waits for a held intake claim (trigger/maintenance mutex)") {
+    // the round-17 SemanticIndex race exists identically here: a
+    // versioned-sink trigger between its pointer resolve and its
+    // segment commit must exclude a concurrent fold, or the fold's
+    // enumeration misses the segment and the swap loses its rows
+    val root = tmpDir("vindex_mutex")
+    val (model, codes) = VectorIndex.build(emb.limit(60), "vec_id",
+      "embedding", "label", dim, m, k)
+    VectorIndex.writeVersion(model, codes, root.getPath, 1)
+    VectorIndex.swapPointer(root.getPath, 1)
+    val acquired = new java.util.concurrent.CountDownLatch(1)
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val holder = new Thread(() => {
+      graft.io.IndexMeta.withIntakeClaim(root.getPath) {
+        acquired.countDown()
+        Thread.sleep(1500L)
+        released.set(true)
+      }
+    }, "vindex-mutex-holder")
+    holder.start()
+    assert(acquired.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    val v2 = VectorIndex.foldIngestAndSwap(spark, root.getPath, dim, m, k)
+    assert(released.get(),
+      "foldIngestAndSwap completed while the intake claim was still held")
+    holder.join(10000L)
+    assert(VectorIndex.currentVersion(root.getPath).contains(v2))
+  }
 }

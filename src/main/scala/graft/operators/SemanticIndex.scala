@@ -64,13 +64,6 @@ object SemanticIndex {
 
   def versionDir(root: String, v: Int): String = f"$root/versions/v$v%04d"
 
-  /** The intake/maintenance mutex dir: [[foldIngestAndSwap]] and the
-    * streaming trigger's judge→append window both hold it, so a fold
-    * can never enumerate segments while a trigger is mid-commit. See
-    * [[withIntakeClaim]].
-    */
-  def intakeClaimDir(root: String): String = s"$root/_claims/intake"
-
   /** Serialize one intake trigger or one fold against the other — the
     * round-17 race: a trigger that passed `batchApplied` and committed
     * its segment to the OLD version after a concurrent fold enumerated

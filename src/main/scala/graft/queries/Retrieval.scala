@@ -95,16 +95,28 @@ object Retrieval {
     * (the vector half of the RAG serving stack; q148's BM25 leg is the
     * lexical half). Keyed on the documents fingerprint: chunks and
     * their stub vectors are pure functions of the text.
+    *
+    * The raw chunk vectors persist NEXT TO the index (`rawvecs/`): the
+    * exact re-rank needs them, and at corpus scale re-deriving them
+    * per query batch means re-chunking and re-encoding the whole
+    * corpus per batch — a linear map, but one a production store pays
+    * ONCE at build time instead (a real encoder makes the difference
+    * decisive: build-once vs re-embed-per-query).
     */
   private def ensureChunkVectorIndex(s: SparkSession, dir: String): String = {
     val stamp = Integer.toHexString(dir.hashCode) + "_" + graft.io.Fingerprint
       .ofTree(s"${dir.stripSuffix("/")}/documents.parquet")
     val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_q150_cvindex_" + stamp)
     if (!cachedIndexPresent(root.getPath)(
-        VectorIndex.currentVersion(root.getPath).isDefined)) {
-      val (model, codes) = VectorIndex.build(chunkVectors(s, dir),
+        VectorIndex.currentVersion(root.getPath).isDefined &&
+          graft.io.IndexMeta.exists(s"${root.getPath}/rawvecs/_SUCCESS"))) {
+      val cv = chunkVectors(s, dir)
+      val (model, codes) = VectorIndex.build(cv,
         "vid", "embedding", "label", dim = 64, m = 4, k = 16)
       VectorIndex.writeVersion(model, codes, root.getPath, 1)
+      cv.select("vid", "embedding").write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"${root.getPath}/rawvecs")
       VectorIndex.swapPointer(root.getPath, 1)
     }
     root.getPath
@@ -150,7 +162,9 @@ object Retrieval {
         .select("query_id", "doc_id", "rank")
       val vRoot = ensureChunkVectorIndex(s, dir)
       val qv = chunkQueryVectors(s, dir)
-      val raw = chunkVectors(s, dir).select("vid", "embedding")
+      // the re-rank reads the PERSISTED chunk vectors (written at index
+      // build), not a re-chunk+re-encode of the corpus per query batch
+      val raw = s.read.parquet(s"$vRoot/rawvecs")
         .unionByName(qv) // one raw-vector relation re-ranks both sides
       val vr = VectorIndex.query(qv, "vid", "embedding",
           VectorIndex.readCurrentModel(s, vRoot, dim = 64, m = 4, k = 16),

@@ -267,7 +267,8 @@ class PlanAuditSpec extends SparkSpec {
       // (documents re-derived per consumer — doc scans are linear and
       // projection-pruned), the vector leg q110's persisted serve shape
       // over the chunk IVF-PQ index (codes/centroids/codebooks + the
-      // raw-vector re-rank re-embedding chunks + queries), fused by one
+      // PERSISTED rawvecs table for the exact re-rank — built once with
+      // the index, never re-embedded per query batch), fused by one
       // batch-sized integer agg; the only nested-loop is bm25's
       // sanctioned 1-row stats scalar cross
       "q150_hybrid_chunks_indexed" -> (13, 13, 8, 0))

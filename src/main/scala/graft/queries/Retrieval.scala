@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{SearchOps, TextOps, VectorIndex}
+import graft.operators.{SearchOps, SimilarityOps, TextOps, VectorIndex}
 
 /** Keyword + hybrid retrieval over the documents/embeddings tables —
   * the lexical half of the corpus-serving surface (the vector half is
@@ -174,6 +174,24 @@ object Retrieval {
           col("neighbor_id").as("doc_id"), col("rank"))
       SearchOps.rrfFuse(Seq(kw, vr), topK = 5)
         .orderBy("query_id", "rank")
+    }),
+
+    // Passage-level SemDeDup: q136's trained-cell cosine dedup run at
+    // CHUNK grain over the stub-embedded chunks — the curation rung
+    // between document dedup and the chunk-level serving stack (near-
+    // duplicate passages inside and across documents collapse before
+    // indexing/training; the synthetic corpus's near-dup documents
+    // yield chunk twins, so both verdicts fire organically). Same
+    // integer-quantized cosine convention throughout; k=16 bounds the
+    // trained cells at chunk cardinality. The oracle composes the
+    // q147 chunk derivation + the stub encoder with q136's full
+    // k-means-unroll + same-cell pair SQL.
+    "q151_semantic_dedup_chunks" -> ((s, dir) => {
+      val cv = chunked(s, dir).select(col("chunk_key").as("vid"),
+        TextOps.embedStub(col("chunk_text"), dim = 64).as("vd"))
+      SimilarityOps.semanticDedup(cv, "vid", "vd",
+          k = 16, maxIter = 2, t2 = 0.81)
+        .orderBy("vid")
     }),
 
     // Hybrid retrieval: BM25 top-10 (self excluded) fused with brute
@@ -804,5 +822,63 @@ object Retrieval {
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY fused DESC, doc_id ASC) AS rnk
         |  FROM f)
         |SELECT query_id, doc_id, fused, CAST(rnk AS BIGINT) AS rank
-        |FROM fr WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin)
+        |FROM fr WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Passage-level SemDeDup: the q147 chunk derivation + the stub
+    // encoder feeding q136's k-means unroll (2 Lloyd iterations,
+    // integer-exact, first-16 seeds) and same-cell quantized-cosine
+    // pair math, min-id-wins
+    "q151_semantic_dedup_chunks" ->
+      """WITH cw AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |cc AS (SELECT doc_id, ws, len(ws) AS n,
+        |    UNNEST(range(GREATEST(CAST(CEIL((len(ws) - 8) / 24.0) AS BIGINT), 1))) AS chunk_id
+        |  FROM cw),
+        |chk AS (SELECT doc_id * 100000 + chunk_id AS ck,
+        |    array_to_string(ws[CAST(chunk_id * 24 + 1 AS INT):CAST(LEAST(chunk_id * 24 + 32, n) AS INT)], ' ') AS ct
+        |  FROM cc),
+        |u AS (SELECT ck AS vid,
+        |    list_transform(range(64), i -> (ascii(substr(ct,
+        |      CAST((i * 31 + 7) % length(ct) AS INT) + 1, 1)) / 255.0) - 0.5) AS vd
+        |  FROM chk),
+        |v AS (SELECT vid, list_transform(vd, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv FROM u),
+        |e AS (SELECT vid, dd.range AS dim, qv[CAST(dd.range AS INT) + 1] AS x
+        |      FROM v CROSS JOIN range(64) dd),
+        |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS BIGINT) AS cell, vid
+        |       FROM (SELECT vid FROM v ORDER BY vid LIMIT 16)),
+        |cent0 AS (SELECT c0.cell, e.dim, e.x AS comp FROM c0 JOIN e ON c0.vid = e.vid),
+        |d1 AS (SELECT e.vid, c.cell, SUM((e.x - c.comp) * (e.x - c.comp)) AS dist
+        |       FROM e JOIN cent0 c ON e.dim = c.dim GROUP BY e.vid, c.cell),
+        |a1 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM d1) WHERE rn = 1),
+        |s1 AS (SELECT a.cell, e.dim, CAST(SUM(e.x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM a1 a JOIN e ON a.vid = e.vid GROUP BY a.cell, e.dim),
+        |cent1 AS (SELECT c.cell, c.dim,
+        |        COALESCE(CASE WHEN s1.s >= 0 THEN s1.s // s1.n ELSE -((-s1.s) // s1.n) END, c.comp) AS comp
+        |       FROM cent0 c LEFT JOIN s1 ON c.cell = s1.cell AND c.dim = s1.dim),
+        |d2 AS (SELECT e.vid, c.cell, SUM((e.x - c.comp) * (e.x - c.comp)) AS dist
+        |       FROM e JOIN cent1 c ON e.dim = c.dim GROUP BY e.vid, c.cell),
+        |a2 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM d2) WHERE rn = 1),
+        |s2 AS (SELECT a.cell, e.dim, CAST(SUM(e.x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM a2 a JOIN e ON a.vid = e.vid GROUP BY a.cell, e.dim),
+        |cent2 AS (SELECT c.cell, c.dim,
+        |        COALESCE(CASE WHEN s2.s >= 0 THEN s2.s // s2.n ELSE -((-s2.s) // s2.n) END, c.comp) AS comp
+        |       FROM cent1 c LEFT JOIN s2 ON c.cell = s2.cell AND c.dim = s2.dim),
+        |d3 AS (SELECT e.vid, c.cell, SUM((e.x - c.comp) * (e.x - c.comp)) AS dist
+        |       FROM e JOIN cent2 c ON e.dim = c.dim GROUP BY e.vid, c.cell),
+        |a3 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM d3) WHERE rn = 1),
+        |nn AS (SELECT vid, qv, list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS n2 FROM v),
+        |pr AS (SELECT a.vid AS va, b.vid AS vb,
+        |        list_dot_product(CAST(na.qv AS DOUBLE[]), CAST(nb.qv AS DOUBLE[])) AS d,
+        |        na.n2 AS na2, nb.n2 AS nb2
+        |      FROM a3 a JOIN a3 b ON a.cell = b.cell AND a.vid < b.vid
+        |      JOIN nn na ON na.vid = a.vid JOIN nn nb ON nb.vid = b.vid),
+        |dups AS (SELECT vb AS vid, MIN(va) AS dup_of FROM pr
+        |      WHERE d > 0 AND d * d >= 0.81 * na2 * nb2 GROUP BY vb)
+        |SELECT a3.vid, a3.cell, dups.dup_of, dups.dup_of IS NULL AS kept
+        |FROM a3 LEFT JOIN dups ON a3.vid = dups.vid
+        |ORDER BY a3.vid""".stripMargin)
 }

@@ -51,6 +51,17 @@ object GoldPhase {
     * unconditional unpersist here would silently evict the caller's
     * block (and an unconditional persist would throw on a caller-chosen
     * different level).
+    *
+    * The one-scan-per-input guarantee holds only for sinks that
+    * MATERIALIZE each output before returning (a write, a persisted
+    * count — anything that executes the frame): the early speeches
+    * release after the constituency mart assumes every speeches
+    * consumer has already run. An in-memory sink that returns frames
+    * unmaterialized still gets CORRECT results, but a mart consumed
+    * after run() returns recomputes from the by-then-unpersisted
+    * input — such a caller should persist speeches/votes itself (this
+    * helper then leaves them untouched) and release them after its own
+    * last action.
     */
   def run(in: Inputs)(sink: (String, DataFrame) => DataFrame): DataFrame = {
     def persistIfUnpersisted(df: DataFrame): Boolean =

@@ -426,9 +426,10 @@ object TextOps {
     * strided character sampling — dim `i` reads the character at
     * `(i·31 + 7) mod len` and maps its CODE POINT through cp/255 − 0.5
     * (both Spark's and DuckDB's `ascii` return the first code point, so
-    * parity holds for any input; the value is bounded to [−0.5, 0.5)
-    * only for Latin-1 text — a multi-byte code point lands above it,
-    * deterministically on both engines). The text twin of
+    * parity holds for any input; the value is bounded to [−0.5, 0.5]
+    * only for Latin-1 text — code point 255 (ÿ) lands exactly on 0.5,
+    * so the bound is closed — and a multi-byte code point lands above
+    * it, deterministically on both engines). The text twin of
     * [[MultimodalOps.featureExtract]]'s byte-sampling stub, standing in
     * for a sentence-transformer; the Spark-side plumbing (pure codegen
     * projection, array<double> column shape the ANN/VectorIndex family

@@ -470,10 +470,18 @@ object VectorIndex {
     * live [[graft.streaming.StreamOps.vectorIngestSinkVersioned]]
     * trigger resolved at trigger start (the trigger holds the same
     * claim across its resolve→append window); keepLatest > 1 remains
-    * the grace knob for BATCH readers of superseded dirs. Returns the
-    * pruned version numbers.
+    * the grace knob for BATCH readers of superseded dirs. Defaults to
+    * keepLatest=2 — served version plus one reader-grace version —
+    * for the same reason [[SemanticIndex.pruneVersions]] does: the
+    * claim covers claimed intake triggers, but a plain batch reader
+    * (q110-shaped serving) resolves the pointer un-claimed and may
+    * still be scanning the superseded dir when a post-fold prune runs;
+    * the two families' trigger/reader patterns are identical, so their
+    * production-stance defaults are too (round-18 ADVICE). Lifecycle
+    * tests wanting full reclaim pass keepLatest=1 explicitly. Returns
+    * the pruned version numbers.
     */
-  def pruneVersions(root: String, keepLatest: Int = 1): Seq[Int] = {
+  def pruneVersions(root: String, keepLatest: Int = 2): Seq[Int] = {
     require(keepLatest >= 1, "keepLatest must be >= 1")
     graft.io.IndexMeta.withIntakeClaim(root) {
       val served = currentVersion(root).getOrElse(

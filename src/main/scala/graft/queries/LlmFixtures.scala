@@ -74,7 +74,7 @@ private[graft] object LlmFixtures {
         VectorIndex.versionDir(root.getPath, 1), batchId = 0L),
         "q135 cache build: the append batch must apply")
       VectorIndex.foldIngestAndSwap(s, root.getPath, dim = 64, m = 4, k = 16)
-      VectorIndex.pruneVersions(root.getPath)
+      VectorIndex.pruneVersions(root.getPath, keepLatest = 1)
     }
     root.getPath
   }

@@ -440,8 +440,13 @@ object LlmPipeline {
       require(VectorIndex.appendBatch(batch, "vec_id", "embedding", m1,
         VectorIndex.versionDir(root.getPath, 1), batchId = 0L))
       VectorIndex.foldIngestAndSwap(s, root.getPath, dim = 64, m = 4, k = 16)
-      require(VectorIndex.pruneVersions(root.getPath) == Seq(1),
-        "prune must collect exactly the superseded version")
+      // default prune keeps ONE grace version for un-claimed batch
+      // readers of the superseded dir (the q149 convention, defaults
+      // aligned across families in round 19); keepLatest=1 reclaims it
+      require(VectorIndex.pruneVersions(root.getPath) == Seq.empty,
+        "default prune must keep v1 as the reader-grace version")
+      require(VectorIndex.pruneVersions(root.getPath, keepLatest = 1) == Seq(1),
+        "keepLatest=1 must collect exactly the superseded version")
       require(!graft.io.IndexMeta.exists(VectorIndex.versionDir(root.getPath, 1)))
       require(!VectorIndex.appendBatch(batch, "vec_id", "embedding",
         VectorIndex.readCurrentModel(s, root.getPath, dim = 64, m = 4, k = 16),

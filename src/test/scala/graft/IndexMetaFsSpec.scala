@@ -101,7 +101,8 @@ class IndexMetaFsSpec extends SparkSpec with Matchers {
     VectorIndex.foldIngestAndSwap(spark, root, dim, m, k) shouldBe 2
     VectorIndex.currentVersion(root) shouldBe Some(2)
     // retention GC through graftfs: v1 collects, v2 keeps serving
-    VectorIndex.pruneVersions(root) shouldBe Seq(1)
+    VectorIndex.pruneVersions(root) shouldBe Nil // default keeps the grace version
+    VectorIndex.pruneVersions(root, keepLatest = 1) shouldBe Seq(1)
     assert(!graft.io.IndexMeta.exists(VectorIndex.versionDir(root, 1)))
     // the folded-batch ledger carried through graftfs: a cross-swap
     // replay of batch 0 against v2 must still no-op

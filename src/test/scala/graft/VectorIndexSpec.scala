@@ -488,9 +488,10 @@ class VectorIndexSpec extends SparkSpec {
         nprobe = 2, shortlist = 10, topK = 3)
       .orderBy("query_id", "rank").collect().toSeq
 
-    assert(VectorIndex.pruneVersions(root.getPath, keepLatest = 2) == Seq(1))
+    assert(VectorIndex.pruneVersions(root.getPath) == Seq(1),
+      "the default prune keeps exactly one reader-grace version")
     assert(graft.io.IndexMeta.exists(VectorIndex.versionDir(root.getPath, 2)))
-    assert(VectorIndex.pruneVersions(root.getPath) == Seq(2))
+    assert(VectorIndex.pruneVersions(root.getPath, keepLatest = 1) == Seq(2))
     assert(!graft.io.IndexMeta.exists(VectorIndex.versionDir(root.getPath, 1)))
     assert(VectorIndex.currentVersion(root.getPath).contains(3))
     assert(VectorIndex.query(emb, "vec_id", "embedding",

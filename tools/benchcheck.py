@@ -74,6 +74,13 @@ def main(path: str) -> int:
         print(f"BENCHCHECK: failures: {b['failed']}")
         rc = 1
     hi = b.get("host_inflation")
+    if b.get("canary_errored"):
+        # a canary rep errored: start/end minima include time-to-failure
+        # samples and host_inflation was nulled — say WHY, so a null
+        # normalization is attributable instead of silent
+        print("BENCHCHECK: warning — a canary rep errored; canary "
+              "start/end figures are tainted and host_inflation is null "
+              "for that reason")
     if b.get("drift"):
         # surface the weather-normalized ratios alongside the raw ones:
         # a drift entry whose normalized ratio falls back under 1.5x is

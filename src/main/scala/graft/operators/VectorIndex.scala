@@ -238,12 +238,18 @@ object VectorIndex {
     *   - `tombstones`: a (vid) set of deleted vectors, removed by
     *     anti-join (AQE broadcasts it when small — the usual case; a
     *     compaction folds large tombstone sets back into the files).
+    *   - `neighborVectors`: a cell-PARTITIONED persisted raw-vector
+    *     store (columns idCol/vecCol/`cell`) serving the exact
+    *     re-rank's NEIGHBOR side with a probed-cell partition filter
+    *     pushed in (see inline note); `rawVectors` then only resolves
+    *     the query side.
     */
   def query(queries: DataFrame, idCol: String, vecCol: String,
             model: Model, codes: DataFrame, rawVectors: DataFrame,
             nprobe: Int, shortlist: Int, topK: Int,
             neighborFilter: Option[org.apache.spark.sql.Column] = None,
-            tombstones: Option[DataFrame] = None): DataFrame = {
+            tombstones: Option[DataFrame] = None,
+            neighborVectors: Option[DataFrame] = None): DataFrame = {
     val m = model.m
     val sub = model.sub
     val sortedCells = model.cents.toSeq.sortBy(_._1)
@@ -281,11 +287,33 @@ object VectorIndex {
     // exact re-rank: fetch raw vectors for ONLY the surviving pairs
     val rv = rawVectors.select(col(idCol).cast("long").as("_vid"),
       VecExprs.quantize(col(vecCol)).as("_rqv"))
+    // Neighbor-side raw-vector fetch: with `neighborVectors` (a
+    // persisted raw-vector store PARTITIONED BY `cell` — the rawvecs/
+    // layout ensureChunkVectorIndex writes), the probed-cell set is
+    // collected (bounded by min(|Q|·nprobe, cells) — model-sized, the
+    // kmeansTrain collect convention) and pushed as a STATIC isin
+    // partition filter, so the exact re-rank's raw read prunes to the
+    // probed cell directories at plan time exactly as the codes scan
+    // does — instead of a corpus-sized scan to fetch |Q|·shortlist
+    // rows. Every shortlist neighbor came from a probed cell (the
+    // codes join keys on it), so the filter loses nothing. Without it,
+    // `rawVectors` resolves both sides unfiltered (the source-table
+    // equi-join shape of the q110/q125 family).
+    val nbr = neighborVectors match {
+      case Some(nv) =>
+        val probed = luts.select(col("cell").cast("long")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        nv.filter(col("cell").cast("long").isin(probed: _*))
+          .select(col(idCol).cast("long").as("neighbor_id"),
+            VecExprs.quantize(col(vecCol)).as("_n"))
+      case None =>
+        rv.select(col("_vid").as("neighbor_id"), col("_rqv").as("_n"))
+    }
     val wExact = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("exact_dist").asc, col("neighbor_id").asc)
     short
       .join(rv.select(col("_vid").as("query_id"), col("_rqv").as("_q")), "query_id")
-      .join(rv.select(col("_vid").as("neighbor_id"), col("_rqv").as("_n")), "neighbor_id")
+      .join(nbr, "neighbor_id")
       .withColumn("exact_dist", VecExprs.sqDist(col("_q"), col("_n")))
       .withColumn("rank", row_number().over(wExact)).filter(col("rank") <= topK)
       .select(col("query_id"), col("neighbor_id"), col("exact_dist"),

@@ -101,21 +101,33 @@ object Retrieval {
     * per query batch means re-chunking and re-encoding the whole
     * corpus per batch — a linear map, but one a production store pays
     * ONCE at build time instead (a real encoder makes the difference
-    * decisive: build-once vs re-embed-per-query).
+    * decisive: build-once vs re-embed-per-query). rawvecs/ is
+    * PARTITIONED BY the coarse cell (round-18 verdict #3): the exact
+    * re-rank fetches |Q|·shortlist rows, and unpartitioned that fetch
+    * planned a full corpus-sized scan per query batch — cell
+    * partitioning lets the probed-cell set prune the raw read exactly
+    * as it prunes the codes scan (VectorIndex.query's neighborVectors
+    * path; PlanAuditSpec pins the partition filter on the scan).
     */
   private def ensureChunkVectorIndex(s: SparkSession, dir: String): String = {
     val stamp = Integer.toHexString(dir.hashCode) + "_" + graft.io.Fingerprint
       .ofTree(s"${dir.stripSuffix("/")}/documents.parquet")
     val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_q150_cvindex_" + stamp)
-    if (!cachedIndexPresent(root.getPath)(
-        VectorIndex.currentVersion(root.getPath).isDefined &&
-          graft.io.IndexMeta.exists(s"${root.getPath}/rawvecs/_SUCCESS"))) {
+    val present = cachedIndexPresent(root.getPath)(
+      VectorIndex.currentVersion(root.getPath).isDefined &&
+        graft.io.IndexMeta.exists(s"${root.getPath}/rawvecs/_SUCCESS") &&
+        // a pre-round-19 cache holds UNPARTITIONED rawvecs — rebuild
+        graft.io.IndexMeta.listChildNames(s"${root.getPath}/rawvecs")
+          .exists(_.startsWith("cell=")))
+    if (!present) {
+      graft.io.IndexMeta.deleteTree(root.getPath) // stale layout or absent
       val cv = chunkVectors(s, dir)
       val (model, codes) = VectorIndex.build(cv,
         "vid", "embedding", "label", dim = 64, m = 4, k = 16)
       VectorIndex.writeVersion(model, codes, root.getPath, 1)
-      cv.select("vid", "embedding").write
-        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      cv.select(col("vid"), col("embedding"), col("label").cast("long").as("cell"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell")
         .parquet(s"${root.getPath}/rawvecs")
       VectorIndex.swapPointer(root.getPath, 1)
     }
@@ -163,12 +175,16 @@ object Retrieval {
       val vRoot = ensureChunkVectorIndex(s, dir)
       val qv = chunkQueryVectors(s, dir)
       // the re-rank reads the PERSISTED chunk vectors (written at index
-      // build), not a re-chunk+re-encode of the corpus per query batch
+      // build), not a re-chunk+re-encode of the corpus per query batch;
+      // the store is cell-partitioned and the neighborVectors path
+      // prunes it to the probed cells (query ids ride above the chunk
+      // key space, so qv alone resolves the query side exactly as the
+      // old unioned relation did — neighbor ids never matched qv rows)
       val raw = s.read.parquet(s"$vRoot/rawvecs")
-        .unionByName(qv) // one raw-vector relation re-ranks both sides
       val vr = VectorIndex.query(qv, "vid", "embedding",
           VectorIndex.readCurrentModel(s, vRoot, dim = 64, m = 4, k = 16),
-          VectorIndex.readCurrentCodes(s, vRoot), rawVectors = raw,
+          VectorIndex.readCurrentCodes(s, vRoot), rawVectors = qv,
+          neighborVectors = Some(raw),
           nprobe = 2, shortlist = 10, topK = 3)
         .select((col("query_id") - QueryVidOffset).as("query_id"),
           col("neighbor_id").as("doc_id"), col("rank"))

@@ -270,8 +270,13 @@ class PlanAuditSpec extends SparkSpec {
       // PERSISTED rawvecs table for the exact re-rank — built once with
       // the index, never re-embedded per query batch), fused by one
       // batch-sized integer agg; the only nested-loop is bm25's
-      // sanctioned 1-row stats scalar cross
-      "q150_hybrid_chunks_indexed" -> (13, 13, 8, 0))
+      // sanctioned 1-row stats scalar cross. Round 19: the re-rank
+      // splits its raw relation (query side = the derived qv frame,
+      // neighbor side = the cell-partitioned rawvecs store, pruned to
+      // the probed cells) — the old unioned relation scanned rawvecs
+      // AND the qv documents derivation once per re-rank side, so the
+      // split drops two scans (13 → 11)
+      "q150_hybrid_chunks_indexed" -> (11, 13, 8, 0))
     for ((q, (scans, shuffles, broadcasts, antis)) <- pins) {
       val p = plan(q)
       def uniq(pat: String): Int =
@@ -319,6 +324,27 @@ class PlanAuditSpec extends SparkSpec {
       s"cell-width window recomputed live ($windows WindowExec nodes)")
     assert(cacheScans >= 3,
       s"expected the two pair legs + verdict join-back to read caches, got $cacheScans")
+  }
+
+  test("q150 exact re-rank: the rawvecs scan carries a probed-cell partition filter") {
+    // rawvecs/ persists cell-PARTITIONED and VectorIndex.query's
+    // neighborVectors path pushes the collected probed-cell set as a
+    // static isin filter (round-18 verdict #3): the exact re-rank's
+    // raw-vector read must prune to the probed cell directories the
+    // same way the codes scan does — a full-corpus PartitionFilters=[]
+    // scan here is the 100 TB regression this pin exists to catch.
+    val p = plan("q150_hybrid_chunks_indexed")
+    val rawvecsScan = p.linesIterator.zipWithIndex.collectFirst {
+      case (l, i) if l.contains("Location") && l.contains("rawvecs") => i
+    }
+    assert(rawvecsScan.isDefined, "no rawvecs scan found in the q150 plan")
+    // the scan's detail block: PartitionFilters must name cell IN (...)
+    val block = p.linesIterator.slice(rawvecsScan.get - 6, rawvecsScan.get + 6)
+      .mkString("\n")
+    val pf = block.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(l => l.contains("cell") && l.contains("IN") &&
+        !l.matches(".*PartitionFilters: \\[\\].*")),
+      s"rawvecs scan lost its probed-cell partition filter:\n$block")
   }
 
   test("bigram surprisal: combinable aggs, no window, no corpus self-join, one sanctioned vocab cross") {

@@ -210,6 +210,26 @@ object Retrieval {
         .orderBy("vid")
     }),
 
+    // q151 at the operator's own documented production stance
+    // (round-18 verdict #4): k ≈ √n keeps the expected cell at √n
+    // vectors, so the same-cell pair mass is ~n^1.5 instead of n²/16 —
+    // at sf0.1 that is ~1.3M dot products vs q151's ~9M. q151 stays
+    // as-is (k=16 keeps its Lloyd unroll tractable for hand-audit);
+    // THIS query hash-gates the configuration a deployment would run.
+    // k derives from the data in both engines identically: the count
+    // is exact and ceil(sqrt(·)) is IEEE-correct on both, so the seed
+    // set (the k smallest chunk keys) and every downstream verdict are
+    // bit-reproducible.
+    "q152_semantic_dedup_chunks_sqrtk" -> ((s, dir) => {
+      val n = chunked(s, dir).count()
+      val k = math.ceil(math.sqrt(n.toDouble)).toInt
+      val cv = chunked(s, dir).select(col("chunk_key").as("vid"),
+        TextOps.embedStub(col("chunk_text"), dim = 64).as("vd"))
+      SimilarityOps.semanticDedup(cv, "vid", "vd",
+          k = k, maxIter = 2, t2 = 0.81)
+        .orderBy("vid")
+    }),
+
     // Hybrid retrieval: BM25 top-10 (self excluded) fused with brute
     // cosine top-10 over the aligned embeddings by reciprocal-rank
     // fusion (k=60) — integer fused scores, top-5 per query. At scale
@@ -844,7 +864,24 @@ object Retrieval {
     // encoder feeding q136's k-means unroll (2 Lloyd iterations,
     // integer-exact, first-16 seeds) and same-cell quantized-cosine
     // pair math, min-id-wins
-    "q151_semantic_dedup_chunks" ->
+    "q151_semantic_dedup_chunks" -> chunkSemDedupSql(
+      "(SELECT vid FROM v ORDER BY vid LIMIT 16)"),
+
+    // q151 with the seed count derived from the data: the first
+    // ceil(sqrt(n)) chunk keys seed the Lloyd unroll — everything
+    // after c0 is q151's SQL verbatim (cells key off c0 rows)
+    "q152_semantic_dedup_chunks_sqrtk" -> chunkSemDedupSql(
+      """(SELECT vid FROM (SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) AS rn,
+        |         COUNT(*) OVER () AS nn FROM v)
+        |       WHERE rn <= CAST(CEIL(SQRT(nn)) AS BIGINT))""".stripMargin))
+
+  /** The passage-level SemDeDup oracle, parameterized ONLY on the seed
+    * subquery (rows whose ascending-vid row numbers become the cells):
+    * q151 pins the hand-auditable k=16, q152 the production k≈√n.
+    * Spliced by token replace, not interpolation — an s-interpolator
+    * would re-process the SQL's regex escapes.
+    */
+  private def chunkSemDedupSql(seedsSql: String): String =
       """WITH cw AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
         |  FROM documents WHERE length(trim(text)) > 0),
@@ -862,7 +899,7 @@ object Retrieval {
         |e AS (SELECT vid, dd.range AS dim, qv[CAST(dd.range AS INT) + 1] AS x
         |      FROM v CROSS JOIN range(64) dd),
         |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS BIGINT) AS cell, vid
-        |       FROM (SELECT vid FROM v ORDER BY vid LIMIT 16)),
+        |       FROM __SEEDS__),
         |cent0 AS (SELECT c0.cell, e.dim, e.x AS comp FROM c0 JOIN e ON c0.vid = e.vid),
         |d1 AS (SELECT e.vid, c.cell, SUM((e.x - c.comp) * (e.x - c.comp)) AS dist
         |       FROM e JOIN cent0 c ON e.dim = c.dim GROUP BY e.vid, c.cell),
@@ -896,5 +933,5 @@ object Retrieval {
         |      WHERE d > 0 AND d * d >= 0.81 * na2 * nb2 GROUP BY vb)
         |SELECT a3.vid, a3.cell, dups.dup_of, dups.dup_of IS NULL AS kept
         |FROM a3 LEFT JOIN dups ON a3.vid = dups.vid
-        |ORDER BY a3.vid""".stripMargin)
+        |ORDER BY a3.vid""".stripMargin.replace("__SEEDS__", seedsSql)
 }

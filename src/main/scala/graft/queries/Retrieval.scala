@@ -230,6 +230,79 @@ object Retrieval {
         .orderBy("vid")
     }),
 
+    // Chunk-grain STREAMING semantic intake (round-18 verdict #6) —
+    // the intake half of the RAG stack q150 serves: live documents
+    // chunk (q147) + stub-embed INSIDE the streaming pipeline and
+    // dedupe at passage grain against the persisted semantic index
+    // (q146's exactly-once dance — two real triggers with a
+    // foldIngestAndSwap between them, so batch 2 judges through the
+    // swapped version and against batch 1's KEPT chunks). The corpus
+    // is every organic chunk; batch 1 streams the %5 docs with their
+    // token order REVERSED (same tokens, different windows — mostly
+    // novel chunks, short docs collapse to their originals), batch 2
+    // streams the %7=3 docs VERBATIM (every chunk an exact clone →
+    // dup_of the corpus twin). Doc ids offset +1e6/+2e6 so chunk keys
+    // ride above the corpus key space. The oracle recomposes the
+    // chunk+encoder derivation for all three doc sets and replays the
+    // two-batch sequential judge (the q146 SQL pattern at chunk grain).
+    "q153_semantic_intake_chunks" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = t(s, dir, "documents")
+      val corpus = chunked(s, dir).select(col("chunk_key").as("vid"),
+        TextOps.embedStub(col("chunk_text"), dim = 64).as("vd"))
+      // token-level reversal over the family's ONE tokenizer, rejoined
+      // — chunkWindows re-normalizes the rejoined string (idempotent),
+      // so engine and oracle window the identical reversed token list
+      val b1 = SearchOps.tokenized(docs.filter(col("doc_id") % 5 === 0),
+          "text", "doc_id")
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(reverse(col("ws")), " ").as("text"))
+      val b2 = docs.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id").cast("long") + 2000000L).as("doc_id"),
+          col("text"))
+      def fresh(name: String): java.io.File = {
+        val f = new java.io.File(sys.props("java.io.tmpdir"),
+          s"${name}_${Integer.toHexString(dir.hashCode)}")
+        org.apache.commons.io.FileUtils.deleteQuietly(f); f
+      }
+      val root = fresh("graft_q153_semidx").getPath
+      val target = fresh("graft_q153_sink").getPath
+      val ckpt = fresh("graft_q153_ckpt").getPath
+      graft.operators.SemanticIndex.buildAndServe(corpus, "vid", "vd",
+        k = 8, maxIter = 2, root)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      // the streaming transform IS the chunk+embed front end: a
+      // stateless projection+explode, so the sink's per-trigger cost
+      // stays batch-proportional end to end
+      val chunkStream = TextOps.chunkWindows(
+          input.toDF().toDF("doc_id", "text"), "text", "doc_id",
+          window = 32, overlap = 8)
+        .select(chunkKey(col("doc_id"), col("chunk_id")).as("vid"),
+          TextOps.embedStub(col("chunk_text"), dim = 64).as("vd"))
+      val q = graft.streaming.StreamOps.semanticIntakeSink(
+          chunkStream, "vid", "vd", root, target, t2 = 0.81)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+        .option("checkpointLocation", ckpt)
+        .start()
+      def feed(df: DataFrame): Unit = {
+        input.addData(df.select(col("doc_id"), col("text"))
+          .as[(Long, String)].collect().toSeq: _*)
+        q.processAllAvailable()
+      }
+      try {
+        feed(b1)
+        graft.operators.SemanticIndex.foldIngestAndSwap(s, root)
+        feed(b2)
+      } finally q.stop()
+      s.read.parquet(target)
+        .select(col("vid").cast("long").as("vid"),
+          col("cell").cast("long").as("cell"),
+          col("dup_of").cast("long").as("dup_of"), col("kept"))
+        .orderBy("vid")
+    }),
+
     // Hybrid retrieval: BM25 top-10 (self excluded) fused with brute
     // cosine top-10 over the aligned embeddings by reciprocal-rank
     // fusion (k=60) — integer fused scores, top-5 per query. At scale
@@ -873,7 +946,138 @@ object Retrieval {
     "q152_semantic_dedup_chunks_sqrtk" -> chunkSemDedupSql(
       """(SELECT vid FROM (SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) AS rn,
         |         COUNT(*) OVER () AS nn FROM v)
-        |       WHERE rn <= CAST(CEIL(SQRT(nn)) AS BIGINT))""".stripMargin))
+        |       WHERE rn <= CAST(CEIL(SQRT(nn)) AS BIGINT))""".stripMargin),
+
+    // Chunk-grain streaming intake: the q147 chunk derivation + stub
+    // encoder for the corpus AND both streamed doc sets (b1 = %5 docs
+    // token-reversed, ids +1e6; b2 = %7=3 docs verbatim, ids +2e6),
+    // feeding q146's sequential two-batch replay — b1 judges against
+    // corpus + lower-key b1 mates, b2 against corpus ∪ KEPT-b1 +
+    // lower-key b2 mates; dup_of = least match; the mid-stream fold is
+    // answer-preserving so the oracle needs no notion of versions.
+    // k-means: 2 Lloyd iterations, first-8 corpus chunk keys seed.
+    "q153_semantic_intake_chunks" ->
+      """WITH cw AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |cc AS (SELECT doc_id, ws, len(ws) AS n,
+        |    UNNEST(range(GREATEST(CAST(CEIL((len(ws) - 8) / 24.0) AS BIGINT), 1))) AS chunk_id
+        |  FROM cw),
+        |chk AS (SELECT doc_id * 100000 + chunk_id AS ck,
+        |    array_to_string(ws[CAST(chunk_id * 24 + 1 AS INT):CAST(LEAST(chunk_id * 24 + 32, n) AS INT)], ' ') AS ct
+        |  FROM cc),
+        |u AS (SELECT ck AS vid,
+        |    list_transform(range(64), i -> (ascii(substr(ct,
+        |      CAST((i * 31 + 7) % length(ct) AS INT) + 1, 1)) / 255.0) - 0.5) AS vd
+        |  FROM chk),
+        |cw1 AS (SELECT doc_id + 1000000 AS doc_id, list_reverse(ws) AS ws FROM cw WHERE doc_id % 5 = 0),
+        |cc1 AS (SELECT doc_id, ws, len(ws) AS n,
+        |    UNNEST(range(GREATEST(CAST(CEIL((len(ws) - 8) / 24.0) AS BIGINT), 1))) AS chunk_id
+        |  FROM cw1),
+        |chk1 AS (SELECT doc_id * 100000 + chunk_id AS ck,
+        |    array_to_string(ws[CAST(chunk_id * 24 + 1 AS INT):CAST(LEAST(chunk_id * 24 + 32, n) AS INT)], ' ') AS ct
+        |  FROM cc1),
+        |u1 AS (SELECT ck AS vid,
+        |    list_transform(range(64), i -> (ascii(substr(ct,
+        |      CAST((i * 31 + 7) % length(ct) AS INT) + 1, 1)) / 255.0) - 0.5) AS vd
+        |  FROM chk1),
+        |cw2 AS (SELECT doc_id + 2000000 AS doc_id, ws FROM cw WHERE doc_id % 7 = 3),
+        |cc2 AS (SELECT doc_id, ws, len(ws) AS n,
+        |    UNNEST(range(GREATEST(CAST(CEIL((len(ws) - 8) / 24.0) AS BIGINT), 1))) AS chunk_id
+        |  FROM cw2),
+        |chk2 AS (SELECT doc_id * 100000 + chunk_id AS ck,
+        |    array_to_string(ws[CAST(chunk_id * 24 + 1 AS INT):CAST(LEAST(chunk_id * 24 + 32, n) AS INT)], ' ') AS ct
+        |  FROM cc2),
+        |u2 AS (SELECT ck AS vid,
+        |    list_transform(range(64), i -> (ascii(substr(ct,
+        |      CAST((i * 31 + 7) % length(ct) AS INT) + 1, 1)) / 255.0) - 0.5) AS vd
+        |  FROM chk2),
+        |v AS (SELECT vid, list_transform(vd, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv FROM u),
+        |e AS (SELECT vid, dd.range AS dim, qv[CAST(dd.range AS INT) + 1] AS x FROM v CROSS JOIN range(64) dd),
+        |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS BIGINT) AS cell, vid
+        |       FROM (SELECT vid FROM v ORDER BY vid LIMIT 8)),
+        |cent0 AS (SELECT c0.cell, e.dim, e.x AS comp FROM c0 JOIN e ON c0.vid = e.vid),
+        |d1 AS (SELECT e.vid, c.cell, SUM((e.x - c.comp) * (e.x - c.comp)) AS dist
+        |       FROM e JOIN cent0 c ON e.dim = c.dim GROUP BY e.vid, c.cell),
+        |a1 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM d1) WHERE rn = 1),
+        |s1 AS (SELECT a.cell, e.dim, CAST(SUM(e.x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM a1 a JOIN e ON a.vid = e.vid GROUP BY a.cell, e.dim),
+        |cent1 AS (SELECT c.cell, c.dim,
+        |        COALESCE(CASE WHEN s1.s >= 0 THEN s1.s // s1.n ELSE -((-s1.s) // s1.n) END, c.comp) AS comp
+        |       FROM cent0 c LEFT JOIN s1 ON c.cell = s1.cell AND c.dim = s1.dim),
+        |d2 AS (SELECT e.vid, c.cell, SUM((e.x - c.comp) * (e.x - c.comp)) AS dist
+        |       FROM e JOIN cent1 c ON e.dim = c.dim GROUP BY e.vid, c.cell),
+        |a2 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM d2) WHERE rn = 1),
+        |s2 AS (SELECT a.cell, e.dim, CAST(SUM(e.x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM a2 a JOIN e ON a.vid = e.vid GROUP BY a.cell, e.dim),
+        |cent2 AS (SELECT c.cell, c.dim,
+        |        COALESCE(CASE WHEN s2.s >= 0 THEN s2.s // s2.n ELSE -((-s2.s) // s2.n) END, c.comp) AS comp
+        |       FROM cent1 c LEFT JOIN s2 ON c.cell = s2.cell AND c.dim = s2.dim),
+        |d3 AS (SELECT e.vid, c.cell, SUM((e.x - c.comp) * (e.x - c.comp)) AS dist
+        |       FROM e JOIN cent2 c ON e.dim = c.dim GROUP BY e.vid, c.cell),
+        |a3 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM d3) WHERE rn = 1),
+        |nc AS (SELECT vid, qv, list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS n2 FROM v),
+        |q1 AS (SELECT vid, list_transform(vd, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv FROM u1),
+        |q2 AS (SELECT vid, list_transform(vd, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv FROM u2),
+        |e1 AS (SELECT vid, dd.range AS dim, qv[CAST(dd.range AS INT) + 1] AS x FROM q1 CROSS JOIN range(64) dd),
+        |e2 AS (SELECT vid, dd.range AS dim, qv[CAST(dd.range AS INT) + 1] AS x FROM q2 CROSS JOIN range(64) dd),
+        |bd1 AS (SELECT e1.vid, c.cell, SUM((e1.x - c.comp) * (e1.x - c.comp)) AS dist
+        |       FROM e1 JOIN cent2 c ON e1.dim = c.dim GROUP BY e1.vid, c.cell),
+        |ba1 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM bd1) WHERE rn = 1),
+        |bd2 AS (SELECT e2.vid, c.cell, SUM((e2.x - c.comp) * (e2.x - c.comp)) AS dist
+        |       FROM e2 JOIN cent2 c ON e2.dim = c.dim GROUP BY e2.vid, c.cell),
+        |ba2 AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, cell ASC) AS rn FROM bd2) WHERE rn = 1),
+        |n1 AS (SELECT vid, qv, list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS n2 FROM q1),
+        |n2t AS (SELECT vid, qv, list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS n2 FROM q2),
+        |prc1 AS (SELECT a.vid AS va, b.vid AS vb,
+        |        list_dot_product(CAST(na.qv AS DOUBLE[]), CAST(nb.qv AS DOUBLE[])) AS d,
+        |        na.n2 AS na2, nb.n2 AS nb2
+        |      FROM ba1 b JOIN a3 a ON a.cell = b.cell
+        |      JOIN nc na ON na.vid = a.vid JOIN n1 nb ON nb.vid = b.vid),
+        |mc1 AS (SELECT vb AS vid, MIN(va) AS m FROM prc1
+        |      WHERE d > 0 AND d * d >= 0.81 * na2 * nb2 GROUP BY vb),
+        |prb1 AS (SELECT a.vid AS va, b.vid AS vb,
+        |        list_dot_product(CAST(na.qv AS DOUBLE[]), CAST(nb.qv AS DOUBLE[])) AS d,
+        |        na.n2 AS na2, nb.n2 AS nb2
+        |      FROM ba1 b JOIN ba1 a ON a.cell = b.cell AND a.vid < b.vid
+        |      JOIN n1 na ON na.vid = a.vid JOIN n1 nb ON nb.vid = b.vid),
+        |mb1 AS (SELECT vb AS vid, MIN(va) AS m FROM prb1
+        |      WHERE d > 0 AND d * d >= 0.81 * na2 * nb2 GROUP BY vb),
+        |dups1 AS (SELECT COALESCE(mc1.vid, mb1.vid) AS vid,
+        |      COALESCE(LEAST(mc1.m, mb1.m), mc1.m, mb1.m) AS dup_of
+        |    FROM mc1 FULL OUTER JOIN mb1 ON mc1.vid = mb1.vid),
+        |verd1 AS (SELECT ba1.vid, ba1.cell, dups1.dup_of, dups1.dup_of IS NULL AS kept
+        |    FROM ba1 LEFT JOIN dups1 ON ba1.vid = dups1.vid),
+        |corp2 AS (SELECT vid, cell FROM a3
+        |    UNION ALL SELECT vid, cell FROM verd1 WHERE dup_of IS NULL),
+        |nall AS (SELECT vid, qv, n2 FROM nc UNION ALL SELECT vid, qv, n2 FROM n1),
+        |prc2 AS (SELECT a.vid AS va, b.vid AS vb,
+        |        list_dot_product(CAST(na.qv AS DOUBLE[]), CAST(nb.qv AS DOUBLE[])) AS d,
+        |        na.n2 AS na2, nb.n2 AS nb2
+        |      FROM ba2 b JOIN corp2 a ON a.cell = b.cell
+        |      JOIN nall na ON na.vid = a.vid JOIN n2t nb ON nb.vid = b.vid),
+        |mc2 AS (SELECT vb AS vid, MIN(va) AS m FROM prc2
+        |      WHERE d > 0 AND d * d >= 0.81 * na2 * nb2 GROUP BY vb),
+        |prb2 AS (SELECT a.vid AS va, b.vid AS vb,
+        |        list_dot_product(CAST(na.qv AS DOUBLE[]), CAST(nb.qv AS DOUBLE[])) AS d,
+        |        na.n2 AS na2, nb.n2 AS nb2
+        |      FROM ba2 b JOIN ba2 a ON a.cell = b.cell AND a.vid < b.vid
+        |      JOIN n2t na ON na.vid = a.vid JOIN n2t nb ON nb.vid = b.vid),
+        |mb2 AS (SELECT vb AS vid, MIN(va) AS m FROM prb2
+        |      WHERE d > 0 AND d * d >= 0.81 * na2 * nb2 GROUP BY vb),
+        |dups2 AS (SELECT COALESCE(mc2.vid, mb2.vid) AS vid,
+        |      COALESCE(LEAST(mc2.m, mb2.m), mc2.m, mb2.m) AS dup_of
+        |    FROM mc2 FULL OUTER JOIN mb2 ON mc2.vid = mb2.vid),
+        |verd2 AS (SELECT ba2.vid, ba2.cell, dups2.dup_of, dups2.dup_of IS NULL AS kept
+        |    FROM ba2 LEFT JOIN dups2 ON ba2.vid = dups2.vid)
+        |SELECT vid, cell, dup_of, kept
+        |FROM (SELECT * FROM verd1 UNION ALL SELECT * FROM verd2) u
+        |ORDER BY vid""".stripMargin)
 
   /** The passage-level SemDeDup oracle, parameterized ONLY on the seed
     * subquery (rows whose ascending-vid row numbers become the cells):

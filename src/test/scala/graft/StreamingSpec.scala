@@ -645,6 +645,86 @@ class StreamingSpec extends SparkSpec {
     assert(SemanticIndex.currentVersion(root).contains(v3))
   }
 
+  test("chunk-grain semantic intake restart: the chunk+embed front end replays deterministically; no self-dup") {
+    // The q153 pipeline shape: a DOCUMENT stream chunked (q147) and
+    // stub-embedded INSIDE the streaming pipeline, deduping at passage
+    // grain against the persisted semantic index. The restart question
+    // the doc-grain test above can't answer: the replayed trigger
+    // re-runs the chunk+embed TRANSFORM too — if it were
+    // nondeterministic (unstable chunk ids, order-dependent windows),
+    // the ledger-mediated skip would still hold but a repair replay
+    // would judge DIFFERENT vectors. Chunk keys are pure functions of
+    // (doc_id, token index), so replays are bit-identical.
+    import graft.operators.{SemanticIndex, TextOps}
+    val root = freshDir("graft_chunk_intake_restart_").getPath
+    val ckpt = freshDir("graft_chunk_intake_restart_ckpt_").getPath
+    val src = freshDir("graft_chunk_intake_restart_src_").getPath
+    val target = freshDir("graft_chunk_intake_restart_tgt_").getPath
+    def chunksOf(df: org.apache.spark.sql.DataFrame) =
+      TextOps.chunkWindows(df, "text", "doc_id", window = 4, overlap = 1)
+        .select((col("doc_id") * 100000L + col("chunk_id")).as("vid"),
+          TextOps.embedStub(col("chunk_text"), dim = 8).as("vd"))
+    // two 6-token docs → 2 chunks each ([t0..t3], [t3..t5]); k=4 cells
+    val corpusDocs = Seq((0L, "aa ab ac ad ae af"),
+      (1L, "zz zy zx zw zv zu")).toDF("doc_id", "text")
+    SemanticIndex.buildAndServe(chunksOf(corpusDocs), "vid", "vd",
+      k = 4, maxIter = 2, root)
+
+    def addFile(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.write(java.nio.file.Paths.get(src, name),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    def runOnce(): Unit = {
+      val q = StreamOps.semanticIntakeSink(
+          chunksOf(spark.readStream.schema("doc_id LONG, text STRING").json(src)),
+          "vid", "vd", root, target, t2 = 0.81)
+        .option("checkpointLocation", ckpt).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    def verdicts(): Seq[(Long, Long, Boolean)] = spark.read.parquet(target)
+      .select("vid", "dup_of", "kept").orderBy("vid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getBoolean(2))).toSeq
+
+    // trigger 0: doc 100 clones corpus doc 0 VERBATIM — both its
+    // chunks are exact twins (cos = 1) of corpus chunks 0/1 → dup; doc
+    // 101's chunks sit below the cos-0.9 gate against every corpus
+    // chunk AND each other (hand-checked stub cosines: max 0.883) → KEPT
+    addFile("f0.json", Seq(100L -> "aa ab ac ad ae af",
+      101L -> "0z 0z 0z 0z 0z 0z"))
+    runOnce()
+    val verd0 = verdicts()
+    assert(verd0 == Seq((10000000L, 0L, false), (10000001L, 1L, false),
+        (10100000L, -1L, true), (10100001L, -1L, true)),
+      s"expected clone chunks dup + novel chunks kept, got $verd0")
+
+    // post-commit kill: drop the checkpoint commit and replay — the
+    // trigger's segment is committed, so it must skip entirely: a
+    // re-judge would re-chunk, re-embed, and mark the KEPT 101 chunks
+    // duplicates of their own folded selves
+    dropCommit(ckpt, 0)
+    runOnce()
+    assert(verdicts() == verd0,
+      "a replayed committed chunk trigger must not re-judge (self-dup)")
+
+    // trigger 1 judges through a fold (the q153 dance): doc 200 clones
+    // doc 101's TEXT, so its chunks are exact twins of trigger 0's
+    // KEPT chunks — cross-batch passage dedup against the folded
+    // segment, dup_of = the kept chunk's key (the only cos ≥ 0.9 match)
+    SemanticIndex.foldIngestAndSwap(spark, root)
+    addFile("f1.json", Seq(200L -> "0z 0z 0z 0z 0z 0z"))
+    runOnce()
+    val verd1 = verdicts()
+    assert(verd1 == verd0 ++ Seq((20000000L, 10100000L, false),
+        (20000001L, 10100001L, false)),
+      s"doc 200's chunks must dup trigger 0's kept chunks, got $verd1")
+
+    // post-commit kill on trigger 1 replays to the same end state
+    dropCommit(ckpt, 1)
+    runOnce()
+    assert(verdicts() == verd1)
+  }
+
   test("vector sink restart: a torn ingest segment is overwritten by the replay; a committed one no-ops") {
     import graft.operators.VectorIndex
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")

@@ -132,6 +132,34 @@ object VecKernels {
     while (i < m) { s += lut.getArray(i).getLong(codes.getInt(i)); i += 1 }
     s
   }
+
+  /** Argmin centroid index over the FULL vector, ties to the LOWEST
+    * index — bit-identical to `array_position(dists, array_min(dists))
+    * - 1` over `array(sqDistConst(v, c_0), …, sqDistConst(v, c_{k-1}))`
+    * (array_position returns the first minimum; strict `<` here keeps
+    * the first minimum too, and each per-centroid sum accumulates the
+    * same left-to-right long arithmetic, so even a wrapped overflow
+    * wraps identically). One expression node instead of k: the
+    * k-literal-array shape generated k inlined kernel calls plus an
+    * array build + two array scans PER ROW, and at k ≈ √n (the
+    * SemDeDup production stance) the generated projection blew past
+    * JIT-friendly method sizes and Janino compile time grew with k on
+    * every Lloyd pass.
+    */
+  def assignCell(v: ArrayData, cents: Array[Array[Long]]): Long = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var ki = 0
+    while (ki < cents.length) {
+      val c = cents(ki)
+      var s = 0L
+      var i = 0
+      while (i < c.length) { val d = v.getLong(i) - c(i); s += d * d; i += 1 }
+      if (s < bestD) { bestD = s; best = ki }
+      ki += 1
+    }
+    best.toLong
+  }
 }
 
 /** `graft_quantize(vec)` — float/double array → floor(x·10⁶) longs. */
@@ -241,6 +269,26 @@ case class PqCodeExpr(child: Expression, offset: Int, books: Seq[Seq[Long]])
     copy(child = newChild)
 }
 
+/** `graft_assign_cell(vec, centroids)` — nearest-centroid index over
+  * the full vector (first minimum on ties), the coarse-quantizer assign
+  * as ONE kernel node. The centroid matrix rides the node as a model
+  * constant via addReferenceObj — k never inflates the generated code.
+  */
+case class AssignCellExpr(child: Expression, cents: Seq[Seq[Long]])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_assign_cell"
+  @transient private lazy val centsArr: Array[Array[Long]] = cents.map(_.toArray).toArray
+  override def nullSafeEval(v: Any): Any =
+    VecKernels.assignCell(v.asInstanceOf[ArrayData], centsArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", centsArr, "long[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecKernels.assignCell($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): AssignCellExpr =
+    copy(child = newChild)
+}
+
 /** `graft_adc_sum(codes, lut)` — Σ lut[mi][codes[mi]]. */
 case class AdcSumExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
@@ -279,6 +327,10 @@ object VecExprs {
       typedlit(books.map(_.toSeq): Seq[Seq[Long]]))
 
   def adcSum(codes: Column, lut: Column): Column = call_function("graft_adc_sum", codes, lut)
+
+  def assignCell(v: Column, cents: Seq[Array[Long]]): Column =
+    call_function("graft_assign_cell", v,
+      typedlit(cents.map(_.toSeq): Seq[Seq[Long]]))
 
   /** Unpack a foldable literal argument at plan-build time. */
   private[graft] def constInt(e: Expression): Int = {

@@ -57,9 +57,14 @@ object SemanticIndex {
     */
   def label(df: DataFrame, idCol: String, vecCol: String,
             cents: Seq[Array[Long]]): DataFrame =
-    df.select(col(idCol).cast("long").as("vid"),
-        SimilarityOps.quantize(col(vecCol)).as("qv"))
-      .withColumn("cell", SimilarityOps.assignCells(col("qv"), cents))
+    labelQ(df.select(col(idCol).cast("long").as("vid"),
+      SimilarityOps.quantize(col(vecCol)).as("qv")), cents)
+
+  /** [[label]] over an already-quantized (vid, qv) frame — the
+    * single-derivation shape [[buildAndServe]] shares with training.
+    */
+  private def labelQ(qf: DataFrame, cents: Seq[Array[Long]]): DataFrame =
+    qf.withColumn("cell", SimilarityOps.assignCells(col("qv"), cents))
       .withColumn("n2", VecExprs.dotLong(col("qv"), col("qv")).cast("double"))
 
   def versionDir(root: String, v: Int): String = f"$root/versions/v$v%04d"
@@ -135,12 +140,28 @@ object SemanticIndex {
     * served version number.
     */
   def buildAndServe(corpus: DataFrame, idCol: String, vecCol: String,
-                    k: Int, maxIter: Int, root: String): Int = {
-    val (cents, labeled) = build(corpus, idCol, vecCol, k, maxIter)
-    val v = claimNextVersion(root)
-    writeVersion(cents, labeled, root, v)
-    swapPointer(root, v)
-    v
+                    k: Int, maxIter: Int, root: String,
+                    cacheQuantized: Boolean = false): Int = {
+    // cacheQuantized: single derivation of the corpus — quantize once,
+    // persist for the training passes + the labeled write, release
+    // after the write. For an EXPENSIVE upstream (chunk + encode at
+    // passage grain, q153) the derivation otherwise re-runs once per
+    // Lloyd iteration plus the seed collect plus the final labeling;
+    // for a plain parquet corpus the extra materialization costs more
+    // than the re-reads it saves (the semanticDedup measurement), so
+    // opt-in. Bit-identical either way (quantize is deterministic).
+    val qf0 = corpus.select(col(idCol).cast("long").as("vid"),
+      SimilarityOps.quantize(col(vecCol)).as("qv"))
+    val qf = if (cacheQuantized)
+      qf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else qf0
+    try {
+      val cents = SimilarityOps.kmeansTrainQ(qf, k, maxIter)
+      val v = claimNextVersion(root)
+      writeVersion(cents, labelQ(qf, cents), root, v)
+      swapPointer(root, v)
+      v
+    } finally if (cacheQuantized) qf.unpersist()
   }
 
   /** The trained model of a version dir — k·dim longs, driver-sized. */

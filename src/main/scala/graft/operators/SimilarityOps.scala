@@ -164,15 +164,19 @@ object SimilarityOps {
 
   /** Nearest-centroid cell for a quantized vector column: squared
     * euclidean distance (exact long arithmetic), ties break to the
-    * lowest cell index (array_position returns the FIRST minimum).
-    * Centroids are plan literals — the "broadcast" of a k-means model is
-    * k·dim longs, baked into the [[graft.functions.SqDistToConst]]
-    * kernel nodes and evaluated zero times per row.
+    * lowest cell index (first minimum — identical to the original
+    * `array_position(dists, array_min(dists)) - 1` over a k-literal
+    * distance array). One [[graft.functions.AssignCellExpr]] kernel
+    * node: the centroid matrix is a model constant (k·dim longs) baked
+    * into the node and evaluated zero times per row. The previous
+    * k-expression shape generated k inlined distance calls + an array
+    * build + two array scans per row, and regrew the generated class
+    * with k — at the SemDeDup production stance (k ≈ √n, 110 cells at
+    * sf0.1 chunk grain) Janino compile time alone dominated every
+    * Lloyd pass.
     */
-  def assignCells(qv: Column, centroids: Seq[Array[Long]]): Column = {
-    val dists = array(centroids.map(c => VecExprs.sqDistConst(qv, c.toSeq)): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("long")
-  }
+  def assignCells(qv: Column, centroids: Seq[Array[Long]]): Column =
+    VecExprs.assignCell(qv, centroids)
 
   /** Deterministic seeding: the k vectors with the smallest ids. The
     * collect is k rows — the model seed, not data.
@@ -523,8 +527,19 @@ object SimilarityOps {
     */
   def kmeansStepSums(emb: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Array[Long]]): DataFrame =
-    emb.select(col(idCol).cast("long").as("vid"), quantize(col(vecCol)).as("qv"))
-      .withColumn("cell", assignCells(col("qv"), centroids))
+    kmeansStepSumsQ(
+      emb.select(col(idCol).cast("long").as("vid"), quantize(col(vecCol)).as("qv")),
+      centroids)
+
+  /** [[kmeansStepSums]] over an ALREADY-quantized (vid, qv) frame — the
+    * shape the single-derivation SemDeDup paths train through so the
+    * (possibly expensive) upstream derivation of `emb` is not re-run
+    * per Lloyd iteration. Bit-identical: quantize is deterministic, so
+    * splitting it out of the step changes nothing downstream.
+    */
+  private[operators] def kmeansStepSumsQ(qf: DataFrame,
+      centroids: Seq[Array[Long]]): DataFrame =
+    qf.withColumn("cell", assignCells(col("qv"), centroids))
       .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "x")))
       .groupBy("cell", "dim")
       .agg(sum("x").as("sum_q"), count(lit(1)).as("n_vecs"))
@@ -538,13 +553,26 @@ object SimilarityOps {
     * coarse quantizer instead of a precomputed label).
     */
   def kmeansTrain(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxIter: Int): Seq[Array[Long]] =
+    kmeansTrainQ(
+      emb.select(col(idCol).cast("long").as("vid"), quantize(col(vecCol)).as("qv")),
+      k, maxIter)
+
+  /** [[kmeansTrain]] over an already-quantized (vid, qv) frame (see
+    * [[kmeansStepSumsQ]]): callers whose input is an expensive
+    * derivation persist the quantized frame ONCE and train from it,
+    * instead of re-deriving the corpus on every Lloyd iteration plus
+    * the seed collect plus the final assign.
+    */
+  private[operators] def kmeansTrainQ(qf: DataFrame,
       k: Int, maxIter: Int): Seq[Array[Long]] = {
-    var cents = initialCentroids(emb, idCol, vecCol, k)
+    var cents = qf.orderBy("vid").limit(k).collect()
+      .map(r => r.getSeq[Long](1).toArray).toSeq
     val dim = cents.head.length
     var it = 0
     var changed = true
     while (it < maxIter && changed) {
-      val stats = kmeansStepSums(emb, idCol, vecCol, cents).collect()
+      val stats = kmeansStepSumsQ(qf, cents).collect()
       val sums = Array.fill(k)(new Array[Long](dim))
       val counts = new Array[Long](k)
       stats.foreach { r =>
@@ -601,9 +629,10 @@ object SimilarityOps {
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, maxIter: Int, t2: Double,
-      cacheLabeled: Boolean = true, maxCell: Int = NoCellCap): DataFrame = {
+      cacheLabeled: Boolean = true, maxCell: Int = NoCellCap,
+      cacheQuantized: Boolean = false): DataFrame = {
     val (verdicts, caches) = semanticDedupWithCaches(emb, idCol, vecCol,
-      k, maxIter, t2, cacheLabeled, maxCell)
+      k, maxIter, t2, cacheLabeled, maxCell, cacheQuantized)
     releaseCapWidths(caches)
     verdicts
   }
@@ -631,14 +660,28 @@ object SimilarityOps {
   def semanticDedupWithCaches(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, maxIter: Int, t2: Double,
       cacheLabeled: Boolean = true,
-      maxCell: Int = NoCellCap): (DataFrame, Seq[DataFrame]) = {
-    val cents = kmeansTrain(emb, idCol, vecCol, k, maxIter)
+      maxCell: Int = NoCellCap,
+      cacheQuantized: Boolean = false): (DataFrame, Seq[DataFrame]) = {
+    // cacheQuantized: single derivation of the input — the quantized
+    // frame persists ONCE and feeds the seed collect, every Lloyd
+    // iteration AND the final labeled table. For an EXPENSIVE upstream
+    // (chunk + encode at passage grain: q151/q152) the derivation
+    // otherwise re-runs 4-5× (once per training pass plus the final
+    // assign); for a plain parquet read the extra materialization costs
+    // more than the re-reads it saves (measured: q144 2.6→3.9 s with it
+    // always-on), so it is opt-in. Bit-identical either way: quantize
+    // is deterministic and the training passes see the same rows.
+    val qf0 = emb.select(col(idCol).cast("long").as("vid"),
+      quantize(col(vecCol)).as("qv"))
+    val qf = if (cacheQuantized)
+      qf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else qf0
+    val cents = kmeansTrainQ(qf, k, maxIter)
     // the labeled+quantized table feeds three consumers (both pair legs
     // and the verdict join-back) — persist it once, the q28/q55
     // rationale; at corpus scale write it as parquet instead (it IS the
     // cell-partitioned index an IVF build would store anyway)
-    val q0 = emb.select(col(idCol).cast("long").as("vid"),
-        quantize(col(vecCol)).as("qv"))
+    val q0 = qf
       .withColumn("cell", assignCells(col("qv"), cents))
       .withColumn("n2", VecExprs.dotLong(col("qv"), col("qv")).cast("double"))
     val q = if (cacheLabeled)
@@ -659,7 +702,9 @@ object SimilarityOps {
     val verdicts = q.select(col("vid"), col("cell"))
       .join(dups, Seq("vid"), "left")
       .withColumn("kept", col("dup_of").isNull)
-    (verdicts, (if (cacheLabeled) Seq(q) else Nil) ++ capCaches)
+    (verdicts,
+      (if (cacheQuantized) Seq(qf) else Nil) ++
+      (if (cacheLabeled) Seq(q) else Nil) ++ capCaches)
   }
 
   /** Incremental SemDeDup: judge a NEW batch of embeddings against an
@@ -701,7 +746,14 @@ object SimilarityOps {
       idCol: String, vecCol: String, k: Int, maxIter: Int, t2: Double,
       cacheLabeled: Boolean = true,
       maxCell: Int = NoCellCap): (DataFrame, Seq[DataFrame]) = {
-    val cents = kmeansTrain(corpus, idCol, vecCol, k, maxIter)
+    // every caller's corpus here is a cheap scan (embeddings parquet),
+    // so the quantized frame is NOT persisted: re-deriving it per
+    // training pass costs less than materializing a second full copy
+    // (measured on q144: always-persisting it read 2.6→3.9 s solo).
+    // An expensive-upstream caller would use semanticDedup's
+    // cacheQuantized, not this path.
+    val cents = kmeansTrainQ(corpus.select(col(idCol).cast("long").as("vid"),
+      quantize(col(vecCol)).as("qv")), k, maxIter)
     def labeled(df: DataFrame): DataFrame = {
       val l = df.select(col(idCol).cast("long").as("vid"),
           quantize(col(vecCol)).as("qv"))

@@ -42,6 +42,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("graft_pq_code", exprs => PqCodeExpr(exprs(0),
       VecExprs.constInt(exprs(1)), VecExprs.constLongMatrix(exprs(2))))
     fn("graft_adc_sum", exprs => AdcSumExpr(exprs(0), exprs(1)))
+    fn("graft_assign_cell", exprs =>
+      AssignCellExpr(exprs(0), VecExprs.constLongMatrix(exprs(1))))
   }
 }
 

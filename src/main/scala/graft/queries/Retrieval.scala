@@ -205,8 +205,10 @@ object Retrieval {
     "q151_semantic_dedup_chunks" -> ((s, dir) => {
       val cv = chunked(s, dir).select(col("chunk_key").as("vid"),
         TextOps.embedStub(col("chunk_text"), dim = 64).as("vd"))
+      // cacheQuantized: the chunk+encode upstream is the expensive part
+      // here — quantize once instead of once per training pass (r19)
       SimilarityOps.semanticDedup(cv, "vid", "vd",
-          k = 16, maxIter = 2, t2 = 0.81)
+          k = 16, maxIter = 2, t2 = 0.81, cacheQuantized = true)
         .orderBy("vid")
     }),
 
@@ -226,7 +228,7 @@ object Retrieval {
       val cv = chunked(s, dir).select(col("chunk_key").as("vid"),
         TextOps.embedStub(col("chunk_text"), dim = 64).as("vd"))
       SimilarityOps.semanticDedup(cv, "vid", "vd",
-          k = k, maxIter = 2, t2 = 0.81)
+          k = k, maxIter = 2, t2 = 0.81, cacheQuantized = true)
         .orderBy("vid")
     }),
 
@@ -269,8 +271,10 @@ object Retrieval {
       val root = fresh("graft_q153_semidx").getPath
       val target = fresh("graft_q153_sink").getPath
       val ckpt = fresh("graft_q153_ckpt").getPath
+      // cacheQuantized: the corpus is a chunk+encode derivation — one
+      // quantized materialization feeds all training passes (r19)
       graft.operators.SemanticIndex.buildAndServe(corpus, "vid", "vd",
-        k = 8, maxIter = 2, root)
+        k = 8, maxIter = 2, root, cacheQuantized = true)
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]
       // the streaming transform IS the chunk+embed front end: a

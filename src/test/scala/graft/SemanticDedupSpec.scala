@@ -101,6 +101,21 @@ class SemanticDedupSpec extends SparkSpec {
     caches.foreach(_.unpersist())
   }
 
+  test("cacheQuantized (the expensive-upstream stance) changes nothing in the judgment") {
+    // round 19: q151/q152 persist the quantized frame so their chunk+
+    // encode upstream derives once instead of once per training pass —
+    // the verdicts must be bit-identical to the default path, and the
+    // extra frame must ride the caches contract for caller unpersist
+    val (res, caches) = SimilarityOps.semanticDedupWithCaches(vecs, "vec_id",
+      "embedding", k = 3, maxIter = 10, t2 = 0.81, cacheQuantized = true)
+    assert(caches.size == 2, "quantized frame + labeled frame (no cap width)")
+    assert(caches.head.columns.toSeq == Seq("vid", "qv"), "first cache is the quantized frame")
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got.sortBy(_._1) == result.sortBy(_._1))
+    caches.foreach(_.unpersist())
+  }
+
   test("judgment is deterministic under repartitioning") {
     val r2 = SimilarityOps.semanticDedup(vecs.repartition(7), "vec_id", "embedding",
         k = 3, maxIter = 10, t2 = 0.81)

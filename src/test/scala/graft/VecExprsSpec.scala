@@ -125,6 +125,33 @@ class VecExprsSpec extends SparkSpec {
     assert(tie.count() == 0)
   }
 
+  test("assignCell kernel == array_position(array_min) over per-centroid dists, first-min ties") {
+    // centroid set with a DUPLICATE so the argmin ties: the assign must
+    // pick the first minimum, exactly like array_position did in the
+    // k-literal-array shape this kernel replaced (SimilarityOps.assignCells)
+    // centroid 1 is vid=1's ACTUAL quantization (float→double floor
+    // lands negatives one off a hand-written literal — derive it, the
+    // sqDistConst test's convention) so the exact-hit assertion is honest
+    val cent1: Array[Long] = vecs.filter(col("vid") === 1)
+      .select(VecExprs.quantize(col("vec"))).head().getSeq[Long](0).toArray
+    val cents: Seq[Array[Long]] = Seq(
+      Array.fill(dim)(0L),
+      cent1,
+      Array.fill(dim)(0L), // duplicate of index 0 — never the argmin
+      Array(999999L, -999999L, 500000L, -500000L, 250000L, -250000L, 4900000L, -4900000L))
+    val q = vecs.select(col("vid"), VecExprs.quantize(col("vec")).as("qv"))
+      .withColumn("k", VecExprs.assignCell(col("qv"), cents))
+      .withColumn("od", array(cents.map(c => VecExprs.sqDistConst(col("qv"), c.toSeq)): _*))
+      .withColumn("o", (array_position(col("od"), array_min(col("od"))) - 1).cast("long"))
+    assertNoDiff(q, "k", "o")
+    // vid=1 quantizes exactly onto centroid 1 (distance 0 beats the rest)
+    val hit = q.filter(col("vid") === 1).select("k").head().getLong(0)
+    assert(hit == 1L, s"exact centroid hit must assign to it, got $hit")
+    // vid=3 is all-zero: centroids 0 and 2 tie at 0 — must assign 0, never 2
+    val tie = q.filter(col("vid") === 3).select("k").head().getLong(0)
+    assert(tie == 0L, s"tie must break to the first minimum (0), got $tie")
+  }
+
   test("adcSum kernel == aggregate(zip_with(codes, lut, element_at)) gather") {
     val book: Seq[Array[Long]] = Seq(
       Array(0L, 0L, 0L, 0L), Array(100000L, -200000L, 300000L, -400000L),

@@ -91,8 +91,22 @@ object Bench {
                                 // + the persisted width frame (the q82 stance)
     "q144_semantic_dedup_incremental_capped", // q139 with BOTH legs capped under
                                 // two-sided planted skew
-    "q145_bigram_surprisal_salted") // q131's salted-join Zipf routing — prices
+    "q145_bigram_surprisal_salted", // q131's salted-join Zipf routing — prices
                                 // the ×buckets model-table replication
+    // ---- chunk family (round-18 verdict #3: pin it so chunk-path drift
+    // is visible to the gate; round 19 adds the entries + the pins) ----
+    "q147_chunk_windows",       // sliding-window chunking: map-only projection
+    "q148_bm25_chunks",         // chunk-grain BM25 (df/avgdl/n at chunk level)
+    "q150_hybrid_chunks_indexed", // chunk RAG serve: BM25 leg + persisted
+                                // IVF-PQ leg + RRF (index builds once per SF
+                                // in the warm rep — the q110/q120 stance;
+                                // the SERVE is what steady-state reps price)
+    "q151_semantic_dedup_chunks", // passage SemDeDup, oracle k=16 stance
+    "q152_semantic_dedup_chunks_sqrtk") // same at production k=ceil(sqrt(n)):
+                                // the configuration a deployment runs
+    // q149 (semantic-index GC sentinel) and q153 (chunk-grain streaming
+    // intake) stay non-headline: their batches feed through driver-side
+    // MemoryStream plumbing (the q104/q146 convention).
     // q104 (3-trigger streaming intake) and q146 (streaming SemDeDup
     // intake) are oracle/lifecycle queries, not headliners: their batches
     // feed through driver-side MemoryStream plumbing, and the lifecycle

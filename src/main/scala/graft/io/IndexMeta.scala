@@ -93,11 +93,21 @@ object IndexMeta {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Child names of `dir`, sorted; empty when the dir is absent. */
+  /** Child names of `dir`, sorted; empty when the dir is absent.
+    * "Absent" includes vanishing BETWEEN the exists probe and the
+    * listing: a claim release deletes its whole lock dir
+    * ([[withClaimVia]]'s finally), so a concurrent claimant's
+    * listStatus can race the delete and throw FileNotFoundException —
+    * which killed the claimant instead of letting it re-claim the now
+    * free dir (surfaced by WriterLockSpec's racing-appenders case).
+    * A dir deleted mid-listing IS absent; report it as such.
+    */
   def listChildNamesVia(f: FileSystem, dir: String): Seq[String] = {
     val p = new Path(dir)
-    if (!f.exists(p)) Nil
-    else f.listStatus(p).toSeq.map(_.getPath.getName).sorted
+    try {
+      if (!f.exists(p)) Nil
+      else f.listStatus(p).toSeq.map(_.getPath.getName).sorted
+    } catch { case _: java.io.FileNotFoundException => Nil }
   }
 
   def deleteTreeVia(f: FileSystem, path: String): Boolean =

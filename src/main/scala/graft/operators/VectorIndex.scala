@@ -279,11 +279,24 @@ object VectorIndex {
         Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_dist", VecExprs.adcSum(col("codes"), col("lut")))
-    val wAdc = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("adc_dist").asc, col("neighbor_id").asc)
-    val short = cand.withColumn("_r", row_number().over(wAdc))
-      .filter(col("_r") <= shortlist)
-      .select("query_id", "neighbor_id")
+    // ADC shortlist through the two-stage bounded top-k (the BM25
+    // family's SearchOps.boundedTopK): a per-partition bounded
+    // insertion pass FIRST, so the query_id shuffle carries at most
+    // `shortlist` rows per (query, partition) instead of the whole
+    // probed candidate mass. The previous bare row_number window
+    // funneled |Q|·nprobe·|cell| candidate rows through the window
+    // sort — measured at the r19 soak's 2M-vector tier: 127 s serve
+    // with 2.5 GB disk spill and 20.7 GB peak execution memory; the
+    // guide-§2.3 pre-reduce removes the corpus-scale candidate shuffle
+    // entirely. Selection provably identical: dist-asc under
+    // (neighbor_id asc ties) == score-desc on the NEGATED distance
+    // with the same tie-break, and any row outside a partition's
+    // local min-k is beaten by k rows that also reach the merge.
+    val short = SearchOps.boundedTopK(
+        cand.select(col("query_id"), col("neighbor_id").as("doc_id"),
+          (-col("adc_dist")).as("score")),
+        shortlist)
+      .select(col("query_id"), col("doc_id").as("neighbor_id"))
     // exact re-rank: fetch raw vectors for ONLY the surviving pairs
     val rv = rawVectors.select(col(idCol).cast("long").as("_vid"),
       VecExprs.quantize(col(vecCol)).as("_rqv"))

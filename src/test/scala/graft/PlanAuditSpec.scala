@@ -190,7 +190,15 @@ class PlanAuditSpec extends SparkSpec {
       "q107_ann_topk_ivfpq_residual" -> (2, 2, 1, 0),
       "q108_ann_topk_ivfpq_probed" -> (2, 2, 1, 0),
       "q109_ann_topk_ivfpq_refined" -> (4, 2, 3, 0),
-      "q110_ann_topk_indexed" -> (4, 2, 3, 0),
+      // r19: VectorIndex.query's ADC shortlist moved from a bare
+      // row_number window (whose ONE exchange carried the whole probed
+      // candidate mass — 2.5 GB of spill at the soak's 2M-vector tier)
+      // to the two-stage bounded top-k. Exchange COUNT rises 2→3
+      // (the typed groupByKey boundary hides output partitioning from
+      // the exact-rerank window, which re-exchanges), but every one of
+      // the three now carries batch-sized rows: ≤ shortlist·partitions
+      // per query into the merge, ≤ |Q|·shortlist into the re-rank.
+      "q110_ann_topk_indexed" -> (4, 3, 3, 0),
       "q79_member_activity_monthly" -> (2, 5, 0, 0),
       // 6 logical doc scans, but the postings-groupBy exchange subtree is
       // identical in the df and contrib branches → ReusedExchange computes
@@ -205,15 +213,17 @@ class PlanAuditSpec extends SparkSpec {
       // the vector leg q110's (codes/centroids/codebooks + raw-vector
       // rerank fetches), fused by one batch-sized integer agg — neither
       // index side ever sits beneath a shuffle
-      "q125_hybrid_indexed" -> (10, 9, 7, 0),
+      // (r19: +1 exchange on the vector leg, the q110 bounded-shortlist
+      // note)
+      "q125_hybrid_indexed" -> (10, 10, 7, 0),
       // post-GC serving: the lifecycle behind it (build/append/fold/
       // prune) ran before this plan exists; the SERVE plan is the
       // single-consolidated-segment q120 shape — the prune must not
       // change what the reader touches
       "q128_bm25_index_pruned" -> (5, 6, 4, 0),
       // post-GC ANN serving: q110's persisted shape through the pruned
-      // version dir
-      "q129_ann_index_pruned" -> (4, 2, 3, 0),
+      // version dir (r19: +1 exchange, the q110 bounded-shortlist note)
+      "q129_ann_index_pruned" -> (4, 3, 3, 0),
       // one corpus scan gated by the broadcast cut table (the agg pass
       // happened driver-side before this plan exists)
       "q130_mix_token_budget" -> (1, 2, 1, 0),
@@ -276,7 +286,9 @@ class PlanAuditSpec extends SparkSpec {
       // the probed cells) — the old unioned relation scanned rawvecs
       // AND the qv documents derivation once per re-rank side, so the
       // split drops two scans (13 → 11)
-      "q150_hybrid_chunks_indexed" -> (11, 13, 8, 0))
+      // (r19: +1 exchange on the vector leg, the q110 bounded-shortlist
+      // note)
+      "q150_hybrid_chunks_indexed" -> (11, 14, 8, 0))
     for ((q, (scans, shuffles, broadcasts, antis)) <- pins) {
       val p = plan(q)
       def uniq(pat: String): Int =

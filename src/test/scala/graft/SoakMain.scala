@@ -59,6 +59,11 @@ object SoakMain {
     val work = java.nio.file.Files.createTempDirectory("graft_soak_").toFile
     def sub(n: String) = new java.io.File(work, n).getPath
     def fmtMB(b: Long) = f"${b / 1048576.0}%8.1f MB"
+    // optional 3rd arg: comma-set of lifecycle families to run
+    // (curate,dedup,postings,ivfpq,semdedup,semidx) — re-measuring one
+    // leg after a fix must not re-pay the whole soak
+    val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
+    def on(tag: String): Boolean = only.forall(_.contains(tag))
 
     def lifecycle[A](label: String)(body: => A): A = {
       spark.sparkContext.setJobDescription(s"soak: $label")
@@ -81,15 +86,17 @@ object SoakMain {
     val baseDocs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("lang"))
     val docs = lifecycle(s"synthesize docs x$docMult") {
-      val reps = (0 until docMult).map { r =>
-        if (r == 0) baseDocs
-        else baseDocs.select(
-          (col("doc_id") + r * 10000000L).as("doc_id"),
-          concat(col("text"), lit(s" soakmark$r marker"),
-            (col("doc_id") % 97).cast("string")).as("text"),
-          col("lang"))
-      }
-      val d = reps.reduce(_ unionByName _)
+      // replicate via a crossJoin with the replica range, NOT a
+      // mult-leg union — a reduce(unionByName) over hundreds of legs
+      // is a planning-time bottleneck all by itself (guide §3.3; the
+      // ×1000 embeddings union stalled in the optimizer for minutes)
+      val reps = spark.range(docMult).select(col("id").cast("long").as("_r"))
+      val d = baseDocs.crossJoin(reps).select(
+        (col("doc_id") + col("_r") * 10000000L).as("doc_id"),
+        when(col("_r") === 0, col("text")).otherwise(
+          concat(col("text"), lit(" soakmark"), col("_r"), lit(" marker"),
+            (col("doc_id") % 97).cast("string"))).as("text"),
+        col("lang"))
       d.write.mode("overwrite").parquet(sub("docs"))
       val out = spark.read.parquet(sub("docs"))
       println(s"SOAK   docs rows = ${out.count()}")
@@ -104,15 +111,12 @@ object SoakMain {
         col("embedding").cast("array<double>").as("embedding"),
         col("label").cast("long").as("label"))
     val emb = lifecycle(s"synthesize embeddings x$embMult") {
-      val reps = (0 until embMult).map { r =>
-        if (r == 0) baseEmb
-        else baseEmb.select(
-          (col("vec_id") + r * 10000000L).as("vec_id"),
-          transform(col("embedding"),
-            x => x + (lit((r % 13).toDouble) * lit(1.0e-4))).as("embedding"),
-          col("label"))
-      }
-      val e = reps.reduce(_ unionByName _)
+      val reps = spark.range(embMult).select(col("id").cast("long").as("_r"))
+      val e = baseEmb.crossJoin(reps).select(
+        (col("vec_id") + col("_r") * 10000000L).as("vec_id"),
+        transform(col("embedding"),
+          x => x + (col("_r") % 13).cast("double") * lit(1.0e-4)).as("embedding"),
+        col("label"))
       e.write.mode("overwrite").parquet(sub("emb"))
       val out = spark.read.parquet(sub("emb"))
       println(s"SOAK   embedding rows = ${out.count()}")
@@ -120,7 +124,7 @@ object SoakMain {
     }
 
     // ---- 1. full curation chain (the q77 shape) ----
-    lifecycle("curateFull (q77 shape)") {
+    if (on("curate")) lifecycle("curateFull (q77 shape)") {
       val stats = graft.operators.CurationPipeline.statsByLang(
         graft.operators.CurationPipeline.curateFull(docs, "text", "doc_id",
           "lang", col("doc_id") % 10 === 0))
@@ -130,7 +134,7 @@ object SoakMain {
     }
 
     // ---- 2. prepared-index dedup ingest (the q78 shape) ----
-    {
+    if (on("dedup")) {
       import graft.operators.DedupOps
       val corpus = docs.filter(col("doc_id") % 50 =!= 3)
       val batch = docs.filter(col("doc_id") % 50 === 3)
@@ -155,7 +159,7 @@ object SoakMain {
     }
 
     // ---- 3. postings lifecycle (the q128 shape) ----
-    {
+    if (on("postings")) {
       import graft.operators.SearchOps
       val root = sub("postings")
       val cutoff = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
@@ -183,7 +187,7 @@ object SoakMain {
     }
 
     // ---- 4. IVF-PQ vector lifecycle (the q110/q129 shape) ----
-    {
+    if (on("ivfpq")) {
       import graft.operators.VectorIndex
       val root = sub("vindex")
       val model = lifecycle("ivfpq build+write (q110)") {
@@ -210,7 +214,7 @@ object SoakMain {
     }
 
     // ---- 5. semantic dedup at the production k≈√n stance (q152) ----
-    lifecycle("semanticDedup k=sqrt(n) (q152 shape)") {
+    if (on("semdedup")) lifecycle("semanticDedup k=sqrt(n) (q152 shape)") {
       val n = emb.count()
       val k = math.ceil(math.sqrt(n.toDouble)).toInt
       println(s"SOAK   n = $n, k = $k")
@@ -222,7 +226,7 @@ object SoakMain {
     }
 
     // ---- 6. semantic index build + intake judge (q146 shape) ----
-    {
+    if (on("semidx")) {
       import graft.operators.SemanticIndex
       val root = sub("semidx")
       lifecycle("semantic index buildAndServe (q146)") {

@@ -93,22 +93,35 @@ object IndexMeta {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Child names of `dir`, sorted; empty when the dir is absent.
-    * "Absent" includes vanishing BETWEEN the exists probe and the
-    * listing: a claim release deletes its whole lock dir
-    * ([[withClaimVia]]'s finally), so a concurrent claimant's
-    * listStatus can race the delete and throw FileNotFoundException —
-    * which killed the claimant instead of letting it re-claim the now
-    * free dir (surfaced by WriterLockSpec's racing-appenders case).
-    * A dir deleted mid-listing IS absent; report it as such.
+  /** Child names of `dir`, sorted; empty when the dir is absent. A
+    * FileNotFoundException from the listing ITSELF (dir vanished
+    * between the exists probe and listStatus) propagates: the only
+    * enumeration that legitimately races a delete is a claim listing
+    * (see [[listChildNamesIfPresentVia]]) — data-bearing enumerations
+    * (version allocation, fold segment ids) run under the per-root
+    * intake/maintenance claim, so a mid-listing FNF there is an
+    * unexpected store fault that must fail loudly, not read as an
+    * empty dir.
     */
   def listChildNamesVia(f: FileSystem, dir: String): Seq[String] = {
     val p = new Path(dir)
-    try {
-      if (!f.exists(p)) Nil
-      else f.listStatus(p).toSeq.map(_.getPath.getName).sorted
-    } catch { case _: java.io.FileNotFoundException => Nil }
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.map(_.getPath.getName).sorted
   }
+
+  /** [[listChildNamesVia]] that ALSO treats a dir vanishing BETWEEN the
+    * exists probe and the listing as absent: a claim release deletes
+    * its whole lock dir ([[withClaimVia]]'s finally), so a concurrent
+    * claimant's listStatus can race the delete and throw
+    * FileNotFoundException — which killed the claimant instead of
+    * letting it re-claim the now free dir (surfaced by WriterLockSpec's
+    * racing-appenders case). A lock dir deleted mid-listing IS absent;
+    * report it as such. Claim-listing call sites only — everything
+    * data-bearing uses the strict variant above.
+    */
+  def listChildNamesIfPresentVia(f: FileSystem, dir: String): Seq[String] =
+    try listChildNamesVia(f, dir)
+    catch { case _: java.io.FileNotFoundException => Nil }
 
   def deleteTreeVia(f: FileSystem, path: String): Boolean =
     f.delete(new Path(path), true)
@@ -157,7 +170,7 @@ object IndexMeta {
   private def tokenListingClaim(f: FileSystem, dir: String, token: String): Boolean = {
     f.mkdirs(new Path(dir))
     def claims(): Seq[String] =
-      listChildNamesVia(f, dir).filter(_.startsWith("_CLAIM"))
+      listChildNamesIfPresentVia(f, dir).filter(_.startsWith("_CLAIM"))
     if (claims().nonEmpty) return false // an established claim
     val mine = s"_CLAIM.$token"
     writeStringVia(f, s"${dir.stripSuffix("/")}/$mine", token)
@@ -261,7 +274,7 @@ object IndexMeta {
     */
   private def breakStaleClaims(f: FileSystem, dir: String, stalenessMs: Long): Unit = {
     val now = System.currentTimeMillis()
-    listChildNamesVia(f, dir).filter(_.startsWith("_CLAIM")).foreach { name =>
+    listChildNamesIfPresentVia(f, dir).filter(_.startsWith("_CLAIM")).foreach { name =>
       val marker = new Path(dir, name)
       val stale =
         try now - f.getFileStatus(marker).getModificationTime >= stalenessMs
@@ -281,7 +294,7 @@ object IndexMeta {
     * that loser deletes regardless); refreshing either is harmless.
     */
   private def touchClaims(f: FileSystem, dir: String): Unit =
-    listChildNamesVia(f, dir).filter(_.startsWith("_CLAIM")).foreach { name =>
+    listChildNamesIfPresentVia(f, dir).filter(_.startsWith("_CLAIM")).foreach { name =>
       val p = s"${dir.stripSuffix("/")}/$name"
       try writeStringVia(f, p, readStringVia(f, p).getOrElse(name))
       catch { case _: java.io.IOException => () } // beat lost; next one covers

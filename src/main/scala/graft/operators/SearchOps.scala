@@ -101,18 +101,24 @@ object SearchOps {
     val stats = toks.select(size(col("ws")).cast("double").as("dl"))
       .agg(count(lit(1)).cast("double").as("n_docs"), sum(col("dl")).as("total_len"))
 
-    // postings CARRY the doc length (constant per doc, so max() under the
-    // same groupBy) — no corpus-sized doc-length join downstream
-    val post = toks.select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
-        explode(col("ws")).as("term"))
-      .groupBy("term", "doc_id")
-      .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl"))
     val qterms = queries.select(col("query_id").cast("long").as("query_id"),
       col("term")).distinct()
 
-    // prune the corpus to query terms FIRST — everything downstream is
-    // proportional to the matched postings, not the corpus
-    val cand = post.join(broadcast(qterms.select("term").distinct()), "term")
+    // postings CARRY the doc length (constant per doc, so max() under the
+    // same groupBy) — no corpus-sized doc-length join downstream.
+    // The broadcast query-vocabulary prune sits BELOW the (term, doc)
+    // groupBy: the tf exchange then carries only MATCHED occurrences,
+    // not the whole corpus vocabulary (r20, guide §2.3 "project/filter
+    // before the exchange" — the prune used to join above the groupBy,
+    // so the partial-agg exchange shuffled every (term, doc) pair in
+    // the corpus to keep a few hundred query terms). Bit-identical: the
+    // join key IS the groupBy key, so dropping whole terms early never
+    // changes tf/dl/df of the survivors.
+    val cand = toks.select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
+        explode(col("ws")).as("term"))
+      .join(broadcast(qterms.select("term").distinct()), "term")
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl"))
     val dft0 = cand.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val dft = maxDfFrac.fold(dft0) { frac =>
       // the collect is an EAGER separate job, so the capped in-memory

@@ -634,6 +634,7 @@ object SimilarityOps {
     val (verdicts, caches) = semanticDedupWithCaches(emb, idCol, vecCol,
       k, maxIter, t2, cacheLabeled, maxCell, cacheQuantized)
     releaseCapWidths(caches)
+    releaseQuantized(caches)
     verdicts
   }
 
@@ -651,6 +652,28 @@ object SimilarityOps {
   private def releaseCapWidths(caches: Seq[DataFrame]): Unit =
     caches.filter(_.columns.sameElements(Array("cell", "_cw")))
       .foreach(_.unpersist())
+
+  /** Release the quantized (vid, qv) frame a cacheQuantized call left
+    * persisted: its training-time consumers (seed collect + Lloyd
+    * passes) already ran eagerly inside the training loop, and once the
+    * LABELED frame's cache is materialized the quantized copy is
+    * redundant — without this, each plain-wrapper call (q151/q152 per
+    * bench rep) leaked a full corpus-sized cached copy for the session.
+    * The labeled cache is forced with a count (one job over the
+    * still-cached quantized frame — the same pass the caller's first
+    * action would have paid to fill it) BEFORE the unpersist, so the
+    * expensive upstream is never re-derived. No-op unless both frames
+    * are present (the incremental wrappers cache labeled sides only).
+    */
+  private def releaseQuantized(caches: Seq[DataFrame]): Unit = {
+    val quantized = caches.filter(_.columns.sameElements(Array("vid", "qv")))
+    val labeled = caches.find(
+      _.columns.sameElements(Array("vid", "qv", "cell", "n2")))
+    if (quantized.nonEmpty && labeled.isDefined) {
+      labeled.get.count()
+      quantized.foreach(_.unpersist())
+    }
+  }
 
   /** [[semanticDedup]] plus the internally persisted frames (the
     * labeled+quantized table and, when capped, the cell-width frame),

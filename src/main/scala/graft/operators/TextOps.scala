@@ -222,12 +222,20 @@ object TextOps {
     * mirrors with the q76 CASE). Gradients stay within Long: g_b ≤
     * n·10⁶, so η·g_b needs n ≤ ~2·10¹² docs.
     *
-    * Scale shape: the distinct (doc, bucket) feature table builds once
-    * (one explode + distinct) and persists; each of the `steps` epochs
-    * is two feat-sized combinable aggregations (margin per doc,
-    * gradient per bucket) with the 256-weight model riding as a
-    * broadcast map literal — per-epoch driver traffic is 256 rows (the
-    * kmeansTrain stance). No join keys on raw tokens. Returns
+    * Scale shape (r20): features live at DOC grain — one groupBy(doc)
+    * with collect_set(bucket) IS the binary-feature distinct (≤256
+    * two-char ids per doc), built once and persisted. Each of the
+    * `steps` epochs is then a MAP-ONLY pass over that cached doc-sized
+    * frame (margin = aggregate() over the bucket set with the 256
+    * weights as a map literal, residual in the same projection) plus a
+    * 256-key partial aggregation for the gradient — zero data-sized
+    * exchanges and zero joins per epoch, where the previous shape
+    * re-shuffled the (doc, bucket) table twice per epoch (margin
+    * groupBy + gradient join) and once more for the final margins.
+    * Per-epoch driver traffic stays 256 rows (the kmeansTrain stance).
+    * No join keys on raw tokens. Bit-identical: Long sums over the
+    * same per-doc bucket sets are order-independent, and the one libm
+    * exp() per doc per step is the same expression. Returns
     * (doc_id, margin_q, predicted_target) for raw docs.
     */
   val QcEtaNum = 4L
@@ -246,38 +254,48 @@ object TextOps {
   def qualityClassifierWithCaches(df: DataFrame, textCol: String, idCol: String,
       isTarget: Column, steps: Int = 3,
       cacheFeatures: Boolean = true): (DataFrame, Seq[DataFrame]) = {
+    // collect_set IS the binary-feature distinct: the set of occupied
+    // buckets per doc (≤256 two-char ids), deduplicated map-side under
+    // the one groupBy — the old explode→distinct (doc, bucket) table
+    // at doc grain
     val feat0 = df.select(col(idCol).cast("long").as("doc_id"),
         isTarget.as("is_target"),
         explode(words(col(textCol))).as("tk"))
       .filter(col("tk") =!= "")
       .select(col("doc_id"), col("is_target"),
         substring(sha2(concat(lit("graft-qc:"), col("tk")), 256), 1, 2).as("bucket"))
-      .distinct()
+      .groupBy("doc_id")
+      .agg(collect_set(col("bucket")).as("bs"),
+        first(col("is_target")).as("is_target"))
     val feat = if (cacheFeatures)
       feat0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else feat0
-    val n = feat.select(countDistinct(col("doc_id"))).collect()(0).getLong(0)
+    val n = feat.count()
     require(n > 0, "qualityClassifier: no documents with tokens")
-    val occupied = feat.select("bucket").distinct().collect().map(_.getString(0))
+    val occupied = feat.select(explode(col("bs")).as("bucket")).distinct()
+      .collect().map(_.getString(0))
     var w: Map[String, Long] = occupied.map(_ -> 0L).toMap
     val yq = when(col("is_target"), lit(1000000L)).otherwise(lit(0L))
+    // margin over the doc's bucket set: a Long fold in set order — sums
+    // of exact longs are order-independent, so this equals the old
+    // groupBy(doc_id).sum(wq) bit for bit; every bucket in bs is a key
+    // of wm by construction (occupied derives from the same sets)
+    def marginOf(wm: Map[String, Long]): Column =
+      aggregate(col("bs"), lit(0L),
+        (acc, b) => acc + element_at(typedlit(wm), b))
     for (_ <- 1 to steps) {
-      val margins = feat
-        .withColumn("wq", element_at(typedlit(w), col("bucket")))
-        .groupBy("doc_id")
-        .agg(sum("wq").as("m"), first(col("is_target")).as("is_target"))
-      val resid = margins.select(col("doc_id"),
-        (floor(lit(1000000.0) / (lit(1.0) + exp(-col("m").cast("double") / lit(1000000.0))))
+      // one map-only projection computes margin AND residual per doc;
+      // the gradient is the only exchange, 256 keys wide
+      val resid = feat.select(col("bs"),
+        (floor(lit(1000000.0) / (lit(1.0) + exp(-marginOf(w).cast("double") / lit(1000000.0))))
           .cast("long") - yq).as("r"))
-      val grad = feat.join(resid, Seq("doc_id"))
+      val grad = resid.select(explode(col("bs")).as("bucket"), col("r"))
         .groupBy("bucket").agg(sum("r").as("g"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       w = w.map { case (b, wb) => b -> (wb - grad.getOrElse(b, 0L) * QcEtaNum / n) }
     }
     val margins = feat.filter(!col("is_target"))
-      .withColumn("wq", element_at(typedlit(w), col("bucket")))
-      .groupBy("doc_id")
-      .agg(sum("wq").as("margin_q"))
+      .select(col("doc_id"), marginOf(w).as("margin_q"))
       .withColumn("predicted_target", col("margin_q") > 0L)
     (margins, if (cacheFeatures) Seq(feat) else Nil)
   }

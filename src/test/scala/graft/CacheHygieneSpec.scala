@@ -128,6 +128,27 @@ class CacheHygieneSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup plain (cacheQuantized) releases the quantized frame (r19 advice)") {
+    import graft.operators.SimilarityOps
+    // distinctive literals so CacheManager plan-matching can't alias
+    // these frames with another suite's cached plans
+    val vecs = (0 until 24).map { i =>
+      (i.toLong + 91000L, Seq.tabulate(4)(d =>
+        (if (d == i % 3) 13.0 else 0.0) + 0.01 * ((i * 11 + d) % 5)))
+    }.toDF("vec_id", "embedding")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val res = SimilarityOps.semanticDedup(vecs, "vec_id", "embedding",
+      k = 3, maxIter = 5, t2 = 0.81, cacheQuantized = true)
+    res.collect()
+    // the labeled frame stays cached BY DESIGN (the verdict plan reads
+    // it); the quantized (vid, qv) frame must not — before the fix each
+    // plain cacheQuantized call leaked a second corpus-sized cache
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"expected at most the labeled frame cached, got RDD ids $leaked")
+    spark.catalog.clearCache()
+  }
+
   test("incrementalDedupToParquet unpersists the index and batch caches") {
     val corpus = docs.filter(col("doc_id") < 900)
     val batch = Seq(

@@ -245,10 +245,14 @@ class PlanAuditSpec extends SparkSpec {
       "q137_dsir_scores" -> (1, 2, 0, 0),
       // trained quality classifier: the 3 epochs ran driver-coordinated
       // before this plan exists (kmeansTrain stance); serving reads the
-      // persisted feature table (its build scan + distinct exchange sit
-      // inside the InMemoryRelation), sums trained weights per doc —
-      // the model is a map literal, zero joins
-      "q138_quality_classifier" -> (1, 4, 0, 0),
+      // persisted DOC-GRAIN feature table (its build scan + the one
+      // collect_set groupBy exchange sit inside the InMemoryRelation)
+      // and folds the trained weights over each doc's bucket set as a
+      // map literal — r20: the old (doc, bucket) layout re-shuffled the
+      // feature table for the final margins groupBy (4 exchanges → 3;
+      // the survivor trio is the cached build's groupBy, its initial-
+      // plan twin, and the output sort), zero joins
+      "q138_quality_classifier" -> (1, 3, 0, 0),
       // incremental SemDeDup: the corpus and batch labelings each
       // persist (their embeddings scans sit inside InMemoryRelations);
       // the batch side is small so BOTH pair legs broadcast it against

@@ -114,8 +114,13 @@ object SoakMain {
       val reps = spark.range(embMult).select(col("id").cast("long").as("_r"))
       val e = baseEmb.crossJoin(reps).select(
         (col("vec_id") + col("_r") * 10000000L).as("vec_id"),
+        // epsilon folds in vec_id so every (vec_id, replica) pair is a
+        // DISTINCT near-duplicate — (_r % 13) alone made replicas r and
+        // r+13 bit-identical twins, a duplicate-heavy corpus instead of
+        // the near-dup shape the comment above promises (r19 ADVICE)
         transform(col("embedding"),
-          x => x + (col("_r") % 13).cast("double") * lit(1.0e-4)).as("embedding"),
+          x => x + ((col("vec_id") + col("_r")) % 1021).cast("double")
+            * lit(1.0e-6)).as("embedding"),
         col("label"))
       e.write.mode("overwrite").parquet(sub("emb"))
       val out = spark.read.parquet(sub("emb"))

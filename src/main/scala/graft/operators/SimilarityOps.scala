@@ -631,6 +631,15 @@ object SimilarityOps {
       k: Int, maxIter: Int, t2: Double,
       cacheLabeled: Boolean = true, maxCell: Int = NoCellCap,
       cacheQuantized: Boolean = false): DataFrame = {
+    // with no labeled cache the quantized frame is the verdict plan's
+    // only working cache — the plain wrapper cannot release it after
+    // the caller's action, so that combination would leak it for the
+    // session (the round-19 ADVICE leak, on a different flag pairing);
+    // refuse loudly and point at the variant that can release it
+    require(!cacheQuantized || cacheLabeled,
+      "semanticDedup: cacheQuantized=true with cacheLabeled=false would leak " +
+        "the quantized frame for the session — use semanticDedupWithCaches " +
+        "and unpersist after the final action")
     val (verdicts, caches) = semanticDedupWithCaches(emb, idCol, vecCol,
       k, maxIter, t2, cacheLabeled, maxCell, cacheQuantized)
     releaseCapWidths(caches)

@@ -279,10 +279,14 @@ object TextOps {
     // margin over the doc's bucket set: a Long fold in set order — sums
     // of exact longs are order-independent, so this equals the old
     // groupBy(doc_id).sum(wq) bit for bit; every bucket in bs is a key
-    // of wm by construction (occupied derives from the same sets)
+    // of wm by construction (occupied derives from the same sets), and
+    // the coalesce keeps the OLD sum(wq) null semantics (an unseen
+    // bucket contributes weight 0) instead of null-poisoning the fold
+    // if a recomputed uncached frame ever drifts from the collected
+    // occupied set
     def marginOf(wm: Map[String, Long]): Column =
       aggregate(col("bs"), lit(0L),
-        (acc, b) => acc + element_at(typedlit(wm), b))
+        (acc, b) => acc + coalesce(element_at(typedlit(wm), b), lit(0L)))
     for (_ <- 1 to steps) {
       // one map-only projection computes margin AND residual per doc;
       // the gradient is the only exchange, 256 keys wide

@@ -214,7 +214,10 @@ object ProfileMain {
       println(f"PROFILE q77construct loops=$n in ${(System.nanoTime() - t0) / 1e9}%5.1f s")
     } else if (args.headOption.contains("q77cstages")) {
       // construction-time share per chain stage: replays the chain's
-      // structure with a stopwatch between operator constructions
+      // structure with a stopwatch between operator constructions.
+      // NOTE (also for q77trunc below): these probes hand-replay the
+      // round-20 shape of CurationPipeline.curateFullStagesWithCaches —
+      // if the pipeline changes, re-sync before trusting their numbers
       import org.apache.spark.sql.functions._
       import graft.operators.{DedupOps, ScrubOps, TextOps}
       val docs = Tables.load(spark, sfDir, "documents")

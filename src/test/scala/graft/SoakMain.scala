@@ -117,10 +117,13 @@ object SoakMain {
         // epsilon folds in vec_id so every (vec_id, replica) pair is a
         // DISTINCT near-duplicate — (_r % 13) alone made replicas r and
         // r+13 bit-identical twins, a duplicate-heavy corpus instead of
-        // the near-dup shape the comment above promises (r19 ADVICE)
+        // the near-dup shape the comment above promises (r19 ADVICE).
+        // Prime modulus 1048573 keeps replicas of one vector distinct
+        // for any embMult below it (the CLI accepts arbitrary
+        // multipliers; 1021 would have re-twinned r and r+1021)
         transform(col("embedding"),
-          x => x + ((col("vec_id") + col("_r")) % 1021).cast("double")
-            * lit(1.0e-6)).as("embedding"),
+          x => x + ((col("vec_id") + col("_r")) % 1048573L).cast("double")
+            * lit(1.0e-9)).as("embedding"),
         col("label"))
       e.write.mode("overwrite").parquet(sub("emb"))
       val out = spark.read.parquet(sub("emb"))
